@@ -1,0 +1,336 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Relational core — SURVEY.md §2.B. The range/point/fold primitives the
+  * view engine compiles to, each proven against the DuckDB oracle.
+  *
+  * Scale notes: dimension tables (region/nation/supplier/part/customer at
+  * TPC-H ratios) are broadcast explicitly; only fact-side aggregations
+  * shuffle, and those pre-aggregate map-side via partial agg. Filters and
+  * projections are plain `Column` expressions so Catalyst pushes them into
+  * the parquet scan.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private def r4(c: Column): Column = round(c, 4)
+
+  val all: Seq[Q] = Seq(
+
+    // B1: TPC-H Q1-style flat aggregation; partial agg map-side, one shuffle.
+    Q("q01_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+        |  round(sum(l_quantity), 4) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          r4(sum(col("l_quantity"))).as("sum_qty"),
+          r4(sum(col("l_extendedprice"))).as("sum_base_price"),
+          r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+          r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+          (r4(sum(col("l_quantity"))) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // B2: filter + projection pushdown (PushedFilters + pruned ReadSchema).
+    Q("q02_filter_project",
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * (1 - l_discount), 4) AS net_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
+          col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // B3: fact joins two broadcast dims; no shuffle on the dim side.
+    Q("q03_join_broadcast",
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    },
+
+    // B4: star join orders→customer→nation→region, all dims broadcast.
+    Q("q04_star_join",
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS total_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), r4(sum(col("o_totalprice"))).as("total_price"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // B5: EXISTS → left_semi (no row multiplication, dedup-free).
+    Q("q05_semi_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 100000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // B6: NOT EXISTS → left_anti.
+    Q("q06_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // B7: left outer + count of non-null right keys.
+    Q("q07_outer_join",
+      """SELECT c_custkey, count(o_orderkey) AS order_cnt,
+        |  round(coalesce(sum(o_totalprice), 0), 4) AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("order_cnt"),
+          r4(coalesce(sum(col("o_totalprice")), lit(0.0))).as("total_spend"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // B8: top-N per group via row_number; deterministic tie-break.
+    Q("q08_window_topn",
+      """SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) WHERE rn <= 5
+        |ORDER BY l_returnflag, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("l_returnflag"), col("rn").cast("long").as("rn"),
+          col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_returnflag"), col("rn"))
+    },
+
+    // B9: running sum with an explicit rows frame over a unique order key.
+    Q("q09_window_running",
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          r4(sum(col("o_totalprice")).over(w)).as("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // B10: global ORDER BY + LIMIT → TakeOrderedAndProject, never a full sort.
+    Q("q10_sort_limit",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    },
+
+    // B11: distinct = shuffle dedup with partial map-side dedup.
+    Q("q11_distinct",
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // B12: union-all of heterogenous sides, tagged, then re-aggregated.
+    Q("q12_union",
+      """SELECT side, nationkey, count(*) AS cnt FROM (
+        |  SELECT 'c' AS side, c_nationkey AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT 's' AS side, s_nationkey AS nationkey FROM supplier)
+        |GROUP BY side, nationkey
+        |ORDER BY side, nationkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").select(lit("c").as("side"), col("c_nationkey").as("nationkey"))
+      val su = t(s, dir, "supplier").select(lit("s").as("side"), col("s_nationkey").as("nationkey"))
+      c.unionByName(su)
+        .groupBy(col("side"), col("nationkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("side"), col("nationkey"))
+    },
+
+    // B13: HAVING = post-aggregation filter.
+    Q("q13_having",
+      """SELECT o_custkey, count(*) AS cnt FROM orders
+        |GROUP BY o_custkey HAVING count(*) >= 3
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 3)
+        .orderBy(col("o_custkey"))
+    },
+
+    // B14: CASE WHEN / conditional aggregation.
+    Q("q14_case_when",
+      """SELECT l_linestatus,
+        |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END), 4) AS returned_price,
+        |  round(sum(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice ELSE 0 END), 4) AS kept_price
+        |FROM lineitem GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          r4(sum(when(col("l_returnflag") === "R", col("l_extendedprice")).otherwise(0.0))).as("returned_price"),
+          r4(sum(when(col("l_returnflag") =!= "R", col("l_extendedprice")).otherwise(0.0))).as("kept_price"))
+        .orderBy(col("l_linestatus"))
+    },
+
+    // B15: scalar subquery → broadcast one-row agg, joined with a cross join.
+    Q("q15_scalar_subquery",
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      val part = t(s, dir, "part")
+      val avgPrice = part.agg(avg(col("p_retailprice")).as("avg_price"))
+      part.join(broadcast(avgPrice))
+        .filter(col("p_retailprice") > col("avg_price"))
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // B16: rollup; grouping nulls normalized to 'ALL' for stable x-engine order.
+    Q("q16_rollup",
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS cnt, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), r4(sum(col("l_quantity"))).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("cnt"), col("sum_qty"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    },
+
+    // B17: exact multi-column count distinct (expand + two-phase agg).
+    Q("q17_count_distinct",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // B17b: HLL sketch counterpart — not SQL-comparable, rows-only check.
+    Q.noOracle("q17b_approx_distinct") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // B18: string functions (all codegen'd builtins, no UDFs).
+    Q("q18_string_funcs",
+      """SELECT p_partkey,
+        |  upper(substr(p_name, 1, 8)) AS name_prefix,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  concat(p_brand, '#', p_type) AS brand_type,
+        |  CAST(CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS BIGINT) AS has_a
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        when(col("p_name").contains("a"), 1L).otherwise(0L).as("has_a"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // B19: date/time extraction (cast to BIGINT on both engines).
+    Q("q19_date_funcs",
+      """SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(extract(month FROM o_orderdate) AS BIGINT) AS o_month,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY o_year, o_month""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
+          month(col("o_orderdate")).cast("long").as("o_month"))
+        .agg(count(lit(1)).as("n_orders"), r4(sum(col("o_totalprice"))).as("total"))
+        .orderBy(col("o_year"), col("o_month"))
+    },
+
+    // B20: time-bucketed event aggregation (batch form of the streaming D1).
+    Q("q20_events_window",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY hour_bucket, event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour_bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("total_value"))
+        .orderBy(col("hour_bucket"), col("event_type"))
+    }
+  )
+}
