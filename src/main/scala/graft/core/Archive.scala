@@ -1,0 +1,70 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** An indexable file collection — the engine's analogue of a Dat archive
+  * (reference `index.js:127`). An archive exposes one DataFrame of files:
+  *
+  *   (origin string, url string, pathname string, value string, fversion long)
+  *
+  * `fversion` is a monotonically increasing per-file change stamp (the
+  * reference uses archive history versions, `lib/indexer.js:355`); the
+  * engine indexes incrementally by re-processing only files whose
+  * `fversion` advanced past the origin's last indexed version.
+  */
+trait Archive {
+  /** Origin URL, e.g. "dat://site-a" — the partition unit of view state. */
+  def url: String
+
+  /** Current overall version (max file version). */
+  def version(spark: SparkSession): Long =
+    files(spark).agg(max(col("fversion"))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+
+  /** All current files with content. */
+  def files(spark: SparkSession): DataFrame
+}
+
+/** A directory on a (distributed) filesystem treated as an archive.
+  * Reads through Spark's binaryFile source so listing/metadata and
+  * content access are distributed and column-pruned: plans that only
+  * need `pathname`/`fversion` (change detection) never read file bytes.
+  */
+final class DirArchive(val url: String, val rootPath: String) extends Archive {
+  override def files(spark: SparkSession): DataFrame = {
+    val root = rootPath.stripSuffix("/")
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(
+        lit(url).as("origin"),
+        concat(lit(url), expr(s"substring(path, ${root.length + "file:".length + 1})")).as("url"),
+        expr(s"substring(path, ${root.length + "file:".length + 1})").as("pathname"),
+        col("content").cast("string").as("value"),
+        unix_millis(col("modificationTime")).as("fversion"))
+  }
+}
+
+/** Rows of a DataFrame treated as files — the adapter that lets the
+  * map-reduce view engine run over table-shaped corpora (the driver's
+  * `documents` table) and over any DataFrame a user already has.
+  */
+final class TableArchive(
+    val url: String,
+    df: DataFrame,
+    pathname: org.apache.spark.sql.Column,
+    value: org.apache.spark.sql.Column,
+    fversion: Long = 1L) extends Archive {
+  override def files(spark: SparkSession): DataFrame =
+    df.select(
+      lit(url).as("origin"),
+      concat(lit(url), pathname).as("url"),
+      pathname.as("pathname"),
+      value.cast("string").as("value"),
+      lit(fversion).as("fversion"))
+
+  override def version(spark: SparkSession): Long = fversion
+}

@@ -1,0 +1,145 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** Minimal JSON render/parse for view entry values and keys.
+  *
+  * The reference stores LevelDB values with `valueEncoding: 'json'`
+  * (/root/reference/index.js:48); emitted values and keys are arbitrary
+  * JSON. This codec covers that surface (null, boolean, number, string,
+  * array, object) with JS number semantics: all numbers are doubles,
+  * rendered without a trailing `.0` when integral (matching
+  * JSON.stringify), so cross-checking against the DuckDB oracle's text
+  * output stays stable.
+  */
+object Json {
+
+  def render(v: Any): String = v match {
+    case null => "null"
+    case b: Boolean => if (b) "true" else "false"
+    case s: String => renderString(s)
+    case d: Double => renderNum(d)
+    case f: Float => renderNum(f.toDouble)
+    case n: Int => n.toString
+    case n: Long => n.toString
+    case n: Short => n.toString
+    case n: Byte => n.toString
+    case m: collection.Map[_, _] =>
+      m.map { case (k, x) => renderString(k.toString) + ":" + render(x) }
+        .mkString("{", ",", "}")
+    case xs: Iterable[_] => xs.map(render).mkString("[", ",", "]")
+    case xs: Array[_] => xs.map(render).mkString("[", ",", "]")
+    case other => renderString(other.toString)
+  }
+
+  def renderNum(d: Double): String =
+    if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
+
+  def renderString(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  /** Parse JSON text. Numbers come back as Double (JS semantics),
+    * objects as Map[String, Any], arrays as Vector[Any].
+    */
+  def parse(text: String): Any = {
+    val p = new Parser(text)
+    val v = p.value()
+    p.skipWs()
+    require(p.eof, s"trailing characters at ${p.pos} in: $text")
+    v
+  }
+
+  private final class Parser(s: String) {
+    var pos = 0
+    def eof: Boolean = pos >= s.length
+    def skipWs(): Unit = while (!eof && s.charAt(pos).isWhitespace) pos += 1
+    private def expect(c: Char): Unit = {
+      require(!eof && s.charAt(pos) == c, s"expected '$c' at $pos in: $s")
+      pos += 1
+    }
+    def value(): Any = {
+      skipWs()
+      require(!eof, "unexpected end of input")
+      s.charAt(pos) match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => str()
+        case 't' => lit("true", true)
+        case 'f' => lit("false", false)
+        case 'n' => lit("null", null)
+        case _ => num()
+      }
+    }
+    private def lit(word: String, v: Any): Any = {
+      require(s.regionMatches(pos, word, 0, word.length), s"bad literal at $pos")
+      pos += word.length; v
+    }
+    private def obj(): Map[String, Any] = {
+      expect('{'); skipWs()
+      val m = mutable.LinkedHashMap.empty[String, Any]
+      if (!eof && s.charAt(pos) == '}') { pos += 1; return m.toMap }
+      while (true) {
+        skipWs()
+        val k = str(); skipWs(); expect(':')
+        m(k) = value(); skipWs()
+        if (s.charAt(pos) == ',') pos += 1
+        else { expect('}'); return m.toMap }
+      }
+      m.toMap
+    }
+    private def arr(): Vector[Any] = {
+      expect('['); skipWs()
+      val b = Vector.newBuilder[Any]
+      if (!eof && s.charAt(pos) == ']') { pos += 1; return b.result() }
+      while (true) {
+        b += value(); skipWs()
+        if (s.charAt(pos) == ',') pos += 1
+        else { expect(']'); return b.result() }
+      }
+      b.result()
+    }
+    private def str(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (s.charAt(pos) != '"') {
+        val c = s.charAt(pos)
+        if (c == '\\') {
+          pos += 1
+          s.charAt(pos) match {
+            case '"' => sb.append('"')
+            case '\\' => sb.append('\\')
+            case '/' => sb.append('/')
+            case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f')
+            case 'n' => sb.append('\n')
+            case 'r' => sb.append('\r')
+            case 't' => sb.append('\t')
+            case 'u' =>
+              sb.append(Integer.parseInt(s.substring(pos + 1, pos + 5), 16).toChar)
+              pos += 4
+            case other => throw new IllegalArgumentException(s"bad escape \\$other")
+          }
+        } else sb.append(c)
+        pos += 1
+      }
+      pos += 1
+      sb.toString
+    }
+    private def num(): Double = {
+      val start = pos
+      while (!eof && "+-0123456789.eE".indexOf(s.charAt(pos)) >= 0) pos += 1
+      s.substring(start, pos).toDouble
+    }
+  }
+}

@@ -1,0 +1,129 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** File metadata handed to compat map functions — mirrors the reference's
+  * `meta = {origin, url, pathname}` (/root/reference/lib/indexer.js:230).
+  */
+final case class FileMeta(origin: String, url: String, pathname: String)
+
+/** How a view turns matched files into (key, value) entries. */
+sealed trait MapSpec
+
+/** Spark-first declarative map: a transform over the files DataFrame
+  * `(origin, url, pathname, value)` that must return the same rows plus
+  * `kb` (binary key), `key_json` and `value_json` — build them with
+  * [[GraftFunctions.emitEntry]]. Stays inside Catalyst/codegen; this is
+  * the form every built-in gate query uses.
+  */
+final case class MapDF(f: DataFrame => DataFrame) extends MapSpec
+
+/** Compatibility map: the reference's `map(value, meta, emit)` shape
+  * (/root/reference/README.md "damr.define"). Runs as a typed flatMap —
+  * distributed but opaque to Catalyst; prefer [[MapDF]] for hot paths.
+  * Emitted keys may be scalars or Seqs; values any JSON-renderable value.
+  */
+final case class MapFn(f: (String, FileMeta) => Seq[(Any, Any)]) extends MapSpec
+
+/** Per-key fold, the reference's `reduce(acc, value, key)`. Built-ins
+  * compile to native Spark aggregates (partial agg map-side); `Fold`
+  * replays the reference's sequential fold in deterministic
+  * (file url, emit seq) order via a sorted collect — use only when the
+  * fold really is order-sensitive and per-key cardinality is bounded,
+  * which is the reference's own operating regime.
+  */
+sealed trait Reduce
+object Reduce {
+  case object Count extends Reduce
+  case object Sum extends Reduce
+  case object Min extends Reduce
+  case object Max extends Reduce
+  final case class Fold(f: (Option[Any], Any, Any) => Any) extends Reduce
+}
+
+/** A view definition: which files (glob patterns over pathname, the
+  * reference's anymatch `path`), how to map them to entries, and an
+  * optional per-key reduce.
+  */
+final case class ViewDef(
+    path: Seq[String],
+    map: MapSpec,
+    reduce: Option[Reduce] = None) {
+
+  /** SQL regexp equivalent of the glob patterns (applied as a pushed-down
+    * filter on pathname).
+    */
+  def pathRegex: String =
+    path.map(ViewDef.globToRegex).mkString("(", ")|(", ")")
+}
+
+object ViewDef {
+  def apply(path: String, map: MapSpec): ViewDef = ViewDef(Seq(path), map, None)
+  def apply(path: String, map: MapSpec, reduce: Reduce): ViewDef =
+    ViewDef(Seq(path), map, Some(reduce))
+
+  /** Glob → Java/RE2-safe regex: `**` crosses `/`, `*` and `?` don't. */
+  def globToRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < glob.length) {
+      glob.charAt(i) match {
+        case '*' if i + 1 < glob.length && glob.charAt(i + 1) == '*' =>
+          sb.append(".*"); i += 1
+        case '*' => sb.append("[^/]*")
+        case '?' => sb.append("[^/]")
+        case c if "\\.[]{}()+-^$|".indexOf(c) >= 0 => sb.append('\\').append(c)
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('$').toString
+  }
+}
+
+/** Column-level helpers for declarative maps. */
+object GraftFunctions {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.api.java.UDF1
+  import org.apache.spark.sql.types.{BinaryType, StringType}
+
+  // Row-typed UDFs must go through the Java UDF API (the typed Scala
+  // `udf` can't derive an encoder for Row).
+
+  /** Order-preserving key bytes from typed key-element columns.
+    * Implemented as a UDF over a variadic struct for now; the encoding
+    * itself is the scale lever (binary range pushdown) — the per-row
+    * encode cost is a candidate for a native Expression later.
+    */
+  def keyBytes(elems: Column*): Column = {
+    val enc = udf(new UDF1[Row, Array[Byte]] {
+      override def call(row: Row): Array[Byte] =
+        KeyCodec.encode((0 until row.length).map(i => row.get(i)))
+    }, BinaryType)
+    enc(struct(elems: _*))
+  }
+
+  /** Attach the three entry columns a [[MapDF]] must produce. */
+  def emitEntry(df: DataFrame, keyElems: Seq[Column], value: Column): DataFrame =
+    df.withColumn("kb", keyBytes(keyElems: _*))
+      .withColumn("key_json", keyJsonOf(keyElems))
+      .withColumn("value_json", valueJson(value))
+
+  def keyJsonOf(elems: Seq[Column]): Column = {
+    // Render with JS semantics via the same codec used for kb, so
+    // key_json and kb always agree.
+    val f = udf(new UDF1[Row, String] {
+      override def call(row: Row): String =
+        KeyCodec.json((0 until row.length).map(i => row.get(i)))
+    }, StringType)
+    f(struct(elems: _*))
+  }
+
+  def valueJson(value: Column): Column = {
+    val f = udf(new UDF1[Row, String] {
+      override def call(row: Row): String = Json.render(row.get(0))
+    }, StringType)
+    f(struct(value))
+  }
+}

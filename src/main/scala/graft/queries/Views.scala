@@ -1,0 +1,155 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.core._
+
+/** View-engine gate queries — SURVEY.md §2.A, oracle-checked.
+  *
+  * Each query drives the REAL pipeline end-to-end: wrap the sf `documents`
+  * table as an archive (one row = one file whose contents are a JSON
+  * record, the reference's operating shape), define a view, index it
+  * (parquet state partitioned by origin), then run the reference read API
+  * (`get`/`list`) and return its result for the driver's DuckDB compare.
+  *
+  * Every view here is a declarative [[MapDF]] — from_json/explode column
+  * pipelines that stay inside Catalyst/codegen; the oracle SQL states the
+  * same computation relationally.
+  */
+object Views {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** documents → archive of /NNNNNNNN.json files with JSON record bodies. */
+  private def docsArchive(s: SparkSession, dir: String): TableArchive = {
+    val docs = Tables(s, dir, "documents")
+    new TableArchive(
+      "dat://docs",
+      docs.select(to_json(struct(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"))).as("body"), col("doc_id")),
+      pathname = concat(lit("/"), lpad(col("doc_id").cast("string"), 8, "0"), lit(".json")),
+      value = col("body"))
+  }
+
+  /** Fresh engine over a temp state root; indexes docs under the views. */
+  private def indexed(s: SparkSession, dir: String)(views: (String, ViewDef)*): Graft = {
+    val db = new Graft(s, Files.createTempDirectory("graft-views").toString)
+    views.foreach { case (n, v) => db.define(n, v) }
+    db.index(docsArchive(s, dir))
+    db
+  }
+
+  private def parsed(files: DataFrame): DataFrame =
+    files.withColumn("j", from_json(col("value"), docSchema))
+
+  val all: Seq[Q] = Seq(
+
+    // A2+A13: map emits 0..N entries per file (explode over two tag kinds).
+    Q("view_map_emit",
+      """SELECT key_json, value_json FROM (
+        |  SELECT '["lang","' || lang || '"]' AS key_json,
+        |         CAST(doc_id AS VARCHAR) AS value_json,
+        |         lpad(CAST(doc_id AS VARCHAR), 8, '0') AS ord
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT '["source","' || source || '"]', CAST(doc_id AS VARCHAR),
+        |         lpad(CAST(doc_id AS VARCHAR), 8, '0')
+        |  FROM documents)
+        |ORDER BY key_json, ord""".stripMargin) { (s, dir) =>
+      val db = indexed(s, dir)("tags" -> ViewDef(Seq("/*.json"), MapDF { files =>
+        val tags = parsed(files).select(
+          col("origin"), col("url"), col("pathname"), col("j"),
+          explode(array(
+            struct(lit("lang").as("k"), col("j.lang").as("v")),
+            struct(lit("source").as("k"), col("j.source").as("v")))).as("tag"))
+        GraftFunctions.emitEntry(tags, Seq(col("tag.k"), col("tag.v")), col("j.doc_id"))
+      }, None))
+      db.list("tags")
+    },
+
+    // A7: get() point lookup, multi-value per key ordered by emitting file.
+    Q("view_get_multi",
+      """SELECT '"en"' AS key_json, CAST(doc_id AS VARCHAR) AS value_json
+        |FROM documents WHERE lang = 'en'
+        |ORDER BY lpad(CAST(doc_id AS VARCHAR), 8, '0')""".stripMargin) { (s, dir) =>
+      val db = indexed(s, dir)("by-lang" -> ViewDef(Seq("/*.json"), MapDF { files =>
+        GraftFunctions.emitEntry(parsed(files), Seq(col("j.lang")), col("j.doc_id"))
+      }, None))
+      db.get("by-lang", "en")
+    },
+
+    // A8: list() ordered range scan; kb bounds push to the parquet scan.
+    Q("view_list_range",
+      """SELECT key_json, value_json FROM (
+        |  SELECT '["' || lang || '",' || n_chars || ',' || doc_id || ']' AS key_json,
+        |         CAST(doc_id AS VARCHAR) AS value_json,
+        |         lang AS k1, n_chars AS k2, doc_id AS k3
+        |  FROM documents
+        |  WHERE (lang = 'en' AND n_chars >= 200) OR (lang > 'en' AND lang < 'fr'))
+        |ORDER BY k1, k2, k3 LIMIT 50""".stripMargin) { (s, dir) =>
+      val db = indexed(s, dir)("by-size" -> ViewDef(Seq("/*.json"), MapDF { files =>
+        GraftFunctions.emitEntry(parsed(files),
+          Seq(col("j.lang"), col("j.n_chars"), col("j.doc_id")), col("j.doc_id"))
+      }, None))
+      db.list("by-size", ListOpts(
+        gte = Some(Seq("en", 200)), lt = Some(Seq("fr")), limit = Some(50)))
+    },
+
+    // A9: compound keys, element-wise order (string, string).
+    Q("view_compound_keys",
+      """SELECT '["' || lang || '","' || source || '"]' AS key_json,
+        |       CAST(count(*) AS VARCHAR) AS value_json
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin) { (s, dir) =>
+      val db = indexed(s, dir)("lang-source" -> ViewDef(Seq("/*.json"), MapDF { files =>
+        GraftFunctions.emitEntry(parsed(files),
+          Seq(col("j.lang"), col("j.source")), lit(1))
+      }, Some(Reduce.Count)))
+      db.list("lang-source")
+    },
+
+    // A10: reduced view — per-key fold compiled to a native aggregate.
+    Q("view_reduce_count",
+      """SELECT '"' || lang || '"' AS key_json,
+        |       CAST(count(*) AS VARCHAR) AS value_json
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val db = indexed(s, dir)("lang-count" -> ViewDef(Seq("/*.json"), MapDF { files =>
+        GraftFunctions.emitEntry(parsed(files), Seq(col("j.lang")), lit(1))
+      }, Some(Reduce.Count)))
+      db.list("lang-count")
+    },
+
+    // A10 variant: built-in Sum fold.
+    Q("view_reduce_sum",
+      """SELECT '"' || lang || '"' AS key_json,
+        |       CAST(sum(n_chars) AS VARCHAR) AS value_json
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val db = indexed(s, dir)("lang-chars" -> ViewDef(Seq("/*.json"), MapDF { files =>
+        GraftFunctions.emitEntry(parsed(files), Seq(col("j.lang")), col("j.n_chars"))
+      }, Some(Reduce.Sum)))
+      db.list("lang-chars")
+    },
+
+    // A15: JSON file-value parsing inside the map (from_json, codegen'd),
+    // numeric scalar keys ordered numerically.
+    Q("view_json_parse",
+      """SELECT CAST(doc_id AS VARCHAR) AS key_json,
+        |       CAST(n_chars AS VARCHAR) AS value_json
+        |FROM documents WHERE lang = 'zh'
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val db = indexed(s, dir)("zh-sizes" -> ViewDef(Seq("/*.json"), MapDF { files =>
+        GraftFunctions.emitEntry(
+          parsed(files).filter(col("j.lang") === "zh"),
+          Seq(col("j.doc_id")), col("j.n_chars"))
+      }, None))
+      db.list("zh-sizes")
+    })
+}

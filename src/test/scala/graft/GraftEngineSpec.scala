@@ -1,0 +1,225 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.nio.file.attribute.FileTime
+
+import graft.core._
+
+/** End-to-end engine parity with the reference's own test suites
+  * (/root/reference/test/view.js, /root/reference/test/compound-keys.js):
+  * map + reduced views, get() multi-value ordering, list() full/range/
+  * reverse/limit, compound keys, incremental re-index of changed files,
+  * file-level index/unindex, and state management. Tests run in order —
+  * later tests mutate the state earlier tests build.
+  */
+class GraftEngineSpec extends SparkSpec {
+
+  private val nArch = 4
+  private var root: Path = _
+  private var db: Graft = _
+  private var archives: Seq[DirArchive] = _
+  private def aurl(i: Int) = s"dat://site-$i"
+
+  private def writeJson(dir: Path, rel: String, fields: (String, Any)*): Unit = {
+    val p = dir.resolve(rel.stripPrefix("/"))
+    Files.createDirectories(p.getParent)
+    val body = fields.map { case (k, v) => Json.renderString(k) + ":" + Json.render(v) }
+      .mkString("{", ",", "}")
+    Files.write(p, body.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def bumpMtime(dir: Path, rel: String, by: Long): Unit = {
+    val p = dir.resolve(rel.stripPrefix("/"))
+    Files.setLastModifiedTime(p, FileTime.fromMillis(
+      Files.getLastModifiedTime(p).toMillis + by))
+  }
+
+  // map lambdas must not capture the (non-serializable) suite instance —
+  // they use the companion's static helper instead
+  import GraftEngineSpec.parseFirst
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    root = Files.createTempDirectory("graft-engine-spec")
+    val archDirs = (0 until nArch).map { i =>
+      val d = root.resolve(s"arch$i")
+      writeJson(d, "/single.json", "first" -> s"first$i", "second" -> i)
+      writeJson(d, "/multi/1.json", "first" -> s"first$i", "second" -> (i + 1) * 100)
+      writeJson(d, "/multi/2.json", "first" -> s"first$i", "second" -> i)
+      writeJson(d, "/multi/3.json", "first" -> s"first${i}b", "second" -> i)
+      d
+    }
+    archives = (0 until nArch).map(i => new DirArchive(aurl(i), archDirs(i).toString))
+
+    db = new Graft(spark, root.resolve("state").toString)
+    db.define("single", ViewDef("/single.json",
+      MapFn((v, m) => Seq(parseFirst(v) -> m.url))))
+    db.define("single-reduced", ViewDef("/single.json",
+      MapFn((_, m) => Seq(m.origin -> 1)),
+      Reduce.Fold((acc, _, _) => acc.map(_.asInstanceOf[Double] + 1).getOrElse(1.0))))
+    db.define("multi", ViewDef("/multi/*.json",
+      MapFn((v, m) => Seq(parseFirst(v) -> m.url))))
+    db.define("multi-reduced", ViewDef("/multi/*.json",
+      MapFn((_, m) => Seq(m.origin -> 1)),
+      Reduce.Count))
+    db.define("compound", ViewDef("/multi/*.json",
+      MapFn((v, m) => Seq(Seq(m.origin, parseFirst(v)) -> m.url))))
+    db.define("compound-reduced", ViewDef("/multi/*.json",
+      MapFn((v, m) => Seq(Seq(m.origin, parseFirst(v)) -> 1)),
+      Reduce.Count))
+    archives.foreach(db.index)
+  }
+
+  override def afterAll(): Unit = {
+    // temp state cleanup; session is shared, leave it up
+    super.afterAll()
+  }
+
+  test("get(): map views return all values at key ordered by file; reduced return fold") {
+    assert(db.getValue("single", "first0") == Some(Vector(aurl(0) + "/single.json")))
+    assert(db.getValue("single", "first1") == Some(Vector(aurl(1) + "/single.json")))
+    assert(db.getValue("single-reduced", aurl(0)) == Some(1.0))
+    assert(db.getValue("multi", "first0") ==
+      Some(Vector(aurl(0) + "/multi/1.json", aurl(0) + "/multi/2.json")))
+    assert(db.getValue("multi-reduced", aurl(1)) == Some(3.0))
+    assert(db.getValue("single", "nope") == None)
+  }
+
+  test("list(): full scan in key order") {
+    val res = db.listEntries("single")
+    assert(res.size == nArch)
+    (0 until nArch).foreach { i =>
+      assert(res(i) == Entry(s"first$i", aurl(i) + "/single.json"))
+    }
+    val multi = db.listEntries("multi")
+    assert(multi.size == nArch * 3)
+    (0 until nArch).foreach { i =>
+      assert(multi(i * 3) == Entry(s"first$i", aurl(i) + "/multi/1.json"))
+      assert(multi(i * 3 + 1) == Entry(s"first$i", aurl(i) + "/multi/2.json"))
+      assert(multi(i * 3 + 2) == Entry(s"first${i}b", aurl(i) + "/multi/3.json"))
+    }
+    val mr = db.listEntries("multi-reduced")
+    assert(mr.size == nArch && mr.forall(_.value == 3.0))
+  }
+
+  test("list(): gt/gte/lt/lte/reverse/limit") {
+    assert(db.listEntries("single", ListOpts(gt = Some(Seq("first1"))))
+      .map(_.key) == (2 until nArch).map(i => s"first$i"))
+    assert(db.listEntries("single", ListOpts(gte = Some(Seq("first1"))))
+      .map(_.key) == (1 until nArch).map(i => s"first$i"))
+    assert(db.listEntries("single", ListOpts(lt = Some(Seq("first2"))))
+      .map(_.key) == Seq("first0", "first1"))
+    assert(db.listEntries("single", ListOpts(lte = Some(Seq("first2"))))
+      .map(_.key) == Seq("first0", "first1", "first2"))
+    assert(db.listEntries("single", ListOpts(reverse = true))
+      .map(_.key) == (0 until nArch).reverse.map(i => s"first$i"))
+    assert(db.listEntries("single", ListOpts(limit = Some(3)))
+      .map(_.key) == Seq("first0", "first1", "first2"))
+    // limit counts KEYS for map views; multi-values at a key all return
+    // (reference lib/view.js:73-82)
+    val lim = db.listEntries("multi", ListOpts(limit = Some(1)))
+    assert(lim.size == 2 && lim.forall(_.key == "first0"))
+    // reverse + limit = last keys
+    assert(db.listEntries("single", ListOpts(limit = Some(2), reverse = true))
+      .map(_.key) == Seq(s"first${nArch - 1}", s"first${nArch - 2}"))
+  }
+
+  test("compound keys: element-wise order, range scans, reduced counts") {
+    assert(db.getValue("compound", Seq(aurl(0), "first0")) ==
+      Some(Vector(aurl(0) + "/multi/1.json", aurl(0) + "/multi/2.json")))
+    assert(db.getValue("compound-reduced", Seq(aurl(0), "first0")) == Some(2.0))
+    assert(db.getValue("compound-reduced", Seq(aurl(0), "first0b")) == Some(1.0))
+
+    val all = db.listEntries("compound")
+    assert(all.size == nArch * 3)
+    assert(all.map(_.key) == all.map(_.key).sortBy(k =>
+      (k.asInstanceOf[Vector[Any]](0).toString, k.asInstanceOf[Vector[Any]](1).toString)))
+
+    // range: everything strictly after [aurl(0), "first0"]
+    val gt = db.listEntries("compound", ListOpts(gt = Some(Seq(aurl(0), "first0"))))
+    assert(gt.size == nArch * 3 - 2)
+    assert(gt.head.key == Vector(aurl(0), "first0b"))
+
+    // prefix range trick: all keys of origin 1 = gte [o1] lt [o1, MAX]
+    val o1 = db.listEntries("compound",
+      ListOpts(gte = Some(Seq(aurl(1))), lt = Some(Seq(aurl(1), "￿"))))
+    assert(o1.size == 3)
+    assert(o1.forall(_.key.asInstanceOf[Vector[Any]](0) == aurl(1)))
+  }
+
+  test("incremental: re-index only changed files, with retraction") {
+    // Rewrite single.json + multi/1.json of archive 0 with new keys and a
+    // bumped mtime; leave other files untouched.
+    val d = Paths.get(root.toString, "arch0")
+    writeJson(d, "/single.json", "first" -> s"first$nArch", "second" -> 0)
+    writeJson(d, "/multi/1.json", "first" -> s"first$nArch", "second" -> 100)
+    bumpMtime(d, "/single.json", 60000)
+    bumpMtime(d, "/multi/1.json", 60000)
+    db.index(archives(0))
+
+    // retracted: first0 no longer lists single.json or multi/1.json
+    assert(db.getValue("single", "first0") == None)
+    assert(db.getValue("single", s"first$nArch") == Some(Vector(aurl(0) + "/single.json")))
+    assert(db.getValue("multi", "first0") == Some(Vector(aurl(0) + "/multi/2.json")))
+    assert(db.getValue("multi", s"first$nArch") == Some(Vector(aurl(0) + "/multi/1.json")))
+    // untouched files kept; counts stable
+    assert(db.getValue("multi-reduced", aurl(0)) == Some(3.0))
+    assert(db.getValue("single-reduced", aurl(0)) == Some(1.0))
+    // other origins untouched
+    assert(db.getValue("single", "first1") == Some(Vector(aurl(1) + "/single.json")))
+  }
+
+  test("indexFile/unindexFile: single-file add and retraction") {
+    db.unindexFile(aurl(1), "/multi/3.json")
+    assert(db.getValue("multi", "first1b") == None)
+    assert(db.getValue("multi-reduced", aurl(1)) == Some(2.0))
+
+    db.indexFile(archives(1), "/multi/3.json")
+    assert(db.getValue("multi", "first1b") == Some(Vector(aurl(1) + "/multi/3.json")))
+    assert(db.getValue("multi-reduced", aurl(1)) == Some(3.0))
+  }
+
+  test("unindex: drops an origin's contribution everywhere") {
+    assert(db.isIndexed(aurl(2)))
+    db.unindex(aurl(2))
+    assert(!db.isIndexed(aurl(2)))
+    assert(db.getValue("single", "first2") == None)
+    assert(db.getValue("multi-reduced", aurl(2)) == None)
+    assert(db.getValue("single", "first1").isDefined) // others intact
+  }
+
+  test("listIndexed/isIndexed reflect the catalog; catalog survives restart") {
+    assert(db.listIndexed().toSet == Set(aurl(0), aurl(1), aurl(3)))
+    val db2 = new Graft(spark, root.resolve("state").toString)
+    assert(db2.listIndexed().toSet == Set(aurl(0), aurl(1), aurl(3)))
+    assert(db2.isIndexed(aurl(1)) && !db2.isIndexed(aurl(2)))
+  }
+
+  test("reset clears a view's state; others unaffected") {
+    db.reset("single")
+    assert(db.listEntries("single").isEmpty)
+    assert(db.listEntries("multi").nonEmpty)
+  }
+
+  test("declarative MapDF views run the same pipeline") {
+    val db3 = new Graft(spark, root.resolve("state2").toString)
+    import org.apache.spark.sql.functions._
+    db3.define("df-view", ViewDef(Seq("/multi/*.json"), MapDF { files =>
+      val parsed = files.withColumn("j", from_json(col("value"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("first", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("second", org.apache.spark.sql.types.LongType)))))
+      GraftFunctions.emitEntry(parsed, Seq(col("j.first")), col("j.second"))
+    }, None))
+    db3.index(archives(1))
+    val res = db3.listEntries("df-view")
+    assert(res.map(_.key) == Seq("first1", "first1", "first1b"))
+    assert(db3.getValue("df-view", "first1") == Some(Vector(200.0, 1.0)))
+  }
+}
+
+object GraftEngineSpec extends Serializable {
+  def parseFirst(value: String): Any =
+    core.Json.parse(value).asInstanceOf[Map[String, Any]]("first")
+}
