@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Similarity search over the `embeddings` table — SURVEY.md §2.C7-C8.
+  *
+  * Scale notes (100 TB):
+  *   - Brute-force: the QUERY SET is broadcast (it is small by
+  *     definition); the corpus is only mapped, never shuffled — each
+  *     partition scores its vectors against every query, and the global
+  *     top-k per query reduces through a TopK (window row_number over a
+  *     partial-aggregated candidate set is still a shuffle of
+  *     |queries|·k·partitions rows, not the corpus).
+  *   - Hyperplane LSH: L signature tables of b sign-bits each; the corpus
+  *     shuffles once per table on (table, signature) — bucket sizes are
+  *     binomial around n/2^b, skew-free. Queries probe their buckets only.
+  *     Recall tunes with (L, b) independent of corpus size.
+  */
+object Ann {
+
+  private val K = 5
+  private val NQ = 10 // vec_id < NQ are the query vectors; the rest, corpus
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), v => v.cast("double")).as("emb"))
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("emb"),
+      sqrt(aggregate(col("emb"), lit(0.0d), (acc, v) => acc + v * v)).as("nrm"))
+
+  private def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v) / (na * nb)
+
+  /** Deterministic ±1 hyperplane component for (table t, bit j, dim i):
+    * a fixed pseudo-random sign derived from a 31-bit hash mix.
+    */
+  private def planeSign(t: Int, j: Column, i: Column): Column =
+    when(pmod(xxhash64(lit(t), j, i), lit(2L)) === 0, lit(1.0d)).otherwise(lit(-1.0d))
+
+  /** b-bit sign signature of `emb` under table t's hyperplanes. */
+  private def signature(t: Int, emb: Column, bits: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(bits - 1)), j =>
+        when(aggregate(
+          zip_with(emb, sequence(lit(0), size(emb) - 1),
+            (v, i) => v * planeSign(t, j, i)),
+          lit(0.0d), (acc, v) => acc + v) >= 0, lit(1L)).otherwise(lit(0L))),
+      lit(0L), (acc, bit) => acc * 2 + bit)
+
+  /** Exact top-K per query: scored candidates → row_number window. */
+  private def topK(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(round(col("cos"), 6).desc, col("n_id"))))
+      .where(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+
+  val all: Seq[Q] = Seq(
+
+    // C7: brute-force cosine top-k — exact baseline; broadcast query set,
+    // map-side scoring, TopK per query. Ranking rounds to 6 decimals with
+    // id tie-break so both engines order identically.
+    Q("ann_bruteforce",
+      s"""WITH x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+         |            generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM x GROUP BY vec_id),
+         |d AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, sum(q.v * c.v) AS dot
+         |      FROM x q JOIN x c ON q.i = c.i
+         |      WHERE q.vec_id < $NQ AND c.vec_id >= $NQ
+         |      GROUP BY q.vec_id, c.vec_id),
+         |scored AS (SELECT q_id, n_id, dot / (nq.nrm * nc.nrm) AS cos
+         |           FROM d JOIN n nq ON nq.vec_id = q_id JOIN n nc ON nc.vec_id = n_id),
+         |ranked AS (SELECT q_id, n_id, cos, row_number() OVER (
+         |             PARTITION BY q_id ORDER BY round(cos, 6) DESC, n_id) AS rank
+         |           FROM scored)
+         |SELECT q_id, rank, n_id, round(cos, 4) AS cos
+         |FROM ranked WHERE rank <= $K
+         |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+      val e = withNorm(embs(s, dir))
+      val queries = e.where(col("vec_id") < NQ)
+        .select(col("vec_id").as("q_id"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+      val corpus = e.where(col("vec_id") >= NQ)
+      val scored = corpus.crossJoin(broadcast(queries))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          cosine(col("qemb"), col("emb"), col("qnrm"), col("nrm")).as("cos"))
+      topK(scored)
+    },
+
+    // C8: random-hyperplane LSH — L tables of b sign-bits; queries meet
+    // corpus vectors only inside matching (table, signature) buckets; the
+    // survivors get exact cosine + TopK. AnnSpec measures recall vs C7.
+    // Rows-only for the driver (banding isn't SQL-expressible).
+    Q.noOracle("ann_lsh") { (s, dir) =>
+      // 6 bits × 16 tables: tuned for near-uniform synthetic vectors
+      // (top-neighbor angles ~65-70° ⇒ per-bit agreement ~0.6; 6 bits
+      // keeps per-table recall ~5%, 16 tables lift it to ~0.5+ while
+      // buckets stay ~n/64). Real clustered embeddings allow more bits.
+      val L = 16; val bits = 6
+      val e = withNorm(embs(s, dir))
+      val tabled = e.select(col("vec_id"), col("emb"), col("nrm"),
+        explode(array((0 until L).map(t =>
+          struct(lit(t).as("t"), signature(t, col("emb"), bits).as("sig"))): _*)).as("tk"))
+      val queries = tabled.where(col("vec_id") < NQ)
+        .select(col("vec_id").as("q_id"), col("tk"))
+      val corpus = tabled.where(col("vec_id") >= NQ)
+      // candidate ids only through the bucket join; a pair can meet in
+      // several tables, so dedup BEFORE the (expensive) exact scoring
+      val cands = corpus.join(broadcast(queries), "tk")
+        .select(col("q_id"), col("vec_id").as("n_id"))
+        .distinct()
+      val scored = cands
+        .join(broadcast(e.select(col("vec_id").as("q_id"),
+          col("emb").as("qemb"), col("nrm").as("qnrm"))), "q_id")
+        .join(e.select(col("vec_id").as("n_id"),
+          col("emb").as("nemb"), col("nrm").as("nnrm")), "n_id")
+        .select(col("q_id"), col("n_id"),
+          cosine(col("qemb"), col("nemb"), col("qnrm"), col("nnrm")).as("cos"))
+      topK(scored)
+    })
+}

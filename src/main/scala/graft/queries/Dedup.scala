@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Deduplication suite — SURVEY.md §2.C1-C6, the operators a training-data
+  * pipeline runs before anything else.
+  *
+  * Scale notes (100 TB):
+  *   - Exact dedup is one hash-shuffle on the normalized text (map-side
+  *     partial agg first); the normalized key could be replaced by
+  *     sha2(text) to shrink shuffle width at identical semantics.
+  *   - N-gram Jaccard mines candidates through an inverted-index join
+  *     (gram → docs), never an O(n²) cross join; gram keys are
+  *     high-cardinality so the shuffle is uniform by construction.
+  *   - MinHash/LSH replaces the exact inverted index when even gram
+  *     joins are too wide: 128 permutations → 32 bands × 4 rows; only
+  *     band-equal pairs meet, then exact Jaccard verifies survivors.
+  *     Band keys are (band#, 4 hashes) — uniformly distributed, skew-free.
+  *   - SimHash candidates join on any of 4 16-bit blocks (pigeonhole:
+  *     hamming ≤ 3 ⇒ at least one block equal), then exact popcount
+  *     verification.
+  *   - Embedding near-dup keeps the exact all-pairs form as the oracle
+  *     baseline; at scale the candidate set comes from Ann.scala's
+  *     hyperplane-LSH buckets with the same cosine verification.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Whitespace-collapse + lowercase — the standard exact-dedup key. */
+  private val normText: Column =
+    lower(regexp_replace(trim(col("text")), "\\s+", " "))
+
+  /** Distinct word 3-grams of a document, as one array column. */
+  private def gramsOf(words: Column): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(words) - 3, lit(-1))),
+      i => concat_ws(" ", element_at(words, i + 1),
+        element_at(words, i + 2), element_at(words, i + 3))))
+
+  /** (doc_id, gram) inverted-index rows — candidate generation substrate. */
+  private def gramRows(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(gramsOf(col("ws"))).as("g"))
+
+  /** Exact 3-gram Jaccard for a candidate pair set (a_id, b_id):
+    * joins gram SETS back per side and verifies |∩|/|∪| >= tau.
+    */
+  private def verifyJaccard(cands: DataFrame, d: DataFrame, tau: Double): DataFrame = {
+    val gsets = d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("doc_id"), gramsOf(col("ws")).as("gs"))
+    cands
+      .join(gsets.select(col("doc_id").as("a_id"), col("gs").as("ga")), "a_id")
+      .join(gsets.select(col("doc_id").as("b_id"), col("gs").as("gb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("ga"), col("gb"))) /
+          (size(col("ga")) + size(col("gb")) -
+            size(array_intersect(col("ga"), col("gb"))))).as("jacc"))
+      .where(col("jacc") >= tau)
+      .select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
+  }
+
+  // 31-bit-range hash of a gram for permutation mixing: Spark 4 runs ANSI
+  // mode (overflow throws), so all mixing stays well under 2^63.
+  private def h31(c: Column): Column = pmod(xxhash64(c), lit(2147483647L))
+
+  /** 128-slot minhash signature of a gram-array column. Permutation i is
+    * the affine mix (h*(2i+1) + i*40503) mod p over the base 31-bit gram
+    * hashes — cheap, deterministic, and uniform enough for banding.
+    */
+  private def minhashSig(grams: Column, nPerm: Int): Column =
+    transform(sequence(lit(0), lit(nPerm - 1)), i =>
+      array_min(transform(grams, g =>
+        pmod(h31(g) * (i * 2 + 1) + i * lit(40503L), lit(2147483647L)))))
+
+  /** 64-bit SimHash from a `whash` array<long> column of word hashes:
+    * per bit k, words vote ±1 by their hash's bit k; the signature bit is
+    * the vote's sign. SQL-expression form (named lambda variables).
+    */
+  private[queries] val simhashExpr: Column = expr(
+    """aggregate(
+      |  zip_with(
+      |    transform(sequence(0, 63), k ->
+      |      aggregate(whash, 0L, (acc, h) ->
+      |        acc + if(getbit(h, k) = 1, 1L, -1L))),
+      |    sequence(0, 63),
+      |    (vote, k) -> if(vote > 0L, shiftleft(1L, cast(k as int)), 0L)),
+      |  0L,
+      |  (sig, b) -> sig | b)""".stripMargin)
+
+  /** (doc_id, sh) 64-bit simhash signatures — public so the spec can
+    * brute-force-verify the blocked candidate generation against it.
+    */
+  def simhashSignatures(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      transform(split(col("text"), " "), w => xxhash64(w)).as("whash"))
+      .select(col("doc_id"), simhashExpr.as("sh"))
+
+  val all: Seq[Q] = Seq(
+
+    // C1: exact dedup — hash-groupBy on normalized text, keep min id.
+    Q("dedup_exact",
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt
+        |FROM documents
+        |GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+        |ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .groupBy(normText.as("norm"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+        .select(col("keep_id"), col("dup_cnt"))
+        .orderBy(col("keep_id"))
+    },
+
+    // C2: bag-of-words dedup — canonical representative + cluster size per
+    // word-set signature (collisions are real here: small synthetic vocab).
+    Q("dedup_exact_keep_first",
+      """WITH sigs AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS sig
+        |  FROM documents)
+        |SELECT min(doc_id) AS keep_id, count(*) AS cluster_size
+        |FROM sigs GROUP BY sig
+        |ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          array_join(array_sort(array_distinct(split(col("text"), " "))), " ").as("sig"))
+        .groupBy(col("sig"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cluster_size"))
+        .select(col("keep_id"), col("cluster_size"))
+        .orderBy(col("keep_id"))
+    },
+
+    // C3: word-3-gram Jaccard near-dup pairs via inverted-index join
+    // (gram → docs), tau = 0.8. The oracle states the same computation
+    // relationally; the planted near-dup pairs surface here.
+    Q("dedup_ngram_jaccard",
+      """WITH docs_ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM docs_ws),
+        |grams AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+        |  FROM w a
+        |  JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        |cnt AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT a_id, b_id,
+        |  round(i / (ca.c + cb.c - i), 4) AS jacc
+        |FROM inter
+        |JOIN cnt ca ON ca.doc_id = a_id
+        |JOIN cnt cb ON cb.doc_id = b_id
+        |WHERE i / (ca.c + cb.c - i) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val g = gramRows(d)
+      val cands = g.as("a").join(g.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("i"))
+        .select(col("a_id"), col("b_id"))
+      verifyJaccard(cands, d, 0.8).orderBy(col("a_id"), col("b_id"))
+    },
+
+    // C4: MinHash(128) + 32×4 LSH banding; candidates only meet inside a
+    // band bucket, then exact Jaccard verifies. Same output contract as
+    // C3 — DedupSpec asserts set-equality vs the exact inverted index at
+    // this tau (banding probability ≈ 1 at j ≥ 0.8). Driver check is
+    // rows-only (the SQL oracle can't express the banding).
+    Q.noOracle("dedup_minhash_lsh") { (s, dir) =>
+      val d = docs(s, dir)
+      val nPerm = 128; val bands = 32; val rows = nPerm / bands
+      val sigs = d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .where(size(col("ws")) >= 3)
+        .select(col("doc_id"), minhashSig(gramsOf(col("ws")), nPerm).as("sig"))
+      val banded = sigs.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows)).as("bsig")))).as("bk"))
+      val cands = banded.as("a").join(banded.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      verifyJaccard(cands, d, 0.8).orderBy(col("a_id"), col("b_id"))
+    },
+
+    // C5: 64-bit SimHash near-dup candidates at hamming <= 3, via the
+    // 4-block pigeonhole join, verified with exact popcount. Spec-checked
+    // against brute-force hamming; rows-only for the driver.
+    Q.noOracle("dedup_simhash") { (s, dir) =>
+      val d = docs(s, dir)
+      val sigs = simhashSignatures(d)
+      // block b = bits [16b, 16b+16): hamming <= 3 over 64 bits implies
+      // at least one of the 4 blocks is equal (pigeonhole)
+      val blocked = sigs.selectExpr("doc_id", "sh",
+        "explode(transform(sequence(0,3), b -> struct(b as blk, shiftright(sh, cast(b*16 as int)) & 65535 as bval))) as x")
+        .select(col("doc_id"), col("sh"), col("x.blk"), col("x.bval"))
+      val cands = blocked.as("a").join(blocked.as("b"),
+          col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.sh").as("sha"), col("b.sh").as("shb"))
+        .distinct()
+      cands
+        .select(col("a_id"), col("b_id"),
+          expr("bit_count(sha ^ shb)").as("hamming"))
+        .where(col("hamming") <= 3)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // C6: embedding-cosine near-dup pairs (exact, tau = 0.5 on the rounded
+    // score). Exact all-pairs is the oracle baseline; the scale path mines
+    // candidates with Ann's hyperplane LSH and verifies with this same
+    // cosine expression.
+    Q("dedup_embedding",
+      """WITH e AS (
+        |  SELECT vec_id, embedding FROM embeddings),
+        |x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+        |             generate_subscripts(embedding, 1) AS i FROM e),
+        |n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM x GROUP BY vec_id),
+        |d AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.v * b.v) AS dot
+        |      FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id
+        |      GROUP BY a.vec_id, b.vec_id)
+        |SELECT a_id, b_id, round(dot / (na.nrm * nb.nrm), 4) AS cos
+        |FROM d JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id
+        |WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), v => v.cast("double")).as("emb"))
+      val withNorm = e.select(col("vec_id"), col("emb"),
+        sqrt(aggregate(col("emb"), lit(0.0d), (acc, v) => acc + v * v)).as("nrm"))
+      val pairs = withNorm.as("a").join(withNorm.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      pairs
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          round(
+            aggregate(zip_with(col("a.emb"), col("b.emb"), (x, y) => x * y),
+              lit(0.0d), (acc, v) => acc + v) / (col("a.nrm") * col("b.nrm")),
+            4).as("cos"))
+        .where(col("cos") >= 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    })
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Text analysis suite — SURVEY.md §2.C9-C12: language ID, quality
+  * scoring, token counting, document fingerprinting.
+  *
+  * Everything here is per-document narrow work: pure codegen'd column
+  * expressions, zero shuffles except the final presentation ORDER BY —
+  * at 100 TB these run at scan speed with full column pruning (only
+  * doc_id + text are read).
+  */
+object Text {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  private val words: Column = split(col("text"), " ")
+
+  /** Marker-word lists per language for the stopword-heuristic langid.
+    * (A real pipeline ships per-language function-word tables; the
+    * mechanism — count marker hits per language, argmax — is identical.)
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "es" -> Seq("el", "los", "y", "las", "una"))
+
+  private def hits(lang: String): Column =
+    size(filter(words, w => w.isin(markers.toMap.apply(lang): _*)))
+
+  val all: Seq[Q] = Seq(
+
+    // C9: n-gram/stopword-heuristic language ID — marker hits per
+    // language, argmax with deterministic tie order (en,fr,de,es), 'und'
+    // when nothing matches.
+    Q("text_langid", {
+      val hitSql = markers.map { case (l, ws) =>
+        s"len(list_filter(string_split(text, ' '), w -> w IN (${ws.map("'" + _ + "'").mkString(",")}))) AS ${l}_hits"
+      }.mkString(",\n  ")
+      s"""WITH h AS (SELECT doc_id,
+         |  $hitSql
+         |FROM documents)
+         |SELECT doc_id,
+         |  CASE
+         |    WHEN en_hits = 0 AND fr_hits = 0 AND de_hits = 0 AND es_hits = 0 THEN 'und'
+         |    WHEN en_hits >= fr_hits AND en_hits >= de_hits AND en_hits >= es_hits THEN 'en'
+         |    WHEN fr_hits >= de_hits AND fr_hits >= es_hits THEN 'fr'
+         |    WHEN de_hits >= es_hits THEN 'de'
+         |    ELSE 'es' END AS pred_lang,
+         |  en_hits, fr_hits, de_hits, es_hits
+         |FROM h ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val h = docs(s, dir).select(col("doc_id"),
+        hits("en").as("en_hits"), hits("fr").as("fr_hits"),
+        hits("de").as("de_hits"), hits("es").as("es_hits"))
+      h.select(col("doc_id"),
+        when(col("en_hits") === 0 && col("fr_hits") === 0 &&
+          col("de_hits") === 0 && col("es_hits") === 0, lit("und"))
+          .when(col("en_hits") >= col("fr_hits") && col("en_hits") >= col("de_hits") &&
+            col("en_hits") >= col("es_hits"), lit("en"))
+          .when(col("fr_hits") >= col("de_hits") && col("fr_hits") >= col("es_hits"), lit("fr"))
+          .when(col("de_hits") >= col("es_hits"), lit("de"))
+          .otherwise(lit("es")).as("pred_lang"),
+        col("en_hits"), col("fr_hits"), col("de_hits"), col("es_hits"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C10: quality score — length, word-length, stopword ratio, repetition
+    // (distinct/total words), folded into one bounded score.
+    Q("text_quality",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars_m,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the','a','of','and','to'))) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_chars_m AS n_chars, n_words,
+        |  round((n_chars_m - n_words + 1.0) / n_words, 4) AS avg_word_len,
+        |  round(n_stop * 1.0 / n_words, 4) AS stopword_ratio,
+        |  round(n_distinct * 1.0 / n_words, 4) AS distinct_ratio,
+        |  round(least(n_words / 100.0, 1.0) * 0.4
+        |    + least(n_stop * 1.0 / n_words / 0.1, 1.0) * 0.3
+        |    + (n_distinct * 1.0 / n_words) * 0.3, 4) AS quality
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val f = docs(s, dir).select(col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        size(words).as("n_words"),
+        size(array_distinct(words)).as("n_distinct"),
+        size(filter(words, w => w.isin("the", "a", "of", "and", "to"))).as("n_stop"))
+      f.select(col("doc_id"), col("n_chars_m").as("n_chars"), col("n_words"),
+        round((col("n_chars_m") - col("n_words") + 1.0d) / col("n_words"), 4).as("avg_word_len"),
+        round(col("n_stop") * 1.0d / col("n_words"), 4).as("stopword_ratio"),
+        round(col("n_distinct") * 1.0d / col("n_words"), 4).as("distinct_ratio"),
+        round(least(col("n_words") / 100.0d, lit(1.0d)) * 0.4d
+          + least(col("n_stop") * 1.0d / col("n_words") / 0.1d, lit(1.0d)) * 0.3d
+          + (col("n_distinct") * 1.0d / col("n_words")) * 0.3d, 4).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C11: token counting — whitespace tokens, regex word tokens, and a
+    // BPE-ish subword estimate (ceil(len/4) per word: byte-pair vocab
+    // pieces average ~4 chars).
+    Q("text_tokens",
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |sub AS (SELECT doc_id, CAST(sum(CAST(ceil(length(w) / 4.0) AS BIGINT)) AS BIGINT) AS subword_est
+        |        FROM w GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  len(string_split(d.text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(d.text, '[a-z0-9]+')) AS re_tokens,
+        |  s.subword_est
+        |FROM documents d JOIN sub s ON s.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        size(words).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("re_tokens"),
+        aggregate(words, lit(0L),
+          (acc, w) => acc + ceil(length(w) / 4.0d).cast("long")).as("subword_est"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C12: polynomial position-weighted fingerprint over characters —
+    // fp = sum_i ascii(c_i) * (1 + (131·i mod 997)) mod 2^31-1. Pure
+    // integer arithmetic, identical across engines; order-sensitive, so
+    // permuted documents fingerprint differently (unlike bag hashes).
+    Q("text_fingerprint",
+      """WITH c AS (
+        |  SELECT doc_id, ascii(unnest(string_split(text, ''))) AS a,
+        |         generate_subscripts(string_split(text, ''), 1) AS i
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(sum(a * (1 + (131 * i) % 997)) % 2147483647 AS BIGINT) AS fp
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        expr("""aggregate(
+          |  zip_with(split(text, ''), sequence(1, length(text)),
+          |           (c, i) -> ascii(c) * (1 + (131 * i) % 997)),
+          |  0L, (acc, v) -> acc + v) % 2147483647L""".stripMargin).as("fp"))
+        .orderBy(col("doc_id"))
+    })
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Ann, Dedup, Relational, Text, Views}
+import graft.SparkEntry
+
+/** Cross-validation of the approximate operators against their exact
+  * baselines — the checks the DuckDB oracle can't express (SURVEY.md
+  * §2.C4/C5/C8).
+  */
+class DedupAnnSpec extends SparkSpec {
+
+  private def q(name: String, dir: String) =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("C4 minhash-LSH finds exactly the exact-Jaccard pairs (tau=0.8)") {
+    val dir = sf("sf0.01")
+    val exact = q("dedup_ngram_jaccard", dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = q("dedup_minhash_lsh", dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dup pairs")
+    // verification filters false positives exactly, so LSH ⊆ exact always;
+    // at j >= 0.8 with 32x4 banding, P(miss) ~ 0 → equality expected
+    assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
+  test("C5 simhash blocked join == brute-force hamming<=3 pairs") {
+    val dir = sf("sf0.01")
+    val sigs = Dedup.simhashSignatures(spark.read.parquet(s"$dir/documents.parquet"))
+    val brute = sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        expr("bit_count(a.sh ^ b.sh)").as("hamming"))
+      .where(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    val blocked = q("dedup_simhash", dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    assert(brute.nonEmpty, "expected some hamming<=3 pairs in test data")
+    // pigeonhole blocking is exact for hamming <= 3 over 4 blocks
+    assert(blocked == brute, s"missed=${brute -- blocked} extra=${blocked -- brute}")
+  }
+
+  test("C8 hyperplane-LSH ANN reaches recall@5 >= 0.4 vs brute force") {
+    val dir = sf("sf0.01")
+    val exact = q("ann_bruteforce", dir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = q("ann_lsh", dir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"ann_lsh recall@5 = $recall%.3f (|exact|=${exact.size}, |cand hits|=${(exact & approx).size})")
+    assert(recall >= 0.4, f"recall $recall%.3f below 0.4")
+  }
+
+  test("no duplicate query names across suites") {
+    val names = (Relational.all ++ Views.all ++ Dedup.all ++ Ann.all ++ Text.all).map(_.name)
+    assert(names.distinct.size == names.size,
+      s"dups: ${names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }}")
+  }
+}
