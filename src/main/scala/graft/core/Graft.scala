@@ -242,11 +242,32 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
           }
           .toDF("origin", "url", "pathname", "kb", "key_json", "value_json", "seq")
     }
+    projectEntries(emitted)
+  }
+
+  private def projectEntries(emitted: DataFrame): DataFrame =
     emitted.select(
       col("kb"), col("key_json"),
       col("url").as("file_url"), col("pathname"),
       col("seq"), col("value_json"),
       sha2(col("origin"), 256).substr(1, 16).as("ob"))
+
+  /** A4 `watch` mode: the view's map pipeline applied to a STREAMING
+    * files DataFrame (Structured Streaming file source with the archive
+    * schema `origin,url,pathname,value,fversion`). The caller wires it to
+    * an append sink on the view dir (`indexer.js:67` re-indexes on file
+    * events; here arriving files stream straight through the same
+    * declarative map). `seq` is constant in streaming — appends are
+    * retraction-free and per-file multi-values order by key bytes.
+    */
+  def streamEntries(view: String, files: DataFrame): DataFrame = {
+    require(views.contains(view), s"$view is not defined")
+    val v = views(view)
+    val matched = files.filter(col("pathname").rlike(v.pathRegex))
+    v.map match {
+      case MapDF(f) => projectEntries(f(matched).withColumn("seq", lit(1)))
+      case MapFn(_) => mapEntries(v, matched) // typed flatMap is streaming-safe
+    }
   }
 
   private def entriesForOrigin(view: String, origin: String): DataFrame =

@@ -1,0 +1,156 @@
+package graft.media
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns — SURVEY.md §2.C13.
+  *
+  * Media travels as an opaque `binary` payload plus TYPED metadata; all
+  * heavy per-item work (decode, resize, frame sampling, feature
+  * extraction) runs as `mapPartitions` over `Dataset[MediaRow]` so each
+  * task touches its partition's payloads once, with no shuffle and no
+  * driver involvement. At 100 TB the payload column stays columnar in
+  * parquet (never materialized unless selected), partitioning follows the
+  * storage layout, and per-partition batching amortizes codec setup
+  * exactly like an Arrow-batched UDF would.
+  *
+  * THE CODEC IS A STUB: this container has no image/audio libraries, so
+  * [[StubCodec]] is a clearly-marked deterministic fake. The Spark-side
+  * contract — schemas, typed encoders, partition-wise batch shape,
+  * lazy payload access — is real and spec-tested; swapping in a real
+  * codec changes only the bodies of [[StubCodec]].
+  */
+final case class MediaMeta(
+    mediaType: String, // "image" | "audio" | "video"
+    width: Int,
+    height: Int,
+    durationMs: Long,
+    codec: String)
+
+final case class MediaRow(
+    media_id: Long,
+    payload: Array[Byte],
+    meta: MediaMeta)
+
+final case class Frame(
+    media_id: Long,
+    frame_idx: Int,
+    width: Int,
+    height: Int,
+    pixels: Array[Byte])
+
+final case class MediaFeature(
+    media_id: Long,
+    mediaType: String,
+    dim: Int,
+    vector: Array[Float])
+
+/** Deterministic fake codec — STUB standing in for libjpeg/ffmpeg/etc.
+  * Every output is a pure function of (payload bytes, parameters), so
+  * specs can assert exact results and re-runs are stable.
+  */
+object StubCodec {
+
+  private def mix(seed: Long, i: Long): Long = {
+    var x = seed ^ (i * 0x9E3779B97F4A7C15L)
+    x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL
+    x ^= (x >>> 33); x *= 0xC4CEB9FE1A85EC53L
+    x ^ (x >>> 33)
+  }
+
+  private def payloadSeed(payload: Array[Byte]): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+    h
+  }
+
+  /** "Decode" one frame: pixels are a deterministic byte pattern. */
+  def decodeFrame(payload: Array[Byte], frameIdx: Int, w: Int, h: Int): Array[Byte] = {
+    val seed = mix(payloadSeed(payload), frameIdx.toLong)
+    val px = new Array[Byte](w * h)
+    var i = 0
+    while (i < px.length) { px(i) = (mix(seed, i.toLong) & 0xFF).toByte; i += 1 }
+    px
+  }
+
+  /** "Resize" by block-averaging the fake pixel grid — shape-correct and
+    * deterministic, like a real box filter.
+    */
+  def resize(src: Frame, w2: Int, h2: Int): Frame = {
+    val px = new Array[Byte](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val sx = x * src.width / w2
+        val sy = y * src.height / h2
+        px(y * w2 + x) = src.pixels(sy * src.width + sx)
+        x += 1
+      }
+      y += 1
+    }
+    Frame(src.media_id, src.frame_idx, w2, h2, px)
+  }
+
+  /** "Feature-extract": a deterministic unit-normalized float vector. */
+  def features(payload: Array[Byte], dim: Int): Array[Float] = {
+    val seed = payloadSeed(payload)
+    val v = Array.tabulate(dim)(i => ((mix(seed, i.toLong) % 1000L) / 1000.0f))
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+    if (n == 0) v else v.map(_ / n)
+  }
+}
+
+object Multimodal {
+
+  /** Sample frames every `stepMs` from each media item. One partition
+    * decodes its items sequentially — codec state could be reused across
+    * the iterator exactly as a real decoder would be.
+    */
+  def sampleFrames(media: Dataset[MediaRow], stepMs: Long): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        val nFrames = math.max(1L, m.meta.durationMs / stepMs).toInt
+        (0 until nFrames).iterator.map { idx =>
+          Frame(m.media_id, idx, m.meta.width, m.meta.height,
+            StubCodec.decodeFrame(m.payload, idx, m.meta.width, m.meta.height))
+        }
+      }
+    }
+  }
+
+  /** Resize frames partition-wise (no shuffle). */
+  def resizeFrames(frames: Dataset[Frame], w: Int, h: Int): Dataset[Frame] = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions(_.map(f => StubCodec.resize(f, w, h)))
+  }
+
+  /** Per-item feature vectors, partition-wise. */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m =>
+      MediaFeature(m.media_id, m.meta.mediaType, dim, StubCodec.features(m.payload, dim))))
+  }
+
+  /** Synthesize a media table from `documents` (this container ships no
+    * real media): payload = UTF-8 text bytes, typed metadata derived
+    * deterministically. The real thing is the SHAPE — binary column +
+    * struct metadata in parquet, typed Dataset on top.
+    */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"), col("lang"))
+      .map { r =>
+        val id = r.getLong(0)
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        MediaRow(id, r.getString(1).getBytes("UTF-8"),
+          MediaMeta(kind, 16 + (id % 4).toInt * 8, 16 + (id % 3).toInt * 8,
+            1000L + (r.getLong(2) % 5000L), "stub"))
+      }
+  }
+}

@@ -1,0 +1,203 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.core._
+
+/** Structured Streaming coverage — SURVEY.md §2.D:
+  *   D1 windowed aggregation + watermark over a file stream (the
+  *      streaming form of q20_events_window);
+  *   D2 gap-based sessionization with flatMapGroupsWithState
+  *      (event-time timeouts — the reference has no equivalent; this is
+  *      the custom-state primitive its watch-mode users would need);
+  *   D3 streaming view maintenance: file stream → the SAME declarative
+  *      map pipeline as batch indexing → append sink (A4 watch mode,
+  *      reference indexer.js:67).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def writeFile(dir: Path, name: String, lines: Seq[String]): Unit = {
+    Files.createDirectories(dir)
+    // write-then-rename so the file stream never sees partial content
+    val tmp = dir.resolve(name + "._tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(name))
+  }
+
+  test("D1: windowed agg + watermark over events file stream (append mode)") {
+    val in = Files.createTempDirectory("graft-d1-in")
+    val ckpt = Files.createTempDirectory("graft-d1-ckpt")
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+
+    val agg = spark.readStream.schema(schema).json(in.toString)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total"))
+
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("d1_sink")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      writeFile(in, "b1.json", Seq(
+        """{"ts":"2026-01-01T10:00:00","event_type":"click","value":1.0}""",
+        """{"ts":"2026-01-01T10:30:00","event_type":"click","value":2.0}""",
+        """{"ts":"2026-01-01T10:15:00","event_type":"view","value":5.0}"""))
+      q.processAllAvailable()
+      // watermark (10:30 - 10m = 10:20) hasn't passed 11:00 — nothing emits
+      assert(spark.table("d1_sink").count() == 0)
+
+      writeFile(in, "b2.json", Seq(
+        """{"ts":"2026-01-01T12:30:00","event_type":"click","value":3.0}"""))
+      q.processAllAvailable()
+      writeFile(in, "b3.json", Seq(
+        """{"ts":"2026-01-01T13:00:00","event_type":"view","value":4.0}"""))
+      q.processAllAvailable()
+
+      // wm = 12:20 after b2's max — the 10:00 window finalized in b3
+      val rows = spark.table("d1_sink")
+        .orderBy("w_start", "event_type")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.toSeq == Seq(
+        ("2026-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2026-01-01 10:00:00.0", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("D2: gap sessionization via flatMapGroupsWithState + event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val ckpt = Files.createTempDirectory("graft-d2-ckpt")
+
+    val sessions = input.toDF.toDF("user", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[(String, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[StreamingSpec.Sess, StreamingSpec.Closed](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(StreamingSpec.sessionize)
+
+    val q = sessions.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("d2_sink")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData(("u1", t("2026-01-01 10:00:00")), ("u1", t("2026-01-01 10:10:00")),
+        ("u2", t("2026-01-01 10:05:00")))
+      q.processAllAvailable()
+      input.addData(("u1", t("2026-01-01 12:00:00"))) // gap > 30m closes u1's session
+      q.processAllAvailable()
+      input.addData(("u3", t("2026-01-01 13:00:00"))) // wm advance times out u2
+      q.processAllAvailable()
+
+      val rows = spark.table("d2_sink").orderBy("user", "start")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3)))
+      // u1's 12:00 singleton also closes: the no-data batch after b3
+      // advances the watermark to 13:00, past its 12:30 timeout
+      assert(rows.toSeq == Seq(
+        ("u1", "2026-01-01 10:00:00.0", "2026-01-01 10:10:00.0", 2L),
+        ("u1", "2026-01-01 12:00:00.0", "2026-01-01 12:00:00.0", 1L),
+        ("u2", "2026-01-01 10:05:00.0", "2026-01-01 10:05:00.0", 1L)))
+    } finally q.stop()
+  }
+
+  test("D3: streaming view maintenance — file stream through the view's map to an append sink") {
+    val in = Files.createTempDirectory("graft-d3-in")
+    val ckpt = Files.createTempDirectory("graft-d3-ckpt")
+    val stateRoot = Files.createTempDirectory("graft-d3-state")
+    val outDir = s"$stateRoot/tags/entries"
+
+    val db = new Graft(spark, stateRoot.toString)
+    db.define("tags", ViewDef(Seq("/*.json"), MapDF { files =>
+      val parsed = files.withColumn("j", from_json(col("value"), StructType(Seq(
+        StructField("first", StringType), StructField("second", LongType)))))
+      GraftFunctions.emitEntry(parsed, Seq(col("j.first")), col("j.second"))
+    }, None))
+
+    // archive-shaped STREAMING files DataFrame over a watched directory
+    val origin = "dat://watched"
+    val files = spark.readStream
+      .format("text").option("wholetext", "true")
+      .load(in.toString)
+      .select(
+        lit(origin).as("origin"),
+        concat(lit(origin), regexp_replace(col("_metadata.file_path"), "^.*(/[^/]+)$", "$1")).as("url"),
+        regexp_replace(col("_metadata.file_path"), "^.*(/[^/]+)$", "$1").as("pathname"),
+        col("value"),
+        lit(1L).as("fversion"))
+
+    val q = db.streamEntries("tags", files).writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt.toString)
+      .partitionBy("ob")
+      .start()
+    try {
+      writeFile(in, "a.json", Seq("""{"first":"alpha","second":1}"""))
+      writeFile(in, "b.json", Seq("""{"first":"beta","second":2}"""))
+      q.processAllAvailable()
+      val after2 = db.listEntries("tags")
+      assert(after2.map(e => (e.key, e.value)) == Seq(("alpha", 1.0), ("beta", 2.0)))
+
+      writeFile(in, "c.json", Seq("""{"first":"alpha","second":3}"""))
+      q.processAllAvailable()
+      val after3 = db.listEntries("tags")
+      assert(after3.map(e => (e.key, e.value)) ==
+        Seq(("alpha", 1.0), ("alpha", 3.0), ("beta", 2.0)))
+    } finally q.stop()
+  }
+}
+
+object StreamingSpec {
+  case class Sess(start: Long, last: Long, n: Long)
+  case class Closed(user: String, start: Timestamp, end: Timestamp, n: Long)
+
+  private val GapMs = 30 * 60 * 1000L
+
+  /** Gap-based session fold: merge events into the open session, close it
+    * when a gap exceeds 30 minutes or the event-time timeout fires.
+    */
+  def sessionize(user: String, events: Iterator[(String, Timestamp)],
+      state: GroupState[Sess]): Iterator[Closed] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator(Closed(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
+    } else {
+      val ts = events.map(_._2.getTime).toSeq.sorted
+      var out = List.empty[Closed]
+      var cur = state.getOption
+      ts.foreach { t =>
+        cur match {
+          case Some(s) if t - s.last > GapMs =>
+            out ::= Closed(user, new Timestamp(s.start), new Timestamp(s.last), s.n)
+            cur = Some(Sess(t, t, 1))
+          case Some(s) =>
+            cur = Some(Sess(s.start, t, s.n + 1))
+          case None =>
+            cur = Some(Sess(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.last + GapMs)
+      }
+      out.reverseIterator
+    }
+  }
+}
