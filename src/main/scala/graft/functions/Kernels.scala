@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** JIT-compiled kernels for the compute-dense sketch/similarity inner
+  * loops (minhash, simhash, hyperplane signatures, cosine).
+  *
+  * Why UDFs here and nowhere else: these loops run 10⁴-10⁵ primitive ops
+  * per row. Catalyst's higher-order array functions evaluate those
+  * interpreted (one Expression.eval + boxing per element — measured 84 s
+  * for minhash at sf0.1), while a Scala UDF body JITs to tight machine
+  * code (same query: ~3 s). The preference order stands — native
+  * codegen'd functions for everything relational, a custom Expression if
+  * these ever need doGenCode fusion — but a compiled kernel beats an
+  * interpreted expression tree by ~30× and that dominates everything
+  * else at 100 TB. All hashes are engine-internal (self-consistent),
+  * deterministic, and seed-free.
+  */
+object Kernels extends Serializable {
+
+  /** splitmix64 finalizer — the standard public-domain bit mixer. */
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0
+    x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL
+    x ^= (x >>> 33); x *= 0xC4CEB9FE1A85EC53L
+    x ^ (x >>> 33)
+  }
+
+  @inline private def hashStr(s: String): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+    mix64(h)
+  }
+
+  private val P31 = 2147483647L // 2^31 - 1
+
+  /** 128-slot minhash signature over a string-gram array: slot i is the
+    * min over grams of the affine permutation (h·(2i+1) + i·40503) mod p
+    * of the gram's 31-bit base hash.
+    */
+  val minhash128: Column => Column = {
+    val f = udf { grams: Seq[String] =>
+      val n = grams.size
+      val hs = new Array[Long](n)
+      var j = 0
+      while (j < n) { hs(j) = hashStr(grams(j)) & 0x7FFFFFFFL; j += 1 }
+      val sig = new Array[Long](128)
+      var i = 0
+      while (i < 128) {
+        val a = 2L * i + 1; val b = 40503L * i
+        var m = Long.MaxValue
+        j = 0
+        while (j < n) {
+          val v = (hs(j) * a + b) % P31
+          if (v < m) m = v
+          j += 1
+        }
+        sig(i) = m
+        i += 1
+      }
+      sig
+    }
+    c => f(c)
+  }
+
+  /** Distinct word 3-grams of a word array (insertion order). The
+    * equivalent transform/element_at/array_distinct expression chain
+    * evaluates interpreted at ~21 µs/row; this JITs to ~0.5 µs.
+    */
+  val grams3: Column => Column = {
+    val f = udf { ws: Seq[String] =>
+      if (ws.size < 3) Array.empty[String]
+      else {
+        val seen = new java.util.LinkedHashSet[String]
+        var i = 0
+        while (i + 2 < ws.size) {
+          seen.add(ws(i) + " " + ws(i + 1) + " " + ws(i + 2))
+          i += 1
+        }
+        seen.toArray(new Array[String](seen.size))
+      }
+    }
+    c => f(c)
+  }
+
+  /** 64-bit simhash over a word array: bit k is the sign of the ±1 votes
+    * of each word-hash's bit k.
+    */
+  val simhash64: Column => Column = {
+    val f = udf { words: Seq[String] =>
+      val votes = new Array[Int](64)
+      words.foreach { w =>
+        val h = hashStr(w)
+        var k = 0
+        while (k < 64) {
+          if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+          k += 1
+        }
+      }
+      var sig = 0L
+      var k = 0
+      while (k < 64) { if (votes(k) > 0) sig |= (1L << k); k += 1 }
+      sig
+    }
+    c => f(c)
+  }
+
+  /** Dot product of two equal-length double arrays (sequential sum — the
+    * same fold order as Catalyst's aggregate(), so oracle parity holds).
+    */
+  val dot: (Column, Column) => Column = {
+    val f = udf { (a: Seq[Double], b: Seq[Double]) =>
+      var s = 0.0; var i = 0; val n = a.size
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    (a, b) => f(a, b)
+  }
+
+  /** b-bit random-hyperplane sign signature of an embedding under table
+    * t; plane component (t, j, i) is a deterministic ±1 from a mixed hash.
+    */
+  val hyperplaneSig: (Column, Column, Column) => Column = {
+    val f = udf { (emb: Seq[Double], t: Int, bits: Int) =>
+      var sig = 0L
+      var j = 0
+      while (j < bits) {
+        var s = 0.0
+        var i = 0
+        val n = emb.size
+        while (i < n) {
+          val sign = if ((mix64(t * 131071L + j * 8191L + i) & 1L) == 0L) 1.0 else -1.0
+          s += emb(i) * sign
+          i += 1
+        }
+        if (s >= 0) sig |= (1L << j)
+        j += 1
+      }
+      sig
+    }
+    (e, t, b) => f(e, t, b)
+  }
+}

@@ -34,24 +34,14 @@ object Ann {
     df.select(col("vec_id"), col("emb"),
       sqrt(aggregate(col("emb"), lit(0.0d), (acc, v) => acc + v * v)).as("nrm"))
 
-  private def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v) / (na * nb)
+  private def cosine(s: SparkSession, a: Column, b: Column, na: Column, nb: Column): Column =
+    graft.functions.Native.dot(s, a, b) / (na * nb)
 
-  /** Deterministic ±1 hyperplane component for (table t, bit j, dim i):
-    * a fixed pseudo-random sign derived from a 31-bit hash mix.
+  /** b-bit sign signature of `emb` under table t's deterministic
+    * pseudo-random hyperplanes (JIT kernel).
     */
-  private def planeSign(t: Int, j: Column, i: Column): Column =
-    when(pmod(xxhash64(lit(t), j, i), lit(2L)) === 0, lit(1.0d)).otherwise(lit(-1.0d))
-
-  /** b-bit sign signature of `emb` under table t's hyperplanes. */
   private def signature(t: Int, emb: Column, bits: Int): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(bits - 1)), j =>
-        when(aggregate(
-          zip_with(emb, sequence(lit(0), size(emb) - 1),
-            (v, i) => v * planeSign(t, j, i)),
-          lit(0.0d), (acc, v) => acc + v) >= 0, lit(1L)).otherwise(lit(0L))),
-      lit(0L), (acc, bit) => acc * 2 + bit)
+    graft.functions.Kernels.hyperplaneSig(emb, lit(t), lit(bits))
 
   /** Exact top-K per query: scored candidates → row_number window. */
   private def topK(scored: DataFrame): DataFrame =
@@ -90,7 +80,7 @@ object Ann {
       val corpus = e.where(col("vec_id") >= NQ)
       val scored = corpus.crossJoin(broadcast(queries))
         .select(col("q_id"), col("vec_id").as("n_id"),
-          cosine(col("qemb"), col("emb"), col("qnrm"), col("nrm")).as("cos"))
+          cosine(s, col("qemb"), col("emb"), col("qnrm"), col("nrm")).as("cos"))
       topK(scored)
     },
 
@@ -122,7 +112,7 @@ object Ann {
         .join(e.select(col("vec_id").as("n_id"),
           col("emb").as("nemb"), col("nrm").as("nnrm")), "n_id")
         .select(col("q_id"), col("n_id"),
-          cosine(col("qemb"), col("nemb"), col("qnrm"), col("nnrm")).as("cos"))
+          cosine(s, col("qemb"), col("nemb"), col("qnrm"), col("nnrm")).as("cos"))
       topK(scored)
     })
 }

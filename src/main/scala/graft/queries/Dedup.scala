@@ -35,18 +35,11 @@ object Dedup {
   private val normText: Column =
     lower(regexp_replace(trim(col("text")), "\\s+", " "))
 
-  /** Distinct word 3-grams of a document, as one array column. */
+  /** Distinct word 3-grams of a document, as one array column
+    * (JIT kernel — the interpreted HOF chain was the sf0.1 bottleneck).
+    */
   private def gramsOf(words: Column): Column =
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(words) - 3, lit(-1))),
-      i => concat_ws(" ", element_at(words, i + 1),
-        element_at(words, i + 2), element_at(words, i + 3))))
-
-  /** (doc_id, gram) inverted-index rows — candidate generation substrate. */
-  private def gramRows(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .where(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(gramsOf(col("ws"))).as("g"))
+    graft.functions.Kernels.grams3(words)
 
   /** Exact 3-gram Jaccard for a candidate pair set (a_id, b_id):
     * joins gram SETS back per side and verifies |∩|/|∪| >= tau.
@@ -66,41 +59,13 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
   }
 
-  // 31-bit-range hash of a gram for permutation mixing: Spark 4 runs ANSI
-  // mode (overflow throws), so all mixing stays well under 2^63.
-  private def h31(c: Column): Column = pmod(xxhash64(c), lit(2147483647L))
-
-  /** 128-slot minhash signature of a gram-array column. Permutation i is
-    * the affine mix (h*(2i+1) + i*40503) mod p over the base 31-bit gram
-    * hashes — cheap, deterministic, and uniform enough for banding.
-    */
-  private def minhashSig(grams: Column, nPerm: Int): Column =
-    transform(sequence(lit(0), lit(nPerm - 1)), i =>
-      array_min(transform(grams, g =>
-        pmod(h31(g) * (i * 2 + 1) + i * lit(40503L), lit(2147483647L)))))
-
-  /** 64-bit SimHash from a `whash` array<long> column of word hashes:
-    * per bit k, words vote ±1 by their hash's bit k; the signature bit is
-    * the vote's sign. SQL-expression form (named lambda variables).
-    */
-  private[queries] val simhashExpr: Column = expr(
-    """aggregate(
-      |  zip_with(
-      |    transform(sequence(0, 63), k ->
-      |      aggregate(whash, 0L, (acc, h) ->
-      |        acc + if(getbit(h, k) = 1, 1L, -1L))),
-      |    sequence(0, 63),
-      |    (vote, k) -> if(vote > 0L, shiftleft(1L, cast(k as int)), 0L)),
-      |  0L,
-      |  (sig, b) -> sig | b)""".stripMargin)
-
-  /** (doc_id, sh) 64-bit simhash signatures — public so the spec can
-    * brute-force-verify the blocked candidate generation against it.
+  /** (doc_id, sh) 64-bit simhash signatures (JIT kernel — see
+    * [[graft.functions.Kernels]]) — public so the spec can brute-force-
+    * verify the blocked candidate generation against it.
     */
   def simhashSignatures(d: DataFrame): DataFrame =
     d.select(col("doc_id"),
-      transform(split(col("text"), " "), w => xxhash64(w)).as("whash"))
-      .select(col("doc_id"), simhashExpr.as("sh"))
+      graft.functions.Kernels.simhash64(split(col("text"), " ")).as("sh"))
 
   val all: Seq[Q] = Seq(
 
@@ -162,13 +127,22 @@ object Dedup {
         |WHERE i / (ca.c + cb.c - i) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
-      val g = gramRows(d)
-      val cands = g.as("a").join(g.as("b"),
+      // inverted-index rows carry the owning doc's gram-set size, so the
+      // pair aggregation computes EXACT jaccard in one pass: |∩| = pair
+      // count, |∪| = ca + cb - |∩| — no second join back to gram sets
+      val g = d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .where(size(col("ws")) >= 3)
+        .select(col("doc_id"), gramsOf(col("ws")).as("gs"))
+        .select(col("doc_id"), size(col("gs")).as("c"), explode(col("gs")).as("g"))
+      g.as("a").join(g.as("b"),
           col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("i"))
-        .select(col("a_id"), col("b_id"))
-      verifyJaccard(cands, d, 0.8).orderBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("i"), first(col("a.c")).as("ca"), first(col("b.c")).as("cb"))
+        .select(col("a_id"), col("b_id"),
+          (col("i") / (col("ca") + col("cb") - col("i"))).as("jacc"))
+        .where(col("jacc") >= 0.8)
+        .select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
+        .orderBy(col("a_id"), col("b_id"))
     },
 
     // C4: MinHash(128) + 32×4 LSH banding; candidates only meet inside a
@@ -181,7 +155,8 @@ object Dedup {
       val nPerm = 128; val bands = 32; val rows = nPerm / bands
       val sigs = d.select(col("doc_id"), split(col("text"), " ").as("ws"))
         .where(size(col("ws")) >= 3)
-        .select(col("doc_id"), minhashSig(gramsOf(col("ws")), nPerm).as("sig"))
+        .select(col("doc_id"),
+          graft.functions.Kernels.minhash128(gramsOf(col("ws"))).as("sig"))
       val banded = sigs.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows)).as("bsig")))).as("bk"))
@@ -242,10 +217,8 @@ object Dedup {
         col("a.vec_id") < col("b.vec_id"))
       pairs
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          round(
-            aggregate(zip_with(col("a.emb"), col("b.emb"), (x, y) => x * y),
-              lit(0.0d), (acc, v) => acc + v) / (col("a.nrm") * col("b.nrm")),
-            4).as("cos"))
+          round(graft.functions.Native.dot(s, col("a.emb"), col("b.emb")) /
+            (col("a.nrm") * col("b.nrm")), 4).as("cos"))
         .where(col("cos") >= 0.5)
         .orderBy(col("a_id"), col("b_id"))
     })
