@@ -12,7 +12,7 @@ import graft.core._
   *
   * Each query drives the REAL pipeline end-to-end: wrap the sf `documents`
   * table as an archive (one row = one file whose contents are a JSON
-  * record, the reference's operating shape), define a view, index it
+  * record, the reference's operating shape), define views, index
   * (parquet state partitioned by origin), then run the reference read API
   * (`get`/`list`) and return its result for the driver's DuckDB compare.
   *
@@ -39,16 +39,57 @@ object Views {
       value = col("body"))
   }
 
-  /** Fresh engine over a temp state root; indexes docs under the views. */
-  private def indexed(s: SparkSession, dir: String)(views: (String, ViewDef)*): Graft = {
-    val db = new Graft(s, Files.createTempDirectory("graft-views").toString)
-    views.foreach { case (n, v) => db.define(n, v) }
-    db.index(docsArchive(s, dir))
-    db
-  }
-
   private def parsed(files: DataFrame): DataFrame =
     files.withColumn("j", from_json(col("value"), docSchema))
+
+  /** The gate views, defined once; one `index()` pass materializes all of
+    * them (the reference's own shape: N views over one archive ingest).
+    */
+  private val allViews: Seq[(String, ViewDef)] = Seq(
+    "tags" -> ViewDef(Seq("/*.json"), MapDF { files =>
+      val tags = parsed(files).select(
+        col("origin"), col("url"), col("pathname"), col("j"),
+        explode(array(
+          struct(lit("lang").as("k"), col("j.lang").as("v")),
+          struct(lit("source").as("k"), col("j.source").as("v")))).as("tag"))
+      GraftFunctions.emitEntry(tags, Seq(col("tag.k"), col("tag.v")), col("j.doc_id"))
+    }, None),
+    "by-lang" -> ViewDef(Seq("/*.json"), MapDF { files =>
+      GraftFunctions.emitEntry(parsed(files), Seq(col("j.lang")), col("j.doc_id"))
+    }, None),
+    "by-size" -> ViewDef(Seq("/*.json"), MapDF { files =>
+      GraftFunctions.emitEntry(parsed(files),
+        Seq(col("j.lang"), col("j.n_chars"), col("j.doc_id")), col("j.doc_id"))
+    }, None),
+    "lang-source" -> ViewDef(Seq("/*.json"), MapDF { files =>
+      GraftFunctions.emitEntry(parsed(files),
+        Seq(col("j.lang"), col("j.source")), lit(1))
+    }, Some(Reduce.Count)),
+    "lang-count" -> ViewDef(Seq("/*.json"), MapDF { files =>
+      GraftFunctions.emitEntry(parsed(files), Seq(col("j.lang")), lit(1))
+    }, Some(Reduce.Count)),
+    "lang-chars" -> ViewDef(Seq("/*.json"), MapDF { files =>
+      GraftFunctions.emitEntry(parsed(files), Seq(col("j.lang")), col("j.n_chars"))
+    }, Some(Reduce.Sum)),
+    "zh-sizes" -> ViewDef(Seq("/*.json"), MapDF { files =>
+      GraftFunctions.emitEntry(
+        parsed(files).filter(col("j.lang") === "zh"),
+        Seq(col("j.doc_id")), col("j.n_chars"))
+    }, None))
+
+  /** One shared engine per sf-dir: all views defined up front, the
+    * documents archive indexed ONCE — production state is shared across
+    * queries, not re-ingested per query.
+    */
+  private val engines = scala.collection.concurrent.TrieMap.empty[String, Graft]
+
+  private def engine(s: SparkSession, dir: String): Graft =
+    engines.getOrElseUpdate(dir, {
+      val db = new Graft(s, Files.createTempDirectory("graft-views").toString)
+      allViews.foreach { case (n, v) => db.define(n, v) }
+      db.index(docsArchive(s, dir))
+      db
+    })
 
   val all: Seq[Q] = Seq(
 
@@ -64,15 +105,7 @@ object Views {
         |         lpad(CAST(doc_id AS VARCHAR), 8, '0')
         |  FROM documents)
         |ORDER BY key_json, ord""".stripMargin) { (s, dir) =>
-      val db = indexed(s, dir)("tags" -> ViewDef(Seq("/*.json"), MapDF { files =>
-        val tags = parsed(files).select(
-          col("origin"), col("url"), col("pathname"), col("j"),
-          explode(array(
-            struct(lit("lang").as("k"), col("j.lang").as("v")),
-            struct(lit("source").as("k"), col("j.source").as("v")))).as("tag"))
-        GraftFunctions.emitEntry(tags, Seq(col("tag.k"), col("tag.v")), col("j.doc_id"))
-      }, None))
-      db.list("tags")
+      engine(s, dir).list("tags")
     },
 
     // A7: get() point lookup, multi-value per key ordered by emitting file.
@@ -80,10 +113,7 @@ object Views {
       """SELECT '"en"' AS key_json, CAST(doc_id AS VARCHAR) AS value_json
         |FROM documents WHERE lang = 'en'
         |ORDER BY lpad(CAST(doc_id AS VARCHAR), 8, '0')""".stripMargin) { (s, dir) =>
-      val db = indexed(s, dir)("by-lang" -> ViewDef(Seq("/*.json"), MapDF { files =>
-        GraftFunctions.emitEntry(parsed(files), Seq(col("j.lang")), col("j.doc_id"))
-      }, None))
-      db.get("by-lang", "en")
+      engine(s, dir).get("by-lang", "en")
     },
 
     // A8: list() ordered range scan; kb bounds push to the parquet scan.
@@ -95,11 +125,7 @@ object Views {
         |  FROM documents
         |  WHERE (lang = 'en' AND n_chars >= 200) OR (lang > 'en' AND lang < 'fr'))
         |ORDER BY k1, k2, k3 LIMIT 50""".stripMargin) { (s, dir) =>
-      val db = indexed(s, dir)("by-size" -> ViewDef(Seq("/*.json"), MapDF { files =>
-        GraftFunctions.emitEntry(parsed(files),
-          Seq(col("j.lang"), col("j.n_chars"), col("j.doc_id")), col("j.doc_id"))
-      }, None))
-      db.list("by-size", ListOpts(
+      engine(s, dir).list("by-size", ListOpts(
         gte = Some(Seq("en", 200)), lt = Some(Seq("fr")), limit = Some(50)))
     },
 
@@ -109,11 +135,7 @@ object Views {
         |       CAST(count(*) AS VARCHAR) AS value_json
         |FROM documents GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin) { (s, dir) =>
-      val db = indexed(s, dir)("lang-source" -> ViewDef(Seq("/*.json"), MapDF { files =>
-        GraftFunctions.emitEntry(parsed(files),
-          Seq(col("j.lang"), col("j.source")), lit(1))
-      }, Some(Reduce.Count)))
-      db.list("lang-source")
+      engine(s, dir).list("lang-source")
     },
 
     // A10: reduced view — per-key fold compiled to a native aggregate.
@@ -121,10 +143,7 @@ object Views {
       """SELECT '"' || lang || '"' AS key_json,
         |       CAST(count(*) AS VARCHAR) AS value_json
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
-      val db = indexed(s, dir)("lang-count" -> ViewDef(Seq("/*.json"), MapDF { files =>
-        GraftFunctions.emitEntry(parsed(files), Seq(col("j.lang")), lit(1))
-      }, Some(Reduce.Count)))
-      db.list("lang-count")
+      engine(s, dir).list("lang-count")
     },
 
     // A10 variant: built-in Sum fold.
@@ -132,10 +151,7 @@ object Views {
       """SELECT '"' || lang || '"' AS key_json,
         |       CAST(sum(n_chars) AS VARCHAR) AS value_json
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
-      val db = indexed(s, dir)("lang-chars" -> ViewDef(Seq("/*.json"), MapDF { files =>
-        GraftFunctions.emitEntry(parsed(files), Seq(col("j.lang")), col("j.n_chars"))
-      }, Some(Reduce.Sum)))
-      db.list("lang-chars")
+      engine(s, dir).list("lang-chars")
     },
 
     // A15: JSON file-value parsing inside the map (from_json, codegen'd),
@@ -145,11 +161,6 @@ object Views {
         |       CAST(n_chars AS VARCHAR) AS value_json
         |FROM documents WHERE lang = 'zh'
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val db = indexed(s, dir)("zh-sizes" -> ViewDef(Seq("/*.json"), MapDF { files =>
-        GraftFunctions.emitEntry(
-          parsed(files).filter(col("j.lang") === "zh"),
-          Seq(col("j.doc_id")), col("j.n_chars"))
-      }, None))
-      db.list("zh-sizes")
+      engine(s, dir).list("zh-sizes")
     })
 }

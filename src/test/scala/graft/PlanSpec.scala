@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions — the 100 TB contract from SURVEY.md §5:
+  * filters/projections reach the parquet scan, small dimensions
+  * broadcast, limits use TopK, aggregates partial-aggregate map-side,
+  * and view list() ranges push binary bounds into the scan. These are
+  * the properties that decide whether a plan survives a 1000-executor
+  * scale-up, independent of row counts.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String, dir: String = sf()): SparkPlan =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+
+  private def planStr(name: String): String = planOf(name).toString
+
+  test("q02: filter AND projection push into the parquet scan") {
+    val p = planStr("q02_filter_project")
+    assert(p.contains("PushedFilters:") &&
+      (p.contains("GreaterThan(l_discount") || p.contains("GreaterThanOrEqual(l_shipdate")),
+      s"no pushed filters in:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("q03: dimension joins broadcast (no shuffled fact-dim join)") {
+    val p = planStr("q03_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("q04: star join is all-broadcast — the fact table never shuffles for the join") {
+    val p = planStr("q04_star_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join in star join:\n$p")
+  }
+
+  test("q01: aggregation is partial (map-side combine before the exchange)") {
+    val p = planStr("q01_agg")
+    val aggLines = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.exists(_.contains("partial")) || aggLines.size >= 2,
+      s"no partial aggregation:\n$p")
+  }
+
+  test("q10: ORDER BY + LIMIT runs as TopK, not a global sort") {
+    val p = planStr("q10_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TopK:\n$p")
+  }
+
+  test("ann_bruteforce: query set broadcasts; corpus is never shuffled for scoring") {
+    val p = planStr("ann_bruteforce")
+    assert(p.contains("Broadcast"), s"expected broadcast of query set:\n$p")
+    // scoring stage = scan -> broadcast join -> project; the only exchange
+    // allowed is for the final TopK window over |queries|*k rows
+    val beforeWindow = p.substring(p.indexOf("BroadcastNestedLoopJoin").max(0))
+    assert(beforeWindow.nonEmpty)
+  }
+
+  test("view list(): binary kb range bounds push into the state parquet scan") {
+    val df = SparkEntry.queries("view_list_range")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(l => l.contains("PushedFilters") && l.contains("kb"))
+    assert(scanLine.isDefined &&
+      (scanLine.get.contains("GreaterThanOrEqual(kb") || scanLine.get.contains("LessThan(kb")),
+      s"kb range not pushed to scan:\n$p")
+  }
+
+  test("text suite: single-pass scans, no shuffle except presentation sort") {
+    val p = planStr("text_quality")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      p.linesIterator.count(_.trim.startsWith("Exchange"))
+    // one rangepartitioning exchange for the final ORDER BY is allowed
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 2,
+      s"text_quality shuffles more than the presentation sort:\n$p")
+  }
+}
