@@ -270,6 +270,34 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     }
   }
 
+  /** `damr.index(archive, {watch: true})` — start continuous maintenance
+    * of every defined view over a watched directory: one streaming query
+    * per view, each appending mapped entries to the view's state dir.
+    * Returns the running queries (caller stops them); checkpoints live
+    * under `{stateRoot}/_checkpoints/{view}`.
+    */
+  def watch(archive: DirArchive): Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
+    val root = archive.rootPath.stripSuffix("/")
+    val files = spark.readStream
+      .format("text").option("wholetext", "true")
+      .load(root)
+      .select(
+        lit(archive.url).as("origin"),
+        concat(lit(archive.url),
+          expr(s"substring(_metadata.file_path, ${root.length + "file:".length + 1})")).as("url"),
+        expr(s"substring(_metadata.file_path, ${root.length + "file:".length + 1})").as("pathname"),
+        col("value"),
+        unix_millis(col("_metadata.file_modification_time")).as("fversion"))
+    views.keys.toSeq.map { name =>
+      streamEntries(name, files).writeStream
+        .outputMode("append")
+        .format("parquet").option("path", viewDir(name))
+        .option("checkpointLocation", s"$stateRoot/_checkpoints/$name")
+        .partitionBy("ob")
+        .start()
+    }
+  }
+
   private def entriesForOrigin(view: String, origin: String): DataFrame =
     entries(view).filter(col("ob") === escape(origin))
 

@@ -161,6 +161,38 @@ class StreamingSpec extends SparkSpec {
         Seq(("alpha", 1.0), ("alpha", 3.0), ("beta", 2.0)))
     } finally q.stop()
   }
+
+  test("A4: Graft.watch maintains every defined view continuously") {
+    val watched = Files.createTempDirectory("graft-watch-dir")
+    val stateRoot = Files.createTempDirectory("graft-watch-state")
+    val schema = StructType(Seq(
+      StructField("first", StringType), StructField("second", LongType)))
+
+    val db = new Graft(spark, stateRoot.toString)
+    db.define("w-tags", ViewDef(Seq("/*.json"), MapDF { files =>
+      val parsed = files.withColumn("j", from_json(col("value"), schema))
+      GraftFunctions.emitEntry(parsed, Seq(col("j.first")), col("j.second"))
+    }, None))
+    db.define("w-count", ViewDef(Seq("/*.json"), MapDF { files =>
+      val parsed = files.withColumn("j", from_json(col("value"), schema))
+      GraftFunctions.emitEntry(parsed, Seq(col("j.first")), lit(1))
+    }, Some(Reduce.Count)))
+
+    val queries = db.watch(new DirArchive("dat://w", watched.toString))
+    try {
+      writeFile(watched, "a.json", Seq("""{"first":"x","second":7}"""))
+      writeFile(watched, "b.json", Seq("""{"first":"x","second":8}"""))
+      queries.foreach(_.processAllAvailable())
+      assert(db.getValue("w-tags", "x") == Some(Vector(7.0, 8.0)))
+      assert(db.getValue("w-count", "x") == Some(2.0))
+
+      writeFile(watched, "c.json", Seq("""{"first":"y","second":9}"""))
+      queries.foreach(_.processAllAvailable())
+      assert(db.getValue("w-tags", "y") == Some(Vector(9.0)))
+      // reduced views aggregate at read time, so streamed appends fold in
+      assert(db.getValue("w-count", "x") == Some(2.0))
+    } finally queries.foreach(_.stop())
+  }
 }
 
 object StreamingSpec {
