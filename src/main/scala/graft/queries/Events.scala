@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Event-stream batch operators — the batch forms of the streaming suite
+  * (SURVEY.md §2.D) plus an as-of join, the canonical "operator Spark
+  * lacks natively" realized by composition (preference (a) from the
+  * design notes: compose existing ops when semantics allow).
+  *
+  * Scale notes: both operators are one shuffle on user_id followed by
+  * in-partition ordered passes (window functions with no frame growth) —
+  * the 100 TB shape for time-ordered per-entity analytics. The as-of
+  * join's union-merge trick costs one sort instead of a per-row range
+  * probe, and never materializes the O(clicks × purchases) pair space.
+  */
+object Events {
+
+  private val byUserTime = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+
+  val all: Seq[Q] = Seq(
+
+    // B21: gap-based sessionization (30 min), batch form. Session id =
+    // running count of gap-breaks per user; one shuffle, two window passes.
+    Q("q21_sessionize",
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) > 1800
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, CAST(sid AS BIGINT) AS sid,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, sid""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
+      val g = e.withColumn("brk",
+        when(lag(col("ts"), 1).over(byUserTime).isNull ||
+          (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUserTime)))
+            > 1800L * 1000000L, lit(1)).otherwise(lit(0)))
+      val withSid = g.withColumn("sid",
+        sum(col("brk")).over(byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      withSid.groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+        .orderBy(col("user_id"), col("sid"))
+    },
+
+    // B22: as-of join — each click matched to the user's latest STRICTLY
+    // earlier purchase. Spark composition: tag-union both sides, sort by
+    // (ts, tag) within user (clicks before purchases at equal ts, so the
+    // strict '<' falls out of the frame), carry the last purchase forward
+    // with last_value(ignoreNulls). DuckDB oracle uses its native ASOF.
+    Q("q22_asof_join",
+      """SELECT a.event_id, a.user_id, b.event_id AS purchase_id, b.ts AS purchase_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') a
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id AND b.ts < a.ts
+        |ORDER BY a.event_id""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          when(col("event_type") === "purchase", lit(1)).otherwise(lit(0)).as("tag"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val carried = e
+        .withColumn("pid", when(col("tag") === 1, col("event_id")))
+        .withColumn("pts", when(col("tag") === 1, col("ts")))
+        .withColumn("purchase_id", last(col("pid"), ignoreNulls = true).over(w))
+        .withColumn("purchase_ts", last(col("pts"), ignoreNulls = true).over(w))
+      carried
+        .where(col("tag") === 0 && col("purchase_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("purchase_id"), col("purchase_ts"))
+        .orderBy(col("event_id"))
+    })
+}
