@@ -331,6 +331,8 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
         .withColumn("value_json", udfRenderNum(col("s")))
       case Reduce.Max => grouped.agg(max(col("value_json").cast("double")).as("s"))
         .withColumn("value_json", udfRenderNum(col("s")))
+      case Reduce.Assoc(f) =>
+        grouped.agg(udaf(new JsonMergeAggregator(f)).apply(col("value_json")).as("value_json"))
       case Reduce.Fold(f) =>
         val foldUdf = udf(
           new org.apache.spark.sql.api.java.UDF2[scala.collection.Seq[Row], String, String] {

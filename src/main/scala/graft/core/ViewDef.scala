@@ -40,6 +40,35 @@ object Reduce {
   case object Min extends Reduce
   case object Max extends Reduce
   final case class Fold(f: (Option[Any], Any, Any) => Any) extends Reduce
+
+  /** Associative-commutative user fold — the SCALABLE custom reduce: runs
+    * as a typed `Aggregator` with map-side partial aggregation (values
+    * merge inside each partition before the shuffle), unlike [[Fold]]
+    * which must collect a key's values to replay the reference's
+    * sequential (acc, value, key) order. Use Assoc whenever the fold is
+    * order-insensitive — at 100 TB the difference is a shuffle of
+    * per-partition partials vs a shuffle of every emitted value.
+    */
+  final case class Assoc(merge: (Any, Any) => Any) extends Reduce
+}
+
+/** JSON-buffered Aggregator backing [[Reduce.Assoc]]: values and buffer
+  * travel as JSON strings (empty string = identity), so one Aggregator
+  * serves any JSON-valued fold with plain string encoders.
+  */
+private[core] class JsonMergeAggregator(f: (Any, Any) => Any)
+    extends org.apache.spark.sql.expressions.Aggregator[String, String, String] {
+  import org.apache.spark.sql.{Encoder, Encoders}
+  override def zero: String = ""
+  private def m(a: String, b: String): String =
+    if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else Json.render(f(Json.parse(a), Json.parse(b)))
+  override def reduce(buf: String, v: String): String = m(buf, v)
+  override def merge(b1: String, b2: String): String = m(b1, b2)
+  override def finish(buf: String): String = buf
+  override def bufferEncoder: Encoder[String] = Encoders.STRING
+  override def outputEncoder: Encoder[String] = Encoders.STRING
 }
 
 /** A view definition: which files (glob patterns over pathname, the

@@ -202,6 +202,25 @@ class GraftEngineSpec extends SparkSpec {
     assert(db.listEntries("multi").nonEmpty)
   }
 
+  test("Assoc reduce: partial-aggregating user fold; built-in Min/Max folds") {
+    val db4 = new Graft(spark, root.resolve("state3").toString)
+    db4.define("assoc-max", ViewDef(Seq("/multi/*.json"),
+      MapFn((v, m) => Seq(m.origin -> Json.parse(v).asInstanceOf[Map[String, Any]]("second"))),
+      Some(Reduce.Assoc((a, b) =>
+        math.max(a.asInstanceOf[Double], b.asInstanceOf[Double])))))
+    db4.define("min-second", ViewDef(Seq("/multi/*.json"),
+      MapFn((v, m) => Seq(m.origin -> Json.parse(v).asInstanceOf[Map[String, Any]]("second"))),
+      Some(Reduce.Min)))
+    db4.define("max-second", ViewDef(Seq("/multi/*.json"),
+      MapFn((v, m) => Seq(m.origin -> Json.parse(v).asInstanceOf[Map[String, Any]]("second"))),
+      Some(Reduce.Max)))
+    db4.index(archives(1))
+    // archive 1 multi seconds: 200 (multi/1), 1 (multi/2), 1 (multi/3)
+    assert(db4.getValue("assoc-max", aurl(1)) == Some(200.0))
+    assert(db4.getValue("min-second", aurl(1)) == Some(1.0))
+    assert(db4.getValue("max-second", aurl(1)) == Some(200.0))
+  }
+
   test("declarative MapDF views run the same pipeline") {
     val db3 = new Graft(spark, root.resolve("state2").toString)
     import org.apache.spark.sql.functions._
