@@ -221,5 +221,34 @@ object Dedup {
             (col("a.nrm") * col("b.nrm")), 4).as("cos"))
         .where(col("cos") >= 0.5)
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // C6 scale path: hyperplane-LSH candidate buckets + the SAME exact
+    // cosine verification — the form that replaces the O(n²) baseline at
+    // 100 TB (corpus shuffles once per table on uniform bucket keys).
+    // DedupSpec measures recall vs the exact all-pairs result; rows-only
+    // for the driver.
+    Q.noOracle("dedup_embedding_lsh") { (s, dir) =>
+      val L = 24; val bits = 6
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), v => v.cast("double")).as("emb"))
+        .select(col("vec_id"), col("emb"),
+          sqrt(aggregate(col("emb"), lit(0.0d), (acc, v) => acc + v * v)).as("nrm"))
+      val tabled = e.select(col("vec_id"),
+        explode(array((0 until L).map(t => struct(lit(t).as("t"),
+          graft.functions.Kernels.hyperplaneSig(col("emb"), lit(t), lit(bits)).as("sig"))): _*)).as("tk"))
+      val cands = tabled.as("a").join(tabled.as("b"),
+          col("a.tk") === col("b.tk") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        .distinct()
+      cands
+        .join(e.select(col("vec_id").as("a_id"), col("emb").as("ea"), col("nrm").as("na")), "a_id")
+        .join(e.select(col("vec_id").as("b_id"), col("emb").as("eb"), col("nrm").as("nb")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          round(graft.functions.Native.dot(s, col("ea"), col("eb")) /
+            (col("na") * col("nb")), 4).as("cos"))
+        .where(col("cos") >= 0.5)
+        .orderBy(col("a_id"), col("b_id"))
     })
 }

@@ -126,6 +126,19 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // Exact interpolated percentiles per group (distribution profiling —
+    // the length-cutoff calibration step of a filtering pipeline).
+    Q("text_length_percentiles",
+      """SELECT lang,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_chars, 0.9), 4) AS p90
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      docs(s, dir).groupBy(col("lang"))
+        .agg(round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n_chars, 0.9)"), 4).as("p90"))
+        .orderBy(col("lang"))
+    },
+
     // C12: polynomial position-weighted fingerprint over characters —
     // fp = sum_i ascii(c_i) * (1 + (131·i mod 997)) mod 2^31-1. Pure
     // integer arithmetic, identical across engines; order-sensitive, so

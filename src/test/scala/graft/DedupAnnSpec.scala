@@ -52,6 +52,32 @@ class DedupAnnSpec extends SparkSpec {
     assert(recall >= 0.4, f"recall $recall%.3f below 0.4")
   }
 
+  test("C6-LSH: embedding-LSH pairs are a verified subset of the exact pairs") {
+    val dir = sf("sf0.01")
+    val exact = q("dedup_embedding", dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = q("dedup_embedding_lsh", dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exact-cosine verification: nothing below tau survives, and every
+    // surviving pair is in the exact result (LSH only prunes candidates)
+    assert(lsh.forall(_._3 >= 0.5))
+    assert(lsh.map(t => (t._1, t._2)).toSet.subsetOf(exact))
+    info(s"embedding-LSH recall = ${lsh.size}/${exact.size}")
+  }
+
+  test("q17b approx_count_distinct within 5% of the exact distinct counts") {
+    val dir = sf("sf0.01")
+    val exact = q("q17_count_distinct", dir).select("l_returnflag", "n_parts").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = q("q17b_approx_distinct", dir).select("l_returnflag", "approx_parts").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex <= 0.05, s"$k: approx=$ap exact=$ex")
+    }
+  }
+
   test("no duplicate query names across suites") {
     val names = (Relational.all ++ Views.all ++ Dedup.all ++ Ann.all ++ Text.all).map(_.name)
     assert(names.distinct.size == names.size,

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Json, ViewDef}
+
+/** Unit coverage for the two small pure-Scala codecs the engine leans on:
+  * the JSON value codec (reference stores LevelDB values with JSON
+  * encoding) and the path-glob → regex translation (reference uses
+  * anymatch over pathnames).
+  */
+class JsonGlobSpec extends AnyFunSuite {
+
+  test("json roundtrip: scalars, arrays, nested objects") {
+    val cases: Seq[String] = Seq(
+      "null", "true", "false", "42", "-3.5", "\"hi\"",
+      "[1,2,3]", "[]", "{}",
+      """{"a":1,"b":[true,null,"x"],"c":{"d":-2.25}}""")
+    cases.foreach { c =>
+      assert(Json.render(Json.parse(c)) == c, s"roundtrip of $c")
+    }
+  }
+
+  test("json renders integral doubles without .0 (JS semantics)") {
+    assert(Json.render(5.0) == "5")
+    assert(Json.render(5.5) == "5.5")
+    assert(Json.render(-0.0) == "0")
+    assert(Json.render(1.0e15) == "1.0E15") // beyond safe-int, raw double form
+  }
+
+  test("json string escapes roundtrip") {
+    val s = "a\"b\\c\nd\te\u0001f"
+    assert(Json.parse(Json.render(s)) == s)
+    assert(Json.render(s).contains("\\u0001"))
+  }
+
+  test("json parse: whitespace, unicode escapes, nested arrays") {
+    assert(Json.parse(""" { "k" : [ 1 , 2 ] } """) == Map("k" -> Vector(1.0, 2.0)))
+    assert(Json.parse("\"\\u0041\"") == "A")
+    assert(Json.parse("[[1],[2,[3]]]") == Vector(Vector(1.0), Vector(2.0, Vector(3.0))))
+  }
+
+  test("json parse rejects trailing garbage") {
+    intercept[IllegalArgumentException](Json.parse("1 2"))
+  }
+
+  test("glob: * stays within a path segment, ** crosses, ? is one char") {
+    def m(glob: String, path: String): Boolean =
+      path.matches(ViewDef.globToRegex(glob))
+    assert(m("/multi/*.json", "/multi/1.json"))
+    assert(!m("/multi/*.json", "/multi/sub/1.json"))
+    assert(m("/multi/**", "/multi/sub/deep/1.json"))
+    assert(m("/file?.txt", "/file1.txt"))
+    assert(!m("/file?.txt", "/file10.txt"))
+    assert(m("/a/**/b.json", "/a/x/y/b.json"))
+    assert(!m("/single.json", "/Xsingle.json"))
+    // regex metachars in the glob are literal
+    assert(m("/a+b(c).json", "/a+b(c).json"))
+    assert(!m("/a+b(c).json", "/ab(c).json"))
+  }
+}
