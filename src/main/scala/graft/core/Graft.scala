@@ -67,7 +67,15 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
   def index(archive: Archive): Unit = {
     val lastV = indexed.getOrElse(archive.url, -1L)
     val filesNow = archive.files(spark)
-    views.foreach { case (name, view) =>
+    // Materialize the views CONCURRENTLY: each view's write is an
+    // independent Spark job, and submitting them from separate driver
+    // threads lets the scheduler interleave their stages (idle cores of
+    // one job's tail run the next job's scan). Same pattern a cluster
+    // deployment uses for independent output tables.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = Graft.indexPool
+    val jobs = views.toSeq.map { case (name, view) => Future {
       val matched = filesNow.filter(col("pathname").rlike(view.pathRegex))
       if (lastV < 0) {
         writeOriginPartition(name, archive.url, mapEntries(view, matched))
@@ -85,7 +93,8 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
         writeOriginPartition(name, archive.url,
           prior.unionByName(mapEntries(view, changed)), readsState = true)
       }
-    }
+    } }
+    jobs.foreach(Await.result(_, Duration.Inf))
     indexed(archive.url) = math.max(archive.version(spark), 0L)
     saveCatalog()
   }
@@ -397,6 +406,15 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
 
 object Graft {
   import org.apache.spark.sql.types._
+
+  /** Shared pool for concurrent view-materialization job submission —
+    * bounded so a many-view engine doesn't flood the scheduler.
+    */
+  private[core] lazy val indexPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(
+        8,
+        r => { val t = new Thread(r, "graft-index"); t.setDaemon(true); t }))
 
   val entrySchema: StructType = StructType(Seq(
     StructField("kb", BinaryType),

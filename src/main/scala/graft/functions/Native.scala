@@ -58,11 +58,20 @@ object DotProduct {
   }
 }
 
-/** Session registration for the native expressions (idempotent). With a
-  * cluster deployment these would go through SparkSessionExtensions
-  * (`injectFunction`) in the spark-submit conf; registering on the live
-  * session keeps single-JVM tools (Verify/Bench/tests) self-contained.
+/** Cluster packaging: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * injects the native functions at session build time on every driver.
+  * [[Native.ensureRegistered]] remains the self-contained path for
+  * single-JVM tools (Verify/Bench/tests) on an already-built session.
   */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+}
+
+/** Session registration for the native expressions (idempotent). */
 object Native {
   private val dotId = FunctionIdentifier("graft_dot")
 
