@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Set operations + pivot — SURVEY.md §2.B23-B25. Rounding out the
+  * relational surface a reference user would expect from a complete
+  * engine: INTERSECT / EXCEPT compile to shuffle-dedup'd joins, pivot to
+  * a single-pass conditional aggregation (never a per-column scan).
+  */
+object SetOps {
+
+  val all: Seq[Q] = Seq(
+
+    // B23: INTERSECT — customers ordering in both 1995 and 1996.
+    Q("q23_intersect",
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val y95 = o.where(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      val y96 = o.where(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+      y95.intersect(y96).orderBy(col("o_custkey"))
+    },
+
+    // B24: EXCEPT — customers ordering in 1995 but never in 1996.
+    Q("q24_except",
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val y95 = o.where(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      val y96 = o.where(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+      y95.except(y96).orderBy(col("o_custkey"))
+    },
+
+    // B25: pivot — order counts per status, one column per priority tier;
+    // explicit pivot values keep it a single conditional-agg pass.
+    Q("q25_pivot",
+      """SELECT o_orderstatus,
+        |  CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS p1,
+        |  CAST(count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT) AS p2,
+        |  CAST(count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS BIGINT) AS p3,
+        |  CAST(count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS BIGINT) AS p4,
+        |  CAST(count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS BIGINT) AS p5
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .count()
+        .toDF("o_orderstatus", "p1", "p2", "p3", "p4", "p5")
+        .na.fill(0L, Seq("p1", "p2", "p3", "p4", "p5"))
+        .orderBy(col("o_orderstatus"))
+    })
+}
