@@ -133,6 +133,21 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     }
   }
 
+  /** Compact a view's state: rewrite each origin partition as one file.
+    * Streaming maintenance (watch mode) appends a file per micro-batch;
+    * compaction restores scan efficiency without changing contents — the
+    * routine small-files pass of any streaming-ingest table. Runs as a
+    * single dynamic partition overwrite clustered by origin.
+    */
+  def compact(view: String): Unit = {
+    val dir = viewDir(view)
+    if (Files.exists(Paths.get(dir))) {
+      val rows = spark.read.schema(Graft.entrySchemaWithPartition).parquet(dir)
+        .repartition(col("ob"))
+      writeOriginPartition(view, origin = "", rows, readsState = true)
+    }
+  }
+
   /** `damr.reset(view)` — clear a view's materialized state. */
   def reset(view: String): Unit = deleteDir(viewDir(view))
 
@@ -298,11 +313,18 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
         col("value"),
         unix_millis(col("_metadata.file_modification_time")).as("fversion"))
     views.keys.toSeq.map { name =>
+      // foreachBatch + plain batch append, NOT the parquet streaming sink:
+      // the sink's _spark_metadata log would own the directory listing and
+      // hide every batch write (incremental re-index, compaction) from
+      // readers. State dirs are shared batch/streaming, so they must stay
+      // plain parquet; the stream checkpoint still dedupes micro-batches.
       streamEntries(name, files).writeStream
         .outputMode("append")
-        .format("parquet").option("path", viewDir(name))
         .option("checkpointLocation", s"$stateRoot/_checkpoints/$name")
-        .partitionBy("ob")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").partitionBy("ob").parquet(viewDir(name))
+          spark.catalog.refreshByPath(viewDir(name))
+        }
         .start()
     }
   }
@@ -327,6 +349,9 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(viewDir(view))
+    // the session-shared FileStatusCache would otherwise serve the old
+    // file listing to the next read of this path
+    spark.catalog.refreshByPath(viewDir(view))
   }
 
   private def reduceEntries(df: DataFrame, r: Reduce, keepKb: Boolean = false): DataFrame = {
@@ -379,6 +404,7 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     if (Files.exists(p)) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
+      spark.catalog.refreshByPath(path)
     }
   }
 

@@ -221,6 +221,21 @@ class GraftEngineSpec extends SparkSpec {
     assert(db4.getValue("max-second", aurl(1)) == Some(200.0))
   }
 
+  test("MapFn object values roundtrip as JSON; destroy() clears all state") {
+    val db5 = new Graft(spark, root.resolve("state4").toString)
+    db5.define("obj", ViewDef("/single.json",
+      MapFn((v, m) => {
+        val second = Json.parse(v).asInstanceOf[Map[String, Any]]("second")
+        Seq(m.origin -> Map("n" -> second, "path" -> m.pathname))
+      })))
+    db5.index(archives(2))
+    assert(db5.getValue("obj", aurl(2)) ==
+      Some(Vector(Map("n" -> 2.0, "path" -> "/single.json"))))
+    db5.destroy()
+    assert(db5.listIndexed().isEmpty)
+    assert(!Files.exists(root.resolve("state4")))
+  }
+
   test("declarative MapDF views run the same pipeline") {
     val db3 = new Graft(spark, root.resolve("state2").toString)
     import org.apache.spark.sql.functions._

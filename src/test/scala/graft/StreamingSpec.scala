@@ -191,7 +191,20 @@ class StreamingSpec extends SparkSpec {
       assert(db.getValue("w-tags", "y") == Some(Vector(9.0)))
       // reduced views aggregate at read time, so streamed appends fold in
       assert(db.getValue("w-count", "x") == Some(2.0))
-    } finally queries.foreach(_.stop())
+
+      // compaction: micro-batch appends left several files per origin;
+      // compact() rewrites each origin as one file, contents unchanged
+      queries.foreach(_.stop())
+      def parquetFiles: Int = {
+        val d = java.nio.file.Paths.get(stateRoot.toString, "w-tags", "entries")
+        Files.walk(d).filter(p => p.toString.endsWith(".parquet")).count().toInt
+      }
+      val before = parquetFiles
+      db.compact("w-tags")
+      assert(parquetFiles < before, s"expected fewer files than $before")
+      assert(db.listEntries("w-tags").map(e => (e.key, e.value)) ==
+        Seq(("x", 7.0), ("x", 8.0), ("y", 9.0)))
+    } finally queries.foreach(q => if (q.isActive) q.stop())
   }
 }
 
