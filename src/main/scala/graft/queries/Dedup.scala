@@ -223,6 +223,41 @@ object Dedup {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // C4b: near-dup pairs → connected components → canonical clusters
+    // (keep min-id per component) — the step that turns pair mining into
+    // an actual dedup decision. Label propagation: each node takes the
+    // min label in its neighborhood, iterated to fixpoint — O(log n)
+    // rounds, each one shuffle; no driver-side graph. Spec-verified
+    // against union-find on the collected pairs.
+    Q.noOracle("dedup_clusters") { (s, dir) =>
+      val pairs = all.find(_.name == "dedup_ngram_jaccard").get.run(s, dir)
+        .select(col("a_id"), col("b_id"))
+      val edges = pairs
+        .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      val nodes = edges.select(col("a_id").as("id")).distinct()
+      var labels = nodes.select(col("id"), col("id").as("label"))
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 20) {
+        val nbrMin = edges
+          .join(labels.withColumnRenamed("id", "b_id"), Seq("b_id"))
+          .groupBy(col("a_id").as("id")).agg(min(col("label")).as("nbr"))
+        val next = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+          .localCheckpoint(true) // truncate the iterative lineage
+        changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+          .where(col("label") =!= col("old")).count()
+        labels = next
+        rounds += 1
+      }
+      labels.groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          sort_array(collect_list(col("id"))).as("members"))
+        .select(col("cluster_id"), col("cluster_size"),
+          concat_ws(",", col("members").cast("array<string>")).as("members"))
+        .orderBy(col("cluster_id"))
+    },
+
     // C6 scale path: hyperplane-LSH candidate buckets + the SAME exact
     // cosine verification — the form that replaces the O(n²) baseline at
     // 100 TB (corpus shuffles once per table on uniform bucket keys).

@@ -78,6 +78,28 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("C4b: distributed connected components == union-find on the pair set") {
+    val dir = sf("sf0.01")
+    val pairs = q("dedup_ngram_jaccard", dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side union-find oracle
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toSeq
+      .groupBy(_._2).map { case (root, ms) => root -> ms.map(_._1).sorted.mkString(",") }
+
+    val got = q("dedup_clusters", dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
   test("no duplicate query names across suites") {
     val names = (Relational.all ++ Views.all ++ Dedup.all ++ Ann.all ++ Text.all).map(_.name)
     assert(names.distinct.size == names.size,

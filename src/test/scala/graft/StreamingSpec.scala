@@ -76,6 +76,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D1b: streaming aggregation over the real events table == batch result") {
+    // same aggregation, two execution modes — the structural guarantee
+    // that lets a pipeline promote a batch query to a stream unchanged
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ckpt = Files.createTempDirectory("graft-d1b-ckpt")
+    val dir = sf("sf0.001")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+
+    def shape(df: org.apache.spark.sql.DataFrame) = {
+      val ts = timestamp_micros(expr("ts div 1000"))
+      df.groupBy(date_trunc("hour", ts).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    }
+
+    // the file stream source wants a directory; stage the table into one
+    val staged = Files.createTempDirectory("graft-d1b-in")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+
+    val q = shape(spark.readStream.schema(schema).parquet(staged.toString))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("d1b_sink")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("d1b_sink").orderBy("h", "event_type")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1e6)))
+      val batch = shape(spark.read.parquet(s"$dir/events.parquet"))
+        .orderBy("h", "event_type")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1e6)))
+      assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("D2: gap sessionization via flatMapGroupsWithState + event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
