@@ -113,25 +113,22 @@ object ViewDef {
 
 /** Column-level helpers for declarative maps. */
 object GraftFunctions {
-  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.{Row, SparkSession}
   import org.apache.spark.sql.api.java.UDF1
-  import org.apache.spark.sql.types.{BinaryType, StringType}
+  import org.apache.spark.sql.types.StringType
 
-  // Row-typed UDFs must go through the Java UDF API (the typed Scala
-  // `udf` can't derive an encoder for Row).
-
-  /** Order-preserving key bytes from typed key-element columns.
-    * Implemented as a UDF over a variadic struct for now; the encoding
-    * itself is the scale lever (binary range pushdown) — the per-row
-    * encode cost is a candidate for a native Expression later.
+  /** Order-preserving key bytes from typed key-element columns — the
+    * native [[graft.functions.KeyEncode]] expression (no struct packing,
+    * no UDF converter layer).
     */
-  def keyBytes(elems: Column*): Column = {
-    val enc = udf(new UDF1[Row, Array[Byte]] {
-      override def call(row: Row): Array[Byte] =
-        KeyCodec.encode((0 until row.length).map(i => row.get(i)))
-    }, BinaryType)
-    enc(struct(elems: _*))
-  }
+  def keyBytes(elems: Column*): Column =
+    graft.functions.Native.keyBytes(SparkSession.active, elems)
+
+  /** Canonical key JSON via the same codec as [[keyBytes]], so key_json
+    * and kb always agree.
+    */
+  def keyJsonOf(elems: Seq[Column]): Column =
+    graft.functions.Native.keyJson(SparkSession.active, elems)
 
   /** Attach the three entry columns a [[MapDF]] must produce. */
   def emitEntry(df: DataFrame, keyElems: Seq[Column], value: Column): DataFrame =
@@ -139,16 +136,9 @@ object GraftFunctions {
       .withColumn("key_json", keyJsonOf(keyElems))
       .withColumn("value_json", valueJson(value))
 
-  def keyJsonOf(elems: Seq[Column]): Column = {
-    // Render with JS semantics via the same codec used for kb, so
-    // key_json and kb always agree.
-    val f = udf(new UDF1[Row, String] {
-      override def call(row: Row): String =
-        KeyCodec.json((0 until row.length).map(i => row.get(i)))
-    }, StringType)
-    f(struct(elems: _*))
-  }
-
+  /** JSON rendering of an arbitrary (possibly nested) value column —
+    * stays a Row UDF because it must walk any struct/array shape.
+    */
   def valueJson(value: Column): Column = {
     val f = udf(new UDF1[Row, String] {
       override def call(row: Row): String = Json.render(row.get(0))

@@ -58,6 +58,45 @@ object DotProduct {
   }
 }
 
+/** Order-preserving key encoding as native expressions (SURVEY.md §4:
+  * the codec is the designated custom-Expression surface). Children are
+  * the key elements; internal values (UTF8String, Int/Long/Double/Bool)
+  * convert once per row — no struct packing, no UDF converter layer.
+  */
+abstract class KeyCodecExpression extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def nullable: Boolean = false
+
+  protected def elems(input: org.apache.spark.sql.catalyst.InternalRow): Seq[Any] =
+    children.map { c =>
+      c.eval(input) match {
+        case null => null
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case other => other // Boolean / numeric primitives pass through
+      }
+    }
+}
+
+case class KeyEncode(children: Seq[Expression]) extends KeyCodecExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "graft_key_bytes"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    graft.core.KeyCodec.encode(elems(input))
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KeyEncode = copy(children = newChildren)
+}
+
+case class KeyJson(children: Seq[Expression]) extends KeyCodecExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "graft_key_json"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      graft.core.KeyCodec.json(elems(input)))
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KeyJson = copy(children = newChildren)
+}
+
 /** Cluster packaging: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
   * injects the native functions at session build time on every driver.
   * [[Native.ensureRegistered]] remains the self-contained path for
@@ -65,23 +104,29 @@ object DotProduct {
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    Native.injections.foreach(ext.injectFunction)
 }
 
 /** Session registration for the native expressions (idempotent). */
 object Native {
-  private val dotId = FunctionIdentifier("graft_dot")
+  private val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      exprs => DotProduct(exprs.head, exprs(1))),
+    (FunctionIdentifier("graft_key_bytes"),
+      new ExpressionInfo(classOf[KeyEncode].getName, "graft_key_bytes"),
+      exprs => KeyEncode(exprs)),
+    (FunctionIdentifier("graft_key_json"),
+      new ExpressionInfo(classOf[KeyJson].getName, "graft_key_json"),
+      exprs => KeyJson(exprs)))
+
+  private[functions] def injections: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    registrations
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(dotId)) {
-      reg.registerFunction(
-        dotId,
-        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-        (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1)))
+    registrations.foreach { case (id, info, builder) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     }
   }
 
@@ -89,5 +134,16 @@ object Native {
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_dot", a, b)
+  }
+
+  /** Order-preserving key bytes / canonical key JSON over element columns. */
+  def keyBytes(spark: SparkSession, elems: Seq[Column]): Column = {
+    ensureRegistered(spark)
+    call_function("graft_key_bytes", elems: _*)
+  }
+
+  def keyJson(spark: SparkSession, elems: Seq[Column]): Column = {
+    ensureRegistered(spark)
+    call_function("graft_key_json", elems: _*)
   }
 }
