@@ -157,6 +157,14 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     indexed.clear()
   }
 
+  /** Lifecycle mapping: the reference's `open()` is this constructor
+    * (catalog load); `close()` releases no engine-held resources — state
+    * is parquet on disk, the catalog is flushed on every mutation, and
+    * the SparkSession belongs to the caller. Streaming queries from
+    * [[watch]] are returned to the caller to stop.
+    */
+  def close(): Unit = ()
+
   def listIndexed(): Seq[String] = indexed.keys.toSeq
   def isIndexed(origin: String): Boolean = indexed.contains(origin)
 

@@ -85,22 +85,25 @@ object Text {
         |  round((n_chars_m - n_words + 1.0) / n_words, 4) AS avg_word_len,
         |  round(n_stop * 1.0 / n_words, 4) AS stopword_ratio,
         |  round(n_distinct * 1.0 / n_words, 4) AS distinct_ratio,
-        |  round(least(n_words / 100.0, 1.0) * 0.4
-        |    + least(n_stop * 1.0 / n_words / 0.1, 1.0) * 0.3
-        |    + (n_distinct * 1.0 / n_words) * 0.3, 4) AS quality
+        |  CAST(least(n_words, 100) * 40
+        |    + (least(n_stop * 10, n_words) * 3000) // n_words
+        |    + (n_distinct * 3000) // n_words AS BIGINT) AS quality_bp
         |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val f = docs(s, dir).select(col("doc_id"),
         length(col("text")).as("n_chars_m"),
         size(words).as("n_words"),
         size(array_distinct(words)).as("n_distinct"),
         size(filter(words, w => w.isin("the", "a", "of", "and", "to"))).as("n_stop"))
+      // the composite score is INTEGER basis points with integer division:
+      // a double composite rounds differently across engines on boundary
+      // rows (observed 18/5000 flips at sf0.1); exact arithmetic can't
       f.select(col("doc_id"), col("n_chars_m").as("n_chars"), col("n_words"),
         round((col("n_chars_m") - col("n_words") + 1.0d) / col("n_words"), 4).as("avg_word_len"),
         round(col("n_stop") * 1.0d / col("n_words"), 4).as("stopword_ratio"),
         round(col("n_distinct") * 1.0d / col("n_words"), 4).as("distinct_ratio"),
-        round(least(col("n_words") / 100.0d, lit(1.0d)) * 0.4d
-          + least(col("n_stop") * 1.0d / col("n_words") / 0.1d, lit(1.0d)) * 0.3d
-          + (col("n_distinct") * 1.0d / col("n_words")) * 0.3d, 4).as("quality"))
+        (least(col("n_words"), lit(100)) * 40
+          + expr("(least(n_stop * 10, n_words) * 3000) div n_words")
+          + expr("(n_distinct * 3000) div n_words")).cast("long").as("quality_bp"))
         .orderBy(col("doc_id"))
     },
 
