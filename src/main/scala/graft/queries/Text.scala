@@ -142,6 +142,76 @@ object Text {
         .orderBy(col("lang"))
     },
 
+    // Vocabulary build: global word counts, top-20 by (count desc, word).
+    // The first step of any tokenizer/vocab pipeline; one explode + one
+    // partial-aggregated groupBy at any scale.
+    Q("text_vocab_topk",
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word)
+        |SELECT word, cnt FROM c
+        |ORDER BY cnt DESC, word LIMIT 20""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(explode(words).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(20)
+    },
+
+    // TF-IDF-style term salience, in LOG-FREE rational form so both
+    // engines compute identical doubles: score = (tf_in_doc * N_docs) /
+    // (doc_len * doc_freq) — same ranking as tf·idf for monotone idf,
+    // exact integer numerators/denominators below 2^53. Top term per doc.
+    Q("text_top_terms",
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY doc_id, word),
+        |dl AS (SELECT doc_id, count(*) AS n_words FROM w GROUP BY doc_id),
+        |df AS (SELECT word, count(DISTINCT doc_id) AS dfreq FROM w GROUP BY word),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.word,
+        |    round((tf.cnt * n.n_docs * 1.0) / (dl.n_words * df.dfreq), 4) AS score
+        |  FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+        |          JOIN df ON df.word = tf.word CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, word, score, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, word) AS rk
+        |  FROM scored)
+        |SELECT doc_id, word, score FROM ranked WHERE rk = 1
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val w = docs(s, dir).select(col("doc_id"), explode(words).as("word"))
+      val tf = w.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+      val dl = w.groupBy(col("doc_id")).agg(count(lit(1)).as("n_words"))
+      val df = w.groupBy(col("word")).agg(countDistinct(col("doc_id")).as("dfreq"))
+      val nDocs = docs(s, dir).count() // tiny driver scalar; broadcast as literal
+      val scored = tf.join(dl, "doc_id").join(broadcast(df), "word")
+        .select(col("doc_id"), col("word"),
+          round((col("cnt") * lit(nDocs) * 1.0d) / (col("n_words") * col("dfreq")), 4).as("score"))
+      scored
+        .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("word"))))
+        .where(col("rk") === 1)
+        .select(col("doc_id"), col("word"), col("score"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Deterministic train/val/test split by id hash-mod — reproducible
+    // dataset splits without RNG state (the split is a pure function of
+    // the row, stable under reshuffling/reprocessing).
+    Q("text_data_split",
+      """SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |            WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(when(col("doc_id") % 10 < 8, lit("train"))
+          .when(col("doc_id") % 10 === 8, lit("val"))
+          .otherwise(lit("test")).as("split"), col("n_chars"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("split"))
+    },
+
     // C12: polynomial position-weighted fingerprint over characters —
     // fp = sum_i ascii(c_i) * (1 + (131·i mod 997)) mod 2^31-1. Pure
     // integer arithmetic, identical across engines; order-sensitive, so
