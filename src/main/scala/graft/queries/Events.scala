@@ -54,6 +54,25 @@ object Events {
         .orderBy(col("user_id"), col("sid"))
     },
 
+    // B26: semi-structured access — JSON property extraction from the
+    // events `props` column (get_json_object is codegen'd; the cast and
+    // aggregation behave like any typed column afterwards).
+    Q("q26_json_props",
+      """SELECT event_type,
+        |  CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS k_sum,
+        |  CAST(max(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS k_max,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("k_sum"), max(col("k")).as("k_max"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
     // B22: as-of join — each click matched to the user's latest STRICTLY
     // earlier purchase. Spark composition: tag-union both sides, sort by
     // (ts, tag) within user (clicks before purchases at equal ts, so the

@@ -44,6 +44,25 @@ class JsonGlobSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Json.parse("1 2"))
   }
 
+  test("json property: render∘parse == identity on 500 random nested values") {
+    val rnd = new scala.util.Random(7)
+    def randValue(depth: Int): Any = rnd.nextInt(if (depth > 2) 5 else 7) match {
+      case 0 => null
+      case 1 => rnd.nextBoolean()
+      case 2 => rnd.nextInt(200001) - 100000
+      case 3 => math.round((rnd.nextDouble() - 0.5) * 2e6) / 100.0
+      case 4 => rnd.alphanumeric.take(rnd.nextInt(10)).mkString + (if (rnd.nextBoolean()) "\"\\\n" else "")
+      case 5 => Vector.fill(rnd.nextInt(4))(randValue(depth + 1))
+      case 6 => Seq.fill(rnd.nextInt(4))(
+        rnd.alphanumeric.take(3).mkString -> randValue(depth + 1)).toMap
+    }
+    (1 to 500).foreach { _ =>
+      val v = randValue(0)
+      val text = Json.render(v)
+      assert(Json.render(Json.parse(text)) == text, s"via $text")
+    }
+  }
+
   test("glob: * stays within a path segment, ** crosses, ? is one char") {
     def m(glob: String, path: String): Boolean =
       path.matches(ViewDef.globToRegex(glob))
