@@ -230,10 +230,14 @@ object Dedup {
     // rounds, each one shuffle; no driver-side graph. Spec-verified
     // against union-find on the collected pairs.
     Q.noOracle("dedup_clusters") { (s, dir) =>
+      // materialize the (small) edge list once — every propagation round
+      // joins against it, and an unmaterialized plan would re-run the
+      // whole n-gram mining pipeline per round
       val pairs = all.find(_.name == "dedup_ngram_jaccard").get.run(s, dir)
         .select(col("a_id"), col("b_id"))
       val edges = pairs
         .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        .localCheckpoint(true)
       val nodes = edges.select(col("a_id").as("id")).distinct()
       var labels = nodes.select(col("id"), col("id").as("label"))
       var changed = 1L
