@@ -125,6 +125,16 @@ class GraftEngineSpec extends SparkSpec {
       .map(_.key) == Seq(s"first${nArch - 1}", s"first${nArch - 2}"))
   }
 
+  test("reduced views: range + reverse + limit compose like map views") {
+    val keys = db.listEntries("multi-reduced").map(_.key)
+    assert(keys == (0 until nArch).map(aurl)) // origin keys, byte order
+    assert(db.listEntries("multi-reduced", ListOpts(reverse = true, limit = Some(2)))
+      .map(_.key) == Seq(aurl(nArch - 1), aurl(nArch - 2)))
+    assert(db.listEntries("multi-reduced",
+      ListOpts(gte = Some(Seq(aurl(1))), lte = Some(Seq(aurl(2)))))
+      .map(e => (e.key, e.value)) == Seq(aurl(1) -> 3.0, aurl(2) -> 3.0))
+  }
+
   test("compound keys: element-wise order, range scans, reduced counts") {
     assert(db.getValue("compound", Seq(aurl(0), "first0")) ==
       Some(Vector(aurl(0) + "/multi/1.json", aurl(0) + "/multi/2.json")))
