@@ -71,6 +71,17 @@ object Views {
     "lang-chars" -> ViewDef(Seq("/*.json"), MapDF { files =>
       GraftFunctions.emitEntry(parsed(files), Seq(col("j.lang")), col("j.n_chars"))
     }, Some(Reduce.Sum)),
+    // reference-shaped compat map: user function over (value, meta),
+    // running as a typed flatMap — the A1 MapFn path through the gate
+    "mapfn-langs" -> ViewDef(Seq("/*.json"), MapFn { (value, meta) =>
+      val rec = Json.parse(value).asInstanceOf[Map[String, Any]]
+      Seq(rec("lang") -> rec("doc_id"))
+    }, None),
+    // associative user fold through the typed Aggregator path (A10)
+    "assoc-maxchars" -> ViewDef(Seq("/*.json"), MapDF { files =>
+      GraftFunctions.emitEntry(parsed(files), Seq(col("j.lang")), col("j.n_chars"))
+    }, Some(Reduce.Assoc((a, b) =>
+      math.max(a.asInstanceOf[Double], b.asInstanceOf[Double])))),
     "zh-sizes" -> ViewDef(Seq("/*.json"), MapDF { files =>
       GraftFunctions.emitEntry(
         parsed(files).filter(col("j.lang") === "zh"),
@@ -152,6 +163,22 @@ object Views {
         |       CAST(sum(n_chars) AS VARCHAR) AS value_json
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       engine(s, dir).list("lang-chars")
+    },
+
+    // A1 MapFn: the reference's (value, meta, emit) map shape end-to-end.
+    Q("view_mapfn_langs",
+      """SELECT '"' || lang || '"' AS key_json, CAST(doc_id AS VARCHAR) AS value_json
+        |FROM documents
+        |ORDER BY lang, lpad(CAST(doc_id AS VARCHAR), 8, '0')""".stripMargin) { (s, dir) =>
+      engine(s, dir).list("mapfn-langs")
+    },
+
+    // A10 Assoc: associative user fold (max) via the typed Aggregator.
+    Q("view_reduce_assoc",
+      """SELECT '"' || lang || '"' AS key_json,
+        |       CAST(max(n_chars) AS VARCHAR) AS value_json
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      engine(s, dir).list("assoc-maxchars")
     },
 
     // A15: JSON file-value parsing inside the map (from_json, codegen'd),

@@ -69,6 +69,15 @@ class PlanSpec extends SparkSpec {
       s"kb range not pushed to scan:\n$p")
   }
 
+  test("q22 as-of join: one shuffle on user_id, no pair-space join") {
+    val p = planStr("q22_asof_join")
+    // the union-merge trick must not plan any join at all
+    assert(!p.contains("Join"), s"as-of should be join-free:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    // one hashpartitioning(user_id) for the window + one range for ORDER BY
+    assert(exchanges <= 2, s"too many shuffles ($exchanges):\n$p")
+  }
+
   test("text suite: single-pass scans, no shuffle except presentation sort") {
     val p = planStr("text_quality")
     val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
