@@ -89,7 +89,7 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
           .join(broadcast(currentUrls), col("file_url") === col("cur_url"), "left_semi")
           .join(broadcast(changed.select(col("url").as("chg_url"))),
             col("file_url") === col("chg_url"), "left_anti")
-          .select(Graft.entrySchemaWithPartition.fieldNames.map(col): _*)
+          .select(Graft.entrySchemaWithPartition.fieldNames.toIndexedSeq.map(col): _*)
         writeOriginPartition(name, archive.url,
           prior.unionByName(mapEntries(view, changed)), readsState = true)
       }

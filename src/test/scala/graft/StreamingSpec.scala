@@ -199,6 +199,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D4: streaming exact dedup — dropDuplicates with watermark emits each id once") {
+    val in = Files.createTempDirectory("graft-d4-in")
+    val ckpt = Files.createTempDirectory("graft-d4-ckpt")
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("event_id", LongType),
+      StructField("payload", StringType)))
+
+    val deduped = spark.readStream.schema(schema).json(in.toString)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+
+    val q = deduped.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("d4_sink")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      writeFile(in, "b1.json", Seq(
+        """{"ts":"2026-01-01T10:00:00","event_id":1,"payload":"a"}""",
+        """{"ts":"2026-01-01T10:01:00","event_id":2,"payload":"b"}""",
+        """{"ts":"2026-01-01T10:02:00","event_id":1,"payload":"a-dup"}"""))
+      q.processAllAvailable()
+      // replay of id 1 and a new id in a later batch
+      writeFile(in, "b2.json", Seq(
+        """{"ts":"2026-01-01T10:10:00","event_id":1,"payload":"a-replay"}""",
+        """{"ts":"2026-01-01T10:11:00","event_id":3,"payload":"c"}"""))
+      q.processAllAvailable()
+
+      val rows = spark.table("d4_sink").orderBy("event_id")
+        .collect().map(r => (r.getLong(1), r.getString(2)))
+      assert(rows.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+        s"each id exactly once, first occurrence wins: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("A4: Graft.watch maintains every defined view continuously") {
     val watched = Files.createTempDirectory("graft-watch-dir")
     val stateRoot = Files.createTempDirectory("graft-watch-state")
