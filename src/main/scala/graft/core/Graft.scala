@@ -46,8 +46,14 @@ final case class Entry(key: Any, value: Any)
 class Graft(val spark: SparkSession, val stateRoot: String) {
 
   private val views = mutable.LinkedHashMap.empty[String, ViewDef]
-  // origin -> last indexed fversion, per the reference's archiveVersionLevel
+  // origin -> last indexed fversion (drives listIndexed/isIndexed)
   private val indexed = mutable.LinkedHashMap.empty[String, Long]
+  // (origin, view) -> last indexed fversion. PER VIEW, matching the
+  // reference's per-view archiveVersionLevel (view.js:39): a view defined
+  // AFTER an origin was indexed starts at -1 and gets a full build on the
+  // next index() while current views stay incremental.
+  private val viewVersions = mutable.LinkedHashMap.empty[String, Long]
+  private def vvKey(origin: String, view: String) = origin + "\n" + view
 
   loadCatalog()
 
@@ -65,7 +71,6 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     * catalog says was already indexed for this origin.
     */
   def index(archive: Archive): Unit = {
-    val lastV = indexed.getOrElse(archive.url, -1L)
     val filesNow = archive.files(spark)
     // Materialize the views CONCURRENTLY: each view's write is an
     // independent Spark job, and submitting them from separate driver
@@ -76,6 +81,7 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = Graft.indexPool
     val jobs = views.toSeq.map { case (name, view) => Future {
+      val lastV = viewVersions.getOrElse(vvKey(archive.url, name), -1L)
       val matched = filesNow.filter(col("pathname").rlike(view.pathRegex))
       if (lastV < 0) {
         writeOriginPartition(name, archive.url, mapEntries(view, matched))
@@ -95,7 +101,9 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
       }
     } }
     jobs.foreach(Await.result(_, Duration.Inf))
-    indexed(archive.url) = math.max(archive.version(spark), 0L)
+    val v = math.max(archive.version(spark), 0L)
+    indexed(archive.url) = v
+    views.keys.foreach(name => viewVersions(vvKey(archive.url, name)) = v)
     saveCatalog()
   }
 
@@ -103,6 +111,7 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
   def unindex(origin: String): Unit = {
     views.keys.foreach { name =>
       deleteDir(s"${viewDir(name)}/ob=${escape(origin)}")
+      viewVersions.remove(vvKey(origin, name))
     }
     indexed.remove(origin)
     saveCatalog()
@@ -148,13 +157,21 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     }
   }
 
-  /** `damr.reset(view)` — clear a view's materialized state. */
-  def reset(view: String): Unit = deleteDir(viewDir(view))
+  /** `damr.reset(view)` — clear a view's materialized state (and its
+    * per-origin index versions, so the next index() rebuilds it fully —
+    * reference Indexer.resetIndex semantics).
+    */
+  def reset(view: String): Unit = {
+    deleteDir(viewDir(view))
+    viewVersions.filterInPlace { case (k, _) => !k.endsWith("\n" + view) }
+    saveCatalog()
+  }
 
   /** `damr.destroy()`. */
   def destroy(): Unit = {
     deleteDir(stateRoot)
     indexed.clear()
+    viewVersions.clear()
   }
 
   /** Lifecycle mapping: the reference's `open()` is this constructor
@@ -422,18 +439,23 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
 
   private def saveCatalog(): Unit = {
     Files.createDirectories(catalogPath.getParent)
-    val body = indexed.map { case (k, v) => Json.renderString(k) + ":" + v }
-      .mkString("{", ",", "}")
+    def obj(m: collection.Map[String, Long]): String =
+      m.map { case (k, v) => Json.renderString(k) + ":" + v }.mkString("{", ",", "}")
+    val body = "{\"origins\":" + obj(indexed) + ",\"views\":" + obj(viewVersions) + "}"
     Files.write(catalogPath, body.getBytes(StandardCharsets.UTF_8))
   }
 
   private def loadCatalog(): Unit = {
     if (Files.exists(catalogPath)) {
       val txt = new String(Files.readAllBytes(catalogPath), StandardCharsets.UTF_8)
-      Json.parse(txt).asInstanceOf[Map[String, Any]].foreach {
-        case (k, v: Double) => indexed(k) = v.toLong
-        case _ =>
-      }
+      val root = Json.parse(txt).asInstanceOf[Map[String, Any]]
+      def into(m: Any, dst: mutable.LinkedHashMap[String, Long]): Unit =
+        m.asInstanceOf[Map[String, Any]].foreach {
+          case (k, v: Double) => dst(k) = v.toLong
+          case _ =>
+        }
+      into(root.getOrElse("origins", Map.empty), indexed)
+      into(root.getOrElse("views", Map.empty), viewVersions)
     }
   }
 }

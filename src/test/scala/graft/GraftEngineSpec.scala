@@ -231,6 +231,30 @@ class GraftEngineSpec extends SparkSpec {
     assert(db4.getValue("max-second", aurl(1)) == Some(200.0))
   }
 
+  test("late-defined view gets a FULL build on next index; current views stay incremental") {
+    // reference semantics: per-view archiveVersionLevel (view.js:39)
+    val db6 = new Graft(spark, root.resolve("state5").toString)
+    db6.define("first-view", ViewDef("/single.json",
+      MapFn((v, m) => Seq(parseFirst(v) -> m.url))))
+    db6.index(archives(3))
+    assert(db6.getValue("first-view", "first3").isDefined)
+
+    // define a second view AFTER archive 3 was indexed; files unchanged
+    db6.define("late-view", ViewDef("/multi/*.json",
+      MapFn((_, m) => Seq(m.origin -> 1)), Reduce.Count))
+    db6.index(archives(3))
+    // the late view sees ALL existing files despite no fversion advance
+    assert(db6.getValue("late-view", aurl(3)) == Some(3.0))
+    // and the first view kept its state
+    assert(db6.getValue("first-view", "first3").isDefined)
+
+    // reset clears per-view versions: next index rebuilds from scratch
+    db6.reset("late-view")
+    assert(db6.listEntries("late-view").isEmpty)
+    db6.index(archives(3))
+    assert(db6.getValue("late-view", aurl(3)) == Some(3.0))
+  }
+
   test("MapFn object values roundtrip as JSON; destroy() clears all state") {
     val db5 = new Graft(spark, root.resolve("state4").toString)
     db5.define("obj", ViewDef("/single.json",
