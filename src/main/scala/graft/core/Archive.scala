@@ -32,6 +32,11 @@ trait Archive {
   * Reads through Spark's binaryFile source so listing/metadata and
   * content access are distributed and column-pruned: plans that only
   * need `pathname`/`fversion` (change detection) never read file bytes.
+  *
+  * `fversion` is modification time: a file restored with a REGRESSED
+  * mtime is treated as unchanged (the reference has true monotonic
+  * archive versions; a filesystem only offers mtime). Pair with
+  * [[Graft.reset]]/full re-index when restoring from backup.
   */
 final class DirArchive(val url: String, val rootPath: String) extends Archive {
   override def files(spark: SparkSession): DataFrame = {

@@ -57,6 +57,16 @@ class SourcesSpec extends SparkSpec {
     assert(!readSchema.contains("content"), s"content not pruned: $readSchema")
   }
 
+  test("orc round-trip: alternative columnar sink/source for view state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-orc").toString + "/t"
+    Seq((1L, "x", Array[Byte](1, 2)), (2L, "y", Array[Byte](3)))
+      .toDF("id", "s", "b").write.orc(dir)
+    val back = spark.read.orc(dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2).toSeq))
+    assert(back.toSeq == Seq((1L, "x", Seq[Byte](1, 2)), (2L, "y", Seq[Byte](3))))
+  }
+
   test("dynamic partition overwrite rewrites only the partitions present in the batch") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-dpo").toString + "/t"
