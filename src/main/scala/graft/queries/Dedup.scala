@@ -75,8 +75,12 @@ object Dedup {
         |FROM documents
         |GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
         |ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      // group on sha2 of the normalized text, not the text itself: the
+      // shuffle key shrinks from ~300 B of document text to 32 B — at
+      // 100 TB that is the difference between shuffling the corpus and
+      // shuffling a fingerprint column (collision odds ~n²/2²⁵⁶ ≈ 0)
       docs(s, dir)
-        .groupBy(normText.as("norm"))
+        .groupBy(sha2(normText, 256).as("h"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
         .select(col("keep_id"), col("dup_cnt"))
         .orderBy(col("keep_id"))
@@ -94,7 +98,7 @@ object Dedup {
         |ORDER BY keep_id""".stripMargin) { (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
-          array_join(array_sort(array_distinct(split(col("text"), " "))), " ").as("sig"))
+          sha2(array_join(array_sort(array_distinct(split(col("text"), " "))), " "), 256).as("sig"))
         .groupBy(col("sig"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cluster_size"))
         .select(col("keep_id"), col("cluster_size"))
