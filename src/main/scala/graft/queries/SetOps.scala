@@ -37,6 +37,25 @@ object SetOps {
       y95.except(y96).orderBy(col("o_custkey"))
     },
 
+    // B27: the SQL entry point — the same engine drives ANSI SQL text via
+    // spark.sql over registered temp views (identical Catalyst plan to
+    // the DataFrame form; proves the query surface users script against).
+    Q("q27_sql_api",
+      """SELECT n_name,
+        |  count(*) AS n_customers,
+        |  round(sum(c_acctbal), 4) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "customer").createOrReplaceTempView("customer")
+      Tables(s, dir, "nation").createOrReplaceTempView("nation")
+      s.sql(
+        """SELECT n_name,
+          |  count(*) AS n_customers,
+          |  round(sum(c_acctbal), 4) AS total_bal
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    },
+
     // B25: pivot — order counts per status, one column per priority tier;
     // explicit pivot values keep it a single conditional-agg pass.
     Q("q25_pivot",
