@@ -20,15 +20,25 @@ object Bench {
     }
     // declaration order (deterministic), not Map hash order — timings of
     // shared-state queries (view_*) stay attributable run to run
+    // a crashing query must NOT bench as "fast": record it as -1 s (an
+    // impossible time) and surface the failure on stderr + an errors list
     val results = SparkEntry.allQ.map { q =>
       val t0 = System.nanoTime()
-      try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { q.run(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH FAIL ${q.name}: ${e.getMessage}")
+            false
+        }
+      (q.name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.filter(_._2 < 0).map(n => "\"" + n._1 + "\"")
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -106,9 +106,13 @@ object Ann {
       val cands = corpus.join(broadcast(queries), "tk")
         .select(col("q_id"), col("vec_id").as("n_id"))
         .distinct()
+      // broadcast ONLY the query vectors (vec_id < NQ) — the corpus side
+      // of `e` must never be broadcast (fatal at 100 TB); the q_id join
+      // can only match query ids anyway.
       val scored = cands
-        .join(broadcast(e.select(col("vec_id").as("q_id"),
-          col("emb").as("qemb"), col("nrm").as("qnrm"))), "q_id")
+        .join(broadcast(e.where(col("vec_id") < NQ)
+          .select(col("vec_id").as("q_id"),
+            col("emb").as("qemb"), col("nrm").as("qnrm"))), "q_id")
         .join(e.select(col("vec_id").as("n_id"),
           col("emb").as("nemb"), col("nrm").as("nnrm")), "n_id")
         .select(col("q_id"), col("n_id"),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -12,9 +13,14 @@ import graft.core.Tables
   *   - Exact dedup is one hash-shuffle on the normalized text (map-side
   *     partial agg first); the normalized key could be replaced by
   *     sha2(text) to shrink shuffle width at identical semantics.
-  *   - N-gram Jaccard mines candidates through an inverted-index join
-  *     (gram → docs), never an O(n²) cross join; gram keys are
-  *     high-cardinality so the shuffle is uniform by construction.
+  *   - N-gram Jaccard mines candidates through a PREFIX-FILTERED
+  *     inverted-index join (AllPairs/PPJoin): under a global
+  *     rarest-first gram order, two docs with jaccard >= tau must share
+  *     a gram inside each one's first floor((1-tau)*|g|)+1 grams, so
+  *     only those are indexed. High-document-frequency (stop-word)
+  *     grams fall outside every prefix — no posting list ever goes
+  *     quadratic, exactness preserved (survivors are re-verified on the
+  *     full gram sets).
   *   - MinHash/LSH replaces the exact inverted index when even gram
   *     joins are too wide: 128 permutations → 32 bands × 4 rows; only
   *     band-equal pairs meet, then exact Jaccard verifies survivors.
@@ -57,6 +63,59 @@ object Dedup {
             size(array_intersect(col("ga"), col("gb"))))).as("jacc"))
       .where(col("jacc") >= tau)
       .select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
+  }
+
+  /** Connected components over an arbitrary near-dup pair source —
+    * accepts ANY DataFrame with (a_id, b_id) columns (ngram, minhash,
+    * simhash, or embedding pairs all feed it), returns (id, label) with
+    * label = min node id of the component.
+    *
+    * Min-label propagation plus POINTER DOUBLING (each round a node also
+    * jumps through its current label's label), so convergence is
+    * O(log diameter) rounds, not O(diameter). Iterative state goes
+    * through reliable `checkpoint()` when a checkpoint dir is set
+    * (fault-tolerant at 1000 executors — localCheckpoint state dies with
+    * an executor), else localCheckpoint. The convergence test reads the
+    * materialized checkpoint (no lineage re-run). Throws rather than
+    * silently returning split clusters if maxRounds is hit.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val s = pairs.sparkSession
+    def ckpt(df: DataFrame): DataFrame =
+      if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val p = pairs.select(col("a_id"), col("b_id"))
+    // materialize the edge list once — every round joins it, and an
+    // unmaterialized plan would re-run the whole pair mining per round
+    val edges = ckpt(p.unionByName(
+      p.select(col("b_id").as("a_id"), col("a_id").as("b_id"))))
+    var labels = edges.select(col("a_id").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponents: no fixpoint after $maxRounds rounds " +
+            "(component diameter too large?) — refusing to emit split clusters")
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b_id"), col("label")), "b_id")
+        .groupBy(col("a_id").as("id")).agg(min(col("label")).as("nbr"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("l1"))
+      // pointer doubling: follow one hop through the label forest
+      val next = ckpt(stepped
+        .join(labels.select(col("id").as("l1"), col("label").as("l2")), Seq("l1"), "left")
+        .select(col("id"), col("label").as("old"),
+          least(col("l1"), coalesce(col("l2"), col("l1"))).as("label"))
+        .select(col("id"), col("label"),
+          (col("label") =!= col("old")).cast("long").as("chg")))
+      changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
+      labels = next.select(col("id"), col("label"))
+      rounds += 1
+    }
+    labels
   }
 
   /** (doc_id, sh) 64-bit simhash signatures (JIT kernel — see
@@ -130,23 +189,33 @@ object Dedup {
         |JOIN cnt cb ON cb.doc_id = b_id
         |WHERE i / (ca.c + cb.c - i) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val tau = 0.8
       val d = docs(s, dir)
-      // inverted-index rows carry the owning doc's gram-set size, so the
-      // pair aggregation computes EXACT jaccard in one pass: |∩| = pair
-      // count, |∪| = ca + cb - |∩| — no second join back to gram sets
       val g = d.select(col("doc_id"), split(col("text"), " ").as("ws"))
         .where(size(col("ws")) >= 3)
         .select(col("doc_id"), gramsOf(col("ws")).as("gs"))
         .select(col("doc_id"), size(col("gs")).as("c"), explode(col("gs")).as("g"))
-      g.as("a").join(g.as("b"),
-          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("i"), first(col("a.c")).as("ca"), first(col("b.c")).as("cb"))
-        .select(col("a_id"), col("b_id"),
-          (col("i") / (col("ca") + col("cb") - col("i"))).as("jacc"))
-        .where(col("jacc") >= 0.8)
-        .select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
-        .orderBy(col("a_id"), col("b_id"))
+      // Prefix filter (AllPairs/PPJoin, exact): order grams globally by
+      // (document frequency asc, gram); a pair at jaccard >= tau must
+      // share a gram within each side's first floor((1-tau)*c)+1 grams
+      // under that order, so ONLY prefix grams enter the inverted index.
+      // Stop-word grams (high df) sort last and never build a posting
+      // list — the self-join stays linear-ish in corpus size instead of
+      // k² per high-df gram. Survivors are verified on full gram sets.
+      val gdf = g.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+      val prefix = g.join(gdf, "g")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("gdf"), col("g"))))
+        .where(col("rn") <= floor(lit(1.0 - tau) * col("c")) + 1)
+        .select(col("doc_id"), col("c"), col("g"))
+      val cands = prefix.as("a").join(prefix.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+            // length filter: jaccard >= tau forces min(c) >= tau * max(c)
+            least(col("a.c"), col("b.c")) >=
+              ceil(lit(tau) * greatest(col("a.c"), col("b.c"))))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      verifyJaccard(cands, d, tau).orderBy(col("a_id"), col("b_id"))
     },
 
     // C4: MinHash(128) + 32×4 LSH banding; candidates only meet inside a
@@ -196,9 +265,11 @@ object Dedup {
     },
 
     // C6: embedding-cosine near-dup pairs (exact, tau = 0.5 on the rounded
-    // score). Exact all-pairs is the oracle baseline; the scale path mines
-    // candidates with Ann's hyperplane LSH and verifies with this same
-    // cosine expression.
+    // score). ORACLE BASELINE ONLY — the plan is a deliberate O(n²)
+    // BroadcastNestedLoopJoin used to gate correctness of the scale path;
+    // a size guard refuses corpora past ~1M vectors so it cannot be
+    // reached by accident. Scale traffic goes through dedup_embedding_lsh
+    // (same cosine verification, LSH-bucketed candidates).
     Q("dedup_embedding",
       """WITH e AS (
         |  SELECT vec_id, embedding FROM embeddings),
@@ -215,6 +286,10 @@ object Dedup {
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"),
           transform(col("embedding"), v => v.cast("double")).as("emb"))
+      val n = e.count() // tiny metadata-speed scalar; guards the cartesian
+      require(n <= 1000000L,
+        s"dedup_embedding is the O(n²) oracle baseline ($n vectors is too " +
+          "many) — use dedup_embedding_lsh for corpora at scale")
       val withNorm = e.select(col("vec_id"), col("emb"),
         sqrt(aggregate(col("emb"), lit(0.0d), (acc, v) => acc + v * v)).as("nrm"))
       val pairs = withNorm.as("a").join(withNorm.as("b"),
@@ -229,35 +304,15 @@ object Dedup {
 
     // C4b: near-dup pairs → connected components → canonical clusters
     // (keep min-id per component) — the step that turns pair mining into
-    // an actual dedup decision. Label propagation: each node takes the
-    // min label in its neighborhood, iterated to fixpoint — O(log n)
-    // rounds, each one shuffle; no driver-side graph. Spec-verified
-    // against union-find on the collected pairs.
+    // an actual dedup decision. See [[connectedComponents]] (reusable
+    // over any pair source; spec-verified against union-find on the
+    // collected pairs, and run with reliable checkpointing in the spec).
     Q.noOracle("dedup_clusters") { (s, dir) =>
-      // materialize the (small) edge list once — every propagation round
-      // joins against it, and an unmaterialized plan would re-run the
-      // whole n-gram mining pipeline per round
+      if (s.sparkContext.getCheckpointDir.isEmpty)
+        s.sparkContext.setCheckpointDir(
+          sys.props("java.io.tmpdir") + "/graft-ckpt")
       val pairs = all.find(_.name == "dedup_ngram_jaccard").get.run(s, dir)
-        .select(col("a_id"), col("b_id"))
-      val edges = pairs
-        .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-        .localCheckpoint(true)
-      val nodes = edges.select(col("a_id").as("id")).distinct()
-      var labels = nodes.select(col("id"), col("id").as("label"))
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 20) {
-        val nbrMin = edges
-          .join(labels.withColumnRenamed("id", "b_id"), Seq("b_id"))
-          .groupBy(col("a_id").as("id")).agg(min(col("label")).as("nbr"))
-        val next = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-          .localCheckpoint(true) // truncate the iterative lineage
-        changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-          .where(col("label") =!= col("old")).count()
-        labels = next
-        rounds += 1
-      }
+      val labels = connectedComponents(pairs)
       labels.groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).as("cluster_size"),
           sort_array(collect_list(col("id"))).as("members"))

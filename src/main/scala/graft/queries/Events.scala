@@ -88,7 +88,10 @@ object Events {
         .where(col("event_type").isin("click", "purchase"))
         .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
           when(col("event_type") === "purchase", lit(1)).otherwise(lit(0)).as("tag"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("tag"))
+      // event_id tie-break: two purchases at an identical ts would
+      // otherwise make the carried purchase_id nondeterministic
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val carried = e
         .withColumn("pid", when(col("tag") === 1, col("event_id")))

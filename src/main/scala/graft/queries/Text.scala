@@ -183,7 +183,9 @@ object Text {
       val dl = w.groupBy(col("doc_id")).agg(count(lit(1)).as("n_words"))
       val df = w.groupBy(col("word")).agg(countDistinct(col("doc_id")).as("dfreq"))
       val nDocs = docs(s, dir).count() // tiny driver scalar; broadcast as literal
-      val scored = tf.join(dl, "doc_id").join(broadcast(df), "word")
+      // df is the full vocabulary — far beyond broadcast limits on a web
+      // corpus; `word` keys are uniform enough for a plain shuffle join.
+      val scored = tf.join(dl, "doc_id").join(df, "word")
         .select(col("doc_id"), col("word"),
           round((col("cnt") * lit(nDocs) * 1.0d) / (col("n_words") * col("dfreq")), 4).as("score"))
       scored
