@@ -25,6 +25,23 @@ final case class ListOpts(
 /** One materialized view entry, driver-side. */
 final case class Entry(key: Any, value: Any)
 
+/** Lifecycle notifications — the reference's indexer events
+  * (lib/indexer.js:142-175, 300-338): `archive-indexing` when a pass
+  * starts, per-view progress, `archive-indexed` when a pass lands,
+  * `indexes-updated` as the "caught up" signal watch users key on, and
+  * missing/found/error transitions under watch.
+  */
+sealed trait GraftEvent { def origin: String }
+object GraftEvent {
+  final case class ArchiveIndexing(origin: String, version: Long) extends GraftEvent
+  final case class IndexProgress(origin: String, view: String, done: Int, total: Int) extends GraftEvent
+  final case class ArchiveIndexed(origin: String, version: Long) extends GraftEvent
+  final case class IndexesUpdated(origin: String, version: Long) extends GraftEvent
+  final case class ArchiveMissing(origin: String) extends GraftEvent
+  final case class ArchiveFound(origin: String) extends GraftEvent
+  final case class ArchiveError(origin: String, error: Throwable) extends GraftEvent
+}
+
 /** The engine: a Spark-native re-expression of DatArchiveMapReduce
   * (/root/reference/index.js). Views are defined over archives (file
   * collections); indexing materializes `(kb, key_json, file_url, seq,
@@ -54,23 +71,62 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
   // next index() while current views stay incremental.
   private val viewVersions = mutable.LinkedHashMap.empty[String, Long]
   private def vvKey(origin: String, view: String) = origin + "\n" + view
+  // origin -> the Archive object last seen for it — backs the reference's
+  // URL-string call forms (index.js:132, 153-158)
+  private val archives = mutable.LinkedHashMap.empty[String, Archive]
+  // origin -> running watch query (index.js:127-141 watch bookkeeping)
+  private val watchers = mutable.LinkedHashMap.empty[String, org.apache.spark.sql.streaming.StreamingQuery]
+  private val listeners = mutable.ArrayBuffer.empty[GraftEvent => Unit]
 
   loadCatalog()
 
+  /** Subscribe to lifecycle events ([[GraftEvent]]) — the reference's
+    * EventEmitter surface. Listener exceptions are swallowed (an observer
+    * must not fail indexing).
+    */
+  def addListener(f: GraftEvent => Unit): Unit = synchronized { listeners += f }
+
+  private def emit(e: GraftEvent): Unit = {
+    val ls = synchronized { listeners.toList }
+    ls.foreach(l => try l(e) catch { case _: Throwable => () })
+  }
+
   // --- definition ----------------------------------------------------
 
-  /** `damr.define(name, definition)`. */
+  /** `damr.define(name, definition)` — rejects ill-formed definitions with
+    * [[SchemaError]] (reference view-def.js:4-10).
+    */
   def define(name: String, view: ViewDef): Unit = {
-    require(!views.contains(name), s"$name has already been defined")
+    if (name == null || name.trim.isEmpty)
+      throw new SchemaError("view name must be a non-empty string")
+    if (views.contains(name))
+      throw new SchemaError(s"$name has already been defined")
+    if (view == null || view.map == null)
+      throw new SchemaError(s"$name: a map definition is required")
+    if (view.path == null || view.path.isEmpty)
+      throw new SchemaError(s"$name: at least one path pattern is required")
+    if (view.path.exists(p => p == null || p.trim.isEmpty))
+      throw new SchemaError(s"$name: path patterns must be non-empty strings")
+    if (view.reduce != null && view.reduce.contains(null))
+      throw new SchemaError(s"$name: reduce must not be null")
     views(name) = view
   }
 
   // --- indexing ------------------------------------------------------
 
   /** `damr.index(archive)` — full or incremental depending on what the
-    * catalog says was already indexed for this origin.
+    * catalog says was already indexed for this origin. `watch = true` is
+    * the reference's one-call `index(archive, {watch: true})`
+    * (index.js:127-141): index now, then keep the views maintained until
+    * [[unindex]]/[[unwatch]]/[[close]].
     */
-  def index(archive: Archive): Unit = {
+  def index(archive: Archive, watch: Boolean = false): Unit = {
+    synchronized { archives(archive.url) = archive }
+    // The catalog version is captured BEFORE the view jobs run: a file
+    // modified mid-pass then carries fversion > v and is re-processed by
+    // the next pass (over-claiming the version would silently skip it).
+    val v = math.max(archive.version(spark), 0L)
+    emit(GraftEvent.ArchiveIndexing(archive.url, v))
     val filesNow = archive.files(spark)
     // Materialize the views CONCURRENTLY: each view's write is an
     // independent Spark job, and submitting them from separate driver
@@ -80,6 +136,8 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = Graft.indexPool
+    val total = views.size
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
     val jobs = views.toSeq.map { case (name, view) => Future {
       val lastV = viewVersions.getOrElse(vvKey(archive.url, name), -1L)
       val matched = filesNow.filter(col("pathname").rlike(view.pathRegex))
@@ -99,16 +157,59 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
         writeOriginPartition(name, archive.url,
           prior.unionByName(mapEntries(view, changed)), readsState = true)
       }
+      emit(GraftEvent.IndexProgress(archive.url, name, done.incrementAndGet(), total))
     } }
     jobs.foreach(Await.result(_, Duration.Inf))
-    val v = math.max(archive.version(spark), 0L)
     indexed(archive.url) = v
     views.keys.foreach(name => viewVersions(vvKey(archive.url, name)) = v)
     saveCatalog()
+    emit(GraftEvent.ArchiveIndexed(archive.url, v))
+    emit(GraftEvent.IndexesUpdated(archive.url, v))
+    if (watch) archive match {
+      case d: DirArchive => synchronized {
+        if (!watchers.contains(d.url)) { this.watch(d); () }
+      }
+      case _ => throw new SchemaError(
+        "watch requires a DirArchive (a re-listable file collection)")
+    }
   }
 
-  /** `damr.unindex(archive)` — drop all state derived from the origin. */
+  /** `damr.index('dat://x')` / `indexFile('dat://x/path')` URL-string
+    * forms (index.js:132, 153-158) — resolve against archives this engine
+    * has seen; we cannot conjure an archive from a bare URL the way the
+    * reference instantiates a DatArchive.
+    */
+  def index(url: String): Unit = index(archiveFor(url))
+  def index(url: String, watch: Boolean): Unit = index(archiveFor(url), watch)
+  def indexFile(fileUrl: String): Unit = {
+    val (a, pathname) = resolveFileUrl(fileUrl)
+    indexFile(a, pathname)
+  }
+  def unindexFile(fileUrl: String): Unit = {
+    val (a, pathname) = resolveFileUrl(fileUrl)
+    unindexFile(a.url, pathname)
+  }
+
+  private def archiveFor(url: String): Archive = synchronized {
+    archives.getOrElse(url.stripSuffix("/"),
+      throw new SchemaError(s"unknown archive $url — pass the Archive object first"))
+  }
+
+  private def resolveFileUrl(fileUrl: String): (Archive, String) = synchronized {
+    archives.values
+      .filter(a => fileUrl.startsWith(a.url) && fileUrl.length > a.url.length &&
+        fileUrl.charAt(a.url.length) == '/')
+      .toSeq.sortBy(-_.url.length).headOption
+      .map(a => (a, fileUrl.substring(a.url.length)))
+      .getOrElse(throw new SchemaError(
+        s"$fileUrl does not belong to any archive this engine has seen"))
+  }
+
+  /** `damr.unindex(archive)` — drop all state derived from the origin
+    * (and stop watching it, index.js:67).
+    */
   def unindex(origin: String): Unit = {
+    unwatch(origin)
     views.keys.foreach { name =>
       deleteDir(s"${viewDir(name)}/ob=${escape(origin)}")
       viewVersions.remove(vvKey(origin, name))
@@ -175,12 +276,16 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
   }
 
   /** Lifecycle mapping: the reference's `open()` is this constructor
-    * (catalog load); `close()` releases no engine-held resources — state
-    * is parquet on disk, the catalog is flushed on every mutation, and
-    * the SparkSession belongs to the caller. Streaming queries from
-    * [[watch]] are returned to the caller to stop.
+    * (catalog load); `close()` stops every active watch (index.js:67) —
+    * state is parquet on disk, the catalog is flushed on every mutation,
+    * and the SparkSession belongs to the caller.
     */
-  def close(): Unit = ()
+  def close(): Unit = {
+    // collect under the lock, stop OUTSIDE it: stop() waits for the
+    // in-flight micro-batch, whose tick() -> index() needs this lock
+    val qs = synchronized { val v = watchers.values.toList; watchers.clear(); v }
+    qs.foreach(q => if (q.isActive) q.stop())
+  }
 
   def listIndexed(): Seq[String] = indexed.keys.toSeq
   def isIndexed(origin: String): Boolean = indexed.contains(origin)
@@ -301,13 +406,13 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
       col("seq"), col("value_json"),
       sha2(col("origin"), 256).substr(1, 16).as("ob"))
 
-  /** A4 `watch` mode: the view's map pipeline applied to a STREAMING
-    * files DataFrame (Structured Streaming file source with the archive
-    * schema `origin,url,pathname,value,fversion`). The caller wires it to
-    * an append sink on the view dir (`indexer.js:67` re-indexes on file
-    * events; here arriving files stream straight through the same
-    * declarative map). `seq` is constant in streaming — appends are
-    * retraction-free and per-file multi-values order by key bytes.
+  /** The view's map pipeline applied to a STREAMING files DataFrame
+    * (Structured Streaming file source with the archive schema
+    * `origin,url,pathname,value,fversion`) — the building block for
+    * append-only streaming ingestion pipelines (D3). NOTE: this is NOT
+    * the A4 watch path — appends cannot retract a modified file's old
+    * entries; [[watch]] runs merge passes for that. `seq` is constant in
+    * streaming; per-file multi-values order by key bytes.
     */
   def streamEntries(view: String, files: DataFrame): DataFrame = {
     require(views.contains(view), s"$view is not defined")
@@ -319,40 +424,76 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     }
   }
 
-  /** `damr.index(archive, {watch: true})` — start continuous maintenance
-    * of every defined view over a watched directory: one streaming query
-    * per view, each appending mapped entries to the view's state dir.
-    * Returns the running queries (caller stops them); checkpoints live
-    * under `{stateRoot}/_checkpoints/{view}`.
+  /** A4 watch mode — continuous maintenance of EVERY defined view over a
+    * watched directory, with full re-index semantics: new files index,
+    * MODIFIED files retract their old entries and re-emit, deleted files
+    * retract (the reference fires `indexArchive` on every archive event,
+    * indexer.js:82-86 + 217-259 — retract-then-replay, never blind
+    * append).
+    *
+    * Mechanics: Spark's file streaming source keys on path and never
+    * re-reads a modified file, so the stream here is a rate-source TICK
+    * and each micro-batch does a LISTING DIFF — a 3-aggregate metadata
+    * job (count, max fversion, hash of (url, fversion)) that reads no
+    * file contents. When the signature moves, the batch runs the same
+    * incremental [[index]] pass as the batch API: per-origin dynamic
+    * partition overwrite merging prior entries of unchanged files with
+    * re-mapped entries of changed ones, keyed on fversion. That makes
+    * the write IDEMPOTENT — a replayed batch overwrites the origin
+    * partition with the identical merge result instead of appending
+    * duplicates, so no streaming-checkpoint coordination is needed.
+    *
+    * Missing/err transitions surface as [[GraftEvent]]s; each completed
+    * pass emits `IndexesUpdated` ("index caught up").
     */
-  def watch(archive: DirArchive): Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
-    val root = archive.rootPath.stripSuffix("/")
-    val files = spark.readStream
-      .format("text").option("wholetext", "true")
-      .load(root)
-      .select(
-        lit(archive.url).as("origin"),
-        concat(lit(archive.url),
-          expr(s"substring(_metadata.file_path, ${root.length + "file:".length + 1})")).as("url"),
-        expr(s"substring(_metadata.file_path, ${root.length + "file:".length + 1})").as("pathname"),
-        col("value"),
-        unix_millis(col("_metadata.file_modification_time")).as("fversion"))
-    views.keys.toSeq.map { name =>
-      // foreachBatch + plain batch append, NOT the parquet streaming sink:
-      // the sink's _spark_metadata log would own the directory listing and
-      // hide every batch write (incremental re-index, compaction) from
-      // readers. State dirs are shared batch/streaming, so they must stay
-      // plain parquet; the stream checkpoint still dedupes micro-batches.
-      streamEntries(name, files).writeStream
-        .outputMode("append")
-        .option("checkpointLocation", s"$stateRoot/_checkpoints/$name")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").partitionBy("ob").parquet(viewDir(name))
-          spark.catalog.refreshByPath(viewDir(name))
+  def watch(
+      archive: DirArchive,
+      pollInterval: String = "500 milliseconds"): org.apache.spark.sql.streaming.StreamingQuery = synchronized {
+    require(!watchers.contains(archive.url), s"${archive.url} is already being watched")
+    archives(archive.url) = archive
+    val hpath = new org.apache.hadoop.fs.Path(archive.rootPath)
+    var lastSig: Option[(Long, Long, Long)] = None
+    var missing = false
+    def tick(): Unit = try {
+      val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hpath)) {
+        if (!missing) { missing = true; emit(GraftEvent.ArchiveMissing(archive.url)) }
+      } else {
+        if (missing) { missing = false; emit(GraftEvent.ArchiveFound(archive.url)) }
+        val r = archive.files(spark)
+          .agg(count(lit(1)), coalesce(max(col("fversion")), lit(0L)),
+            // bit_xor, not sum: full-range hashes overflow a long sum
+            // under ANSI mode, and xor is an order-free set fingerprint
+            coalesce(expr("bit_xor(xxhash64(url, fversion))"), lit(0L)))
+          .head()
+        val sig = (r.getLong(0), r.getLong(1), r.getLong(2))
+        if (!lastSig.contains(sig)) {
+          index(archive) // the merge pass; emits Indexing/Indexed/Updated
+          lastSig = Some(sig)
         }
-        .start()
+      }
+    } catch {
+      case e: Throwable => emit(GraftEvent.ArchiveError(archive.url, e))
     }
+    val q = spark.readStream.format("rate").option("rowsPerSecond", "20").load()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(pollInterval))
+      .queryName(s"graft-watch-${escape(archive.url)}")
+      .foreachBatch { (_: DataFrame, _: Long) => tick() }
+      .start()
+    watchers(archive.url) = q
+    q
   }
+
+  /** Stop watching an origin (no state change). The stop happens outside
+    * the engine lock — see [[close]].
+    */
+  def unwatch(origin: String): Unit = {
+    val q = synchronized { watchers.remove(origin) }
+    q.foreach(q => if (q.isActive) q.stop())
+  }
+
+  def isWatching(origin: String): Boolean = synchronized(watchers.contains(origin))
 
   private def entriesForOrigin(view: String, origin: String): DataFrame =
     entries(view).filter(col("ob") === escape(origin))
@@ -369,6 +510,15 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
       view: String, origin: String, rows: DataFrame,
       readsState: Boolean = false): Unit = {
     val out = if (readsState) rows.localCheckpoint(true) else rows
+    if (readsState && origin.nonEmpty && out.isEmpty) {
+      // dynamic partition overwrite with ZERO rows writes nothing — when a
+      // merge retracts an origin's LAST entries (unindexFile of its only
+      // matching file; every file deleted), the stale ob= partition must
+      // be deleted explicitly or retraction silently fails
+      deleteDir(s"${viewDir(view)}/ob=${escape(origin)}")
+      spark.catalog.refreshByPath(viewDir(view))
+      return
+    }
     out.write
       .partitionBy("ob")
       .option("partitionOverwriteMode", "dynamic")

@@ -8,6 +8,12 @@ import org.apache.spark.sql.functions._
   */
 final case class FileMeta(origin: String, url: String, pathname: String)
 
+/** Typed rejection of an ill-formed view definition or archive reference —
+  * the reference's `SchemaError` (lib/view-def.js:4-10). Extends
+  * IllegalArgumentException so pre-existing catch sites keep working.
+  */
+final class SchemaError(msg: String) extends IllegalArgumentException(msg)
+
 /** How a view turns matched files into (key, value) entries. */
 sealed trait MapSpec
 

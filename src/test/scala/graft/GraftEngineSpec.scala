@@ -68,7 +68,7 @@ class GraftEngineSpec extends SparkSpec {
     db.define("compound-reduced", ViewDef("/multi/*.json",
       MapFn((v, m) => Seq(Seq(m.origin, parseFirst(v)) -> 1)),
       Reduce.Count))
-    archives.foreach(db.index)
+    archives.foreach(a => db.index(a))
   }
 
   override def afterAll(): Unit = {
@@ -284,6 +284,64 @@ class GraftEngineSpec extends SparkSpec {
     val res = db3.listEntries("df-view")
     assert(res.map(_.key) == Seq("first1", "first1", "first1b"))
     assert(db3.getValue("df-view", "first1") == Some(Vector(200.0, 1.0)))
+  }
+
+  test("define() rejects ill-formed definitions with SchemaError (view-def.js:4-10)") {
+    val dbv = new Graft(spark, root.resolve("state-val").toString)
+    def rejects(f: => Unit): Unit = { intercept[SchemaError](f); () }
+    val okMap = MapFn((_, m) => Seq(m.pathname -> 1))
+    rejects(dbv.define("", ViewDef("/x.json", okMap)))
+    rejects(dbv.define(null, ViewDef("/x.json", okMap)))
+    rejects(dbv.define("v", ViewDef(Seq.empty[String], okMap, None)))
+    rejects(dbv.define("v", ViewDef(Seq("  "), okMap, None)))
+    rejects(dbv.define("v", ViewDef(Seq("/x.json", null), okMap, None)))
+    rejects(dbv.define("v", ViewDef(Seq("/x.json"), null, None)))
+    rejects(dbv.define("v", ViewDef(Seq("/x.json"), okMap, Some(null))))
+    dbv.define("v", ViewDef("/x.json", okMap))
+    rejects(dbv.define("v", ViewDef("/x.json", okMap))) // duplicate name
+  }
+
+  test("URL-string call forms: index/indexFile/unindexFile accept archive URLs") {
+    val db7 = new Graft(spark, root.resolve("state-url").toString)
+    db7.define("by-first", ViewDef("/multi/*.json",
+      MapFn((v, m) => Seq(parseFirst(v) -> m.url))))
+    intercept[SchemaError](db7.index("dat://never-seen"))
+    intercept[SchemaError](db7.indexFile("dat://never-seen/multi/3.json"))
+    db7.index(archives(1)) // registers the archive for URL resolution
+    db7.unindexFile(aurl(1) + "/multi/3.json")
+    assert(db7.getValue("by-first", "first1b") == None)
+    db7.indexFile(aurl(1) + "/multi/3.json")
+    assert(db7.getValue("by-first", "first1b") ==
+      Some(Vector(aurl(1) + "/multi/3.json")))
+    db7.index(aurl(1)) // string-form incremental pass is a no-op here
+    assert(db7.getValue("by-first", "first1b").isDefined)
+  }
+
+  test("retraction to empty: unindexFile of an origin's only file clears its partition") {
+    val db8 = new Graft(spark, root.resolve("state-empty").toString)
+    db8.define("sv", ViewDef("/single.json",
+      MapFn((v, m) => Seq(parseFirst(v) -> m.url))))
+    db8.index(archives(3))
+    assert(db8.getValue("sv", "first3").isDefined)
+    // dynamic overwrite with an empty merge is a silent no-op — the engine
+    // must delete the ob= partition explicitly for retraction to hold
+    db8.unindexFile(aurl(3), "/single.json")
+    assert(db8.listEntries("sv").isEmpty,
+      "stale entries must not survive an all-entries retraction")
+  }
+
+  test("incremental index() retracts an origin whose matching files all disappeared") {
+    val d = Files.createTempDirectory("graft-gone-arch")
+    writeJson(d, "/single.json", "first" -> "gone", "second" -> 1)
+    val arch = new DirArchive("dat://gone", d.toString)
+    val db9 = new Graft(spark, root.resolve("state-gone").toString)
+    db9.define("sv", ViewDef("/single.json",
+      MapFn((v, m) => Seq(parseFirst(v) -> m.url))))
+    db9.index(arch)
+    assert(db9.getValue("sv", "gone").isDefined)
+    Files.delete(d.resolve("single.json"))
+    db9.index(arch)
+    assert(db9.listEntries("sv").isEmpty)
   }
 }
 

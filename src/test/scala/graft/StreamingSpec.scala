@@ -28,7 +28,31 @@ class StreamingSpec extends SparkSpec {
     // write-then-rename so the file stream never sees partial content
     val tmp = dir.resolve(name + "._tmp")
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, dir.resolve(name))
+    Files.move(tmp, dir.resolve(name),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Overwrite + force the mtime (fversion) STRICTLY forward, so the edit
+    * is visible to change detection even inside one clock millisecond.
+    */
+  private def editFile(dir: Path, name: String, lines: Seq[String]): Unit = {
+    val p = dir.resolve(name)
+    val oldM =
+      if (Files.exists(p)) Files.getLastModifiedTime(p).toMillis else 0L
+    writeFile(dir, name, lines)
+    // +5ms past both the clock and the old stamp: the catalog version v
+    // was captured at some wall time <= now, so this is strictly > v
+    Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(
+      math.max(System.currentTimeMillis(), oldM) + 5))
+  }
+
+  private def eventually(timeoutMs: Long = 60000)(cond: => Boolean): Unit = {
+    // a read racing the watcher's partition overwrite can transiently
+    // throw (file listed, then replaced) — treat that as "not yet"
+    def check: Boolean = try cond catch { case _: Throwable => false }
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!check && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(check, s"condition not met within ${timeoutMs}ms")
   }
 
   test("D1: windowed agg + watermark over events file stream (append mode)") {
@@ -251,33 +275,95 @@ class StreamingSpec extends SparkSpec {
       GraftFunctions.emitEntry(parsed, Seq(col("j.first")), lit(1))
     }, Some(Reduce.Count)))
 
-    val queries = db.watch(new DirArchive("dat://w", watched.toString))
+    val origin = "dat://w"
+    db.watch(new DirArchive(origin, watched.toString), "200 milliseconds")
     try {
       writeFile(watched, "a.json", Seq("""{"first":"x","second":7}"""))
       writeFile(watched, "b.json", Seq("""{"first":"x","second":8}"""))
-      queries.foreach(_.processAllAvailable())
-      assert(db.getValue("w-tags", "x") == Some(Vector(7.0, 8.0)))
+      eventually()(db.getValue("w-tags", "x") == Some(Vector(7.0, 8.0)))
       assert(db.getValue("w-count", "x") == Some(2.0))
 
       writeFile(watched, "c.json", Seq("""{"first":"y","second":9}"""))
-      queries.foreach(_.processAllAvailable())
-      assert(db.getValue("w-tags", "y") == Some(Vector(9.0)))
-      // reduced views aggregate at read time, so streamed appends fold in
+      eventually()(db.getValue("w-tags", "y") == Some(Vector(9.0)))
+      // reduced views aggregate at read time, so maintained state folds in
       assert(db.getValue("w-count", "x") == Some(2.0))
 
-      // compaction: micro-batch appends left several files per origin;
-      // compact() rewrites each origin as one file, contents unchanged
-      queries.foreach(_.stop())
-      def parquetFiles: Int = {
-        val d = java.nio.file.Paths.get(stateRoot.toString, "w-tags", "entries")
-        Files.walk(d).filter(p => p.toString.endsWith(".parquet")).count().toInt
-      }
-      val before = parquetFiles
+      // compaction still applies on watch-maintained state
+      db.unwatch(origin)
+      assert(!db.isWatching(origin))
       db.compact("w-tags")
-      assert(parquetFiles < before, s"expected fewer files than $before")
       assert(db.listEntries("w-tags").map(e => (e.key, e.value)) ==
         Seq(("x", 7.0), ("x", 8.0), ("y", 9.0)))
-    } finally queries.foreach(q => if (q.isActive) q.stop())
+    } finally db.close()
+  }
+
+  test("A4: editing a watched file retracts its old entries; deleting retracts all") {
+    val watched = Files.createTempDirectory("graft-watch2-dir")
+    val stateRoot = Files.createTempDirectory("graft-watch2-state")
+    val schema = StructType(Seq(
+      StructField("first", StringType), StructField("second", LongType)))
+
+    val db = new Graft(spark, stateRoot.toString)
+    db.define("tags", ViewDef(Seq("/*.json"), MapDF { files =>
+      val parsed = files.withColumn("j", from_json(col("value"), schema))
+      GraftFunctions.emitEntry(parsed, Seq(col("j.first")), col("j.second"))
+    }, None))
+
+    val origin = "dat://w2"
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[GraftEvent]()
+    db.addListener(events.add(_))
+
+    writeFile(watched, "a.json", Seq("""{"first":"x","second":7}"""))
+    writeFile(watched, "b.json", Seq("""{"first":"x","second":8}"""))
+    // one-call `index(archive, {watch: true})` (reference index.js:127-141)
+    db.index(new DirArchive(origin, watched.toString), watch = true)
+    try {
+      // the index() half is synchronous
+      assert(db.getValue("tags", "x") == Some(Vector(7.0, 8.0)))
+      assert(db.isWatching(origin))
+
+      // EDIT under watch: a.json's key moves x→z — the reference re-runs
+      // the file through the map and RETRACTS its old entries
+      // (indexer.js:82-86, 217-259); an append-only stream would keep 7.0
+      editFile(watched, "a.json", Seq("""{"first":"z","second":70}"""))
+      eventually()(db.getValue("tags", "z") == Some(Vector(70.0)))
+      assert(db.getValue("tags", "x") == Some(Vector(8.0)),
+        s"old entry of the edited file must be retracted: ${db.listEntries("tags")}")
+
+      // DELETE under watch retracts the file's entries
+      Files.delete(watched.resolve("b.json"))
+      eventually()(db.getValue("tags", "x").isEmpty)
+      assert(db.getValue("tags", "z") == Some(Vector(70.0)))
+
+      // lifecycle events surfaced: indexing → progress → indexed → updated
+      val kinds = events.toArray.map(_.getClass.getSimpleName).toSet
+      assert(Set("ArchiveIndexing", "IndexProgress", "ArchiveIndexed",
+        "IndexesUpdated").subsetOf(kinds), s"saw $kinds")
+
+      // unindex stops the watch (index.js:67) and drops the state
+      db.unindex(origin)
+      assert(!db.isWatching(origin))
+      assert(db.listEntries("tags").isEmpty)
+    } finally db.close()
+  }
+
+  test("A4: watch survives a missing archive dir and reports found/missing") {
+    val parent = Files.createTempDirectory("graft-watch3-parent")
+    val watched = parent.resolve("arch")
+    val stateRoot = Files.createTempDirectory("graft-watch3-state")
+    val db = new Graft(spark, stateRoot.toString)
+    db.define("t", ViewDef(Seq("/*.txt"), MapDF { files =>
+      GraftFunctions.emitEntry(files, Seq(col("pathname")), col("value"))
+    }, None))
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[GraftEvent]()
+    db.addListener(events.add(_))
+    db.watch(new DirArchive("dat://w3", watched.toString), "200 milliseconds")
+    try {
+      eventually()(events.toArray.exists(_.isInstanceOf[GraftEvent.ArchiveMissing]))
+      writeFile(watched, "a.txt", Seq("hello"))
+      eventually()(db.getValue("t", "/a.txt") == Some(Vector("hello")))
+      assert(events.toArray.exists(_.isInstanceOf[GraftEvent.ArchiveFound]))
+    } finally db.close()
   }
 }
 
