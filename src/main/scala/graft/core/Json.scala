@@ -87,16 +87,21 @@ object Json {
     }
     private def obj(): Map[String, Any] = {
       expect('{'); skipWs()
+      // VectorMap, not LinkedHashMap.toMap: toMap degrades to HashMap past
+      // 4 keys, so re-rendered value_json key order would diverge from the
+      // input's (JSON.stringify preserves insertion order)
       val m = mutable.LinkedHashMap.empty[String, Any]
-      if (!eof && s.charAt(pos) == '}') { pos += 1; return m.toMap }
+      def result = scala.collection.immutable.VectorMap.from(m)
+      if (!eof && s.charAt(pos) == '}') { pos += 1; return result }
       while (true) {
         skipWs()
         val k = str(); skipWs(); expect(':')
         m(k) = value(); skipWs()
+        require(!eof, s"unterminated object at $pos in: $s")
         if (s.charAt(pos) == ',') pos += 1
-        else { expect('}'); return m.toMap }
+        else { expect('}'); return result }
       }
-      m.toMap
+      result
     }
     private def arr(): Vector[Any] = {
       expect('['); skipWs()
@@ -104,6 +109,7 @@ object Json {
       if (!eof && s.charAt(pos) == ']') { pos += 1; return b.result() }
       while (true) {
         b += value(); skipWs()
+        require(!eof, s"unterminated array at $pos in: $s")
         if (s.charAt(pos) == ',') pos += 1
         else { expect(']'); return b.result() }
       }
@@ -112,7 +118,8 @@ object Json {
     private def str(): String = {
       expect('"')
       val sb = new StringBuilder
-      while (s.charAt(pos) != '"') {
+      while ({ require(!eof, s"unterminated string at $pos in: $s")
+               s.charAt(pos) != '"' }) {
         val c = s.charAt(pos)
         if (c == '\\') {
           pos += 1
@@ -126,6 +133,7 @@ object Json {
             case 'r' => sb.append('\r')
             case 't' => sb.append('\t')
             case 'u' =>
+              require(pos + 5 <= s.length, s"truncated \\u escape at $pos")
               sb.append(Integer.parseInt(s.substring(pos + 1, pos + 5), 16).toChar)
               pos += 4
             case other => throw new IllegalArgumentException(s"bad escape \\$other")

@@ -82,6 +82,14 @@ object Views {
       GraftFunctions.emitEntry(parsed(files), Seq(col("j.lang")), col("j.n_chars"))
     }, Some(Reduce.Assoc((a, b) =>
       math.max(a.asInstanceOf[Double], b.asInstanceOf[Double])))),
+    // ORDER-SENSITIVE user fold (A10 Fold): csv of doc_ids in file order —
+    // the reference's sequential (acc, value, key) replay (view.js:126)
+    "fold-ids" -> ViewDef(Seq("/*.json"), MapDF { files =>
+      GraftFunctions.emitEntry(parsed(files), Seq(col("j.lang")), col("j.doc_id"))
+    }, Some(Reduce.Fold((acc, v, _) => {
+      val s = Json.renderNum(v.asInstanceOf[Double])
+      acc.map(_.asInstanceOf[String] + "," + s).getOrElse(s)
+    }))),
     "zh-sizes" -> ViewDef(Seq("/*.json"), MapDF { files =>
       GraftFunctions.emitEntry(
         parsed(files).filter(col("j.lang") === "zh"),
@@ -171,6 +179,16 @@ object Views {
         |FROM documents
         |ORDER BY lang, lpad(CAST(doc_id AS VARCHAR), 8, '0')""".stripMargin) { (s, dir) =>
       engine(s, dir).list("mapfn-langs")
+    },
+
+    // A10 Fold: order-sensitive user fold replayed in (file_url, seq)
+    // order; file order == zero-padded doc_id order, so the oracle's
+    // string_agg ORDER BY doc_id states the same sequence.
+    Q("view_reduce_fold",
+      """SELECT '"' || lang || '"' AS key_json,
+        |       '"' || string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) || '"' AS value_json
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      engine(s, dir).list("fold-ids")
     },
 
     // A10 Assoc: associative user fold (max) via the typed Aggregator.

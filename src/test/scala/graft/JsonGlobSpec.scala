@@ -44,6 +44,20 @@ class JsonGlobSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Json.parse("1 2"))
   }
 
+  test("json parse: truncated input is a parse error, not a StringIndexOutOfBounds") {
+    Seq("""{"a":1""", """[1, 2""", "\"abc", "{\"a\":1,", "[1,", "\"\\u12",
+        "{", "[", "{\"a\"").foreach { bad =>
+      intercept[IllegalArgumentException](Json.parse(bad))
+    }
+  }
+
+  test("json parse preserves object key insertion order past 4 keys") {
+    val text = """{"z":1,"y":2,"x":3,"w":4,"v":5,"u":6,"t":7}"""
+    assert(Json.render(Json.parse(text)) == text)
+    assert(Json.parse(text).asInstanceOf[Map[String, Any]].keys.toSeq ==
+      Seq("z", "y", "x", "w", "v", "u", "t"))
+  }
+
   test("json property: render∘parse == identity on 500 random nested values") {
     val rnd = new scala.util.Random(7)
     def randValue(depth: Int): Any = rnd.nextInt(if (depth > 2) 5 else 7) match {

@@ -60,6 +60,30 @@ class PlanSpec extends SparkSpec {
     assert(beforeWindow.nonEmpty)
   }
 
+  test("ann_lsh: every broadcast hint wraps the FILTERED query set, never the corpus") {
+    // at 100 TB a corpus-side broadcast() hint is fatal regardless of what
+    // the local-scale planner would have chosen on its own — assert on the
+    // analyzed plan that each ResolvedHint subtree carries the vec_id < NQ
+    // query filter
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val lp = SparkEntry.queries("ann_lsh")(spark, sf()).queryExecution.analyzed
+    val hints = lp.collect { case h: ResolvedHint => h }
+    assert(hints.nonEmpty, "expected broadcast hints on the query side")
+    hints.foreach { h =>
+      val sub = h.child.toString
+      assert(sub.contains("vec_id") &&
+        (sub.contains("< 10") || sub.contains("< cast(10 as bigint)")),
+        s"broadcast hint wraps an unfiltered (corpus-wide) subtree:\n$sub")
+    }
+  }
+
+  test("text_top_terms: the vocabulary (document-frequency) table is NOT hint-broadcast") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val lp = SparkEntry.queries("text_top_terms")(spark, sf()).queryExecution.analyzed
+    assert(lp.collect { case h: ResolvedHint => h }.isEmpty,
+      "web-scale vocabularies exceed broadcast limits — join on word must shuffle")
+  }
+
   test("view list(): binary kb range bounds push into the state parquet scan") {
     val df = SparkEntry.queries("view_list_range")(spark, sf())
     val p = df.queryExecution.executedPlan.toString
