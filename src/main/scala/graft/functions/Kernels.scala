@@ -119,6 +119,29 @@ object Kernels extends Serializable {
     (a, b) => f(a, b)
   }
 
+  /** Deterministic ±1 plane component for (t, j, i) — the shared sign
+    * function of [[hyperplaneSig]] and [[hyperplaneSigs]].
+    */
+  @inline private def planeSign(t: Int, j: Int, i: Int): Double =
+    if ((mix64(t * 131071L + j * 8191L + i) & 1L) == 0L) 1.0 else -1.0
+
+  /** Per-JVM cache of the materialized sign planes for (L, bits, dim):
+    * deriving each component through mix64 per ROW costs L·bits·dim
+    * hash mixes per row (~9k for 24 tables × 6 bits × 64 dims); the
+    * planes are row-invariant, so hash once per executor and reuse.
+    */
+  @transient private lazy val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]
+
+  private def planesFor(l: Int, bits: Int, n: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((l, bits, n), { key =>
+      val (l0, b0, n0) = key
+      Array.tabulate(l0 * b0) { tj =>
+        val t = tj / b0; val j = tj % b0
+        Array.tabulate(n0)(i => planeSign(t, j, i))
+      }
+    })
+
   /** b-bit random-hyperplane sign signature of an embedding under table
     * t; plane component (t, j, i) is a deterministic ±1 from a mixed hash.
     */
@@ -131,8 +154,7 @@ object Kernels extends Serializable {
         var i = 0
         val n = emb.size
         while (i < n) {
-          val sign = if ((mix64(t * 131071L + j * 8191L + i) & 1L) == 0L) 1.0 else -1.0
-          s += emb(i) * sign
+          s += emb(i) * planeSign(t, j, i)
           i += 1
         }
         if (s >= 0) sig |= (1L << j)
@@ -141,5 +163,38 @@ object Kernels extends Serializable {
       sig
     }
     (e, t, b) => f(e, t, b)
+  }
+
+  /** ALL L table signatures in one call (array[long] of length L) — one
+    * UDF crossing and one Seq unboxing per row instead of L, against the
+    * cached sign planes. Signature (t, j) bits are identical to
+    * [[hyperplaneSig]](t).
+    */
+  val hyperplaneSigs: (Column, Column, Column) => Column = {
+    val f = udf { (emb: Seq[Double], l: Int, bits: Int) =>
+      val n = emb.size
+      val e = new Array[Double](n)
+      var i = 0
+      while (i < n) { e(i) = emb(i); i += 1 }
+      val pl = planesFor(l, bits, n)
+      val out = new Array[Long](l)
+      var t = 0
+      while (t < l) {
+        var sig = 0L
+        var j = 0
+        while (j < bits) {
+          val p = pl(t * bits + j)
+          var s = 0.0
+          i = 0
+          while (i < n) { s += e(i) * p(i); i += 1 }
+          if (s >= 0) sig |= (1L << j)
+          j += 1
+        }
+        out(t) = sig
+        t += 1
+      }
+      out
+    }
+    (e, l, b) => f(e, l, b)
   }
 }

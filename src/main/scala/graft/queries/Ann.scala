@@ -37,11 +37,12 @@ object Ann {
   private def cosine(s: SparkSession, a: Column, b: Column, na: Column, nb: Column): Column =
     graft.functions.Native.dot(s, a, b) / (na * nb)
 
-  /** b-bit sign signature of `emb` under table t's deterministic
-    * pseudo-random hyperplanes (JIT kernel).
+  /** (table, signature) bucket keys for all L tables at once — a single
+    * batched-kernel call per row (posexplode of the length-L signature
+    * array), not L separate UDF crossings.
     */
-  private def signature(t: Int, emb: Column, bits: Int): Column =
-    graft.functions.Kernels.hyperplaneSig(emb, lit(t), lit(bits))
+  private def bucketKeys(emb: Column, l: Int, bits: Int): Column =
+    graft.functions.Kernels.hyperplaneSigs(emb, lit(l), lit(bits))
 
   /** Exact top-K per query: scored candidates → row_number window. */
   private def topK(scored: DataFrame): DataFrame =
@@ -96,8 +97,9 @@ object Ann {
       val L = 16; val bits = 6
       val e = withNorm(embs(s, dir))
       val tabled = e.select(col("vec_id"), col("emb"), col("nrm"),
-        explode(array((0 until L).map(t =>
-          struct(lit(t).as("t"), signature(t, col("emb"), bits).as("sig"))): _*)).as("tk"))
+          posexplode(bucketKeys(col("emb"), L, bits)).as(Seq("t", "sig")))
+        .select(col("vec_id"), col("emb"), col("nrm"),
+          struct(col("t"), col("sig")).as("tk"))
       val queries = tabled.where(col("vec_id") < NQ)
         .select(col("vec_id").as("q_id"), col("tk"))
       val corpus = tabled.where(col("vec_id") >= NQ)

@@ -334,8 +334,9 @@ object Dedup {
         .select(col("vec_id"), col("emb"),
           sqrt(aggregate(col("emb"), lit(0.0d), (acc, v) => acc + v * v)).as("nrm"))
       val tabled = e.select(col("vec_id"),
-        explode(array((0 until L).map(t => struct(lit(t).as("t"),
-          graft.functions.Kernels.hyperplaneSig(col("emb"), lit(t), lit(bits)).as("sig"))): _*)).as("tk"))
+          posexplode(graft.functions.Kernels.hyperplaneSigs(
+            col("emb"), lit(L), lit(bits))).as(Seq("t", "sig")))
+        .select(col("vec_id"), struct(col("t"), col("sig")).as("tk"))
       val cands = tabled.as("a").join(tabled.as("b"),
           col("a.tk") === col("b.tk") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
