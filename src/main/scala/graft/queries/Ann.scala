@@ -120,5 +120,67 @@ object Ann {
         .select(col("q_id"), col("n_id"),
           cosine(s, col("qemb"), col("nemb"), col("qnrm"), col("nnrm")).as("cos"))
       topK(scored)
+    },
+
+    // C8b: IVF (inverted-file) ANN — the centroid-partitioned scale path
+    // next to hyperplane LSH. A K-cell coarse quantizer (deterministic
+    // k-means: first-K init, 3 Lloyd rounds; centroids are K×dim doubles,
+    // trivially broadcastable at any corpus size) assigns each corpus
+    // vector to its nearest cell ONCE; each query probes only its P
+    // nearest cells; exact cosine + TopK run inside probed cells. At
+    // 100 TB the corpus partitions by cell at build time and is never
+    // re-shuffled per query — queries broadcast into their cells. Recall
+    // tunes with P/K. Spec measures recall vs ann_bruteforce; rows-only
+    // for the driver (the quantizer isn't SQL-expressible).
+    Q.noOracle("ann_ivf") { (s, dir) =>
+      val K = 8; val P = 4
+      val e = withNorm(embs(s, dir))
+      val corpus = e.where(col("vec_id") >= NQ)
+      val queries = e.where(col("vec_id") < NQ)
+      // deterministic init: the K lowest-id corpus vectors, unit-normalized
+      var cents: Array[Array[Double]] = corpus.orderBy(col("vec_id")).limit(K)
+        .select(col("emb"), col("nrm")).collect()
+        .map { r =>
+          val v = r.getSeq[Double](0); val n = r.getDouble(1)
+          v.map(_ / n).toArray
+        }
+      val dim = cents(0).length
+      def argmaxCells(cb: Array[Array[Double]], p: Int) = udf { emb: Seq[Double] =>
+        val n = emb.size
+        val scores = new Array[Double](cb.length)
+        var k = 0
+        while (k < cb.length) {
+          val c = cb(k); var sum = 0.0; var i = 0
+          while (i < n) { sum += emb(i) * c(i); i += 1 }
+          scores(k) = sum; k += 1
+        }
+        scores.zipWithIndex.sortBy { case (sc, idx) => (-sc, idx) }
+          .take(p).map(_._2).toSeq
+      }
+      // Lloyd rounds: assign → per-cell elementwise mean (K·dim tiny
+      // driver collect) → renormalize; empty cells keep their centroid
+      for (_ <- 1 to 3) {
+        val cellOf = argmaxCells(cents, 1)
+        val means = corpus
+          .select(cellOf(col("emb")).getItem(0).as("cell"),
+            posexplode(col("emb")).as(Seq("i", "v")))
+          .groupBy(col("cell"), col("i")).agg(avg(col("v")).as("m"))
+          .collect()
+        val next = cents.map(_.clone())
+        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        cents = next.map { c =>
+          val nrm = math.sqrt(c.map(x => x * x).sum)
+          if (nrm > 0) c.map(_ / nrm) else c
+        }
+      }
+      val assigned = corpus.select(col("vec_id").as("n_id"), col("emb"),
+        col("nrm"), argmaxCells(cents, 1)(col("emb")).getItem(0).as("cell"))
+      val probed = queries.select(col("vec_id").as("q_id"),
+          col("emb").as("qemb"), col("nrm").as("qnrm"),
+          explode(argmaxCells(cents, P)(col("emb"))).as("cell"))
+      val scored = assigned.join(broadcast(probed), "cell")
+        .select(col("q_id"), col("n_id"),
+          cosine(s, col("qemb"), col("emb"), col("qnrm"), col("nrm")).as("cos"))
+      topK(scored)
     })
 }
