@@ -206,13 +206,15 @@ object Dedup {
       val prefix = g.join(gdf, "g")
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("gdf"), col("g"))))
-        .where(col("rn") <= floor(lit(1.0 - tau) * col("c")) + 1)
+        // p = c - ceil(tau*c) + 1 in INTEGER form for tau = 4/5: the
+        // double 1-0.8 = 0.1999...96 shaves the prefix one short whenever
+        // 5 | c and silently drops pairs (caught by the sf0.1 sweep)
+        .where(expr("rn <= c - ((4 * c + 4) div 5) + 1"))
         .select(col("doc_id"), col("c"), col("g"))
       val cands = prefix.as("a").join(prefix.as("b"),
           col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
-            // length filter: jaccard >= tau forces min(c) >= tau * max(c)
-            least(col("a.c"), col("b.c")) >=
-              ceil(lit(tau) * greatest(col("a.c"), col("b.c"))))
+            // length filter min(c) >= tau*max(c), exact cross-multiplied
+            expr("5 * least(a.c, b.c) >= 4 * greatest(a.c, b.c)"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
       verifyJaccard(cands, d, tau).orderBy(col("a_id"), col("b_id"))
