@@ -77,6 +77,11 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
   // origin -> running watch query (index.js:127-141 watch bookkeeping)
   private val watchers = mutable.LinkedHashMap.empty[String, org.apache.spark.sql.streaming.StreamingQuery]
   private val listeners = mutable.ArrayBuffer.empty[GraftEvent => Unit]
+  // serializes whole index/retract passes (state-dir writers) — held
+  // across Spark jobs, so it is a SEPARATE monitor from the engine lock,
+  // which only guards the in-memory catalog maps and is never held
+  // across an action
+  private val indexLock = new Object
 
   loadCatalog()
 
@@ -109,8 +114,13 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
       throw new SchemaError(s"$name: path patterns must be non-empty strings")
     if (view.reduce != null && view.reduce.contains(null))
       throw new SchemaError(s"$name: reduce must not be null")
-    views(name) = view
+    synchronized { views(name) = view }
   }
+
+  private def viewDef(name: String): ViewDef = synchronized {
+    views.getOrElse(name, throw new SchemaError(s"$name is not defined"))
+  }
+  private def viewNames: Seq[String] = synchronized(views.keys.toSeq)
 
   // --- indexing ------------------------------------------------------
 
@@ -122,6 +132,12 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     */
   def index(archive: Archive, watch: Boolean = false): Unit = {
     synchronized { archives(archive.url) = archive }
+    // Index passes SERIALIZE on indexLock — the reference's indexer is an
+    // explicit one-at-a-time queue, and two concurrent dynamic partition
+    // overwrites into the same view dir would race their committer
+    // staging. Watch ticks of different origins queue here too. (The
+    // per-view parallelism below still applies inside each pass.)
+    indexLock.synchronized {
     // The catalog version is captured BEFORE the view jobs run: a file
     // modified mid-pass then carries fversion > v and is re-processed by
     // the next pass (over-claiming the version would silently skip it).
@@ -136,10 +152,16 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = Graft.indexPool
-    val total = views.size
+    // snapshot the view list + versions under the engine lock: define()
+    // may run concurrently (e.g. while watch ticks fire)
+    val viewsSnap = synchronized {
+      views.toSeq.map { case (n, vd) =>
+        (n, vd, viewVersions.getOrElse(vvKey(archive.url, n), -1L))
+      }
+    }
+    val total = viewsSnap.size
     val done = new java.util.concurrent.atomic.AtomicInteger(0)
-    val jobs = views.toSeq.map { case (name, view) => Future {
-      val lastV = viewVersions.getOrElse(vvKey(archive.url, name), -1L)
+    val jobs = viewsSnap.map { case (name, view, lastV) => Future {
       val matched = filesNow.filter(col("pathname").rlike(view.pathRegex))
       if (lastV < 0) {
         writeOriginPartition(name, archive.url, mapEntries(view, matched))
@@ -160,11 +182,16 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
       emit(GraftEvent.IndexProgress(archive.url, name, done.incrementAndGet(), total))
     } }
     jobs.foreach(Await.result(_, Duration.Inf))
-    indexed(archive.url) = v
-    views.keys.foreach(name => viewVersions(vvKey(archive.url, name)) = v)
-    saveCatalog()
+    synchronized {
+      indexed(archive.url) = v
+      viewsSnap.foreach { case (name, _, _) =>
+        viewVersions(vvKey(archive.url, name)) = v
+      }
+      saveCatalog()
+    }
     emit(GraftEvent.ArchiveIndexed(archive.url, v))
     emit(GraftEvent.IndexesUpdated(archive.url, v))
+    }
     if (watch) archive match {
       case d: DirArchive => synchronized {
         if (!watchers.contains(d.url)) { this.watch(d); () }
@@ -210,20 +237,23 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     */
   def unindex(origin: String): Unit = {
     unwatch(origin)
-    views.keys.foreach { name =>
-      deleteDir(s"${viewDir(name)}/ob=${escape(origin)}")
-      viewVersions.remove(vvKey(origin, name))
+    indexLock.synchronized {
+      viewNames.foreach(name => deleteDir(s"${viewDir(name)}/ob=${escape(origin)}"))
+      synchronized {
+        viewNames.foreach(name => viewVersions.remove(vvKey(origin, name)))
+        indexed.remove(origin)
+        saveCatalog()
+      }
     }
-    indexed.remove(origin)
-    saveCatalog()
   }
 
   /** `damr.indexFile(archive, pathname)` — single-file (re-)index; does
     * not touch the origin catalog (reference semantics).
     */
-  def indexFile(archive: Archive, pathname: String): Unit = {
+  def indexFile(archive: Archive, pathname: String): Unit = indexLock.synchronized {
     val file = archive.files(spark).filter(col("pathname") === pathname)
-    views.foreach { case (name, view) =>
+    val snap = synchronized(views.toSeq)
+    snap.foreach { case (name, view) =>
       if (file.filter(col("pathname").rlike(view.pathRegex)).limit(1).count() > 0) {
         val fileUrl = archive.url + pathname
         val prior = entriesForOrigin(name, archive.url)
@@ -235,9 +265,9 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
   }
 
   /** `damr.unindexFile` — retract one file's entries. */
-  def unindexFile(origin: String, pathname: String): Unit = {
+  def unindexFile(origin: String, pathname: String): Unit = indexLock.synchronized {
     val fileUrl = origin + pathname
-    views.keys.foreach { name =>
+    viewNames.foreach { name =>
       val prior = entriesForOrigin(name, origin).filter(col("file_url") =!= fileUrl)
       writeOriginPartition(name, origin, prior, readsState = true)
     }
@@ -249,7 +279,7 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     * routine small-files pass of any streaming-ingest table. Runs as a
     * single dynamic partition overwrite clustered by origin.
     */
-  def compact(view: String): Unit = {
+  def compact(view: String): Unit = indexLock.synchronized {
     val dir = viewDir(view)
     if (Files.exists(Paths.get(dir))) {
       val rows = spark.read.schema(Graft.entrySchemaWithPartition).parquet(dir)
@@ -262,17 +292,21 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     * per-origin index versions, so the next index() rebuilds it fully —
     * reference Indexer.resetIndex semantics).
     */
-  def reset(view: String): Unit = {
+  def reset(view: String): Unit = indexLock.synchronized {
     deleteDir(viewDir(view))
-    viewVersions.filterInPlace { case (k, _) => !k.endsWith("\n" + view) }
-    saveCatalog()
+    synchronized {
+      viewVersions.filterInPlace { case (k, _) => !k.endsWith("\n" + view) }
+      saveCatalog()
+    }
   }
 
   /** `damr.destroy()`. */
-  def destroy(): Unit = {
+  def destroy(): Unit = indexLock.synchronized {
     deleteDir(stateRoot)
-    indexed.clear()
-    viewVersions.clear()
+    synchronized {
+      indexed.clear()
+      viewVersions.clear()
+    }
   }
 
   /** Lifecycle mapping: the reference's `open()` is this constructor
@@ -287,8 +321,8 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     qs.foreach(q => if (q.isActive) q.stop())
   }
 
-  def listIndexed(): Seq[String] = indexed.keys.toSeq
-  def isIndexed(origin: String): Boolean = indexed.contains(origin)
+  def listIndexed(): Seq[String] = synchronized(indexed.keys.toSeq)
+  def isIndexed(origin: String): Boolean = synchronized(indexed.contains(origin))
 
   // --- queries -------------------------------------------------------
 
@@ -296,7 +330,7 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     * (kb, key_json, file_url, pathname, seq, value_json, ob).
     */
   def entries(view: String): DataFrame = {
-    require(views.contains(view), s"$view is not defined")
+    viewDef(view) // existence check
     val dir = viewDir(view)
     if (!Files.exists(Paths.get(dir))) emptyEntries()
     else spark.read.schema(Graft.entrySchemaWithPartition).parquet(dir)
@@ -309,7 +343,7 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
   def get(view: String, key: Any): DataFrame = {
     val kb = KeyCodec.encode(KeyCodec.asKey(key))
     val hit = entries(view).filter(col("kb") === lit(kb))
-    views(view).reduce match {
+    viewDef(view).reduce match {
       case Some(r) => reduceEntries(hit, r)
       case None =>
         hit.orderBy(col("file_url"), col("seq"))
@@ -323,7 +357,7 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
   def getValue(view: String, key: Any): Option[Any] = {
     val rows = get(view, key).collect()
     if (rows.isEmpty) None
-    else views(view).reduce match {
+    else viewDef(view).reduce match {
       case Some(_) => Some(Json.parse(rows(0).getAs[String]("value_json")))
       case None => Some(rows.map(r => Json.parse(r.getAs[String]("value_json"))).toVector)
     }
@@ -340,18 +374,19 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     opts.lt.foreach(k => df = df.filter(col("kb") < lit(KeyCodec.encode(k))))
     opts.lte.foreach(k => df = df.filter(col("kb") <= lit(KeyCodec.encode(k))))
 
-    val reduced = views(view).reduce match {
+    val vd = viewDef(view)
+    val reduced = vd.reduce match {
       case Some(r) => reduceEntries(df, r, keepKb = true)
       case None => df.select(col("kb"), col("key_json"), col("file_url"), col("seq"), col("value_json"))
     }
 
     val ordCols: Seq[Column] =
-      if (views(view).reduce.isDefined) Seq(col("kb"))
+      if (vd.reduce.isDefined) Seq(col("kb"))
       else Seq(col("kb"), col("file_url"), col("seq"))
     val ord = if (opts.reverse) ordCols.map(_.desc) else ordCols
 
     val limited = opts.limit match {
-      case Some(n) if views(view).reduce.isEmpty =>
+      case Some(n) if vd.reduce.isEmpty =>
         // Limit counts keys, then multi-values flatten (view.js:73-82).
         val keyOrd = if (opts.reverse) col("kb").desc else col("kb").asc
         val topKeys = reduced.select(col("kb")).distinct().orderBy(keyOrd).limit(n)
@@ -415,8 +450,7 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     * streaming; per-file multi-values order by key bytes.
     */
   def streamEntries(view: String, files: DataFrame): DataFrame = {
-    require(views.contains(view), s"$view is not defined")
-    val v = views(view)
+    val v = viewDef(view)
     val matched = files.filter(col("pathname").rlike(v.pathRegex))
     v.map match {
       case MapDF(f) => projectEntries(f(matched).withColumn("seq", lit(1)))

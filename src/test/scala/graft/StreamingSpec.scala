@@ -347,6 +347,42 @@ class StreamingSpec extends SparkSpec {
     } finally db.close()
   }
 
+  test("A4: two watched origins maintain independent state; late-defined view catches up") {
+    val dirA = Files.createTempDirectory("graft-watchA")
+    val dirB = Files.createTempDirectory("graft-watchB")
+    val stateRoot = Files.createTempDirectory("graft-watchAB-state")
+    val schema = StructType(Seq(
+      StructField("first", StringType), StructField("second", LongType)))
+    val db = new Graft(spark, stateRoot.toString)
+    db.define("t", ViewDef(Seq("/*.json"), MapDF { files =>
+      val parsed = files.withColumn("j", from_json(col("value"), schema))
+      GraftFunctions.emitEntry(parsed, Seq(col("j.first")), col("j.second"))
+    }, None))
+    db.watch(new DirArchive("dat://wa", dirA.toString), "200 milliseconds")
+    db.watch(new DirArchive("dat://wb", dirB.toString), "200 milliseconds")
+    try {
+      writeFile(dirA, "a.json", Seq("""{"first":"k","second":1}"""))
+      writeFile(dirB, "b.json", Seq("""{"first":"k","second":2}"""))
+      eventually()(db.getValue("t", "k") == Some(Vector(1.0, 2.0)))
+
+      // edit under watch in A retracts ONLY A's entry
+      editFile(dirA, "a.json", Seq("""{"first":"k","second":10}"""))
+      eventually()(db.getValue("t", "k") == Some(Vector(10.0, 2.0)))
+
+      // a view defined while watches run gets a FULL build on the next
+      // tick that sees a change (per-view version -1 → full), and both
+      // origins contribute
+      db.define("t2", ViewDef(Seq("/*.json"), MapDF { files =>
+        val parsed = files.withColumn("j", from_json(col("value"), schema))
+        GraftFunctions.emitEntry(parsed, Seq(col("j.first")), lit(1))
+      }, Some(Reduce.Count)))
+      writeFile(dirA, "c.json", Seq("""{"first":"k","second":3}"""))
+      writeFile(dirB, "d.json", Seq("""{"first":"k","second":4}"""))
+      eventually()(db.getValue("t2", "k") == Some(4.0))
+      eventually()(db.getValue("t", "k") == Some(Vector(10.0, 3.0, 2.0, 4.0)))
+    } finally db.close()
+  }
+
   test("A4: watch survives a missing archive dir and reports found/missing") {
     val parent = Files.createTempDirectory("graft-watch3-parent")
     val watched = parent.resolve("arch")
