@@ -626,7 +626,13 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     def obj(m: collection.Map[String, Long]): String =
       m.map { case (k, v) => Json.renderString(k) + ":" + v }.mkString("{", ",", "}")
     val body = "{\"origins\":" + obj(indexed) + ",\"views\":" + obj(viewVersions) + "}"
-    Files.write(catalogPath, body.getBytes(StandardCharsets.UTF_8))
+    // write-then-atomic-rename: a crash mid-write must not corrupt the
+    // catalog (it is what decides full vs incremental on restart)
+    val tmp = catalogPath.resolveSibling("_catalog.json.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, catalogPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   private def loadCatalog(): Unit = {
