@@ -30,9 +30,13 @@ object Ann {
       .select(col("vec_id"),
         transform(col("embedding"), v => v.cast("double")).as("emb"))
 
+  // norm through the codegen'd graft_dot expression — the interpreted
+  // aggregate() HOF evaluates per-element boxed and dominated every job
+  // that touched the embeddings table
   private def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("emb"),
-      sqrt(aggregate(col("emb"), lit(0.0d), (acc, v) => acc + v * v)).as("nrm"))
+      sqrt(graft.functions.Native.dot(
+        org.apache.spark.sql.SparkSession.active, col("emb"), col("emb"))).as("nrm"))
 
   private def cosine(s: SparkSession, a: Column, b: Column, na: Column, nb: Column): Column =
     graft.functions.Native.dot(s, a, b) / (na * nb)
@@ -137,14 +141,51 @@ object Ann {
       val e = withNorm(embs(s, dir))
       val corpus = e.where(col("vec_id") >= NQ)
       val queries = e.where(col("vec_id") < NQ)
-      // deterministic init: the K lowest-id corpus vectors, unit-normalized
-      var cents: Array[Array[Double]] = corpus.orderBy(col("vec_id")).limit(K)
-        .select(col("emb"), col("nrm")).collect()
-        .map { r =>
-          val v = r.getSeq[Double](0); val n = r.getDouble(1)
-          v.map(_ / n).toArray
+      // Quantizer TRAINING is a driver-side concern over a BOUNDED
+      // deterministic sample (~2k vectors, ~1 MB): collect once, run
+      // Lloyd in-process — exactly how production IVF libraries train on
+      // a sample while the corpus-scale work (assignment, probing,
+      // scoring) stays distributed. Lloyd-as-Spark-jobs would pay 3
+      // extra full planning/codegen/scan cycles to average a megabyte.
+      // The full corpus is only touched twice: this count and the final
+      // one-pass assignment.
+      val nCorpus = corpus.count()
+      val sampleMod = math.max(1L, nCorpus / 2000L)
+      val sample: Array[Array[Double]] = corpus
+        .where(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+        .orderBy(col("vec_id")).select(col("emb"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      require(sample.length >= K, s"IVF needs >= $K training vectors")
+      val dim = sample(0).length
+      def unit(c: Array[Double]): Array[Double] = {
+        val nrm = math.sqrt(c.map(x => x * x).sum)
+        if (nrm > 0) c.map(_ / nrm) else c
+      }
+      def nearest(cb: Array[Array[Double]], v: Array[Double]): Int = {
+        var best = 0; var bestS = Double.NegativeInfinity; var k = 0
+        while (k < cb.length) {
+          val c = cb(k); var sum = 0.0; var i = 0
+          while (i < v.length) { sum += v(i) * c(i); i += 1 }
+          if (sum > bestS) { bestS = sum; best = k }
+          k += 1
         }
-      val dim = cents(0).length
+        best
+      }
+      // deterministic init: K lowest-id sample vectors; 3 Lloyd rounds;
+      // empty cells keep their previous centroid
+      var cents: Array[Array[Double]] = sample.take(K).map(v => unit(v.clone()))
+      for (_ <- 1 to 3) {
+        val sums = Array.fill(K)(new Array[Double](dim))
+        val counts = new Array[Int](K)
+        sample.foreach { v =>
+          val c = nearest(cents, v)
+          counts(c) += 1
+          var i = 0
+          while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        }
+        cents = Array.tabulate(K)(k =>
+          if (counts(k) == 0) cents(k) else unit(sums(k).map(_ / counts(k))))
+      }
       def argmaxCells(cb: Array[Array[Double]], p: Int) = udf { emb: Seq[Double] =>
         val n = emb.size
         val scores = new Array[Double](cb.length)
@@ -156,22 +197,6 @@ object Ann {
         }
         scores.zipWithIndex.sortBy { case (sc, idx) => (-sc, idx) }
           .take(p).map(_._2).toSeq
-      }
-      // Lloyd rounds: assign → per-cell elementwise mean (K·dim tiny
-      // driver collect) → renormalize; empty cells keep their centroid
-      for (_ <- 1 to 3) {
-        val cellOf = argmaxCells(cents, 1)
-        val means = corpus
-          .select(cellOf(col("emb")).getItem(0).as("cell"),
-            posexplode(col("emb")).as(Seq("i", "v")))
-          .groupBy(col("cell"), col("i")).agg(avg(col("v")).as("m"))
-          .collect()
-        val next = cents.map(_.clone())
-        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-        cents = next.map { c =>
-          val nrm = math.sqrt(c.map(x => x * x).sum)
-          if (nrm > 0) c.map(_ / nrm) else c
-        }
       }
       val assigned = corpus.select(col("vec_id").as("n_id"), col("emb"),
         col("nrm"), argmaxCells(cents, 1)(col("emb")).getItem(0).as("cell"))

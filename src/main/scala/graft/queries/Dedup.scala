@@ -293,7 +293,7 @@ object Dedup {
         s"dedup_embedding is the O(n²) oracle baseline ($n vectors is too " +
           "many) — use dedup_embedding_lsh for corpora at scale")
       val withNorm = e.select(col("vec_id"), col("emb"),
-        sqrt(aggregate(col("emb"), lit(0.0d), (acc, v) => acc + v * v)).as("nrm"))
+        sqrt(graft.functions.Native.dot(s, col("emb"), col("emb"))).as("nrm"))
       val pairs = withNorm.as("a").join(withNorm.as("b"),
         col("a.vec_id") < col("b.vec_id"))
       pairs
@@ -334,7 +334,7 @@ object Dedup {
         .select(col("vec_id"),
           transform(col("embedding"), v => v.cast("double")).as("emb"))
         .select(col("vec_id"), col("emb"),
-          sqrt(aggregate(col("emb"), lit(0.0d), (acc, v) => acc + v * v)).as("nrm"))
+          sqrt(graft.functions.Native.dot(s, col("emb"), col("emb"))).as("nrm"))
       val tabled = e.select(col("vec_id"),
           posexplode(graft.functions.Kernels.hyperplaneSigs(
             col("emb"), lit(L), lit(bits))).as(Seq("t", "sig")))
