@@ -65,6 +65,37 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
   }
 
+  /** Exact n-gram Jaccard near-dup pairs over any (doc_id, text)
+    * DataFrame at rational threshold tau = tauNum/tauDen — the prefix-
+    * filtered inverted-index join (AllPairs/PPJoin). All threshold
+    * arithmetic is INTEGER (prefix length p = c - ceil(tauNum·c/tauDen)
+    * + 1, length filter tauDen·min ≥ tauNum·max): float forms of tau
+    * shave the prefix at divisibility boundaries and silently drop
+    * pairs. Candidates are re-verified on full gram sets, so the result
+    * is exactly the pairs with jaccard ≥ tau (property-specd in
+    * DedupAnnSpec against brute force on random corpora).
+    */
+  def ngramJaccardPairs(d: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen, "tau in (0, 1]")
+    val tau = tauNum.toDouble / tauDen
+    val g = d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("doc_id"), gramsOf(col("ws")).as("gs"))
+      .select(col("doc_id"), size(col("gs")).as("c"), explode(col("gs")).as("g"))
+    val gdf = g.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    val prefix = g.join(gdf, "g")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("gdf"), col("g"))))
+      .where(expr(s"rn <= c - (($tauNum * c + $tauDen - 1) div $tauDen) + 1"))
+      .select(col("doc_id"), col("c"), col("g"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+          expr(s"$tauDen * least(a.c, b.c) >= $tauNum * greatest(a.c, b.c)"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    verifyJaccard(cands, d, tau)
+  }
+
   /** Connected components over an arbitrary near-dup pair source —
     * accepts ANY DataFrame with (a_id, b_id) columns (ngram, minhash,
     * simhash, or embedding pairs all feed it), returns (id, label) with
@@ -189,35 +220,9 @@ object Dedup {
         |JOIN cnt cb ON cb.doc_id = b_id
         |WHERE i / (ca.c + cb.c - i) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      val tau = 0.8
-      val d = docs(s, dir)
-      val g = d.select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .where(size(col("ws")) >= 3)
-        .select(col("doc_id"), gramsOf(col("ws")).as("gs"))
-        .select(col("doc_id"), size(col("gs")).as("c"), explode(col("gs")).as("g"))
-      // Prefix filter (AllPairs/PPJoin, exact): order grams globally by
-      // (document frequency asc, gram); a pair at jaccard >= tau must
-      // share a gram within each side's first floor((1-tau)*c)+1 grams
-      // under that order, so ONLY prefix grams enter the inverted index.
-      // Stop-word grams (high df) sort last and never build a posting
-      // list — the self-join stays linear-ish in corpus size instead of
-      // k² per high-df gram. Survivors are verified on full gram sets.
-      val gdf = g.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
-      val prefix = g.join(gdf, "g")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("gdf"), col("g"))))
-        // p = c - ceil(tau*c) + 1 in INTEGER form for tau = 4/5: the
-        // double 1-0.8 = 0.1999...96 shaves the prefix one short whenever
-        // 5 | c and silently drops pairs (caught by the sf0.1 sweep)
-        .where(expr("rn <= c - ((4 * c + 4) div 5) + 1"))
-        .select(col("doc_id"), col("c"), col("g"))
-      val cands = prefix.as("a").join(prefix.as("b"),
-          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
-            // length filter min(c) >= tau*max(c), exact cross-multiplied
-            expr("5 * least(a.c, b.c) >= 4 * greatest(a.c, b.c)"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-      verifyJaccard(cands, d, tau).orderBy(col("a_id"), col("b_id"))
+      // prefix-filtered AllPairs join at tau = 4/5 — see
+      // [[ngramJaccardPairs]] for the skew/exactness story
+      ngramJaccardPairs(docs(s, dir), 4, 5).orderBy(col("a_id"), col("b_id"))
     },
 
     // C4: MinHash(128) + 32×4 LSH banding; candidates only meet inside a

@@ -113,6 +113,50 @@ class DedupAnnSpec extends SparkSpec {
     assert(got == expected, s"got=$got expected=$expected")
   }
 
+  test("property: prefix-filtered ngram join == brute-force jaccard on random corpora") {
+    // the prefix filter is the one place where a subtle math slip loses
+    // pairs SILENTLY (a float tau already did once) — drive it with
+    // seeded random corpora, heavy shared vocabulary (stop-word-like
+    // grams), edited near-dup copies, and two different tau values
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector.tabulate(30)(i => s"w$i") // small vocab → shared grams
+    def doc(len: Int): String =
+      Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    for ((tauNum, tauDen) <- Seq((4, 5), (7, 10))) {
+      val base = (0 until 60).map(i => (i.toLong, doc(5 + rnd.nextInt(20))))
+      // planted near-dups: copies with 0-2 word edits
+      val edited = (0 until 30).map { i =>
+        val (id, text) = base(rnd.nextInt(base.size))
+        val ws = text.split(" ").toBuffer
+        (0 until rnd.nextInt(3)).foreach { _ =>
+          ws(rnd.nextInt(ws.size)) = vocab(rnd.nextInt(vocab.size))
+        }
+        (100L + i, ws.mkString(" "))
+      }
+      val df = (base ++ edited).toDF("doc_id", "text")
+      val got = graft.queries.Dedup.ngramJaccardPairs(df, tauNum, tauDen)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // brute-force oracle on driver
+      val tau = tauNum.toDouble / tauDen
+      def grams(t: String): Set[String] = {
+        val ws = t.split(" ")
+        if (ws.length < 3) Set.empty
+        else (0 to ws.length - 3).map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}").toSet
+      }
+      val all = (base ++ edited).map { case (id, t) => (id, grams(t)) }
+        .filter(_._2.nonEmpty)
+      val expected = (for {
+        (ia, ga) <- all; (ib, gb) <- all if ia < ib
+        inter = (ga & gb).size
+        if inter.toDouble / (ga.size + gb.size - inter) >= tau
+      } yield (ia, ib)).toSet
+      assert(expected.nonEmpty, s"tau=$tauNum/$tauDen: degenerate test corpus")
+      assert(got == expected,
+        s"tau=$tauNum/$tauDen missed=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
   test("no duplicate query names across suites") {
     val names = (Relational.all ++ Views.all ++ Dedup.all ++ Ann.all ++ Text.all).map(_.name)
     assert(names.distinct.size == names.size,
