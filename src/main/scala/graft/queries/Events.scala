@@ -102,5 +102,43 @@ object Events {
         .where(col("tag") === 0 && col("purchase_id").isNotNull)
         .select(col("event_id"), col("user_id"), col("purchase_id"), col("purchase_ts"))
         .orderBy(col("event_id"))
+    },
+
+    // B28: range (interval) join — clicks of the same user within the
+    // hour before each purchase. The naive plan for a range predicate is
+    // a nested-loop over the pair space; the scale form BUCKETIZES time
+    // into interval-width bins and equi-joins on (user_id, bin): a click
+    // in bin b only ever matches purchases in bins {b, b+1}, so the
+    // probe side explodes ×2 and both sides shuffle once on uniform
+    // keys, with the exact range predicate re-applied after the
+    // equi-join. PlanSpec asserts no nested-loop/cartesian appears.
+    Q("q28_range_join",
+      """SELECT p.event_id, CAST(count(c.ts) AS BIGINT) AS n_clicks
+        |FROM events p LEFT JOIN events c
+        |  ON c.user_id = p.user_id AND c.event_type = 'click'
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      val binUs = 3600000000L // 1 h in microseconds
+      val e = Tables.events(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"),
+          (unix_micros(col("ts")).cast("long") / binUs).cast("long").as("bin"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"),
+          (unix_micros(col("ts")).cast("long") / binUs).cast("long").as("pbin"))
+        .select(col("p_id"), col("user_id"), col("p_ts"),
+          explode(array(col("pbin") - 1, col("pbin"))).as("bin"))
+      // the exact range predicate rides INSIDE the left join (residual
+      // condition on the equi keys): a post-join filter would drop
+      // purchases whose bin-matched clicks are all out of range, where
+      // the oracle keeps them with count 0
+      purchases.as("p").join(clicks.as("c"),
+          col("p.user_id") === col("c.user_id") && col("p.bin") === col("c.bin") &&
+            col("c.c_ts") >= col("p.p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c.c_ts") < col("p.p_ts"), "left")
+        .groupBy(col("p.p_id").as("event_id"))
+        .agg(count(col("c.c_ts")).as("n_clicks"))
+        .orderBy(col("event_id"))
     })
 }

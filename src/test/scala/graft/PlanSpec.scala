@@ -84,6 +84,44 @@ class PlanSpec extends SparkSpec {
       "web-scale vocabularies exceed broadcast limits — join on word must shuffle")
   }
 
+  test("q28 range join: bucketized equi-join, no nested-loop over the pair space") {
+    val p = planStr("q28_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to a pair-space plan:\n$p")
+    assert(p.contains("Join"), s"expected an equi-join on (user_id, bin):\n$p")
+  }
+
+  test("bucketed tables co-locate their join: no exchange on either side") {
+    // the 100 TB pattern for repeated fact-fact joins: bucket both sides
+    // on the join key at write time, and the join reads bucket-aligned
+    // files with NO shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.read.parquet(s"${sf()}/orders.parquet")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("b_orders")
+      spark.read.parquet(s"${sf()}/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("b_lineitem")
+      val joined = spark.table("b_lineitem").join(spark.table("b_orders"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$p")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("view list(): binary kb range bounds push into the state parquet scan") {
     val df = SparkEntry.queries("view_list_range")(spark, sf())
     val p = df.queryExecution.executedPlan.toString
