@@ -35,6 +35,17 @@ object ScaleSmoke {
         value = col("b")))
     }
     val tIndex = (System.nanoTime() - t0) / 1e9
+    // incremental: bump 1% of one origin's rows to fversion 2 — the
+    // re-index must reprocess ~50 files, not 50 000 (partition-local
+    // merge keyed on fversion)
+    val tInc0 = System.nanoTime()
+    val body0 = to_json(struct(col("doc_id").as("doc_id"), col("lang"), col("n_chars")))
+    db.index(new TableArchive("dat://origin-0",
+      docs.select(body0.as("b"), col("doc_id")),
+      pathname = concat(lit("/"), lpad(col("doc_id").cast("string"), 8, "0"), lit(".json")),
+      value = col("b"),
+      fversion = when(col("doc_id") % 100 === 0, lit(2L)).otherwise(lit(1L))))
+    val tInc = (System.nanoTime() - tInc0) / 1e9
     val t1 = System.nanoTime()
     val n = db.list("by-lang-size", ListOpts(gte = Some(Seq("en", 200L)), lt = Some(Seq("fr")), limit = Some(1000))).count()
     val tList = (System.nanoTime() - t1) / 1e9
@@ -42,6 +53,7 @@ object ScaleSmoke {
     val counts = db.list("lang-count").count()
     val tRed = (System.nanoTime() - t2) / 1e9
     println(f"[scale] indexed 50000 files x 2 views in $tIndex%.1f s (${100000 / tIndex}%.0f entries/s)")
+    println(f"[scale] incremental re-index (1%% of origin-0 changed) in $tInc%.1f s")
     println(f"[scale] range list limit=1000 -> $n rows in $tList%.2f s; reduced list -> $counts keys in $tRed%.2f s")
     spark.stop()
   }

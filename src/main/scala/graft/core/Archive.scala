@@ -56,20 +56,21 @@ final class DirArchive(val url: String, val rootPath: String) extends Archive {
 /** Rows of a DataFrame treated as files — the adapter that lets the
   * map-reduce view engine run over table-shaped corpora (the driver's
   * `documents` table) and over any DataFrame a user already has.
+  * `fversion` may be a per-row column, so table updates flow through the
+  * same incremental path as file edits (only rows whose version
+  * advanced are re-mapped).
   */
 final class TableArchive(
     val url: String,
     df: DataFrame,
     pathname: org.apache.spark.sql.Column,
     value: org.apache.spark.sql.Column,
-    fversion: Long = 1L) extends Archive {
+    fversion: org.apache.spark.sql.Column = lit(1L)) extends Archive {
   override def files(spark: SparkSession): DataFrame =
     df.select(
       lit(url).as("origin"),
       concat(lit(url), pathname).as("url"),
       pathname.as("pathname"),
       value.cast("string").as("value"),
-      lit(fversion).as("fversion"))
-
-  override def version(spark: SparkSession): Long = fversion
+      fversion.cast("long").as("fversion"))
 }
