@@ -122,6 +122,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("salted join: hot keys spread across (key, salt) reducers; result == plain join") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // pathological skew: 90% of facts share one key
+      val facts = (0 until 5000).map(i =>
+        (if (i % 10 == 0) i.toLong % 50 else 7L, s"payload$i")).toDF("k", "v")
+      val dims = (0L until 50L).map(k => (k, s"dim$k")).toDF("k", "d")
+      val salted = graft.functions.Salted.join(facts, dims, "k", salts = 8)
+      val plain = facts.join(dims, "k")
+      assert(salted.count() == plain.count())
+      assert(salted.select("k", "v", "d").except(plain.select("k", "v", "d")).isEmpty)
+      val p = salted.queryExecution.executedPlan.toString
+      assert(p.contains("_salt"), s"join must shuffle on (k, _salt):\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("view list(): binary kb range bounds push into the state parquet scan") {
     val df = SparkEntry.queries("view_list_range")(spark, sf())
     val p = df.queryExecution.executedPlan.toString
