@@ -214,6 +214,59 @@ object Text {
         .orderBy(col("split"))
     },
 
+    // C18: the composed CURATION PIPELINE — the flagship shape of a
+    // training-data run: quality-filter → exact-dedup keep-first →
+    // deterministic split → per-(split, lang) accounting. One pass of
+    // narrow column work, one dedup shuffle on a 32 B fingerprint, one
+    // small aggregation — the whole pipeline is 2 shuffles at any scale.
+    Q("pipeline_curate",
+      """WITH f AS (
+        |  SELECT doc_id, lang, n_chars, text,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the','a','of','and','to'))) AS n_stop
+        |  FROM documents),
+        |q AS (
+        |  SELECT *, CAST(least(n_words, 100) * 40
+        |    + (least(n_stop * 10, n_words) * 3000) // n_words
+        |    + (n_distinct * 3000) // n_words AS BIGINT) AS quality_bp
+        |  FROM f),
+        |kept AS (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn
+        |  FROM q WHERE quality_bp >= 5000)
+        |SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |            WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+        |  lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM kept WHERE rn = 1
+        |GROUP BY 1, lang ORDER BY split, lang""".stripMargin) { (s, dir) =>
+      val f = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+        size(words).as("n_words"),
+        size(array_distinct(words)).as("n_distinct"),
+        size(filter(words, w => w.isin("the", "a", "of", "and", "to"))).as("n_stop"))
+      val q = f.withColumn("quality_bp",
+        (least(col("n_words"), lit(100)) * 40
+          + expr("(least(n_stop * 10, n_words) * 3000) div n_words")
+          + expr("(n_distinct * 3000) div n_words")).cast("long"))
+        .where(col("quality_bp") >= 5000)
+      val kept = q.withColumn("rn",
+          org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(sha2(lower(regexp_replace(trim(col("text")), "\\s+", " ")), 256))
+              .orderBy(col("doc_id"))))
+        .where(col("rn") === 1)
+      kept.select(
+          when(col("doc_id") % 10 < 8, lit("train"))
+            .when(col("doc_id") % 10 === 8, lit("val"))
+            .otherwise(lit("test")).as("split"),
+          col("lang"), col("n_chars"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("split"), col("lang"))
+    },
+
     // C12: polynomial position-weighted fingerprint over characters —
     // fp = sum_i ascii(c_i) * (1 + (131·i mod 997)) mod 2^31-1. Pure
     // integer arithmetic, identical across engines; order-sensitive, so
