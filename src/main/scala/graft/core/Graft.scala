@@ -323,6 +323,10 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
 
   def listIndexed(): Seq[String] = synchronized(indexed.keys.toSeq)
   def isIndexed(origin: String): Boolean = synchronized(indexed.contains(origin))
+  /** Last indexed version of an origin (the reference exposes the
+    * archive's indexed version through its indexer state).
+    */
+  def indexedVersion(origin: String): Option[Long] = synchronized(indexed.get(origin))
 
   // --- queries -------------------------------------------------------
 

@@ -157,6 +157,23 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("batched hyperplaneSigs is bit-identical to the per-table kernel") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextGaussian()))).toDF("id", "emb")
+    val l = 16; val bits = 6
+    val batched = df.select(col("id"),
+      graft.functions.Kernels.hyperplaneSigs(col("emb"), lit(l), lit(bits)).as("sigs"))
+    val single = df.select(col("id"),
+      array((0 until l).map(t =>
+        graft.functions.Kernels.hyperplaneSig(col("emb"), lit(t), lit(bits))): _*).as("sigs"))
+    val a = batched.orderBy("id").collect().map(_.getSeq[Long](1))
+    val b = single.orderBy("id").collect().map(_.getSeq[Long](1))
+    assert(a.zip(b).forall { case (x, y) => x == y })
+  }
+
   test("no duplicate query names across suites") {
     val names = (Relational.all ++ Views.all ++ Dedup.all ++ Ann.all ++ Text.all).map(_.name)
     assert(names.distinct.size == names.size,
