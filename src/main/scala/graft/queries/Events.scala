@@ -104,6 +104,36 @@ object Events {
         .orderBy(col("event_id"))
     },
 
+    // D1-gate: the STREAMING form of q20, run to completion through
+    // Structured Streaming (AvailableNow trigger → complete-mode memory
+    // sink) and gated against the SAME DuckDB oracle as the batch query
+    // — batch/stream parity checked by the driver, not just a spec.
+    Q("q20s_stream_window",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY hour_bucket, event_type""".stripMargin) { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // the file streaming source wants a DIRECTORY; narrow it to the
+      // events table with a glob filter
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = src
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour_bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      val sink = "q20s_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).orderBy(col("hour_bucket"), col("event_type"))
+    },
+
     // B28: range (interval) join — clicks of the same user within the
     // hour before each purchase. The naive plan for a range predicate is
     // a nested-loop over the pair space; the scale form BUCKETIZES time
