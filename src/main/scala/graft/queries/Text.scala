@@ -267,6 +267,28 @@ object Text {
         .orderBy(col("split"), col("lang"))
     },
 
+    // C19: deterministic stratified sampling — downsample over-
+    // represented strata (the lang-rebalancing step of corpus curation)
+    // by Knuth-hash-mod per row: pure function of the row, so the sample
+    // is reproducible, reshuffle-stable, and needs no RNG state or
+    // second pass. Per-stratum keep-rates as a CASE table.
+    Q("text_sample_stratified",
+      """WITH s AS (
+        |  SELECT * FROM documents
+        |  WHERE (doc_id * 2654435761) % 100 <
+        |    CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 80 ELSE 100 END)
+        |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .where((col("doc_id") * lit(2654435761L)) % 100 <
+          when(col("lang") === "en", 50)
+            .when(col("lang") === "fr", 80)
+            .otherwise(100))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"))
+    },
+
     // C12: polynomial position-weighted fingerprint over characters —
     // fp = sum_i ascii(c_i) * (1 + (131·i mod 997)) mod 2^31-1. Pure
     // integer arithmetic, identical across engines; order-sensitive, so
