@@ -274,10 +274,11 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
   }
 
   /** Compact a view's state: rewrite each origin partition as one file.
-    * Streaming maintenance (watch mode) appends a file per micro-batch;
-    * compaction restores scan efficiency without changing contents — the
-    * routine small-files pass of any streaming-ingest table. Runs as a
-    * single dynamic partition overwrite clustered by origin.
+    * Repeated incremental merges leave an origin's partition as several
+    * small files (one per write's task set); compaction restores scan
+    * efficiency without changing contents — the routine small-files pass
+    * of any incrementally-maintained table. Runs as a single dynamic
+    * partition overwrite clustered by origin.
     */
   def compact(view: String): Unit = indexLock.synchronized {
     val dir = viewDir(view)

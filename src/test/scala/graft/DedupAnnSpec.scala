@@ -157,6 +157,27 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents accepts any pair source: simhash pairs vs union-find") {
+    val dir = sf("sf0.01")
+    val pairList = q("dedup_simhash", dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairList.nonEmpty)
+    val labels = Dedup.connectedComponents(
+        q("dedup_simhash", dir).select("a_id", "b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairList.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    assert(labels == expected, s"labels=$labels expected=$expected")
+  }
+
   test("batched hyperplaneSigs is bit-identical to the per-table kernel") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
