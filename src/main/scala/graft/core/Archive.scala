@@ -73,4 +73,15 @@ final class TableArchive(
       pathname.as("pathname"),
       value.cast("string").as("value"),
       fversion.cast("long").as("fversion"))
+
+  /** Constant fversion (the default) must not cost a full scan of `df`
+    * per index pass: probe the column against a 1-row local relation —
+    * a foldable expression evaluates there without touching `df`; a
+    * per-row expression fails to resolve and falls back to the scan.
+    */
+  override def version(spark: SparkSession): Long =
+    scala.util.Try(
+      spark.range(1).toDF("__graft_probe")
+        .select(fversion.cast("long")).head().getLong(0)
+    ).getOrElse(super.version(spark))
 }

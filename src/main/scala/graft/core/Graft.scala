@@ -101,7 +101,10 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
   /** `damr.define(name, definition)` — rejects ill-formed definitions with
     * [[SchemaError]] (reference view-def.js:4-10).
     */
-  def define(name: String, view: ViewDef): Unit = {
+  def define(name: String, view: ViewDef): Unit = synchronized {
+    // validate-and-insert under ONE lock acquisition: a check outside it
+    // would let two concurrent defines of the same name both pass the
+    // duplicate test and silently overwrite
     if (name == null || name.trim.isEmpty)
       throw new SchemaError("view name must be a non-empty string")
     if (views.contains(name))
@@ -114,7 +117,7 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
       throw new SchemaError(s"$name: path patterns must be non-empty strings")
     if (view.reduce != null && view.reduce.contains(null))
       throw new SchemaError(s"$name: reduce must not be null")
-    synchronized { views(name) = view }
+    views(name) = view
   }
 
   private def viewDef(name: String): ViewDef = synchronized {
@@ -132,6 +135,10 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     */
   def index(archive: Archive, watch: Boolean = false): Unit = {
     synchronized { archives(archive.url) = archive }
+    val preWatchSig: Option[(Long, Long, Long)] = archive match {
+      case d: DirArchive if watch => scala.util.Try(listingSig(d)).toOption
+      case _ => None
+    }
     // Index passes SERIALIZE on indexLock — the reference's indexer is an
     // explicit one-at-a-time queue, and two concurrent dynamic partition
     // overwrites into the same view dir would race their committer
@@ -181,7 +188,12 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
       }
       emit(GraftEvent.IndexProgress(archive.url, name, done.incrementAndGet(), total))
     } }
-    jobs.foreach(Await.result(_, Duration.Inf))
+    // await ALL jobs before leaving indexLock, even when one fails: a
+    // rethrow-on-first-failure would release the lock while later
+    // futures are still writing view state, and the next pass (e.g. the
+    // watch tick's retry) would race them with concurrent overwrites
+    val outcomes = jobs.map(j => scala.util.Try(Await.result(j, Duration.Inf)))
+    outcomes.collectFirst { case scala.util.Failure(e) => throw e }
     synchronized {
       indexed(archive.url) = v
       viewsSnap.foreach { case (name, _, _) =>
@@ -194,7 +206,14 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     }
     if (watch) archive match {
       case d: DirArchive => synchronized {
-        if (!watchers.contains(d.url)) { this.watch(d); () }
+        if (!watchers.contains(d.url)) {
+          // seed the watcher with the PRE-pass listing signature: a change
+          // landing during the pass differs from it (first tick re-merges,
+          // idempotent), while the common unchanged case skips the
+          // redundant full merge the first tick would otherwise run
+          this.watch(d, initialSig = preWatchSig)
+          ()
+        }
       }
       case _ => throw new SchemaError(
         "watch requires a DirArchive (a re-listable file collection)")
@@ -485,13 +504,27 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     * Missing/err transitions surface as [[GraftEvent]]s; each completed
     * pass emits `IndexesUpdated` ("index caught up").
     */
+  /** The listing diff fingerprint: (file count, max fversion, xor hash of
+    * (url, fversion)) — metadata-only, no content read. bit_xor, not sum:
+    * full-range hashes overflow a long sum under ANSI mode, and xor is an
+    * order-free set fingerprint.
+    */
+  private def listingSig(archive: DirArchive): (Long, Long, Long) = {
+    val r = archive.files(spark)
+      .agg(count(lit(1)), coalesce(max(col("fversion")), lit(0L)),
+        coalesce(expr("bit_xor(xxhash64(url, fversion))"), lit(0L)))
+      .head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
   def watch(
       archive: DirArchive,
-      pollInterval: String = "500 milliseconds"): org.apache.spark.sql.streaming.StreamingQuery = synchronized {
+      pollInterval: String = "500 milliseconds",
+      initialSig: Option[(Long, Long, Long)] = None): org.apache.spark.sql.streaming.StreamingQuery = synchronized {
     require(!watchers.contains(archive.url), s"${archive.url} is already being watched")
     archives(archive.url) = archive
     val hpath = new org.apache.hadoop.fs.Path(archive.rootPath)
-    var lastSig: Option[(Long, Long, Long)] = None
+    var lastSig: Option[(Long, Long, Long)] = initialSig
     var missing = false
     def tick(): Unit = try {
       val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -499,13 +532,7 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
         if (!missing) { missing = true; emit(GraftEvent.ArchiveMissing(archive.url)) }
       } else {
         if (missing) { missing = false; emit(GraftEvent.ArchiveFound(archive.url)) }
-        val r = archive.files(spark)
-          .agg(count(lit(1)), coalesce(max(col("fversion")), lit(0L)),
-            // bit_xor, not sum: full-range hashes overflow a long sum
-            // under ANSI mode, and xor is an order-free set fingerprint
-            coalesce(expr("bit_xor(xxhash64(url, fversion))"), lit(0L)))
-          .head()
-        val sig = (r.getLong(0), r.getLong(1), r.getLong(2))
+        val sig = listingSig(archive)
         if (!lastSig.contains(sig)) {
           index(archive) // the merge pass; emits Indexing/Indexed/Updated
           lastSig = Some(sig)

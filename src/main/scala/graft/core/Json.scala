@@ -123,6 +123,7 @@ object Json {
         val c = s.charAt(pos)
         if (c == '\\') {
           pos += 1
+          require(!eof, s"unterminated escape at $pos in: $s")
           s.charAt(pos) match {
             case '"' => sb.append('"')
             case '\\' => sb.append('\\')

@@ -112,9 +112,26 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
     val s = pairs.sparkSession
+    // reliable checkpoints go to a PER-RUN subdir that is deleted before
+    // returning (Spark never garbage-collects reliable checkpoint files
+    // on its own — repeated runs would grow the dir without bound); the
+    // final labels move to a localCheckpoint first so the result does
+    // not depend on the deleted files
+    val baseDir = s.sparkContext.getCheckpointDir
+    val runDir = baseDir.map(_ + "/cc-" + java.util.UUID.randomUUID().toString)
+    runDir.foreach(s.sparkContext.setCheckpointDir)
     def ckpt(df: DataFrame): DataFrame =
-      if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+      if (runDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
+    def cleanup(): Unit = {
+      baseDir.foreach(s.sparkContext.setCheckpointDir)
+      runDir.foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true); ()
+      }
+    }
+    try {
     val p = pairs.select(col("a_id"), col("b_id"))
     // materialize the edge list once — every round joins it, and an
     // unmaterialized plan would re-run the whole pair mining per round
@@ -146,7 +163,10 @@ object Dedup {
       labels = next.select(col("id"), col("label"))
       rounds += 1
     }
-    labels
+    // detach the result from the per-run checkpoint files before they
+    // are deleted; the labels table is |nodes| × 2 longs — small
+    labels.localCheckpoint(true)
+    } finally cleanup()
   }
 
   /** (doc_id, sh) 64-bit simhash signatures (JIT kernel — see

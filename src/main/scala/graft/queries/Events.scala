@@ -131,7 +131,12 @@ object Events {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(sink).orderBy(col("hour_bucket"), col("event_type"))
+      // detach from the memory sink and drop it — complete-mode memory
+      // tables otherwise pin their result in the driver for the session
+      val out = s.table(sink).orderBy(col("hour_bucket"), col("event_type"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
     },
 
     // B28: range (interval) join — clicks of the same user within the

@@ -272,15 +272,20 @@ object Text {
     // by Knuth-hash-mod per row: pure function of the row, so the sample
     // is reproducible, reshuffle-stable, and needs no RNG state or
     // second pass. Per-stratum keep-rates as a CASE table.
+    // Hash = affine map over the prime field Z_1000003 then % 100:
+    // exact in both engines at ANY doc_id (max intermediate ~1.3e11,
+    // no ANSI overflow), and the final residue depends on the whole
+    // id — unlike a bare multiply % 100, which collapses to a fixed
+    // permutation of doc_id % 100.
     Q("text_sample_stratified",
       """WITH s AS (
         |  SELECT * FROM documents
-        |  WHERE (doc_id * 2654435761) % 100 <
+        |  WHERE ((doc_id % 1000003) * 131071 + 99991) % 1000003 % 100 <
         |    CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 80 ELSE 100 END)
         |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       docs(s, dir)
-        .where((col("doc_id") * lit(2654435761L)) % 100 <
+        .where(((col("doc_id") % 1000003L) * 131071L + 99991L) % 1000003L % 100 <
           when(col("lang") === "en", 50)
             .when(col("lang") === "fr", 80)
             .otherwise(100))

@@ -46,7 +46,7 @@ class JsonGlobSpec extends AnyFunSuite {
 
   test("json parse: truncated input is a parse error, not a StringIndexOutOfBounds") {
     Seq("""{"a":1""", """[1, 2""", "\"abc", "{\"a\":1,", "[1,", "\"\\u12",
-        "{", "[", "{\"a\"").foreach { bad =>
+        "{", "[", "{\"a\"", "\"abc\\").foreach { bad =>
       intercept[IllegalArgumentException](Json.parse(bad))
     }
   }
