@@ -34,20 +34,29 @@ trait Archive {
   * need `pathname`/`fversion` (change detection) never read file bytes.
   *
   * `fversion` is modification time: a file restored with a REGRESSED
-  * mtime is treated as unchanged (the reference has true monotonic
-  * archive versions; a filesystem only offers mtime). Pair with
-  * [[Graft.reset]]/full re-index when restoring from backup.
+  * mtime, or rewritten within the same mtime granule (same millisecond
+  * — or coarser on some filesystems), is treated as unchanged (the
+  * reference has true monotonic archive versions; a filesystem only
+  * offers mtime). Pair with [[Graft.reset]]/full re-index when
+  * restoring from backup.
   */
 final class DirArchive(val url: String, val rootPath: String) extends Archive {
   override def files(spark: SparkSession): DataFrame = {
-    val root = rootPath.stripSuffix("/")
+    // binaryFile's `path` column is the fully-qualified URI; strip the
+    // QUALIFIED root (scheme + authority resolved by the root's own
+    // filesystem), not the raw constructor string — a hard-coded
+    // "file:" offset would silently shift pathnames for hdfs://, s3a://,
+    // pre-qualified, or relative roots
+    val p = new org.apache.hadoop.fs.Path(rootPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(p).toString.stripSuffix("/")
     spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
-      .load(root)
+      .load(rootPath)
       .select(
         lit(url).as("origin"),
-        concat(lit(url), expr(s"substring(path, ${root.length + "file:".length + 1})")).as("url"),
-        expr(s"substring(path, ${root.length + "file:".length + 1})").as("pathname"),
+        concat(lit(url), expr(s"substring(path, ${root.length + 1})")).as("url"),
+        expr(s"substring(path, ${root.length + 1})").as("pathname"),
         col("content").cast("string").as("value"),
         unix_millis(col("modificationTime")).as("fversion"))
   }

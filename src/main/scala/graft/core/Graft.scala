@@ -150,7 +150,12 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     // the next pass (over-claiming the version would silently skip it).
     val v = math.max(archive.version(spark), 0L)
     emit(GraftEvent.ArchiveIndexing(archive.url, v))
+    // one listing/content read SHARED by all view jobs (spill-safe
+    // cache, dropped at the end of the pass): unshared, each of N views
+    // would re-list the tree and re-read overlapping file contents, and
+    // files changing mid-pass would be seen inconsistently across views
     val filesNow = archive.files(spark)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Materialize the views CONCURRENTLY: each view's write is an
     // independent Spark job, and submitting them from separate driver
     // threads lets the scheduler interleave their stages (idle cores of
@@ -173,10 +178,20 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
       if (lastV < 0) {
         writeOriginPartition(name, archive.url, mapEntries(view, matched))
       } else {
-        // Incremental: reprocess only files whose version advanced;
-        // keep prior entries of unchanged files that still exist
-        // (deleted files drop out — retraction, indexer.js:269).
+        // Incremental: reprocess files whose version advanced PLUS files
+        // the index has never seen — a file placed with a backdated
+        // mtime (mv, cp -p, tar) has fversion <= lastV but no prior
+        // entries, and keying on fversion alone would drop it forever.
+        // (A matched file that legitimately emitted zero entries gets
+        // re-mapped each pass — idempotent and proportional to such
+        // files.) Keep prior entries of unchanged files that still
+        // exist; deleted files drop out (retraction, indexer.js:269).
+        val knownUrls = entriesForOrigin(name, archive.url)
+          .select(col("file_url").as("known_url")).distinct()
         val changed = matched.filter(col("fversion") > lastV)
+          .unionByName(matched.join(knownUrls,
+            col("url") === col("known_url"), "left_anti"))
+          .dropDuplicates("url")
         val currentUrls = matched.select(col("url").as("cur_url"))
         val prior = entriesForOrigin(name, archive.url)
           .join(broadcast(currentUrls), col("file_url") === col("cur_url"), "left_semi")
@@ -193,6 +208,7 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     // futures are still writing view state, and the next pass (e.g. the
     // watch tick's retry) would race them with concurrent overwrites
     val outcomes = jobs.map(j => scala.util.Try(Await.result(j, Duration.Inf)))
+    filesNow.unpersist(false)
     outcomes.collectFirst { case scala.util.Failure(e) => throw e }
     synchronized {
       indexed(archive.url) = v
@@ -302,9 +318,24 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
   def compact(view: String): Unit = indexLock.synchronized {
     val dir = viewDir(view)
     if (Files.exists(Paths.get(dir))) {
-      val rows = spark.read.schema(Graft.entrySchemaWithPartition).parquet(dir)
-        .repartition(col("ob"))
-      writeOriginPartition(view, origin = "", rows, readsState = true)
+      // one origin at a time: the readsState localCheckpoint then holds
+      // exactly ONE origin's entries (the documented sizing invariant) —
+      // compacting the whole view in one pass would materialize every
+      // origin at once
+      val stream = Files.list(Paths.get(dir))
+      val obs =
+        try {
+          import scala.jdk.CollectionConverters._
+          stream.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("ob=")).toList
+        } finally stream.close()
+      obs.foreach { ob =>
+        val obVal = ob.stripPrefix("ob=")
+        val rows = spark.read.schema(Graft.entrySchemaWithPartition).parquet(dir)
+          .filter(col("ob") === obVal)
+          .repartition(col("ob"))
+        writeOriginPartition(view, origin = "", rows, readsState = true)
+      }
     }
   }
 
@@ -320,12 +351,18 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     }
   }
 
-  /** `damr.destroy()`. */
-  def destroy(): Unit = indexLock.synchronized {
-    deleteDir(stateRoot)
-    synchronized {
-      indexed.clear()
-      viewVersions.clear()
+  /** `damr.destroy()` — stops every watch first, or a still-ticking
+    * watcher would resurrect state dirs and the catalog under the
+    * destroyed root on its next change detection.
+    */
+  def destroy(): Unit = {
+    close()
+    indexLock.synchronized {
+      deleteDir(stateRoot)
+      synchronized {
+        indexed.clear()
+        viewVersions.clear()
+      }
     }
   }
 
@@ -352,6 +389,12 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
 
   /** Raw entry state of a view:
     * (kb, key_json, file_url, pathname, seq, value_json, ob).
+    *
+    * Reads are not coordinated with in-flight merge passes: a query
+    * executing exactly while an origin partition is overwritten can
+    * transiently fail (file listed, then replaced) — retry, or pair
+    * with a transactional table format in deployments that need
+    * concurrent readers during continuous maintenance.
     */
   def entries(view: String): DataFrame = {
     viewDef(view) // existence check
@@ -643,8 +686,12 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
   private def deleteDir(path: String): Unit = {
     val p = Paths.get(path)
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      // Files.walk holds directory streams open until closed — an
+      // unclosed walk leaks fds on every retraction
+      val stream = Files.walk(p)
+      try stream.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
+      finally stream.close()
       spark.catalog.refreshByPath(path)
     }
   }

@@ -27,13 +27,28 @@ object Json {
     case m: collection.Map[_, _] =>
       m.map { case (k, x) => renderString(k.toString) + ":" + render(x) }
         .mkString("{", ",", "}")
+    case r: org.apache.spark.sql.Row =>
+      // struct-typed view values arrive as Rows (GraftFunctions.valueJson
+      // walks any shape) — render as an object when the schema names
+      // fields, else as an array
+      Option(r.schema).map(_.fieldNames) match {
+        case Some(names) =>
+          names.zipWithIndex
+            .map { case (n, i) => renderString(n) + ":" + render(r.get(i)) }
+            .mkString("{", ",", "}")
+        case None => r.toSeq.map(render).mkString("[", ",", "]")
+      }
     case xs: Iterable[_] => xs.map(render).mkString("[", ",", "]")
     case xs: Array[_] => xs.map(render).mkString("[", ",", "]")
     case other => renderString(other.toString)
   }
 
   def renderNum(d: Double): String =
-    if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    // JSON has no non-finite literals; JSON.stringify emits null (the
+    // reference's behavior) — "Infinity" would make the stored state
+    // unparseable on read
+    if (d.isNaN || d.isInfinite) "null"
+    else if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
 
   def renderString(s: String): String = {
     val sb = new StringBuilder("\"")

@@ -330,6 +330,24 @@ class GraftEngineSpec extends SparkSpec {
       "stale entries must not survive an all-entries retraction")
   }
 
+  test("incremental: a NEW file with a backdated mtime still gets indexed") {
+    val d = Files.createTempDirectory("graft-backdate")
+    writeJson(d, "/a.json", "first" -> "one", "second" -> 1)
+    val arch = new DirArchive("dat://backdate", d.toString)
+    val db10 = new Graft(spark, root.resolve("state-backdate").toString)
+    db10.define("sv", ViewDef("/*.json",
+      MapFn((v, m) => Seq(parseFirst(v) -> m.url))))
+    db10.index(arch)
+    // mv/cp -p/tar land files with PRESERVED (old) mtimes: fversion <=
+    // lastV, but the file is new to the index and must still be mapped
+    writeJson(d, "/old.json", "first" -> "two", "second" -> 2)
+    Files.setLastModifiedTime(d.resolve("old.json"), FileTime.fromMillis(
+      Files.getLastModifiedTime(d.resolve("a.json")).toMillis - 60000))
+    db10.index(arch)
+    assert(db10.getValue("sv", "two") == Some(Vector("dat://backdate/old.json")))
+    assert(db10.getValue("sv", "one") == Some(Vector("dat://backdate/a.json")))
+  }
+
   test("incremental index() retracts an origin whose matching files all disappeared") {
     val d = Files.createTempDirectory("graft-gone-arch")
     writeJson(d, "/single.json", "first" -> "gone", "second" -> 1)

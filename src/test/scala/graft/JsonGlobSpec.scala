@@ -51,6 +51,18 @@ class JsonGlobSpec extends AnyFunSuite {
     }
   }
 
+  test("json renders spark Rows as objects; non-finite doubles as null") {
+    import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType)))
+    val row = new GenericRowWithSchema(Array(1L, "x"), schema)
+    assert(Json.render(row) == """{"a":1,"b":"x"}""")
+    assert(Json.render(Double.NaN) == "null")
+    assert(Json.render(Double.PositiveInfinity) == "null")
+    assert(Json.render(Map("n" -> Double.NegativeInfinity)) == """{"n":null}""")
+  }
+
   test("json parse preserves object key insertion order past 4 keys") {
     val text = """{"z":1,"y":2,"x":3,"w":4,"v":5,"u":6,"t":7}"""
     assert(Json.render(Json.parse(text)) == text)
