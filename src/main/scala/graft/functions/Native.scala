@@ -48,9 +48,16 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object DotProduct {
-  /** Called from generated code — reads ArrayData in place, no boxing. */
+  /** Called from generated code — reads ArrayData in place, no boxing.
+    * Length mismatch THROWS: silently truncating to the shorter array
+    * would turn a dimension-corrupt embedding into a plausible-looking
+    * cosine that no gate can catch.
+    */
   def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"graft_dot: array length mismatch ($n vs ${b.numElements()})")
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }

@@ -24,6 +24,8 @@ object Salted {
 
   def join(skewed: DataFrame, dims: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(!skewed.columns.contains("_salt") && !dims.columns.contains("_salt"),
+      "inputs already carry a _salt column — rename it before salting again")
     val saltCol = pmod(
       xxhash64(struct(skewed.columns.map(col).toIndexedSeq: _*)), lit(salts.toLong))
       .cast("int")

@@ -38,6 +38,12 @@ object Ann {
       sqrt(graft.functions.Native.dot(
         org.apache.spark.sql.SparkSession.active, col("emb"), col("emb"))).as("nrm"))
 
+  /** (vec_id, emb double[], nrm) — the ONE loader every embedding query
+    * (here and in [[Dedup]]) shares, so cast/norm semantics can't drift.
+    */
+  private[queries] def embsWithNorm(s: SparkSession, dir: String): DataFrame =
+    withNorm(embs(s, dir))
+
   private def cosine(s: SparkSession, a: Column, b: Column, na: Column, nb: Column): Column =
     graft.functions.Native.dot(s, a, b) / (na * nb)
 

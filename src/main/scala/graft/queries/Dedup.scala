@@ -34,11 +34,16 @@ import graft.core.Tables
   */
 object Dedup {
 
+  private val ccLock = new Object
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  /** Whitespace-collapse + lowercase — the standard exact-dedup key. */
-  private val normText: Column =
+  /** Whitespace-collapse + lowercase — the standard exact-dedup key,
+    * shared with [[Text]]'s curation pipeline so the two dedup surfaces
+    * can never diverge on the normalization.
+    */
+  private[queries] val normText: Column =
     lower(regexp_replace(trim(col("text")), "\\s+", " "))
 
   /** Distinct word 3-grams of a document, as one array column
@@ -110,13 +115,16 @@ object Dedup {
     * materialized checkpoint (no lineage re-run). Throws rather than
     * silently returning split clusters if maxRounds is hit.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 30): DataFrame = ccLock.synchronized {
     val s = pairs.sparkSession
     // reliable checkpoints go to a PER-RUN subdir that is deleted before
     // returning (Spark never garbage-collects reliable checkpoint files
     // on its own — repeated runs would grow the dir without bound); the
     // final labels move to a localCheckpoint first so the result does
-    // not depend on the deleted files
+    // not depend on the deleted files. ccLock serializes runs because
+    // setCheckpointDir is SparkContext-global: an overlapping run would
+    // read the first run's subdir as its base, nest under it, and lose
+    // its files to the first run's cleanup.
     val baseDir = s.sparkContext.getCheckpointDir
     val runDir = baseDir.map(_ + "/cc-" + java.util.UUID.randomUUID().toString)
     runDir.foreach(s.sparkContext.setCheckpointDir)
@@ -174,8 +182,9 @@ object Dedup {
     * verify the blocked candidate generation against it.
     */
   def simhashSignatures(d: DataFrame): DataFrame =
-    d.select(col("doc_id"),
-      graft.functions.Kernels.simhash64(split(col("text"), " ")).as("sh"))
+    d.where(col("text").isNotNull) // a null text would NPE inside the kernel
+      .select(col("doc_id"),
+        graft.functions.Kernels.simhash64(split(col("text"), " ")).as("sh"))
 
   val all: Seq[Q] = Seq(
 
@@ -310,15 +319,11 @@ object Dedup {
         |FROM d JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id
         |WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"),
-          transform(col("embedding"), v => v.cast("double")).as("emb"))
-      val n = e.count() // tiny metadata-speed scalar; guards the cartesian
+      val withNorm = Ann.embsWithNorm(s, dir)
+      val n = withNorm.count() // tiny metadata-speed scalar; guards the cartesian
       require(n <= 1000000L,
         s"dedup_embedding is the O(n²) oracle baseline ($n vectors is too " +
           "many) — use dedup_embedding_lsh for corpora at scale")
-      val withNorm = e.select(col("vec_id"), col("emb"),
-        sqrt(graft.functions.Native.dot(s, col("emb"), col("emb"))).as("nrm"))
       val pairs = withNorm.as("a").join(withNorm.as("b"),
         col("a.vec_id") < col("b.vec_id"))
       pairs
@@ -335,7 +340,12 @@ object Dedup {
     // over any pair source; spec-verified against union-find on the
     // collected pairs, and run with reliable checkpointing in the spec).
     Q.noOracle("dedup_clusters") { (s, dir) =>
-      if (s.sparkContext.getCheckpointDir.isEmpty)
+      // default the checkpoint dir ONLY in local mode: on a cluster the
+      // driver's /tmp is not a shared filesystem, so reliable checkpoint
+      // partitions written by executors would be unreadable — there the
+      // deployment must configure a shared dir (else connectedComponents
+      // falls back to localCheckpoint)
+      if (s.sparkContext.isLocal && s.sparkContext.getCheckpointDir.isEmpty)
         s.sparkContext.setCheckpointDir(
           sys.props("java.io.tmpdir") + "/graft-ckpt")
       val pairs = all.find(_.name == "dedup_ngram_jaccard").get.run(s, dir)
@@ -355,11 +365,7 @@ object Dedup {
     // for the driver.
     Q.noOracle("dedup_embedding_lsh") { (s, dir) =>
       val L = 24; val bits = 6
-      val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"),
-          transform(col("embedding"), v => v.cast("double")).as("emb"))
-        .select(col("vec_id"), col("emb"),
-          sqrt(graft.functions.Native.dot(s, col("emb"), col("emb"))).as("nrm"))
+      val e = Ann.embsWithNorm(s, dir)
       val tabled = e.select(col("vec_id"),
           posexplode(graft.functions.Kernels.hyperplaneSigs(
             col("emb"), lit(L), lit(bits))).as(Seq("t", "sig")))

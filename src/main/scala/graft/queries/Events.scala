@@ -41,11 +41,16 @@ object Events {
         |  count(*) AS n_events, round(sum(value), 4) AS total_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, sid""".stripMargin) { (s, dir) =>
+      // gap test in WHOLE SECONDS (truncated), matching DuckDB
+      // date_diff('second', ...) which counts second-boundary crossings:
+      // an exact-microsecond comparison would split a 1800.7 s gap that
+      // the oracle keeps in-session
       val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
+        .withColumn("tsec", expr("unix_micros(ts) div 1000000"))
       val g = e.withColumn("brk",
-        when(lag(col("ts"), 1).over(byUserTime).isNull ||
-          (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUserTime)))
-            > 1800L * 1000000L, lit(1)).otherwise(lit(0)))
+        when(lag(col("tsec"), 1).over(byUserTime).isNull ||
+          (col("tsec") - lag(col("tsec"), 1).over(byUserTime)) > 1800L,
+          lit(1)).otherwise(lit(0)))
       val withSid = g.withColumn("sid",
         sum(col("brk")).over(byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       withSid.groupBy(col("user_id"), col("sid"))
@@ -156,12 +161,14 @@ object Events {
         |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin) { (s, dir) =>
       val binUs = 3600000000L // 1 h in microseconds
       val e = Tables.events(s, dir)
+      // integer `div` for the bin: double division + cast truncates
+      // toward zero (wrong bin pre-1970) and rides a shrinking ulp margin
       val clicks = e.where(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("c_ts"),
-          (unix_micros(col("ts")).cast("long") / binUs).cast("long").as("bin"))
+          expr(s"unix_micros(ts) div $binUs").as("bin"))
       val purchases = e.where(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"),
-          (unix_micros(col("ts")).cast("long") / binUs).cast("long").as("pbin"))
+          expr(s"unix_micros(ts) div $binUs").as("pbin"))
         .select(col("p_id"), col("user_id"), col("p_ts"),
           explode(array(col("pbin") - 1, col("pbin"))).as("bin"))
       // the exact range predicate rides INSIDE the left join (residual

@@ -98,17 +98,26 @@ object Views {
 
   /** One shared engine per sf-dir: all views defined up front, the
     * documents archive indexed ONCE — production state is shared across
-    * queries, not re-ingested per query.
+    * queries, not re-ingested per query. The cache remembers which
+    * SparkSession built each engine: a second session in the same JVM
+    * (multi-round harness) must not be served an engine pinned to a
+    * stopped context. Build runs under a lock so two threads can't race
+    * the expensive define+index.
     */
-  private val engines = scala.collection.concurrent.TrieMap.empty[String, Graft]
+  private val engines =
+    scala.collection.mutable.Map.empty[String, (SparkSession, Graft)]
 
-  private def engine(s: SparkSession, dir: String): Graft =
-    engines.getOrElseUpdate(dir, {
-      val db = new Graft(s, Files.createTempDirectory("graft-views").toString)
-      allViews.foreach { case (n, v) => db.define(n, v) }
-      db.index(docsArchive(s, dir))
-      db
-    })
+  private def engine(s: SparkSession, dir: String): Graft = engines.synchronized {
+    engines.get(dir) match {
+      case Some((sess, db)) if (sess eq s) && !sess.sparkContext.isStopped => db
+      case _ =>
+        val db = new Graft(s, Files.createTempDirectory("graft-views").toString)
+        allViews.foreach { case (n, v) => db.define(n, v) }
+        db.index(docsArchive(s, dir))
+        engines(dir) = (s, db)
+        db
+    }
+  }
 
   val all: Seq[Q] = Seq(
 
