@@ -4,12 +4,15 @@ import org.apache.spark.sql.functions._
 import graft.core._
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
+    // same env contract as Bench/Verify
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // 10 replicated origins x 5000 docs = 50k files across 10 partitions
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val state = java.nio.file.Files.createTempDirectory("graft-scale").toString
     val db = new Graft(spark, state)
     db.define("by-lang-size", ViewDef(Seq("/*.json"), MapDF { files =>

@@ -21,6 +21,15 @@ object Verify {
       catch { case e: Throwable =>
         val msg = Option(e.getMessage).filter(_.nonEmpty).getOrElse(e.toString)
         System.err.println(s"[verify] $name failed: ${msg.linesIterator.take(3).mkString(" | ")}")
+        // a stale result from a previous run must not survive a failure —
+        // the oracle compare would silently pass on the old data
+        val dir = Paths.get(s"$outDir/$name")
+        if (Files.exists(dir)) {
+          val walk = Files.walk(dir)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.delete(p))
+          finally walk.close()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -46,9 +46,14 @@ object Json {
   def renderNum(d: Double): String =
     // JSON has no non-finite literals; JSON.stringify emits null (the
     // reference's behavior) — "Infinity" would make the stored state
-    // unparseable on read
+    // unparseable on read. Integral doubles render without an exponent
+    // up to 1e21, matching JSON.stringify (nanosecond-epoch ids live in
+    // [1e15, 1e19) — an exponent form there breaks text parity).
     if (d.isNaN || d.isInfinite) "null"
-    else if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    else if (d.isWhole && math.abs(d) < 1e18) d.toLong.toString
+    else if (d.isWhole && math.abs(d) < 1e21)
+      java.math.BigDecimal.valueOf(d).toBigInteger.toString
+    else d.toString
 
   def renderString(s: String): String = {
     val sb = new StringBuilder("\"")

@@ -45,6 +45,7 @@ class DedupAnnSpec extends SparkSpec {
     val dir = sf("sf0.01")
     val exact = q("ann_bruteforce", dir)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "empty brute-force baseline — recall undefined")
     val approx = q("ann_lsh", dir)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
@@ -56,6 +57,7 @@ class DedupAnnSpec extends SparkSpec {
     val dir = sf("sf0.01")
     val exact = q("ann_bruteforce", dir)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "empty brute-force baseline — recall undefined")
     val ivf = q("ann_ivf", dir)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
@@ -196,7 +198,9 @@ class DedupAnnSpec extends SparkSpec {
   }
 
   test("no duplicate query names across suites") {
-    val names = (Relational.all ++ Views.all ++ Dedup.all ++ Ann.all ++ Text.all).map(_.name)
+    // the authoritative composition — a dup anywhere in it silently
+    // drops a query from the toMap-built driver contract
+    val names = SparkEntry.allQ.map(_.name)
     assert(names.distinct.size == names.size,
       s"dups: ${names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }}")
   }

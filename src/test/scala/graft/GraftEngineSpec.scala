@@ -72,7 +72,13 @@ class GraftEngineSpec extends SparkSpec {
   }
 
   override def afterAll(): Unit = {
-    // temp state cleanup; session is shared, leave it up
+    // best-effort temp state cleanup; session is shared, leave it up
+    try {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      finally walk.close()
+    } catch { case _: Throwable => () }
     super.afterAll()
   }
 

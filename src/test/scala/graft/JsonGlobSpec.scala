@@ -25,7 +25,12 @@ class JsonGlobSpec extends AnyFunSuite {
     assert(Json.render(5.0) == "5")
     assert(Json.render(5.5) == "5.5")
     assert(Json.render(-0.0) == "0")
-    assert(Json.render(1.0e15) == "1.0E15") // beyond safe-int, raw double form
+    // JSON.stringify renders integral doubles plainly up to 1e21 —
+    // nanosecond-epoch ids (~1e18) must not switch to exponent form
+    assert(Json.render(1.0e15) == "1000000000000000")
+    assert(Json.render(1.7e18) == "1700000000000000000")
+    assert(Json.render(1.0e20) == "100000000000000000000")
+    assert(Json.render(1.0e21) == "1.0E21") // JS switches to 1e+21 here too
   }
 
   test("json string escapes roundtrip") {

@@ -14,6 +14,9 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    // collected java.sql.Timestamp values render via the JVM default
+    // zone; specs compare their toString against UTC literals, so pin it
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
