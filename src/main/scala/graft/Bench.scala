@@ -1,9 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Queries that mutate shared SparkSession state mid-run (start/stop a
+    * streaming query, register+drop a complete-mode memory sink). They run
+    * LAST so their session churn can't bleed into the timing of whatever
+    * happens to follow them in declaration order (r2 saw q23/q24/q27
+    * inflate >2x right after q20s_stream_window).
+    */
+  private val sessionMutating = Set("q20s_stream_window")
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.size / 2) // odd-count repeats; upper median for even counts
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // median-of-N per query (default 3): single-shot timings on this host
+    // vary up to 1.5x run-to-run, which flagged spurious "regressions" in r2
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,25 +37,30 @@ object Bench {
     }
     // declaration order (deterministic), not Map hash order — timings of
     // shared-state queries (view_*) stay attributable run to run
-    // a crashing query must NOT bench as "fast": record it as -1 s (an
-    // impossible time) and surface the failure on stderr + an errors list
-    val results = SparkEntry.allQ.map { q =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { q.run(spark, sfDir).count(); true }
+    val ordered = {
+      val (mutating, pure) = SparkEntry.allQ.partition(q => sessionMutating(q.name))
+      pure ++ mutating
+    }
+    // a crashing query must NOT bench as "fast": if every repeat fails,
+    // record -1 s (an impossible time) and surface it on stderr + failed[]
+    val results = ordered.map { q =>
+      val times = (1 to repeats).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { q.run(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {
           case e: Throwable =>
             System.err.println(s"BENCH FAIL ${q.name}: ${e.getMessage}")
-            false
+            None
         }
-      (q.name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      (q.name, if (times.nonEmpty) median(times) else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(n => "\"" + n._1 + "\"")
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","repeats":$repeats}""")
     spark.stop()
   }
 }

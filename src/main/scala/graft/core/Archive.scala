@@ -17,6 +17,14 @@ trait Archive {
   /** Origin URL, e.g. "dat://site-a" — the partition unit of view state. */
   def url: String
 
+  /** True when `fversion` is a CONTENT HASH rather than a monotonic
+    * stamp. Hash versions can't be compared with `>`, so the engine
+    * switches change detection from `fversion > lastIndexed` to an
+    * equality diff against the per-origin file-version sidecar it
+    * maintains ([[Graft]] `_files/` state).
+    */
+  def contentVersioned: Boolean = false
+
   /** Current overall version (max file version). */
   def version(spark: SparkSession): Long =
     files(spark).agg(max(col("fversion"))).collect()(0) match {
@@ -33,14 +41,26 @@ trait Archive {
   * content access are distributed and column-pruned: plans that only
   * need `pathname`/`fversion` (change detection) never read file bytes.
   *
-  * `fversion` is modification time: a file restored with a REGRESSED
-  * mtime, or rewritten within the same mtime granule (same millisecond
-  * — or coarser on some filesystems), is treated as unchanged (the
-  * reference has true monotonic archive versions; a filesystem only
-  * offers mtime). Pair with [[Graft.reset]]/full re-index when
-  * restoring from backup.
+  * `fversion` is modification time by default: a file restored with a
+  * REGRESSED mtime, or rewritten within the same mtime granule (same
+  * millisecond — or coarser on some filesystems), is treated as
+  * unchanged (the reference has true monotonic archive versions,
+  * lib/indexer.js:355; a filesystem only offers mtime).
+  *
+  * `contentHash = true` closes that blind spot: `fversion` becomes
+  * xxhash64 of the file CONTENT, and the engine diffs it against its
+  * per-origin file-version sidecar instead of comparing stamps. The
+  * tradeoff is explicit: every change-detection pass (including each
+  * watch tick's listing signature) must read all file bytes, where the
+  * mtime form is a metadata-only listing. Choose per archive: mtime for
+  * cheap ticks over well-behaved writers, content hash when rewrites
+  * may not advance mtime (backup restores, tar/cp -p, sub-granule
+  * rewrites).
   */
-final class DirArchive(val url: String, val rootPath: String) extends Archive {
+final class DirArchive(
+    val url: String, val rootPath: String,
+    val contentHash: Boolean = false) extends Archive {
+  override def contentVersioned: Boolean = contentHash
   override def files(spark: SparkSession): DataFrame = {
     // binaryFile's `path` column is the fully-qualified URI; strip the
     // QUALIFIED root (scheme + authority resolved by the root's own
@@ -58,7 +78,11 @@ final class DirArchive(val url: String, val rootPath: String) extends Archive {
         concat(lit(url), expr(s"substring(path, ${root.length + 1})")).as("url"),
         expr(s"substring(path, ${root.length + 1})").as("pathname"),
         col("content").cast("string").as("value"),
-        unix_millis(col("modificationTime")).as("fversion"))
+        (if (contentHash)
+          // sign-masked so fversion stays non-negative (lastIndexed >= 0
+          // is the engine's "has been indexed" signal)
+          expr("xxhash64(content) & 9223372036854775807")
+        else unix_millis(col("modificationTime"))).as("fversion"))
   }
 }
 

@@ -40,6 +40,10 @@ object GraftEvent {
   final case class ArchiveMissing(origin: String) extends GraftEvent
   final case class ArchiveFound(origin: String) extends GraftEvent
   final case class ArchiveError(origin: String, error: Throwable) extends GraftEvent
+  /** `view-reset` (reference index.js:113) — reset() is view-scoped, not
+    * origin-scoped, so `origin` is empty.
+    */
+  final case class ViewReset(view: String) extends GraftEvent { def origin: String = "" }
 }
 
 /** The engine: a Spark-native re-expression of DatArchiveMapReduce
@@ -117,6 +121,12 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
       throw new SchemaError(s"$name: path patterns must be non-empty strings")
     if (view.reduce != null && view.reduce.contains(null))
       throw new SchemaError(s"$name: reduce must not be null")
+    if (view.materialize && (view.reduce == null || view.reduce.isEmpty))
+      throw new SchemaError(s"$name: materialize requires a reduce")
+    if (view.materialize && view.reduce.exists(_.isInstanceOf[Reduce.Fold]))
+      throw new SchemaError(
+        s"$name: materialize requires an associative reduce (Count/Sum/Min/" +
+          "Max/Assoc) — per-origin partials of an order-sensitive Fold cannot merge")
     views(name) = view
   }
 
@@ -145,17 +155,23 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     // staging. Watch ticks of different origins queue here too. (The
     // per-view parallelism below still applies inside each pass.)
     indexLock.synchronized {
-    // The catalog version is captured BEFORE the view jobs run: a file
-    // modified mid-pass then carries fversion > v and is re-processed by
-    // the next pass (over-claiming the version would silently skip it).
-    val v = math.max(archive.version(spark), 0L)
-    emit(GraftEvent.ArchiveIndexing(archive.url, v))
     // one listing/content read SHARED by all view jobs (spill-safe
     // cache, dropped at the end of the pass): unshared, each of N views
     // would re-list the tree and re-read overlapping file contents, and
     // files changing mid-pass would be seen inconsistently across views
     val filesNow = archive.files(spark)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The catalog version is captured BEFORE the view jobs run: a file
+    // modified mid-pass then carries fversion > v and is re-processed by
+    // the next pass (over-claiming the version would silently skip it).
+    // Computed from the persisted snapshot, not archive.version(): for a
+    // content-versioned archive the latter would read every file's bytes
+    // a second time just for the max.
+    val v = filesNow.agg(coalesce(max(col("fversion")), lit(0L))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => math.max(r.getLong(0), 0L)
+    }
+    emit(GraftEvent.ArchiveIndexing(archive.url, v))
     // Materialize the views CONCURRENTLY: each view's write is an
     // independent Spark job, and submitting them from separate driver
     // threads lets the scheduler interleave their stages (idle cores of
@@ -173,6 +189,19 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     }
     val total = viewsSnap.size
     val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    // Content-versioned archives: hashes aren't monotonic, so "changed"
+    // is an equality diff against the per-origin file-version sidecar
+    // written by the previous pass — (url, fversion) pairs not in the
+    // sidecar are new or rewritten (catches same-mtime rewrites and
+    // regressed mtimes that the `> lastV` stamp comparison can't see).
+    // Shared across all view jobs of this pass.
+    val hashChanged: Option[DataFrame] =
+      if (archive.contentVersioned) Some(
+        filesNow.join(fileVersions(archive.url),
+          filesNow("url") === col("fv_url") && filesNow("fversion") === col("fv_fversion"),
+          "left_anti")
+          .select(col("url").as("hchg_url")))
+      else None
     val jobs = viewsSnap.map { case (name, view, lastV) => Future {
       val matched = filesNow.filter(col("pathname").rlike(view.pathRegex))
       if (lastV < 0) {
@@ -188,7 +217,11 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
         // exist; deleted files drop out (retraction, indexer.js:269).
         val knownUrls = entriesForOrigin(name, archive.url)
           .select(col("file_url").as("known_url")).distinct()
-        val changed = matched.filter(col("fversion") > lastV)
+        val versionChanged = hashChanged match {
+          case Some(h) => matched.join(h, col("url") === col("hchg_url"), "left_semi")
+          case None => matched.filter(col("fversion") > lastV)
+        }
+        val changed = versionChanged
           .unionByName(matched.join(knownUrls,
             col("url") === col("known_url"), "left_anti"))
           .dropDuplicates("url")
@@ -208,8 +241,17 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     // futures are still writing view state, and the next pass (e.g. the
     // watch tick's retry) would race them with concurrent overwrites
     val outcomes = jobs.map(j => scala.util.Try(Await.result(j, Duration.Inf)))
+    outcomes.collectFirst { case scala.util.Failure(e) =>
+      filesNow.unpersist(false); throw e }
+    // sidecar AFTER every view landed, BEFORE the catalog claims the
+    // version: a failed pass leaves the old sidecar, so the retried pass
+    // re-detects the same changed set (idempotent overwrite). Written
+    // from the persisted pre-pass snapshot — a file modified mid-pass is
+    // absent from it and re-detected next pass.
+    if (archive.contentVersioned)
+      writeFileVersions(archive.url,
+        filesNow.select(col("url").as("fv_url"), col("fversion").as("fv_fversion")))
     filesNow.unpersist(false)
-    outcomes.collectFirst { case scala.util.Failure(e) => throw e }
     synchronized {
       indexed(archive.url) = v
       viewsSnap.foreach { case (name, _, _) =>
@@ -274,6 +316,7 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     unwatch(origin)
     indexLock.synchronized {
       viewNames.foreach(name => deleteDir(s"${viewDir(name)}/ob=${escape(origin)}"))
+      deleteDir(fileVersionsDir(origin))
       synchronized {
         viewNames.foreach(name => viewVersions.remove(vvKey(origin, name)))
         indexed.remove(origin)
@@ -289,7 +332,9 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     val file = archive.files(spark).filter(col("pathname") === pathname)
     val snap = synchronized(views.toSeq)
     snap.foreach { case (name, view) =>
-      if (file.filter(col("pathname").rlike(view.pathRegex)).limit(1).count() > 0) {
+      // the pathname is driver-known: test the glob driver-side instead
+      // of running a .limit(1).count() Spark job per view per file touch
+      if (view.pathMatches(pathname)) {
         val fileUrl = archive.url + pathname
         val prior = entriesForOrigin(name, archive.url)
           .filter(col("file_url") =!= fileUrl)
@@ -343,12 +388,15 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     * per-origin index versions, so the next index() rebuilds it fully —
     * reference Indexer.resetIndex semantics).
     */
-  def reset(view: String): Unit = indexLock.synchronized {
-    deleteDir(viewDir(view))
-    synchronized {
-      viewVersions.filterInPlace { case (k, _) => !k.endsWith("\n" + view) }
-      saveCatalog()
+  def reset(view: String): Unit = {
+    indexLock.synchronized {
+      deleteDir(viewDir(view))
+      synchronized {
+        viewVersions.filterInPlace { case (k, _) => !k.endsWith("\n" + view) }
+        saveCatalog()
+      }
     }
+    emit(GraftEvent.ViewReset(view))
   }
 
   /** `damr.destroy()` — stops every watch first, or a still-ticking
@@ -473,6 +521,7 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
   // --- internals -----------------------------------------------------
 
   private def viewDir(view: String): String = s"$stateRoot/$view/entries"
+  private def foldsDir(view: String): String = s"$stateRoot/$view/folds"
 
   /** Run a view's map over matched files, producing entry rows. */
   private[graft] def mapEntries(view: ViewDef, files: DataFrame): DataFrame = {
@@ -607,6 +656,32 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
   private def entriesForOrigin(view: String, origin: String): DataFrame =
     entries(view).filter(col("ob") === escape(origin))
 
+  // --- per-origin file-version sidecar (content-versioned archives) ---
+
+  private def fileVersionsDir(origin: String): String =
+    s"$stateRoot/_files/ob=${escape(origin)}"
+
+  /** (fv_url, fv_fversion) as of the last completed pass — empty before
+    * the first pass. O(#files) metadata rows, origin-partitioned like the
+    * entry state.
+    */
+  private def fileVersions(origin: String): DataFrame = {
+    val dir = fileVersionsDir(origin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("fv_url", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("fv_fversion", org.apache.spark.sql.types.LongType)))
+    if (!Files.exists(Paths.get(dir)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.schema(schema).parquet(dir)
+  }
+
+  private def writeFileVersions(origin: String, fv: DataFrame): Unit = {
+    // plain overwrite: the write plan derives from the listing snapshot,
+    // never from the old sidecar, so no read-path conflict
+    fv.write.mode("overwrite").parquet(fileVersionsDir(origin))
+    spark.catalog.refreshByPath(fileVersionsDir(origin))
+  }
+
   /** Dynamic partition overwrite of exactly the origin partitions present
     * in `rows` — the incremental-maintenance primitive.
     *
@@ -652,9 +727,21 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
       case Reduce.Assoc(f) =>
         grouped.agg(udaf(new JsonMergeAggregator(f)).apply(col("value_json")).as("value_json"))
       case Reduce.Fold(f) =>
+        // ENFORCED cardinality contract (was advisory): Fold replays the
+        // reference's sequential (acc, value, key) order, which requires
+        // collecting a key's values into one row — a hostile key would
+        // OOM an executor. Fail loudly above the cap instead.
+        val cap = spark.conf.getOption("graft.fold.maxValuesPerKey")
+          .map(_.toInt).getOrElse(Graft.defaultFoldCap)
         val foldUdf = udf(
           new org.apache.spark.sql.api.java.UDF2[scala.collection.Seq[Row], String, String] {
             override def call(vals: scala.collection.Seq[Row], keyJson: String): String = {
+              if (vals.size > cap) throw new IllegalStateException(
+                s"Reduce.Fold: key $keyJson has ${vals.size} values (cap $cap). " +
+                  "Fold collects a key's values to replay the reference's " +
+                  "sequential order and is bounded-cardinality-only; use " +
+                  "Reduce.Assoc for order-insensitive folds, or raise " +
+                  "spark conf graft.fold.maxValuesPerKey.")
               val key = Json.parse(keyJson)
               val sorted = vals.sortBy(r => (r.getAs[String]("file_url"), r.getAs[Int]("seq")))
               var acc: Option[Any] = None
@@ -751,4 +838,11 @@ object Graft {
 
   val entrySchemaWithPartition: StructType =
     entrySchema.add(StructField("ob", StringType))
+
+  /** Default per-key value cap for [[Reduce.Fold]] (override with spark
+    * conf `graft.fold.maxValuesPerKey`). 100k JSON values ~ tens of MB in
+    * one aggregation buffer — far past the reference's operating regime
+    * and a safe executor-memory margin.
+    */
+  val defaultFoldCap: Int = 100000
 }

@@ -81,16 +81,42 @@ private[core] class JsonMergeAggregator(f: (Any, Any) => Any)
   * reference's anymatch `path`), how to map them to entries, and an
   * optional per-key reduce.
   */
+/** A view definition: which files (glob patterns over pathname, the
+  * reference's anymatch `path`), how to map them to entries, an optional
+  * per-key reduce, and whether that reduce is MATERIALIZED at write time.
+  *
+  * `materialize = true` is the reference's `reducesLevel` trade
+  * (lib/view.js:42-46): each index pass pre-folds the origin's entries
+  * into a `folds/` state dir (per-origin PARTIAL folds, maintained by the
+  * same partition overwrite as the entries; retraction re-folds the
+  * affected origin), and `get`/`list` merge the per-origin partials
+  * instead of re-aggregating every emitted value — read-heavy deployments
+  * stop re-paying the fold per query. Requires an ASSOCIATIVE reduce
+  * (Count/Sum/Min/Max/Assoc): per-origin partials of an order-sensitive
+  * [[Reduce.Fold]] cannot merge, so Fold views always fold at read time.
+  */
 final case class ViewDef(
     path: Seq[String],
     map: MapSpec,
-    reduce: Option[Reduce] = None) {
+    reduce: Option[Reduce] = None,
+    materialize: Boolean = false) {
 
   /** SQL regexp equivalent of the glob patterns (applied as a pushed-down
     * filter on pathname).
     */
   def pathRegex: String =
     path.map(ViewDef.globToRegex).mkString("(", ")|(", ")")
+
+  @transient private lazy val pathPattern =
+    java.util.regex.Pattern.compile(pathRegex)
+
+  /** Driver-side glob test with `rlike` semantics (unanchored find over
+    * the same regex), for call sites where the pathname is already known
+    * on the driver — a `filter(...).limit(1).count()` job per view just
+    * to test a glob is a job too many.
+    */
+  def pathMatches(pathname: String): Boolean =
+    pathPattern.matcher(pathname).find()
 }
 
 object ViewDef {

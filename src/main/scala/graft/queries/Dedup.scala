@@ -62,10 +62,14 @@ object Dedup {
     cands
       .join(gsets.select(col("doc_id").as("a_id"), col("gs").as("ga")), "a_id")
       .join(gsets.select(col("doc_id").as("b_id"), col("gs").as("gb")), "b_id")
+      // hoist |∩| into a named column: computing array_intersect twice
+      // in one expression leans on codegen subexpression elimination for
+      // the most expensive dedup stage — make the single evaluation
+      // structural instead
+      .select(col("a_id"), col("b_id"), col("ga"), col("gb"),
+        size(array_intersect(col("ga"), col("gb"))).as("ni"))
       .select(col("a_id"), col("b_id"),
-        (size(array_intersect(col("ga"), col("gb"))) /
-          (size(col("ga")) + size(col("gb")) -
-            size(array_intersect(col("ga"), col("gb"))))).as("jacc"))
+        (col("ni") / (size(col("ga")) + size(col("gb")) - col("ni"))).as("jacc"))
       .where(col("jacc") >= tau)
       .select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
   }

@@ -354,6 +354,67 @@ class GraftEngineSpec extends SparkSpec {
     assert(db10.getValue("sv", "one") == Some(Vector("dat://backdate/a.json")))
   }
 
+  test("contentHash fversion: rewrite with an UNCHANGED mtime is re-indexed") {
+    val d = Files.createTempDirectory("graft-samemtime")
+    writeJson(d, "/a.json", "first" -> "v1", "second" -> 1)
+    val mtime = Files.getLastModifiedTime(d.resolve("a.json"))
+
+    // control: the default mtime stamp can't see a same-granule rewrite
+    val dbM = new Graft(spark, root.resolve("state-mtime-blind").toString)
+    dbM.define("sv", ViewDef("/*.json", MapFn((v, m) => Seq(parseFirst(v) -> m.url))))
+    dbM.index(new DirArchive("dat://samem", d.toString))
+    // content-hash mode: the diff is on xxhash64(content), mtime-blind
+    val dbH = new Graft(spark, root.resolve("state-hash").toString)
+    dbH.define("sv", ViewDef("/*.json", MapFn((v, m) => Seq(parseFirst(v) -> m.url))))
+    dbH.index(new DirArchive("dat://sameh", d.toString, contentHash = true))
+    assert(dbH.getValue("sv", "v1").isDefined)
+
+    writeJson(d, "/a.json", "first" -> "v2", "second" -> 2)
+    Files.setLastModifiedTime(d.resolve("a.json"), mtime) // regress to the indexed granule
+
+    dbM.index(new DirArchive("dat://samem", d.toString))
+    assert(dbM.getValue("sv", "v1").isDefined && dbM.getValue("sv", "v2").isEmpty,
+      "documented blind spot: mtime stamps treat a same-granule rewrite as unchanged")
+    dbH.index(new DirArchive("dat://sameh", d.toString, contentHash = true))
+    assert(dbH.getValue("sv", "v2") == Some(Vector("dat://sameh/a.json")),
+      "content-hash diff must re-index the rewritten file")
+    assert(dbH.getValue("sv", "v1").isEmpty, "old entries must be retracted")
+
+    // unchanged content on a later pass stays put (idempotent diff)
+    dbH.index(new DirArchive("dat://sameh", d.toString, contentHash = true))
+    assert(dbH.getValue("sv", "v2") == Some(Vector("dat://sameh/a.json")))
+  }
+
+  test("reset() emits view-reset (index.js:113)") {
+    val dbR = new Graft(spark, root.resolve("state-reset-event").toString)
+    dbR.define("sv", ViewDef("/*.json", MapFn((v, m) => Seq(parseFirst(v) -> m.url))))
+    val events = scala.collection.mutable.ArrayBuffer.empty[GraftEvent]
+    dbR.addListener(e => events.synchronized { events += e })
+    dbR.reset("sv")
+    assert(events.synchronized(events.toList).contains(GraftEvent.ViewReset("sv")))
+  }
+
+  test("Reduce.Fold enforces its per-key cardinality cap with a clear failure") {
+    val d = Files.createTempDirectory("graft-foldcap")
+    (1 to 3).foreach(i => writeJson(d, s"/f$i.json", "first" -> "same-key", "second" -> i))
+    val dbF = new Graft(spark, root.resolve("state-foldcap").toString)
+    dbF.define("folded", ViewDef("/*.json",
+      MapFn((v, m) => Seq(parseFirst(v) -> 1)),
+      Reduce.Fold((acc, _, _) => acc.map(_.asInstanceOf[Double] + 1).getOrElse(1.0))))
+    dbF.index(new DirArchive("dat://foldcap", d.toString))
+    spark.conf.set("graft.fold.maxValuesPerKey", "2")
+    try {
+      val e = intercept[Exception](dbF.getValue("folded", "same-key"))
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+          .map(x => Option(x.getMessage).getOrElse("")).toSeq
+      assert(chain(e).exists(_.contains("Reduce.Assoc")),
+        s"failure must point at the Assoc alternative, got: ${chain(e)}")
+    } finally spark.conf.unset("graft.fold.maxValuesPerKey")
+    // under the default cap the fold still works
+    assert(dbF.getValue("folded", "same-key") == Some(3.0))
+  }
+
   test("incremental index() retracts an origin whose matching files all disappeared") {
     val d = Files.createTempDirectory("graft-gone-arch")
     writeJson(d, "/single.json", "first" -> "gone", "second" -> 1)
