@@ -206,6 +206,7 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
       val matched = filesNow.filter(col("pathname").rlike(view.pathRegex))
       if (lastV < 0) {
         writeOriginPartition(name, archive.url, mapEntries(view, matched))
+        refoldOrigin(name, view, archive.url)
       } else {
         // Incremental: reprocess files whose version advanced PLUS files
         // the index has never seen — a file placed with a backdated
@@ -233,6 +234,7 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
           .select(Graft.entrySchemaWithPartition.fieldNames.toIndexedSeq.map(col): _*)
         writeOriginPartition(name, archive.url,
           prior.unionByName(mapEntries(view, changed)), readsState = true)
+        refoldOrigin(name, view, archive.url)
       }
       emit(GraftEvent.IndexProgress(archive.url, name, done.incrementAndGet(), total))
     } }
@@ -315,7 +317,10 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
   def unindex(origin: String): Unit = {
     unwatch(origin)
     indexLock.synchronized {
-      viewNames.foreach(name => deleteDir(s"${viewDir(name)}/ob=${escape(origin)}"))
+      viewNames.foreach { name =>
+        deleteDir(s"${viewDir(name)}/ob=${escape(origin)}")
+        deleteDir(s"${foldsDir(name)}/ob=${escape(origin)}")
+      }
       deleteDir(fileVersionsDir(origin))
       synchronized {
         viewNames.foreach(name => viewVersions.remove(vvKey(origin, name)))
@@ -340,6 +345,7 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
           .filter(col("file_url") =!= fileUrl)
         writeOriginPartition(name, archive.url,
           prior.unionByName(mapEntries(view, file)), readsState = true)
+        refoldOrigin(name, view, archive.url)
       }
     }
   }
@@ -347,9 +353,11 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
   /** `damr.unindexFile` — retract one file's entries. */
   def unindexFile(origin: String, pathname: String): Unit = indexLock.synchronized {
     val fileUrl = origin + pathname
-    viewNames.foreach { name =>
+    val snap = synchronized(views.toSeq)
+    snap.foreach { case (name, view) =>
       val prior = entriesForOrigin(name, origin).filter(col("file_url") =!= fileUrl)
       writeOriginPartition(name, origin, prior, readsState = true)
+      refoldOrigin(name, view, origin)
     }
   }
 
@@ -391,6 +399,7 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
   def reset(view: String): Unit = {
     indexLock.synchronized {
       deleteDir(viewDir(view))
+      deleteDir(foldsDir(view))
       synchronized {
         viewVersions.filterInPlace { case (k, _) => !k.endsWith("\n" + view) }
         saveCatalog()
@@ -457,11 +466,17 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     */
   def get(view: String, key: Any): DataFrame = {
     val kb = KeyCodec.encode(KeyCodec.asKey(key))
-    val hit = entries(view).filter(col("kb") === lit(kb))
-    viewDef(view).reduce match {
-      case Some(r) => reduceEntries(hit, r)
+    val vd = viewDef(view)
+    vd.reduce match {
+      case Some(r) if useFolds(view, vd) =>
+        // materialized path: merge the per-origin partials at the key —
+        // never touches the (much larger) raw entry state
+        mergeFolds(folds(view).filter(col("kb") === lit(kb)), r, keepKb = false)
+      case Some(r) =>
+        reduceEntries(entries(view).filter(col("kb") === lit(kb)), r)
       case None =>
-        hit.orderBy(col("file_url"), col("seq"))
+        entries(view).filter(col("kb") === lit(kb))
+          .orderBy(col("file_url"), col("seq"))
           .select(col("key_json"), col("value_json"))
     }
   }
@@ -483,14 +498,18 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     * parquet scan.
     */
   def list(view: String, opts: ListOpts = ListOpts()): DataFrame = {
-    var df = entries(view)
+    val vd = viewDef(view)
+    val fromFolds = useFolds(view, vd)
+    // the kb range bounds push into whichever state is being scanned —
+    // folds for materialized reduced views, raw entries otherwise
+    var df = if (fromFolds) folds(view) else entries(view)
     opts.gt.foreach(k => df = df.filter(col("kb") > lit(KeyCodec.encode(k))))
     opts.gte.foreach(k => df = df.filter(col("kb") >= lit(KeyCodec.encode(k))))
     opts.lt.foreach(k => df = df.filter(col("kb") < lit(KeyCodec.encode(k))))
     opts.lte.foreach(k => df = df.filter(col("kb") <= lit(KeyCodec.encode(k))))
 
-    val vd = viewDef(view)
     val reduced = vd.reduce match {
+      case Some(r) if fromFolds => mergeFolds(df, r, keepKb = true)
       case Some(r) => reduceEntries(df, r, keepKb = true)
       case None => df.select(col("kb"), col("key_json"), col("file_url"), col("seq"), col("value_json"))
     }
@@ -655,6 +674,76 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
 
   private def entriesForOrigin(view: String, origin: String): DataFrame =
     entries(view).filter(col("ob") === escape(origin))
+
+  // --- write-time reduce materialization (folds/ state) ---------------
+
+  /** Re-fold ONE origin's partial folds from its just-written entries —
+    * the write half of `materialize = true` (reference reducesLevel,
+    * lib/view.js:42-46). Runs inside the index pass that rewrote the
+    * origin's entries: retraction, incremental merge and full build all
+    * funnel through the same partition overwrite, so the fold state can
+    * never drift from the entry state it derives from. Partials are
+    * per-origin (the maintenance unit); reads merge them across origins.
+    */
+  private def refoldOrigin(name: String, view: ViewDef, origin: String): Unit =
+    view.reduce match {
+      case Some(r) if view.materialize =>
+        val ob = escape(origin)
+        // eager localCheckpoint: one row per (key, origin) — computed once,
+        // then reused by the emptiness probe and the write
+        val folded = reduceEntries(entriesForOrigin(name, origin), r, keepKb = true)
+          .withColumn("ob", lit(ob))
+          .localCheckpoint(true)
+        if (folded.isEmpty) deleteDir(s"${foldsDir(name)}/ob=$ob")
+        else {
+          folded.write
+            .partitionBy("ob")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(foldsDir(name))
+          spark.catalog.refreshByPath(foldsDir(name))
+        }
+      case _ => ()
+    }
+
+  private def foldsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("kb", org.apache.spark.sql.types.BinaryType),
+    org.apache.spark.sql.types.StructField("key_json", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value_json", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("ob", org.apache.spark.sql.types.StringType)))
+
+  /** True when reads of this view should serve the materialized folds. */
+  private def useFolds(name: String, vd: ViewDef): Boolean =
+    vd.materialize && vd.reduce.isDefined && Files.exists(Paths.get(foldsDir(name)))
+
+  private def folds(name: String): DataFrame =
+    spark.read.schema(foldsSchema).parquet(foldsDir(name))
+
+  /** Merge per-origin PARTIAL folds into the final per-key value — the
+    * combine side of the classic partial aggregation split: Count partials
+    * sum, Sum partials sum, Min/Max partials min/max, Assoc partials merge
+    * through the same user function (associativity is the materialize
+    * contract, enforced in define()).
+    */
+  private def mergeFolds(df: DataFrame, r: Reduce, keepKb: Boolean): DataFrame = {
+    val grouped = df.groupBy(col("kb"), col("key_json"))
+    val agg = r match {
+      case Reduce.Count => grouped.agg(sum(col("value_json").cast("long")).as("c"))
+        .withColumn("value_json", col("c").cast("string"))
+      case Reduce.Sum => grouped.agg(sum(col("value_json").cast("double")).as("s"))
+        .withColumn("value_json", udfRenderNum(col("s")))
+      case Reduce.Min => grouped.agg(min(col("value_json").cast("double")).as("s"))
+        .withColumn("value_json", udfRenderNum(col("s")))
+      case Reduce.Max => grouped.agg(max(col("value_json").cast("double")).as("s"))
+        .withColumn("value_json", udfRenderNum(col("s")))
+      case Reduce.Assoc(f) =>
+        grouped.agg(udaf(new JsonMergeAggregator(f)).apply(col("value_json")).as("value_json"))
+      case _: Reduce.Fold => throw new IllegalStateException(
+        "Fold views are never materialized (define() rejects them)")
+    }
+    if (keepKb) agg.select(col("kb"), col("key_json"), col("value_json"))
+    else agg.select(col("key_json"), col("value_json"))
+  }
 
   // --- per-origin file-version sidecar (content-versioned archives) ---
 

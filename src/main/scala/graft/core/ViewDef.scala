@@ -78,10 +78,6 @@ private[core] class JsonMergeAggregator(f: (Any, Any) => Any)
 }
 
 /** A view definition: which files (glob patterns over pathname, the
-  * reference's anymatch `path`), how to map them to entries, and an
-  * optional per-key reduce.
-  */
-/** A view definition: which files (glob patterns over pathname, the
   * reference's anymatch `path`), how to map them to entries, an optional
   * per-key reduce, and whether that reduce is MATERIALIZED at write time.
   *

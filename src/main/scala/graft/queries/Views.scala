@@ -64,13 +64,13 @@ object Views {
     "lang-source" -> ViewDef(Seq("/*.json"), MapDF { files =>
       GraftFunctions.emitEntry(parsed(files),
         Seq(col("j.lang"), col("j.source")), lit(1))
-    }, Some(Reduce.Count)),
+    }, Some(Reduce.Count), materialize = true),
     "lang-count" -> ViewDef(Seq("/*.json"), MapDF { files =>
       GraftFunctions.emitEntry(parsed(files), Seq(col("j.lang")), lit(1))
-    }, Some(Reduce.Count)),
+    }, Some(Reduce.Count), materialize = true),
     "lang-chars" -> ViewDef(Seq("/*.json"), MapDF { files =>
       GraftFunctions.emitEntry(parsed(files), Seq(col("j.lang")), col("j.n_chars"))
-    }, Some(Reduce.Sum)),
+    }, Some(Reduce.Sum), materialize = true),
     // reference-shaped compat map: user function over (value, meta),
     // running as a typed flatMap — the A1 MapFn path through the gate
     "mapfn-langs" -> ViewDef(Seq("/*.json"), MapFn { (value, meta) =>
@@ -81,7 +81,7 @@ object Views {
     "assoc-maxchars" -> ViewDef(Seq("/*.json"), MapDF { files =>
       GraftFunctions.emitEntry(parsed(files), Seq(col("j.lang")), col("j.n_chars"))
     }, Some(Reduce.Assoc((a, b) =>
-      math.max(a.asInstanceOf[Double], b.asInstanceOf[Double])))),
+      math.max(a.asInstanceOf[Double], b.asInstanceOf[Double]))), materialize = true),
     // ORDER-SENSITIVE user fold (A10 Fold): csv of doc_ids in file order —
     // the reference's sequential (acc, value, key) replay (view.js:126)
     "fold-ids" -> ViewDef(Seq("/*.json"), MapDF { files =>

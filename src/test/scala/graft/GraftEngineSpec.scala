@@ -415,6 +415,61 @@ class GraftEngineSpec extends SparkSpec {
     assert(dbF.getValue("folded", "same-key") == Some(3.0))
   }
 
+  test("materialized reduce: write-time folds track incremental re-index and retraction") {
+    val d1 = Files.createTempDirectory("graft-mat-a")
+    val d2 = Files.createTempDirectory("graft-mat-b")
+    writeJson(d1, "/a.json", "first" -> "k1", "second" -> 10)
+    writeJson(d1, "/b.json", "first" -> "k1", "second" -> 5)
+    writeJson(d2, "/c.json", "first" -> "k1", "second" -> 1)
+    writeJson(d2, "/d.json", "first" -> "k2", "second" -> 7)
+    val dbm = new Graft(spark, root.resolve("state-mat").toString)
+    // Sum over "second" keyed by "first", pre-folded at write time
+    dbm.define("sums", ViewDef(Seq("/*.json"),
+      MapFn((v, m) => {
+        val rec = core.Json.parse(v).asInstanceOf[Map[String, Any]]
+        Seq(rec("first") -> rec("second"))
+      }), Some(Reduce.Sum), materialize = true))
+    val a1 = new DirArchive("dat://mat-a", d1.toString)
+    val a2 = new DirArchive("dat://mat-b", d2.toString)
+    dbm.index(a1); dbm.index(a2)
+    // folds dir exists and serves reads (cross-origin partial merge: 10+5+1)
+    assert(Files.exists(root.resolve("state-mat/sums/folds")))
+    assert(dbm.getValue("sums", "k1") == Some(16.0))
+    assert(dbm.getValue("sums", "k2") == Some(7.0))
+
+    // incremental re-index refolds only the touched origin's partial
+    writeJson(d1, "/b.json", "first" -> "k1", "second" -> 50)
+    bumpMtime(d1, "/b.json", 60000)
+    dbm.index(a1)
+    assert(dbm.getValue("sums", "k1") == Some(61.0))
+
+    // single-file retraction refolds
+    dbm.unindexFile("dat://mat-b", "/c.json")
+    assert(dbm.getValue("sums", "k1") == Some(60.0))
+    // origin retraction drops its fold partition; remaining origin serves
+    dbm.unindex("dat://mat-b")
+    assert(dbm.getValue("sums", "k2").isEmpty)
+    assert(dbm.getValue("sums", "k1") == Some(60.0))
+
+    // list() over folds honors range + limit semantics
+    writeJson(d1, "/e.json", "first" -> "k0", "second" -> 2)
+    dbm.index(a1)
+    assert(dbm.listEntries("sums").map(e => (e.key, e.value)) ==
+      Seq(("k0", 2.0), ("k1", 60.0)))
+    assert(dbm.listEntries("sums", ListOpts(gte = Some(Seq("k1")))).map(_.value) == Seq(60.0))
+
+    // retract-to-empty removes the folds partition entirely
+    dbm.unindex("dat://mat-a")
+    assert(dbm.listEntries("sums").isEmpty)
+
+    // define-time contract: Fold and reduce-less views can't materialize
+    intercept[SchemaError](dbm.define("bad1", ViewDef(Seq("/*.json"),
+      MapFn((_, m) => Seq("k" -> 1)), None, materialize = true)))
+    intercept[SchemaError](dbm.define("bad2", ViewDef(Seq("/*.json"),
+      MapFn((_, m) => Seq("k" -> 1)),
+      Some(Reduce.Fold((acc, _, _) => acc.getOrElse(0))), materialize = true)))
+  }
+
   test("incremental index() retracts an origin whose matching files all disappeared") {
     val d = Files.createTempDirectory("graft-gone-arch")
     writeJson(d, "/single.json", "first" -> "gone", "second" -> 1)
