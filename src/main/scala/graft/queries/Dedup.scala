@@ -343,7 +343,40 @@ object Dedup {
     // an actual dedup decision. See [[connectedComponents]] (reusable
     // over any pair source; spec-verified against union-find on the
     // collected pairs, and run with reliable checkpointing in the spec).
-    Q.noOracle("dedup_clusters") { (s, dir) =>
+    // The oracle restates it as min-label reachability: the C3 pair CTEs
+    // (already hash-gated) feed a WITH RECURSIVE closure — every node's
+    // label is the minimum id it can reach, i.e. the component minimum.
+    Q("dedup_clusters",
+      """WITH RECURSIVE docs_ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM docs_ws),
+        |grams AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+        |  FROM w a
+        |  JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        |cnt AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM inter
+        |  JOIN cnt ca ON ca.doc_id = a_id
+        |  JOIN cnt cb ON cb.doc_id = b_id
+        |  WHERE i / (ca.c + cb.c - i) >= 0.8),
+        |edges AS (SELECT a_id, b_id FROM pairs
+        |          UNION SELECT b_id AS a_id, a_id AS b_id FROM pairs),
+        |nodes AS (SELECT DISTINCT a_id AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b_id AS id, reach.r FROM reach JOIN edges e ON e.a_id = reach.id),
+        |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+        |SELECT label AS cluster_id, count(*) AS cluster_size,
+        |  string_agg(id, ',' ORDER BY id) AS members
+        |FROM labels GROUP BY label ORDER BY cluster_id""".stripMargin) { (s, dir) =>
       // default the checkpoint dir ONLY in local mode: on a cluster the
       // driver's /tmp is not a shared filesystem, so reliable checkpoint
       // partitions written by executors would be unreadable — there the
