@@ -2,17 +2,33 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.core._
+
+/** Small-files scale smoke for the view engine: ingest many files across
+  * many origins, incremental re-index, range reads, then a `compact()`
+  * pass and a post-compaction re-read — the full lifecycle an
+  * incrementally-maintained state table goes through. Sized by env:
+  * `SPARK_GRAFT_SMOKE_FILES` (total files, default 200k across 20
+  * origins). Numbers land in SURVEY §8.
+  */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     // same env contract as Bench/Verify
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val totalFiles = sys.env.getOrElse("SPARK_GRAFT_SMOKE_FILES", "200000").toLong
+    val origins = 20
+    val perOrigin = totalFiles / origins
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // 10 replicated origins x 5000 docs = 50k files across 10 partitions
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDocs = docs.count()
+    // replicate the docs table up to perOrigin rows (small synthetic
+    // corpus, big file count — the point is file-grain state, not bytes)
+    val rep = spark.range((perOrigin + nDocs - 1) / nDocs).crossJoin(docs)
+      .select((col("id") * nDocs + col("doc_id")).as("doc_id"), col("lang"), col("n_chars"))
+      .where(col("doc_id") < perOrigin)
     val state = java.nio.file.Files.createTempDirectory("graft-scale").toString
     val db = new Graft(spark, state)
     db.define("by-lang-size", ViewDef(Seq("/*.json"), MapDF { files =>
@@ -30,34 +46,59 @@ object ScaleSmoke {
       GraftFunctions.emitEntry(parsed, Seq(col("j.lang")), lit(1))
     }, Some(Reduce.Count)))
     val t0 = System.nanoTime()
-    (0 until 10).foreach { o =>
-      val body = to_json(struct((col("doc_id") + o * 5000).as("doc_id"), col("lang"), col("n_chars")))
+    (0 until origins).foreach { o =>
+      val body = to_json(struct((col("doc_id") + o * perOrigin).as("doc_id"), col("lang"), col("n_chars")))
       db.index(new TableArchive(s"dat://origin-$o",
-        docs.select(body.as("b"), col("doc_id")),
+        rep.select(body.as("b"), col("doc_id")),
         pathname = concat(lit("/"), lpad(col("doc_id").cast("string"), 8, "0"), lit(".json")),
         value = col("b")))
     }
     val tIndex = (System.nanoTime() - t0) / 1e9
     // incremental: bump 1% of one origin's rows to fversion 2 — the
-    // re-index must reprocess ~50 files, not 50 000 (partition-local
-    // merge keyed on fversion)
+    // re-index must reprocess ~1% of files, not all of them
+    // (partition-local merge keyed on fversion)
     val tInc0 = System.nanoTime()
     val body0 = to_json(struct(col("doc_id").as("doc_id"), col("lang"), col("n_chars")))
     db.index(new TableArchive("dat://origin-0",
-      docs.select(body0.as("b"), col("doc_id")),
+      rep.select(body0.as("b"), col("doc_id")),
       pathname = concat(lit("/"), lpad(col("doc_id").cast("string"), 8, "0"), lit(".json")),
       value = col("b"),
       fversion = when(col("doc_id") % 100 === 0, lit(2L)).otherwise(lit(1L))))
     val tInc = (System.nanoTime() - tInc0) / 1e9
-    val t1 = System.nanoTime()
-    val n = db.list("by-lang-size", ListOpts(gte = Some(Seq("en", 200L)), lt = Some(Seq("fr")), limit = Some(1000))).count()
-    val tList = (System.nanoTime() - t1) / 1e9
+    def timedList(): (Long, Double) = {
+      val t = System.nanoTime()
+      val n = db.list("by-lang-size",
+        ListOpts(gte = Some(Seq("en", 200L)), lt = Some(Seq("fr")), limit = Some(1000))).count()
+      (n, (System.nanoTime() - t) / 1e9)
+    }
+    val (n1, tList) = timedList()
     val t2 = System.nanoTime()
     val counts = db.list("lang-count").count()
     val tRed = (System.nanoTime() - t2) / 1e9
-    println(f"[scale] indexed 50000 files x 2 views in $tIndex%.1f s (${100000 / tIndex}%.0f entries/s)")
+    // small-files story: the bulk index + the incremental merge leave the
+    // origin partitions as many task-grain files; compact() rewrites each
+    // origin as one file and the same range list must get FASTER (or at
+    // least not slower) while returning identical rows
+    def parquetFileCount(view: String): Long = {
+      val dir = java.nio.file.Paths.get(s"$state/$view/entries")
+      if (!java.nio.file.Files.exists(dir)) 0L
+      else {
+        val s = java.nio.file.Files.walk(dir)
+        try s.filter(p => p.toString.endsWith(".parquet")).count()
+        finally s.close()
+      }
+    }
+    val filesBefore = parquetFileCount("by-lang-size")
+    val tc0 = System.nanoTime()
+    db.compact("by-lang-size")
+    val tCompact = (System.nanoTime() - tc0) / 1e9
+    val filesAfter = parquetFileCount("by-lang-size")
+    val (n2, tListAfter) = timedList()
+    require(n1 == n2, s"compact() changed list() results: $n1 != $n2")
+    println(f"[scale] indexed $totalFiles files x 2 views in $tIndex%.1f s (${2 * totalFiles / tIndex}%.0f entries/s)")
     println(f"[scale] incremental re-index (1%% of origin-0 changed) in $tInc%.1f s")
-    println(f"[scale] range list limit=1000 -> $n rows in $tList%.2f s; reduced list -> $counts keys in $tRed%.2f s")
+    println(f"[scale] range list limit=1000 -> $n1 rows in $tList%.2f s; reduced list -> $counts keys in $tRed%.2f s")
+    println(f"[scale] compact(by-lang-size): $filesBefore -> $filesAfter parquet files in $tCompact%.1f s; same range list $tListAfter%.2f s (was $tList%.2f s)")
     spark.stop()
   }
 }

@@ -45,11 +45,34 @@ final case class MediaFeature(
     dim: Int,
     vector: Array[Float])
 
+/** The codec seam: everything per-item and media-specific — decode,
+  * resize, feature extraction — goes through this trait, and ONLY the
+  * trait. The Spark-side pipelines ([[Multimodal]]) close over a `Codec`
+  * value inside `mapPartitions`, so an implementation must be
+  * `Serializable` (it ships to executors once per task, like any closure
+  * capture). Swapping the stub for a real libjpeg/ffmpeg-backed codec is
+  * providing another implementation of these three methods — zero
+  * changes to schemas, encoders, partitioning, or any `Multimodal`
+  * method (MultimodalSpec proves it by running the same pipeline through
+  * a second impl).
+  */
+trait Codec extends Serializable {
+
+  /** Decode one frame of the payload to a w×h byte grid. */
+  def decodeFrame(payload: Array[Byte], frameIdx: Int, w: Int, h: Int): Array[Byte]
+
+  /** Resample a frame to w2×h2. */
+  def resize(src: Frame, w2: Int, h2: Int): Frame
+
+  /** Embed the payload as a `dim`-dimensional unit vector. */
+  def features(payload: Array[Byte], dim: Int): Array[Float]
+}
+
 /** Deterministic fake codec — STUB standing in for libjpeg/ffmpeg/etc.
   * Every output is a pure function of (payload bytes, parameters), so
   * specs can assert exact results and re-runs are stable.
   */
-object StubCodec {
+object StubCodec extends Codec {
 
   private def mix(seed: Long, i: Long): Long = {
     var x = seed ^ (i * 0x9E3779B97F4A7C15L)
@@ -66,7 +89,7 @@ object StubCodec {
   }
 
   /** "Decode" one frame: pixels are a deterministic byte pattern. */
-  def decodeFrame(payload: Array[Byte], frameIdx: Int, w: Int, h: Int): Array[Byte] = {
+  override def decodeFrame(payload: Array[Byte], frameIdx: Int, w: Int, h: Int): Array[Byte] = {
     val seed = mix(payloadSeed(payload), frameIdx.toLong)
     val px = new Array[Byte](w * h)
     var i = 0
@@ -77,7 +100,7 @@ object StubCodec {
   /** "Resize" by block-averaging the fake pixel grid — shape-correct and
     * deterministic, like a real box filter.
     */
-  def resize(src: Frame, w2: Int, h2: Int): Frame = {
+  override def resize(src: Frame, w2: Int, h2: Int): Frame = {
     val px = new Array[Byte](w2 * h2)
     var y = 0
     while (y < h2) {
@@ -94,7 +117,7 @@ object StubCodec {
   }
 
   /** "Feature-extract": a deterministic unit-normalized float vector. */
-  def features(payload: Array[Byte], dim: Int): Array[Float] = {
+  override def features(payload: Array[Byte], dim: Int): Array[Float] = {
     val seed = payloadSeed(payload)
     val v = Array.tabulate(dim)(i => ((mix(seed, i.toLong) % 1000L) / 1000.0f))
     val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
@@ -108,30 +131,33 @@ object Multimodal {
     * decodes its items sequentially — codec state could be reused across
     * the iterator exactly as a real decoder would be.
     */
-  def sampleFrames(media: Dataset[MediaRow], stepMs: Long): Dataset[Frame] = {
+  def sampleFrames(media: Dataset[MediaRow], stepMs: Long,
+      codec: Codec = StubCodec): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { m =>
         val nFrames = math.max(1L, m.meta.durationMs / stepMs).toInt
         (0 until nFrames).iterator.map { idx =>
           Frame(m.media_id, idx, m.meta.width, m.meta.height,
-            StubCodec.decodeFrame(m.payload, idx, m.meta.width, m.meta.height))
+            codec.decodeFrame(m.payload, idx, m.meta.width, m.meta.height))
         }
       }
     }
   }
 
   /** Resize frames partition-wise (no shuffle). */
-  def resizeFrames(frames: Dataset[Frame], w: Int, h: Int): Dataset[Frame] = {
+  def resizeFrames(frames: Dataset[Frame], w: Int, h: Int,
+      codec: Codec = StubCodec): Dataset[Frame] = {
     import frames.sparkSession.implicits._
-    frames.mapPartitions(_.map(f => StubCodec.resize(f, w, h)))
+    frames.mapPartitions(_.map(f => codec.resize(f, w, h)))
   }
 
   /** Per-item feature vectors, partition-wise. */
-  def extractFeatures(media: Dataset[MediaRow], dim: Int): Dataset[MediaFeature] = {
+  def extractFeatures(media: Dataset[MediaRow], dim: Int,
+      codec: Codec = StubCodec): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(m =>
-      MediaFeature(m.media_id, m.meta.mediaType, dim, StubCodec.features(m.payload, dim))))
+      MediaFeature(m.media_id, m.meta.mediaType, dim, codec.features(m.payload, dim))))
   }
 
   /** Synthesize a media table from `documents` (this container ships no

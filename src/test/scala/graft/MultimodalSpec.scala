@@ -61,6 +61,35 @@ class MultimodalSpec extends SparkSpec {
     assert(asEmb.schema("embedding").dataType.typeName == "array")
   }
 
+  test("codec is a swappable seam: second impl runs the same pipeline unchanged") {
+    // a "real codec stand-in": different bodies, same trait — if this
+    // compiles and runs through the SAME Multimodal methods, swapping
+    // libjpeg/ffmpeg in later needs zero Spark-side changes
+    object FlatCodec extends Codec {
+      override def decodeFrame(payload: Array[Byte], frameIdx: Int, w: Int, h: Int): Array[Byte] =
+        Array.fill(w * h)((payload.length % 251).toByte) // flat field, payload-dependent
+      override def resize(src: Frame, w2: Int, h2: Int): Frame =
+        Frame(src.media_id, src.frame_idx, w2, h2,
+          Array.fill(w2 * h2)(src.pixels.headOption.getOrElse(0: Byte)))
+      override def features(payload: Array[Byte], dim: Int): Array[Float] = {
+        val v = Array.fill(dim)(1.0f); v.map(_ / math.sqrt(dim).toFloat)
+      }
+    }
+    import spark.implicits._
+    val f = Multimodal.resizeFrames(
+      Multimodal.sampleFrames(media, 1000L, FlatCodec), 4, 4, FlatCodec)
+      .filter(col("media_id") === 5 && col("frame_idx") === 0).as[Frame].head()
+    // output is the OTHER codec's: flat field, not the stub's mixed hash
+    assert(f.pixels.length == 16 && f.pixels.distinct.length == 1)
+    val stub = Multimodal.resizeFrames(
+      Multimodal.sampleFrames(media, 1000L), 4, 4)
+      .filter(col("media_id") === 5 && col("frame_idx") === 0).as[Frame].head()
+    assert(!java.util.Arrays.equals(f.pixels, stub.pixels),
+      "the two codecs must be observably different through the same pipeline")
+    val feat = Multimodal.extractFeatures(media, 16, FlatCodec).filter(col("media_id") === 11).head()
+    assert(feat.vector.forall(x => math.abs(x - 0.25f) < 1e-6))
+  }
+
   test("pipelines stay shuffle-free (no Exchange in the plan)") {
     val plan = Multimodal.resizeFrames(
       Multimodal.sampleFrames(media, 1000L), 8, 8)
