@@ -107,6 +107,33 @@ object Kernels extends Serializable {
     c => f(c)
   }
 
+  /** Per-row adjacent-bigram statistics over a word array:
+    * `[total, distinct, topCount]` — the inputs of the repetition
+    * quality signal (Gopher-style duplicate-n-gram fraction). A kernel
+    * rather than a groupBy: the statistic needs no cross-row data, so
+    * shuffling the exploded gram stream (what the relational form does)
+    * would move the whole corpus to compute a per-document number; this
+    * runs at scan speed with zero exchange. Exact counting (hash map per
+    * row, bounded by words-per-doc), no hashing tricks — matches the
+    * oracle's relational count exactly.
+    */
+  val bigramStats: Column => Column = {
+    val f = udf { ws: Seq[String] =>
+      val counts = new java.util.HashMap[String, Long]()
+      var i = 0
+      val n = ws.size - 1
+      var top = 0L
+      while (i < n) {
+        val g = ws(i) + " " + ws(i + 1)
+        val c = counts.merge(g, 1L, _ + _)
+        if (c > top) top = c
+        i += 1
+      }
+      Array(n.toLong, counts.size.toLong, top)
+    }
+    c => f(c)
+  }
+
   /** Dot product of two equal-length double arrays (sequential sum — the
     * same fold order as Catalyst's aggregate(), so oracle parity holds).
     */

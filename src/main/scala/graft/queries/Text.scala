@@ -294,6 +294,190 @@ object Text {
         .orderBy(col("lang"))
     },
 
+    // C20: intra-document repetition — duplicate-adjacent-bigram fraction
+    // and most-common-bigram share (the Gopher-class repetition filters).
+    // Integer basis points; per-row KERNEL, zero shuffle — the relational
+    // form (explode grams → groupBy) would shuffle the whole corpus to
+    // compute a per-document statistic.
+    Q("text_repetition",
+      """WITH docs_ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM docs_ws),
+        |g AS (
+        |  SELECT a.doc_id, a.w || ' ' || b.w AS g
+        |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        |c AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY doc_id, g),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total,
+        |         count(*) AS n_distinct, max(cnt) AS top_cnt
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, total AS n_bigrams,
+        |  CAST(((total - n_distinct) * 10000) // total AS BIGINT) AS dup_bp,
+        |  CAST((top_cnt * 10000) // total AS BIGINT) AS top_bp
+        |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir).where(size(words) >= 2)
+        .select(col("doc_id"), graft.functions.Kernels.bigramStats(words).as("st"))
+        .select(col("doc_id"),
+          col("st").getItem(0).as("n_bigrams"),
+          expr("((st[0] - st[1]) * 10000) div st[0]").as("dup_bp"),
+          expr("(st[2] * 10000) div st[0]").as("top_bp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C21: benchmark-contamination check — flag training documents whose
+    // distinct word-4-grams overlap a held-out probe set (doc_id % 20 = 0
+    // stands in for the benchmark suite) above 1% of the doc's grams.
+    // The probe gram set is BROADCAST deliberately: real decontamination
+    // probes (benchmark suites) are bounded-small by construction, unlike
+    // the open-vocabulary joins this repo refuses to broadcast.
+    Q("text_contamination",
+      """WITH docs_ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 4),
+        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM docs_ws),
+        |g AS (
+        |  SELECT DISTINCT a.doc_id, a.w||' '||b.w||' '||c.w||' '||d.w AS g
+        |  FROM w a JOIN w b ON b.doc_id=a.doc_id AND b.i=a.i+1
+        |           JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2
+        |           JOIN w d ON d.doc_id=a.doc_id AND d.i=a.i+3),
+        |gn AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+        |probe AS (SELECT DISTINCT g FROM g WHERE doc_id % 20 = 0),
+        |hits AS (
+        |  SELECT g.doc_id, count(*) AS shared_grams
+        |  FROM g JOIN probe ON g.g = probe.g
+        |  WHERE g.doc_id % 20 <> 0
+        |  GROUP BY g.doc_id)
+        |SELECT h.doc_id, h.shared_grams,
+        |  CAST((h.shared_grams * 10000) // gn.n_grams AS BIGINT) AS overlap_bp
+        |FROM hits h JOIN gn ON gn.doc_id = h.doc_id
+        |WHERE (h.shared_grams * 10000) // gn.n_grams >= 100
+        |ORDER BY h.doc_id""".stripMargin) { (s, dir) =>
+      val ws = split(col("text"), " ")
+      val g4 = array_distinct(transform(sequence(lit(0), size(ws) - 4),
+        i => concat_ws(" ", slice(ws, i + 1, lit(4)))))
+      val grams = docs(s, dir).where(size(ws) >= 4)
+        .select(col("doc_id"), g4.as("gs"))
+        .select(col("doc_id"), size(col("gs")).as("n_grams"), explode(col("gs")).as("g"))
+      val probe = grams.where(col("doc_id") % 20 === 0).select(col("g")).distinct()
+      grams.where(col("doc_id") % 20 =!= 0)
+        .join(broadcast(probe), "g")
+        .groupBy(col("doc_id"), col("n_grams"))
+        .agg(count(lit(1)).as("shared_grams"))
+        .select(col("doc_id"), col("shared_grams"),
+          expr("(shared_grams * 10000) div n_grams").as("overlap_bp"))
+        .where(col("overlap_bp") >= 100)
+        .orderBy(col("doc_id"))
+    },
+
+    // C22: greedy sequence packing — fill 512-token bins with documents
+    // in id order, never splitting a document; the batch-construction
+    // step before training. Packing is inherently sequential, so it runs
+    // PER SHARD (doc_id div 100): shards pack in parallel (flatMapGroups,
+    // custom per-group state — the batch twin of D2's sessionization),
+    // the greedy scan inside a shard is exact. Shard size is bounded by
+    // construction (at 100 TB: one shard = one storage partition), so
+    // collecting a shard's (id, tokens) pairs in one task is safe. The
+    // oracle replays the same greedy scan as a recursive CTE.
+    Q("text_pack_sequences",
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id // 100 AS shard, doc_id,
+        |    len(string_split(text, ' ')) AS tokens,
+        |    row_number() OVER (PARTITION BY doc_id // 100 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |p(shard, rn, bin, fill) AS (
+        |  SELECT shard, rn, 0, tokens FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.shard, t.rn,
+        |    CASE WHEN p.fill + t.tokens > 512 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + t.tokens > 512 THEN t.tokens ELSE p.fill + t.tokens END
+        |  FROM p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1)
+        |SELECT p.shard, CAST(max(p.bin) + 1 AS BIGINT) AS n_bins,
+        |  count(*) AS n_docs, CAST(sum(t.tokens) AS BIGINT) AS tokens,
+        |  CAST((sum(t.tokens) * 10000) // ((max(p.bin) + 1) * 512) AS BIGINT) AS util_bp
+        |FROM p JOIN t ON t.shard = p.shard AND t.rn = p.rn
+        |GROUP BY p.shard ORDER BY p.shard""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val t = docs(s, dir).select(
+        expr("doc_id div 100").as("shard"),
+        col("doc_id"),
+        size(words).cast("long").as("tokens")).as[(Long, Long, Long)]
+      t.groupByKey(_._1)
+        .flatMapGroups { (shard, it) =>
+          // one shard's (id, tokens) pairs — bounded by shard size
+          val ds = it.toIndexedSeq.sortBy(_._2)
+          var bin = 0L; var fill = 0L
+          var nDocs = 0L; var tok = 0L
+          ds.foreach { case (_, _, tk) =>
+            if (nDocs == 0L) { fill = tk }
+            else if (fill + tk > 512L) { bin += 1; fill = tk }
+            else fill += tk
+            nDocs += 1; tok += tk
+          }
+          val nBins = bin + 1
+          Iterator((shard, nBins, nDocs, tok, tok * 10000L / (nBins * 512L)))
+        }
+        .toDF("shard", "n_bins", "n_docs", "tokens", "util_bp")
+        .orderBy(col("shard"))
+    },
+
+    // C23: deterministic global shuffle — the reproducible corpus
+    // ordering for training (pure function of doc_id, stable across
+    // reruns/engines). Global contiguous positions WITHOUT a
+    // single-partition window: range-partitioned sort, then zipWithIndex
+    // adds per-partition offsets (one extra count job) — the
+    // scale-correct way to number a sorted corpus. First 50 positions as
+    // the gate.
+    Q("text_global_shuffle",
+      """WITH s AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+        |SELECT CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos, doc_id, h
+        |FROM s ORDER BY pos LIMIT 50""".stripMargin) { (s, dir) =>
+      val sorted = docs(s, dir)
+        .select(col("doc_id"), md5(col("doc_id").cast("string").cast("binary")).as("h"))
+        .orderBy(col("h"), col("doc_id"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.StringType)))
+      val numbered = sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(i + 1L, r.getLong(0), r.getString(1))
+      }
+      s.createDataFrame(numbered, schema).where(col("pos") <= 50).orderBy(col("pos"))
+    },
+
+    // C24: data-driven language rebalance — the two-pass reweighting
+    // behind domain/language mixing: pass 1 computes per-stratum counts,
+    // keep-rate = min(1, equal-share / observed-share) in integer basis
+    // points; pass 2 filters by the same deterministic Knuth-hash-mod as
+    // C19. Unlike C19's fixed CASE table, the rates here are COMPUTED
+    // from the data (what a real mixing step does). The rate table is
+    // |langs| rows — broadcast join.
+    Q("text_lang_rebalance",
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_src FROM c),
+        |rate AS (
+        |  SELECT c.lang,
+        |    CAST(least(10000, (tot.total * 10000) // (tot.n_src * c.cnt)) AS BIGINT) AS keep_bp
+        |  FROM c CROSS JOIN tot),
+        |kept AS (
+        |  SELECT d.lang, d.n_chars FROM documents d JOIN rate r ON r.lang = d.lang
+        |  WHERE ((d.doc_id % 1000003) * 131071 + 99991) % 1000003 % 10000 < r.keep_bp)
+        |SELECT k.lang, r.keep_bp, count(*) AS n, CAST(sum(k.n_chars) AS BIGINT) AS chars
+        |FROM kept k JOIN rate r ON r.lang = k.lang
+        |GROUP BY k.lang, r.keep_bp ORDER BY k.lang""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val c = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      val tot = c.agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_src"))
+      val rate = c.crossJoin(tot)
+        .select(col("lang"),
+          least(lit(10000L), expr("(total * 10000) div (n_src * cnt)")).cast("long").as("keep_bp"))
+      d.join(broadcast(rate), "lang")
+        .where(((col("doc_id") % 1000003L) * 131071L + 99991L) % 1000003L % 10000 < col("keep_bp"))
+        .groupBy(col("lang"), col("keep_bp"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"))
+    },
+
     // C12: polynomial position-weighted fingerprint over characters —
     // fp = sum_i ascii(c_i) * (1 + (131·i mod 997)) mod 2^31-1. Pure
     // integer arithmetic, identical across engines; order-sensitive, so

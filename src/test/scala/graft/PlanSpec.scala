@@ -167,4 +167,20 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange")) <= 2,
       s"text_quality shuffles more than the presentation sort:\n$p")
   }
+
+  test("text_repetition: per-row kernel — no exchange except the presentation sort") {
+    // the relational form of this statistic (explode grams -> groupBy)
+    // shuffles the corpus; the kernel form must not
+    val p = planStr("text_repetition")
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 1,
+      s"repetition statistic shuffles beyond the ORDER BY:\n$p")
+  }
+
+  test("text_contamination: the probe gram set broadcasts; corpus grams never sort-merge") {
+    val p = planStr("text_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe set should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side gram stream must not shuffle for the probe join:\n$p")
+  }
 }
