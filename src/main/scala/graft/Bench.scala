@@ -53,14 +53,18 @@ object Bench {
             None
         }
       }
-      (q.name, if (times.nonEmpty) median(times) else -1.0)
+      (q.name, if (times.nonEmpty) median(times) else -1.0, times.size)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(n => "\"" + n._1 + "\"")
       .mkString("[", ",", "]")
+    // a query that crashed on SOME repeats still reports its successful
+    // median, but must not read as a clean pass in the JSON of record
+    val flaky = results.filter(r => r._2 >= 0 && r._3 < repeats)
+      .map(n => "\"" + n._1 + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","repeats":$repeats}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flaky,"sf":"$sfDir","repeats":$repeats}""")
     spark.stop()
   }
 }

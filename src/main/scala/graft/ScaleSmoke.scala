@@ -29,6 +29,10 @@ object ScaleSmoke {
     val rep = spark.range((perOrigin + nDocs - 1) / nDocs).crossJoin(docs)
       .select((col("id") * nDocs + col("doc_id")).as("doc_id"), col("lang"), col("n_chars"))
       .where(col("doc_id") < perOrigin)
+    // report what was actually indexed, not the requested knob: integer
+    // division and non-dense doc_ids both shrink the real file count
+    val actualPerOrigin = rep.count()
+    val actualFiles = actualPerOrigin * origins
     val state = java.nio.file.Files.createTempDirectory("graft-scale").toString
     val db = new Graft(spark, state)
     db.define("by-lang-size", ViewDef(Seq("/*.json"), MapDF { files =>
@@ -95,7 +99,7 @@ object ScaleSmoke {
     val filesAfter = parquetFileCount("by-lang-size")
     val (n2, tListAfter) = timedList()
     require(n1 == n2, s"compact() changed list() results: $n1 != $n2")
-    println(f"[scale] indexed $totalFiles files x 2 views in $tIndex%.1f s (${2 * totalFiles / tIndex}%.0f entries/s)")
+    println(f"[scale] indexed $actualFiles files x 2 views in $tIndex%.1f s (${2 * actualFiles / tIndex}%.0f entries/s)")
     println(f"[scale] incremental re-index (1%% of origin-0 changed) in $tInc%.1f s")
     println(f"[scale] range list limit=1000 -> $n1 rows in $tList%.2f s; reduced list -> $counts keys in $tRed%.2f s")
     println(f"[scale] compact(by-lang-size): $filesBefore -> $filesAfter parquet files in $tCompact%.1f s; same range list $tListAfter%.2f s (was $tList%.2f s)")

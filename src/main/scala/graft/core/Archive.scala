@@ -34,6 +34,13 @@ trait Archive {
 
   /** All current files with content. */
   def files(spark: SparkSession): DataFrame
+
+  /** Driver-side existence test for a single pathname, when the archive
+    * can answer without a Spark job (`None` = unknown, caller falls back
+    * to probing `files`). Lets `indexFile` keep its no-op-on-missing-file
+    * semantics without scanning.
+    */
+  def existsFile(spark: SparkSession, pathname: String): Option[Boolean] = None
 }
 
 /** A directory on a (distributed) filesystem treated as an archive.
@@ -83,6 +90,13 @@ final class DirArchive(
           // is the engine's "has been indexed" signal)
           expr("xxhash64(content) & 9223372036854775807")
         else unix_millis(col("modificationTime"))).as("fversion"))
+  }
+
+  override def existsFile(spark: SparkSession, pathname: String): Option[Boolean] = {
+    // one metadata call against the archive's own filesystem — no job
+    val p = new org.apache.hadoop.fs.Path(rootPath + pathname)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Some(fs.exists(p))
   }
 }
 

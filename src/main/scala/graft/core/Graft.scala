@@ -102,10 +102,7 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
 
   // --- definition ----------------------------------------------------
 
-  /** `damr.define(name, definition)` — rejects ill-formed definitions with
-    * [[SchemaError]] (reference view-def.js:4-10).
-    */
-  def define(name: String, view: ViewDef): Unit = synchronized {
+  private def defineValidated(name: String, view: ViewDef): Unit = synchronized {
     // validate-and-insert under ONE lock acquisition: a check outside it
     // would let two concurrent defines of the same name both pass the
     // duplicate test and silently overwrite
@@ -125,9 +122,23 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
       throw new SchemaError(s"$name: materialize requires a reduce")
     if (view.materialize && view.reduce.exists(_.isInstanceOf[Reduce.Fold]))
       throw new SchemaError(
-        s"$name: materialize requires an associative reduce (Count/Sum/Min/" +
-          "Max/Assoc) — per-origin partials of an order-sensitive Fold cannot merge")
+        s"$name: materialize requires an associative AND commutative reduce " +
+          "(Count/Sum/Min/Max, or an Assoc whose function is order-insensitive) " +
+          "— per-origin partials of an order-sensitive Fold cannot merge")
     views(name) = view
+  }
+
+  /** `damr.define(name, definition)` — rejects ill-formed definitions with
+    * [[SchemaError]] (reference view-def.js:4-10).
+    */
+  def define(name: String, view: ViewDef): Unit = {
+    defineValidated(name, view)
+    // Reconcile pre-existing folds/ state with THIS definition (outside
+    // the engine monitor — refolds run Spark jobs — but serialized with
+    // index passes): a view previously indexed without materialize has
+    // no (or stale, or partial) folds, and serving them would silently
+    // drop whole origins from every aggregate.
+    indexLock.synchronized(reconcileFolds(name, view))
   }
 
   private def viewDef(name: String): ViewDef = synchronized {
@@ -194,14 +205,22 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     // written by the previous pass — (url, fversion) pairs not in the
     // sidecar are new or rewritten (catches same-mtime rewrites and
     // regressed mtimes that the `> lastV` stamp comparison can't see).
-    // Shared across all view jobs of this pass.
+    // PERSISTED so the diff computes once, not once per view job.
     val hashChanged: Option[DataFrame] =
       if (archive.contentVersioned) Some(
         filesNow.join(fileVersions(archive.url),
           filesNow("url") === col("fv_url") && filesNow("fversion") === col("fv_fversion"),
           "left_anti")
-          .select(col("url").as("hchg_url")))
+          .select(col("url").as("hchg_url"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else None
+    // A sidecar left by a PREVIOUS contentHash-mode pass means lastV is a
+    // 63-bit hash no mtime will ever exceed — after a switch back to
+    // mtime versioning, the `fversion > lastV` comparison would skip
+    // every future change forever. Force one full reprocess, then drop
+    // the sidecar so the origin is cleanly back in stamp mode.
+    val modeSwitchedToMtime = !archive.contentVersioned &&
+      Files.exists(Paths.get(fileVersionsDir(archive.url)))
     val jobs = viewsSnap.map { case (name, view, lastV) => Future {
       val matched = filesNow.filter(col("pathname").rlike(view.pathRegex))
       if (lastV < 0) {
@@ -220,6 +239,7 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
           .select(col("file_url").as("known_url")).distinct()
         val versionChanged = hashChanged match {
           case Some(h) => matched.join(h, col("url") === col("hchg_url"), "left_semi")
+          case None if modeSwitchedToMtime => matched
           case None => matched.filter(col("fversion") > lastV)
         }
         val changed = versionChanged
@@ -244,7 +264,7 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     // watch tick's retry) would race them with concurrent overwrites
     val outcomes = jobs.map(j => scala.util.Try(Await.result(j, Duration.Inf)))
     outcomes.collectFirst { case scala.util.Failure(e) =>
-      filesNow.unpersist(false); throw e }
+      hashChanged.foreach(_.unpersist(false)); filesNow.unpersist(false); throw e }
     // sidecar AFTER every view landed, BEFORE the catalog claims the
     // version: a failed pass leaves the old sidecar, so the retried pass
     // re-detects the same changed set (idempotent overwrite). Written
@@ -253,6 +273,8 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     if (archive.contentVersioned)
       writeFileVersions(archive.url,
         filesNow.select(col("url").as("fv_url"), col("fversion").as("fv_fversion")))
+    else if (modeSwitchedToMtime) deleteDir(fileVersionsDir(archive.url))
+    hashChanged.foreach(_.unpersist(false))
     filesNow.unpersist(false)
     synchronized {
       indexed(archive.url) = v
@@ -335,17 +357,26 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     */
   def indexFile(archive: Archive, pathname: String): Unit = indexLock.synchronized {
     val file = archive.files(spark).filter(col("pathname") === pathname)
-    val snap = synchronized(views.toSeq)
-    snap.foreach { case (name, view) =>
-      // the pathname is driver-known: test the glob driver-side instead
-      // of running a .limit(1).count() Spark job per view per file touch
-      if (view.pathMatches(pathname)) {
-        val fileUrl = archive.url + pathname
-        val prior = entriesForOrigin(name, archive.url)
-          .filter(col("file_url") =!= fileUrl)
-        writeOriginPartition(name, archive.url,
-          prior.unionByName(mapEntries(view, file)), readsState = true)
-        refoldOrigin(name, view, archive.url)
+    // a missing (deleted, or typo'd) pathname must NO-OP — without this
+    // gate the per-view rewrite below would silently RETRACT the file's
+    // existing entries (mapEntries over zero rows). Driver-side metadata
+    // check when the archive supports it; one probe job otherwise —
+    // either way once per call, not once per view.
+    val present = archive.existsFile(spark, pathname)
+      .getOrElse(file.limit(1).count() > 0)
+    if (present) {
+      val snap = synchronized(views.toSeq)
+      snap.foreach { case (name, view) =>
+        // the pathname is driver-known: test the glob driver-side instead
+        // of running a .limit(1).count() Spark job per view per file touch
+        if (view.pathMatches(pathname)) {
+          val fileUrl = archive.url + pathname
+          val prior = entriesForOrigin(name, archive.url)
+            .filter(col("file_url") =!= fileUrl)
+          writeOriginPartition(name, archive.url,
+            prior.unionByName(mapEntries(view, file)), readsState = true)
+          refoldOrigin(name, view, archive.url)
+        }
       }
     }
   }
@@ -686,12 +717,14 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     * per-origin (the maintenance unit); reads merge them across origins.
     */
   private def refoldOrigin(name: String, view: ViewDef, origin: String): Unit =
+    refoldOb(name, view, escape(origin))
+
+  private def refoldOb(name: String, view: ViewDef, ob: String): Unit =
     view.reduce match {
       case Some(r) if view.materialize =>
-        val ob = escape(origin)
         // eager localCheckpoint: one row per (key, origin) — computed once,
         // then reused by the emptiness probe and the write
-        val folded = reduceEntries(entriesForOrigin(name, origin), r, keepKb = true)
+        val folded = reduceEntries(entries(name).filter(col("ob") === ob), r, keepKb = true)
           .withColumn("ob", lit(ob))
           .localCheckpoint(true)
         if (folded.isEmpty) deleteDir(s"${foldsDir(name)}/ob=$ob")
@@ -705,6 +738,43 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
         }
       case _ => ()
     }
+
+  /** ob= partition names present under a state dir (driver-side listing). */
+  private def listObs(dir: String): Set[String] = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) Set.empty
+    else {
+      val s = Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("ob=")).map(_.stripPrefix("ob=")).toSet
+      } finally s.close()
+    }
+  }
+
+  /** Bring folds/ state in line with the view's CURRENT definition at
+    * define() time. Folds are maintained by the write paths of a process
+    * whose definition says `materialize = true`; a prior process may have
+    * written entries under a different definition (flag off: folds went
+    * stale; flag newly on: folds missing or covering only re-indexed
+    * origins). Serving such folds would silently drop whole origins from
+    * every aggregate, so: non-materialized definitions DELETE leftover
+    * folds, materialized ones refold any origin present in entries but
+    * absent from folds (the one-time migration cost) and drop fold
+    * partitions whose origin no longer has entries.
+    */
+  private def reconcileFolds(name: String, view: ViewDef): Unit = {
+    val fd = foldsDir(name)
+    if (!view.materialize || view.reduce.isEmpty) {
+      if (Files.exists(Paths.get(fd))) deleteDir(fd)
+    } else {
+      val entryObs = listObs(viewDir(name))
+      val foldObs = listObs(fd)
+      (foldObs -- entryObs).foreach(ob => deleteDir(s"$fd/ob=$ob"))
+      (entryObs -- foldObs).foreach(ob => refoldOb(name, view, ob))
+    }
+  }
 
   private def foldsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("kb", org.apache.spark.sql.types.BinaryType),
@@ -720,29 +790,25 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     spark.read.schema(foldsSchema).parquet(foldsDir(name))
 
   /** Merge per-origin PARTIAL folds into the final per-key value — the
-    * combine side of the classic partial aggregation split: Count partials
-    * sum, Sum partials sum, Min/Max partials min/max, Assoc partials merge
-    * through the same user function (associativity is the materialize
-    * contract, enforced in define()).
+    * combine side of the classic partial aggregation split. Only Count
+    * differs from the first fold (partials SUM, they don't count);
+    * Sum/Min/Max/Assoc partials merge through exactly the aggregation
+    * [[reduceEntries]] already performs over value_json, so those arms
+    * delegate — one render path to keep in JS-number parity, not two.
+    * The merge order across origins is nondeterministic (shuffle), which
+    * is why define() requires the reduce to be associative AND
+    * commutative to materialize.
     */
-  private def mergeFolds(df: DataFrame, r: Reduce, keepKb: Boolean): DataFrame = {
-    val grouped = df.groupBy(col("kb"), col("key_json"))
-    val agg = r match {
-      case Reduce.Count => grouped.agg(sum(col("value_json").cast("long")).as("c"))
+  private def mergeFolds(df: DataFrame, r: Reduce, keepKb: Boolean): DataFrame = r match {
+    case Reduce.Count =>
+      val agg = df.groupBy(col("kb"), col("key_json"))
+        .agg(sum(col("value_json").cast("long")).as("c"))
         .withColumn("value_json", col("c").cast("string"))
-      case Reduce.Sum => grouped.agg(sum(col("value_json").cast("double")).as("s"))
-        .withColumn("value_json", udfRenderNum(col("s")))
-      case Reduce.Min => grouped.agg(min(col("value_json").cast("double")).as("s"))
-        .withColumn("value_json", udfRenderNum(col("s")))
-      case Reduce.Max => grouped.agg(max(col("value_json").cast("double")).as("s"))
-        .withColumn("value_json", udfRenderNum(col("s")))
-      case Reduce.Assoc(f) =>
-        grouped.agg(udaf(new JsonMergeAggregator(f)).apply(col("value_json")).as("value_json"))
-      case _: Reduce.Fold => throw new IllegalStateException(
-        "Fold views are never materialized (define() rejects them)")
-    }
-    if (keepKb) agg.select(col("kb"), col("key_json"), col("value_json"))
-    else agg.select(col("key_json"), col("value_json"))
+      if (keepKb) agg.select(col("kb"), col("key_json"), col("value_json"))
+      else agg.select(col("key_json"), col("value_json"))
+    case _: Reduce.Fold => throw new IllegalStateException(
+      "Fold views are never materialized (define() rejects them)")
+    case other => reduceEntries(df, other, keepKb)
   }
 
   // --- per-origin file-version sidecar (content-versioned archives) ---
@@ -819,9 +885,23 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
         // ENFORCED cardinality contract (was advisory): Fold replays the
         // reference's sequential (acc, value, key) order, which requires
         // collecting a key's values into one row — a hostile key would
-        // OOM an executor. Fail loudly above the cap instead.
+        // OOM an executor. Fail loudly above the cap instead. The check
+        // must run BEFORE collect_list builds a buffer (a count-only
+        // aggregation never materializes the lists, so it survives the
+        // exact cardinalities that would OOM the collect): one eager
+        // count pass, then the in-UDF check stays as a second belt.
         val cap = spark.conf.getOption("graft.fold.maxValuesPerKey")
           .map(_.toInt).getOrElse(Graft.defaultFoldCap)
+        val over = df.groupBy(col("kb")).agg(count(lit(1)).as("n"), first(col("key_json")).as("k"))
+          .filter(col("n") > cap).select(col("k"), col("n")).head(1)
+        over.headOption.foreach { r =>
+          throw new IllegalStateException(
+            s"Reduce.Fold: key ${r.getString(0)} has ${r.getLong(1)} values " +
+              s"(cap $cap). Fold collects a key's values to replay the " +
+              "reference's sequential order and is bounded-cardinality-only; " +
+              "use Reduce.Assoc for order-insensitive folds, or raise spark " +
+              "conf graft.fold.maxValuesPerKey.")
+        }
         val foldUdf = udf(
           new org.apache.spark.sql.api.java.UDF2[scala.collection.Seq[Row], String, String] {
             override def call(vals: scala.collection.Seq[Row], keyJson: String): String = {

@@ -385,6 +385,87 @@ class GraftEngineSpec extends SparkSpec {
     assert(dbH.getValue("sv", "v2") == Some(Vector("dat://sameh/a.json")))
   }
 
+  test("switching contentHash back to mtime forces one full reprocess (lastV poisoning)") {
+    val d = Files.createTempDirectory("graft-modeswitch")
+    writeJson(d, "/a.json", "first" -> "h1", "second" -> 1)
+    val dbS = new Graft(spark, root.resolve("state-modeswitch").toString)
+    dbS.define("sv", ViewDef("/*.json", MapFn((v, m) => Seq(parseFirst(v) -> m.url))))
+    dbS.index(new DirArchive("dat://switch", d.toString, contentHash = true))
+    assert(dbS.getValue("sv", "h1").isDefined)
+
+    // rewrite, then index in mtime mode: lastV is a 63-bit hash no mtime
+    // exceeds, so without the mode-switch detection this change is
+    // invisible forever
+    writeJson(d, "/a.json", "first" -> "h2", "second" -> 2)
+    bumpMtime(d, "/a.json", 60000)
+    dbS.index(new DirArchive("dat://switch", d.toString))
+    assert(dbS.getValue("sv", "h2").isDefined && dbS.getValue("sv", "h1").isEmpty,
+      "mode switch must force a full reprocess instead of skipping every change")
+
+    // the sidecar is gone and plain stamp mode works again afterwards
+    writeJson(d, "/a.json", "first" -> "h3", "second" -> 3)
+    bumpMtime(d, "/a.json", 120000)
+    dbS.index(new DirArchive("dat://switch", d.toString))
+    assert(dbS.getValue("sv", "h3").isDefined && dbS.getValue("sv", "h2").isEmpty)
+  }
+
+  test("define-time fold reconcile: folds build for entries indexed without materialize, and stale folds are dropped") {
+    val d1 = Files.createTempDirectory("graft-rec-a")
+    val d2 = Files.createTempDirectory("graft-rec-b")
+    writeJson(d1, "/a.json", "first" -> "k", "second" -> 10)
+    writeJson(d2, "/b.json", "first" -> "k", "second" -> 5)
+    val stateDir = root.resolve("state-reconcile").toString
+    val sumsDef = { mat: Boolean => ViewDef(Seq("/*.json"),
+      MapFn((v, m) => {
+        val rec = core.Json.parse(v).asInstanceOf[Map[String, Any]]
+        Seq(rec("first") -> rec("second"))
+      }), Some(Reduce.Sum), materialize = mat) }
+
+    // process 1: NOT materialized — writes entries only
+    val p1 = new Graft(spark, stateDir)
+    p1.define("sums", sumsDef(false))
+    p1.index(new DirArchive("dat://rec-a", d1.toString))
+    p1.index(new DirArchive("dat://rec-b", d2.toString))
+    assert(!Files.exists(root.resolve("state-reconcile/sums/folds")))
+
+    // process 2 (same state, materialize = true): define() must refold
+    // BOTH origins before any read — partial coverage would silently
+    // drop an origin from every aggregate
+    val p2 = new Graft(spark, stateDir)
+    p2.define("sums", sumsDef(true))
+    assert(Files.exists(root.resolve("state-reconcile/sums/folds")))
+    assert(p2.getValue("sums", "k") == Some(15.0))
+
+    // process 3 flips materialize back off: leftover folds are deleted at
+    // define (this process's writes would let them go stale)
+    val p3 = new Graft(spark, stateDir)
+    p3.define("sums", sumsDef(false))
+    assert(!Files.exists(root.resolve("state-reconcile/sums/folds")))
+    assert(p3.getValue("sums", "k") == Some(15.0))
+  }
+
+  test("indexFile on a missing pathname is a no-op, never a retraction") {
+    val d = Files.createTempDirectory("graft-idxmissing")
+    writeJson(d, "/a.json", "first" -> "present", "second" -> 1)
+    val dbI = new Graft(spark, root.resolve("state-idxmissing").toString)
+    dbI.define("sv", ViewDef("/*.json", MapFn((v, m) => Seq(parseFirst(v) -> m.url))))
+    val arch = new DirArchive("dat://idxmiss", d.toString)
+    dbI.index(arch)
+    assert(dbI.getValue("sv", "present").isDefined)
+
+    // typo'd pathname: nothing to index, nothing retracted
+    dbI.indexFile(arch, "/nope.json")
+    assert(dbI.getValue("sv", "present").isDefined)
+
+    // file deleted from disk then indexFile'd: the old Spark-side gate
+    // no-op'd here; the driver-side glob must not regress that into a
+    // silent retraction of the file's existing entries
+    Files.delete(d.resolve("a.json"))
+    dbI.indexFile(arch, "/a.json")
+    assert(dbI.getValue("sv", "present").isDefined,
+      "indexFile of a deleted file must no-op (unindexFile is the retraction API)")
+  }
+
   test("reset() emits view-reset (index.js:113)") {
     val dbR = new Graft(spark, root.resolve("state-reset-event").toString)
     dbR.define("sv", ViewDef("/*.json", MapFn((v, m) => Seq(parseFirst(v) -> m.url))))
