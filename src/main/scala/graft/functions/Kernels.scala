@@ -85,6 +85,31 @@ object Kernels extends Serializable {
     c => f(c)
   }
 
+  /** Distinct adjacent word n-grams for arbitrary n — same contract as
+    * [[grams3]] (first-occurrence order, set semantics). The interpreted
+    * transform+concat_ws+array_distinct expression tree for this costs
+    * one Expression.eval per element per function; the kernel is one JIT
+    * loop per row.
+    */
+  val gramsN: (Column, Int) => Column = {
+    val f = udf { (ws: Seq[String], n: Int) =>
+      if (ws.size < n) Array.empty[String]
+      else {
+        val seen = new java.util.LinkedHashSet[String]
+        var i = 0
+        while (i + n - 1 < ws.size) {
+          val sb = new StringBuilder(ws(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(ws(i + j)); j += 1 }
+          seen.add(sb.toString)
+          i += 1
+        }
+        seen.toArray(new Array[String](seen.size))
+      }
+    }
+    (c, n) => f(c, org.apache.spark.sql.functions.lit(n))
+  }
+
   /** 64-bit simhash over a word array: bit k is the sign of the ±1 votes
     * of each word-hash's bit k.
     */

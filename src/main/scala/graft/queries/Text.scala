@@ -354,8 +354,10 @@ object Text {
         |WHERE (h.shared_grams * 10000) // gn.n_grams >= 100
         |ORDER BY h.doc_id""".stripMargin) { (s, dir) =>
       val ws = split(col("text"), " ")
-      val g4 = array_distinct(transform(sequence(lit(0), size(ws) - 4),
-        i => concat_ws(" ", slice(ws, i + 1, lit(4)))))
+      // JIT kernel, not transform+concat_ws+array_distinct: the
+      // interpreted HOF tree was the slowest query in the suite (4.7 s at
+      // sf0.1); the kernel form is one compiled loop per row
+      val g4 = graft.functions.Kernels.gramsN(ws, 4)
       val grams = docs(s, dir).where(size(ws) >= 4)
         .select(col("doc_id"), g4.as("gs"))
         .select(col("doc_id"), size(col("gs")).as("n_grams"), explode(col("gs")).as("g"))
