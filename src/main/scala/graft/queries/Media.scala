@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.media.Multimodal
+
+/** C13 multimodal queries — the driver-gated face of the binary-column
+  * pipeline. [[Multimodal.mediaFromDocuments]] synthesizes MediaRow
+  * (binary payload + typed metadata) DETERMINISTICALLY from `documents`
+  * (kind = doc_id mod 3, dims/duration affine in doc_id/n_chars), so a
+  * DuckDB oracle can recompute the metadata relationally — hash-gating
+  * the real Spark side: the typed Dataset, the struct metadata schema,
+  * and the mapPartitions feature pipeline the codec plugs into. The
+  * feature VECTORS themselves are codec output (stub, spec-verified for
+  * determinism/unit norm/swap); their SQL-expressible envelope rides
+  * through [[Multimodal.extractFeatures]] here so the whole path runs
+  * under the gate.
+  */
+object Media {
+
+  val all: Seq[Q] = Seq(
+
+    // C13a: metadata aggregation THROUGH Dataset[MediaRow] — media type
+    // mix, average frame width, duration envelope. The oracle recomputes
+    // the same metadata from documents (the synth mapping is the spec).
+    Q("media_meta_agg",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    16 + (doc_id % 4) * 8 AS width,
+        |    16 + (doc_id % 3) * 8 AS height,
+        |    1000 + (n_chars % 5000) AS duration_ms
+        |  FROM documents)
+        |SELECT media_type, count(*) AS n,
+        |  round(avg(width), 4) AS avg_width,
+        |  CAST(max(duration_ms) AS BIGINT) AS max_duration_ms
+        |FROM m GROUP BY media_type ORDER BY media_type""".stripMargin) { (s, dir) =>
+      Multimodal.mediaFromDocuments(s, dir).toDF()
+        .select(col("meta.mediaType").as("media_type"),
+          col("meta.width").as("width"),
+          col("meta.durationMs").as("duration_ms"))
+        .groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("width")), 4).as("avg_width"),
+          max(col("duration_ms")).cast("long").as("max_duration_ms"))
+        .orderBy(col("media_type"))
+    },
+
+    // C13b: the feature-extraction pipeline end-to-end (decode path
+    // through the Codec seam, partition-wise, no shuffle until the
+    // presentation sort). The vectors are codec output and not
+    // SQL-expressible; their envelope (id, type carried through
+    // MediaFeature) is, and gates that the pipeline ran per item.
+    Q("media_features",
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, dir), 32).toDF()
+        .select(col("media_id"), col("mediaType").as("media_type"))
+        .orderBy(col("media_id"))
+    })
+}
