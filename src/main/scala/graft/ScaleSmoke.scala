@@ -30,8 +30,9 @@ object ScaleSmoke {
       .select((col("id") * nDocs + col("doc_id")).as("doc_id"), col("lang"), col("n_chars"))
       .where(col("doc_id") < perOrigin)
     // report what was actually indexed, not the requested knob: integer
-    // division and non-dense doc_ids both shrink the real file count
-    val actualPerOrigin = rep.count()
+    // division shrinks the real count, and non-dense source doc_ids can
+    // collide pathnames (count rows ≠ count files)
+    val actualPerOrigin = rep.select(countDistinct(col("doc_id"))).head().getLong(0)
     val actualFiles = actualPerOrigin * origins
     val state = java.nio.file.Files.createTempDirectory("graft-scale").toString
     val db = new Graft(spark, state)

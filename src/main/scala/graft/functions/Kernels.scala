@@ -69,21 +69,10 @@ object Kernels extends Serializable {
     * equivalent transform/element_at/array_distinct expression chain
     * evaluates interpreted at ~21 µs/row; this JITs to ~0.5 µs.
     */
-  val grams3: Column => Column = {
-    val f = udf { ws: Seq[String] =>
-      if (ws.size < 3) Array.empty[String]
-      else {
-        val seen = new java.util.LinkedHashSet[String]
-        var i = 0
-        while (i + 2 < ws.size) {
-          seen.add(ws(i) + " " + ws(i + 1) + " " + ws(i + 2))
-          i += 1
-        }
-        seen.toArray(new Array[String](seen.size))
-      }
-    }
-    c => f(c)
-  }
+  /** n = 3 of [[gramsN]] (one implementation — Dedup and Text must never
+    * disagree on gram semantics).
+    */
+  val grams3: Column => Column = c => gramsN(c, 3)
 
   /** Distinct adjacent word n-grams for arbitrary n — same contract as
     * [[grams3]] (first-occurrence order, set semantics). The interpreted
@@ -146,7 +135,7 @@ object Kernels extends Serializable {
     val f = udf { ws: Seq[String] =>
       val counts = new java.util.HashMap[String, Long]()
       var i = 0
-      val n = ws.size - 1
+      val n = math.max(0, ws.size - 1) // 0- and 1-word docs: [0,0,0], not [-1,..]
       var top = 0L
       while (i < n) {
         val g = ws(i) + " " + ws(i + 1)
@@ -157,18 +146,6 @@ object Kernels extends Serializable {
       Array(n.toLong, counts.size.toLong, top)
     }
     c => f(c)
-  }
-
-  /** Dot product of two equal-length double arrays (sequential sum — the
-    * same fold order as Catalyst's aggregate(), so oracle parity holds).
-    */
-  val dot: (Column, Column) => Column = {
-    val f = udf { (a: Seq[Double], b: Seq[Double]) =>
-      var s = 0.0; var i = 0; val n = a.size
-      while (i < n) { s += a(i) * b(i); i += 1 }
-      s
-    }
-    (a, b) => f(a, b)
   }
 
   /** Deterministic ±1 plane component for (t, j, i) — the shared sign

@@ -60,7 +60,17 @@ object DotProduct {
         s"graft_dot: array length mismatch ($n vs ${b.numElements()})")
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      // null ELEMENTS throw like length mismatches do — getDouble on a
+      // null slot reads 0.0 and would turn a corrupt embedding into a
+      // plausible cosine (containsNull=true is parquet's default, so the
+      // type check can't exclude them)
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_dot: null element at index $i")
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     s
   }
 }
@@ -79,6 +89,10 @@ abstract class KeyCodecExpression extends Expression
       c.eval(input) match {
         case null => null
         case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        // toDouble is DELIBERATE, not lossy by accident: the codec's key
+        // model is JS numbers (KeyCodec.toDouble collapses every numeric
+        // the same way, reference keys are JSON values) — integers above
+        // 2^53 lose distinctness uniformly across the whole key surface
         case d: org.apache.spark.sql.types.Decimal => d.toDouble
         case other => other // Boolean / numeric primitives pass through
       }

@@ -9,7 +9,11 @@ import org.apache.spark.sql.functions._
   * reducer; salting splits each key across `salts` reducers:
   *
   *   - the skewed side gets a deterministic salt in [0, salts) hashed
-  *     from the whole row (no RNG — reruns and retries land identically);
+  *     from the whole row PLUS a per-row ordinal (no RNG — reruns and
+  *     retries land identically; the ordinal matters because hot keys
+  *     are often hot with IDENTICAL payloads — bot rows, default values
+  *     — and a content-only hash would put all duplicates back on one
+  *     reducer, silently defeating the salt);
   *   - the other side replicates each row `salts` times (explode), a
   *     controlled blow-up bounded by salts × |dims|;
   *   - the join runs on (key, salt), so a key that used to occupy one
@@ -27,7 +31,8 @@ object Salted {
     require(!skewed.columns.contains("_salt") && !dims.columns.contains("_salt"),
       "inputs already carry a _salt column — rename it before salting again")
     val saltCol = pmod(
-      xxhash64(struct(skewed.columns.map(col).toIndexedSeq: _*)), lit(salts.toLong))
+      xxhash64(struct(skewed.columns.map(col).toIndexedSeq: _*),
+        monotonically_increasing_id()), lit(salts.toLong))
       .cast("int")
     val s = skewed.withColumn("_salt", saltCol)
     val d = dims.withColumn("_salt",

@@ -97,8 +97,9 @@ object StubCodec extends Codec {
     px
   }
 
-  /** "Resize" by block-averaging the fake pixel grid — shape-correct and
-    * deterministic, like a real box filter.
+  /** "Resize" by nearest-neighbor point sampling of the fake pixel grid —
+    * shape-correct and deterministic (no averaging; a real codec would
+    * typically box-filter).
     */
   override def resize(src: Frame, w2: Int, h2: Int): Frame = {
     val px = new Array[Byte](w2 * h2)
@@ -133,6 +134,7 @@ object Multimodal {
     */
   def sampleFrames(media: Dataset[MediaRow], stepMs: Long,
       codec: Codec = StubCodec): Dataset[Frame] = {
+    require(stepMs > 0, s"stepMs must be positive (got $stepMs)")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { m =>
@@ -148,6 +150,7 @@ object Multimodal {
   /** Resize frames partition-wise (no shuffle). */
   def resizeFrames(frames: Dataset[Frame], w: Int, h: Int,
       codec: Codec = StubCodec): Dataset[Frame] = {
+    require(w > 0 && h > 0, s"target dims must be positive (got $w x $h)")
     import frames.sparkSession.implicits._
     frames.mapPartitions(_.map(f => codec.resize(f, w, h)))
   }

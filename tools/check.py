@@ -20,10 +20,20 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
 n_pass = n_fail = n_skip = 0
-for name in sorted(os.listdir(out_dir)):
+# a crashed query has NO result dir (Verify deletes stale output on
+# failure) — walk the declared manifest, not just what exists, so a
+# missing result is a FAIL instead of silently absent from the report
+declared = []
+manifest = f"{out_dir}/queries.json"
+if os.path.exists(manifest):
+    declared = json.load(open(manifest))
+present = sorted(n for n in os.listdir(out_dir)
+                 if os.path.isdir(os.path.join(out_dir, n)))
+for name in sorted(set(declared) - set(present)):
+    print(f"FAIL {name}: no result written (query crashed in Verify?)")
+    n_fail += 1
+for name in present:
     d = os.path.join(out_dir, name)
-    if not os.path.isdir(d):
-        continue
     spark_df = pd.read_parquet(d)
     spark_df = spark_df.reindex(sorted(spark_df.columns), axis=1)
     if name not in oracles:
