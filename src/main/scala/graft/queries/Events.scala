@@ -144,6 +144,55 @@ object Events {
       out
     },
 
+    // D2-gate: STREAMING sessionization through Spark's session_window,
+    // run to completion (AvailableNow → complete-mode memory sink) and
+    // driver-gated like q20s. NOTE the deliberate semantic difference
+    // from batch q21: session_window merges an event iff it starts
+    // STRICTLY within gap of the previous event (microsecond-exact),
+    // while q21 replicates DuckDB date_diff's whole-second truncation
+    // with a non-strict break — the oracle here restates session_window's
+    // own rule (>= INTERVAL 30 MINUTE breaks), so both gates pin their
+    // respective semantics instead of papering over the difference.
+    Q("q21s_stream_sessions",
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start,
+        |  count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("user_id"), col("ts"), col("value"))
+      val agg = src
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("n_events"), col("total_value"))
+      val sink = "q21s_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(sink).orderBy(col("user_id"), col("session_start"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
+    },
+
     // B28: range (interval) join — clicks of the same user within the
     // hour before each purchase. The naive plan for a range predicate is
     // a nested-loop over the pair space; the scale form BUCKETIZES time
