@@ -8,7 +8,8 @@ object Bench {
     * happens to follow them in declaration order (r2 saw q23/q24/q27
     * inflate >2x right after q20s_stream_window).
     */
-  private val sessionMutating = Set("q20s_stream_window", "q21s_stream_sessions")
+  private val sessionMutating =
+    Set("q20s_stream_window", "q21s_stream_sessions", "q17s_stream_distinct")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -193,6 +193,42 @@ object Events {
       out
     },
 
+    // D4-gate: streaming DISTINCT via aggregation state — the
+    // keep-first-occurrence shape of streaming dedup, run to completion
+    // and driver-gated. Streaming disallows count_distinct directly, so
+    // the distinct (user, type) pairs are the STREAMING state (one
+    // stateful groupBy) and the per-type rollup is a batch query over
+    // the completed sink — the standard two-level distinct-aggregate
+    // split, with the stream holding exactly |distinct pairs| state.
+    Q("q17s_stream_distinct",
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select(col("user_id"), col("event_type"))
+      val agg = src.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val sink = "q17s_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(sink)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"), sum(col("cnt")).as("n_events"))
+        .orderBy(col("event_type"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
+    },
+
     // B28: range (interval) join — clicks of the same user within the
     // hour before each purchase. The naive plan for a range predicate is
     // a nested-loop over the pair space; the scale form BUCKETIZES time
