@@ -176,6 +176,21 @@ class PlanSpec extends SparkSpec {
       s"repetition statistic shuffles beyond the ORDER BY:\n$p")
   }
 
+  test("text_lang_rebalance: the computed rate table joins by broadcast, corpus never shuffles for it") {
+    val p = planStr("text_lang_rebalance")
+    assert(p.contains("BroadcastHashJoin"), s"rate table should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the |langs|-row rate join must not shuffle the corpus:\n$p")
+  }
+
+  test("text_pack_sequences: one shuffle into shards, greedy scan stays in-partition") {
+    // groupByKey(shard) is the only data exchange; the presentation sort
+    // on the per-shard aggregate rows is the second allowed exchange
+    val p = planStr("text_pack_sequences")
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 2,
+      s"packing should shuffle once into shards (+ presentation sort):\n$p")
+  }
+
   test("text_contamination: the probe gram set broadcasts; corpus grams never sort-merge") {
     val p = planStr("text_contamination")
     assert(p.contains("BroadcastHashJoin"),
