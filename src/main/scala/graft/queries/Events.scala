@@ -20,6 +20,38 @@ object Events {
 
   private val byUserTime = Window.partitionBy(col("user_id")).orderBy(col("ts"))
 
+  /** Shared harness of the streaming gate queries: events file stream →
+    * caller's aggregation → complete-mode memory sink run to completion
+    * (AvailableNow), returning the sink table DETACHED (localCheckpoint)
+    * with the sink dropped — complete-mode memory tables otherwise pin
+    * their result in the driver for the session's lifetime. One
+    * implementation so that invariant can't be half-copied. The
+    * nanosAsLong conf is needed just to READ the nanos-typed schema;
+    * `ts` is rebuilt as a µs timestamp and pruned away by queries that
+    * don't select it.
+    */
+  private def streamEventsToCompleteSink(
+      s: org.apache.spark.sql.SparkSession, dir: String, sinkPrefix: String)(
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // the file streaming source wants a DIRECTORY; narrow it to the
+    // events table with a glob filter
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val sink = sinkPrefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = build(src).writeStream.format("memory").queryName(sink)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = s.table(sink).localCheckpoint(true)
+    s.catalog.dropTempView(sink)
+    out
+  }
+
   val all: Seq[Q] = Seq(
 
     // B21: gap-based sessionization (30 min), batch form. Session id =
@@ -118,46 +150,30 @@ object Events {
         |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2
         |ORDER BY hour_bucket, event_type""".stripMargin) { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      // the file streaming source wants a DIRECTORY; narrow it to the
-      // events table with a glob filter
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val agg = src
-        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour_bucket"),
-          col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
-      val sink = "q20s_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = agg.writeStream.format("memory").queryName(sink)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      // detach from the memory sink and drop it — complete-mode memory
-      // tables otherwise pin their result in the driver for the session
-      val out = s.table(sink).orderBy(col("hour_bucket"), col("event_type"))
-        .localCheckpoint(true)
-      s.catalog.dropTempView(sink)
-      out
+      streamEventsToCompleteSink(s, dir, "q20s_sink_") { src =>
+        src.groupBy(
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour_bucket"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      }.orderBy(col("hour_bucket"), col("event_type"))
     },
 
     // D2-gate: STREAMING sessionization through Spark's session_window,
     // run to completion (AvailableNow → complete-mode memory sink) and
     // driver-gated like q20s. NOTE the deliberate semantic difference
-    // from batch q21: session_window merges an event iff it starts
-    // STRICTLY within gap of the previous event (microsecond-exact),
-    // while q21 replicates DuckDB date_diff's whole-second truncation
-    // with a non-strict break — the oracle here restates session_window's
-    // own rule (>= INTERVAL 30 MINUTE breaks), so both gates pin their
-    // respective semantics instead of papering over the difference.
+    // from batch q21: session_window closes a session only when the next
+    // event starts STRICTLY after previous-end (= prev ts + gap) — an
+    // event at EXACTLY the boundary merges (Spark's sessions iterators
+    // break on newStart > currentEnd) — and compares microsecond-exact,
+    // while q21 replicates DuckDB date_diff's whole-second truncation.
+    // The oracle restates session_window's own rule (break only at
+    // > INTERVAL 30 MINUTE), so both gates pin their respective
+    // semantics instead of papering over the difference.
     Q("q21s_stream_sessions",
       """WITH g AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS brk
         |  FROM events),
         |s AS (
@@ -169,28 +185,13 @@ object Events {
         |  count(*) AS n_events, round(sum(value), 4) AS total_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .select(col("user_id"), col("ts"), col("value"))
-      val agg = src
-        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
-        .select(col("user_id"), col("sw.start").as("session_start"),
-          col("n_events"), col("total_value"))
-      val sink = "q21s_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = agg.writeStream.format("memory").queryName(sink)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val out = s.table(sink).orderBy(col("user_id"), col("session_start"))
-        .localCheckpoint(true)
-      s.catalog.dropTempView(sink)
-      out
+      streamEventsToCompleteSink(s, dir, "q21s_sink_") { src =>
+        src.select(col("user_id"), col("ts"), col("value"))
+          .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+          .select(col("user_id"), col("sw.start").as("session_start"),
+            col("n_events"), col("total_value"))
+      }.orderBy(col("user_id"), col("session_start"))
     },
 
     // D4-gate: streaming DISTINCT via aggregation state — the
@@ -206,27 +207,14 @@ object Events {
         |  count(*) AS n_events
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin) { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .select(col("user_id"), col("event_type"))
-      val agg = src.groupBy(col("user_id"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"))
-      val sink = "q17s_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = agg.writeStream.format("memory").queryName(sink)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val out = s.table(sink)
+      streamEventsToCompleteSink(s, dir, "q17s_sink_") { src =>
+        src.select(col("user_id"), col("event_type"))
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+      }
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_users"), sum(col("cnt")).as("n_events"))
         .orderBy(col("event_type"))
-        .localCheckpoint(true)
-      s.catalog.dropTempView(sink)
-      out
     },
 
     // B28: range (interval) join — clicks of the same user within the

@@ -32,6 +32,14 @@ present = sorted(n for n in os.listdir(out_dir)
 for name in sorted(set(declared) - set(present)):
     print(f"FAIL {name}: no result written (query crashed in Verify?)")
     n_fail += 1
+# the reverse direction too: a result dir for a query no longer declared
+# is stale output from a prior run (renamed/deleted query) — counting it
+# as PASS/SKIP would inflate the report with dead queries
+if declared:
+    for name in sorted(set(present) - set(declared)):
+        print(f"FAIL {name}: result dir exists but query is not declared (stale outDir?)")
+        n_fail += 1
+    present = [n for n in present if n in set(declared)]
 for name in present:
     d = os.path.join(out_dir, name)
     spark_df = pd.read_parquet(d)
