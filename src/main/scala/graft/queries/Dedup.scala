@@ -395,6 +395,45 @@ object Dedup {
         .orderBy(col("cluster_id"))
     },
 
+    // C25: corpus-wide duplicated-chunk (boilerplate) detection — the
+    // CCNet/RefinedWeb paragraph-dedup step adapted to chunk-grain: a
+    // 10-word chunk appearing in MORE THAN ONE document is boilerplate;
+    // per-doc output = chunk counts + duplicated fraction (integer bp).
+    // Cross-document by nature, so the chunk stream legitimately
+    // shuffles once — on a 32 B sha2 FINGERPRINT, not the ~60 B chunk
+    // text (the same key-shrinking trade as dedup_exact; collisions
+    // ~n²/2²⁵⁶ ≈ 0). The oracle states the identical computation over
+    // the raw strings.
+    Q("dedup_chunks",
+      """WITH docs_ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM docs_ws),
+        |c AS (SELECT doc_id, (i-1)//10 AS ci, string_agg(w, ' ' ORDER BY i) AS chunk, count(*) AS n
+        |      FROM w GROUP BY doc_id, (i-1)//10),
+        |full_c AS (SELECT doc_id, ci, chunk FROM c WHERE n = 10),
+        |df AS (SELECT chunk, count(DISTINCT doc_id) AS docs FROM full_c GROUP BY chunk),
+        |per AS (SELECT f.doc_id, count(*) AS n_chunks,
+        |        sum(CASE WHEN df.docs > 1 THEN 1 ELSE 0 END) AS n_dup
+        |        FROM full_c f JOIN df ON df.chunk = f.chunk GROUP BY f.doc_id)
+        |SELECT doc_id, n_chunks, CAST(n_dup AS BIGINT) AS n_dup,
+        |  CAST((n_dup*10000)//n_chunks AS BIGINT) AS dup_bp
+        |FROM per WHERE n_dup > 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ws = split(col("text"), " ")
+      val chunks = docs(s, dir).where(size(ws) >= 10)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), floor(size(ws) / 10).cast("int") - 1),
+            k => sha2(concat_ws(" ", slice(ws, k * 10 + 1, lit(10))), 256))).as("h"))
+      val chunkDf = chunks.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("docs"))
+      chunks.join(chunkDf, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("docs") > 1, lit(1L)).otherwise(lit(0L))).as("n_dup"))
+        .where(col("n_dup") > 0)
+        .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+          expr("(n_dup * 10000) div n_chunks").as("dup_bp"))
+        .orderBy(col("doc_id"))
+    },
+
     // C6 scale path: hyperplane-LSH candidate buckets + the SAME exact
     // cosine verification — the form that replaces the O(n²) baseline at
     // 100 TB (corpus shuffles once per table on uniform bucket keys).
