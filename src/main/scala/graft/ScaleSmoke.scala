@@ -50,6 +50,14 @@ object ScaleSmoke {
           org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType)))))
       GraftFunctions.emitEntry(parsed, Seq(col("j.lang")), lit(1))
     }, Some(Reduce.Count)))
+    // materialized twin of lang-count: same map/reduce, folds maintained
+    // at write time — the read-path comparison below quantifies the trade
+    db.define("lang-count-mat", ViewDef(Seq("/*.json"), MapDF { files =>
+      val parsed = files.withColumn("j", from_json(col("value"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType)))))
+      GraftFunctions.emitEntry(parsed, Seq(col("j.lang")), lit(1))
+    }, Some(Reduce.Count), materialize = true))
     val t0 = System.nanoTime()
     (0 until origins).foreach { o =>
       val body = to_json(struct((col("doc_id") + o * perOrigin).as("doc_id"), col("lang"), col("n_chars")))
@@ -80,6 +88,12 @@ object ScaleSmoke {
     val t2 = System.nanoTime()
     val counts = db.list("lang-count").count()
     val tRed = (System.nanoTime() - t2) / 1e9
+    // materialized read path: scans |keys × origins| fold partials
+    // instead of re-aggregating every raw entry
+    val t2m = System.nanoTime()
+    val countsM = db.list("lang-count-mat").count()
+    val tRedM = (System.nanoTime() - t2m) / 1e9
+    require(counts == countsM, s"materialized read diverged: $counts != $countsM")
     // small-files story: the bulk index + the incremental merge leave the
     // origin partitions as many task-grain files; compact() rewrites each
     // origin as one file and the same range list must get FASTER (or at
@@ -100,9 +114,10 @@ object ScaleSmoke {
     val filesAfter = parquetFileCount("by-lang-size")
     val (n2, tListAfter) = timedList()
     require(n1 == n2, s"compact() changed list() results: $n1 != $n2")
-    println(f"[scale] indexed $actualFiles files x 2 views in $tIndex%.1f s (${2 * actualFiles / tIndex}%.0f entries/s)")
+    println(f"[scale] indexed $actualFiles files x 3 views (one materialized) in $tIndex%.1f s (${3 * actualFiles / tIndex}%.0f entries/s)")
     println(f"[scale] incremental re-index (1%% of origin-0 changed) in $tInc%.1f s")
     println(f"[scale] range list limit=1000 -> $n1 rows in $tList%.2f s; reduced list -> $counts keys in $tRed%.2f s")
+    println(f"[scale] reduced list, MATERIALIZED (folds) -> $countsM keys in $tRedM%.2f s (read-time fold was $tRed%.2f s)")
     println(f"[scale] compact(by-lang-size): $filesBefore -> $filesAfter parquet files in $tCompact%.1f s; same range list $tListAfter%.2f s (was $tList%.2f s)")
     spark.stop()
   }
