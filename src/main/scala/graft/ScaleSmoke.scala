@@ -44,20 +44,18 @@ object ScaleSmoke {
           org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))))
       GraftFunctions.emitEntry(parsed, Seq(col("j.lang"), col("j.n_chars"), col("j.doc_id")), col("j.n_chars"))
     }, None))
-    db.define("lang-count", ViewDef(Seq("/*.json"), MapDF { files =>
+    // ONE map shared by both reduced views: the materialized/read-time
+    // comparison below is only valid if the twins compute the same thing
+    val langCountMap = MapDF { files =>
       val parsed = files.withColumn("j", from_json(col("value"),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType)))))
       GraftFunctions.emitEntry(parsed, Seq(col("j.lang")), lit(1))
-    }, Some(Reduce.Count)))
-    // materialized twin of lang-count: same map/reduce, folds maintained
-    // at write time — the read-path comparison below quantifies the trade
-    db.define("lang-count-mat", ViewDef(Seq("/*.json"), MapDF { files =>
-      val parsed = files.withColumn("j", from_json(col("value"),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType)))))
-      GraftFunctions.emitEntry(parsed, Seq(col("j.lang")), lit(1))
-    }, Some(Reduce.Count), materialize = true))
+    }
+    db.define("lang-count", ViewDef(Seq("/*.json"), langCountMap, Some(Reduce.Count)))
+    // materialized twin: folds maintained at write time
+    db.define("lang-count-mat",
+      ViewDef(Seq("/*.json"), langCountMap, Some(Reduce.Count), materialize = true))
     val t0 = System.nanoTime()
     (0 until origins).foreach { o =>
       val body = to_json(struct((col("doc_id") + o * perOrigin).as("doc_id"), col("lang"), col("n_chars")))
@@ -85,15 +83,23 @@ object ScaleSmoke {
       (n, (System.nanoTime() - t) / 1e9)
     }
     val (n1, tList) = timedList()
-    val t2 = System.nanoTime()
-    val counts = db.list("lang-count").count()
-    val tRed = (System.nanoTime() - t2) / 1e9
+    // median-of-3 for the sub-second read comparison — the same rule
+    // Bench adopted after single-shot sub-second timings flagged noise
+    def med3(f: () => Long): (Long, Double) = {
+      val runs = (1 to 3).map { _ =>
+        val t = System.nanoTime(); val n = f(); (n, (System.nanoTime() - t) / 1e9)
+      }
+      (runs.head._1, runs.map(_._2).sorted.apply(1))
+    }
+    val (counts, tRed) = med3(() => db.list("lang-count").count())
     // materialized read path: scans |keys × origins| fold partials
     // instead of re-aggregating every raw entry
-    val t2m = System.nanoTime()
-    val countsM = db.list("lang-count-mat").count()
-    val tRedM = (System.nanoTime() - t2m) / 1e9
-    require(counts == countsM, s"materialized read diverged: $counts != $countsM")
+    val (countsM, tRedM) = med3(() => db.list("lang-count-mat").count())
+    // FULL-ROW divergence check, not key cardinality: a double-folded
+    // partial would keep the key set while corrupting per-key counts
+    val a = db.list("lang-count"); val b = db.list("lang-count-mat")
+    require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "materialized read diverged from read-time fold")
     // small-files story: the bulk index + the incremental merge leave the
     // origin partitions as many task-grain files; compact() rewrites each
     // origin as one file and the same range list must get FASTER (or at

@@ -10,9 +10,9 @@ import graft.core.Tables
   * pipeline runs before anything else.
   *
   * Scale notes (100 TB):
-  *   - Exact dedup is one hash-shuffle on the normalized text (map-side
-  *     partial agg first); the normalized key could be replaced by
-  *     sha2(text) to shrink shuffle width at identical semantics.
+  *   - Exact dedup is one hash-shuffle on a 32 B binary digest of the
+  *     normalized text (unhex(sha2) — map-side partial agg first), never
+  *     on the text itself.
   *   - N-gram Jaccard mines candidates through a PREFIX-FILTERED
   *     inverted-index join (AllPairs/PPJoin): under a global
   *     rarest-first gram order, two docs with jaccard >= tau must share
@@ -198,12 +198,14 @@ object Dedup {
         |FROM documents
         |GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
         |ORDER BY keep_id""".stripMargin) { (s, dir) =>
-      // group on sha2 of the normalized text, not the text itself: the
-      // shuffle key shrinks from ~300 B of document text to 32 B — at
-      // 100 TB that is the difference between shuffling the corpus and
-      // shuffling a fingerprint column (collision odds ~n²/2²⁵⁶ ≈ 0)
+      // group on unhex(sha2) of the normalized text, not the text
+      // itself: the shuffle key shrinks from ~300 B of document text to
+      // the true 32 B digest (sha2() alone returns 64-char HEX — wider
+      // than many texts; unhex makes it binary) — at 100 TB that is the
+      // difference between shuffling the corpus and shuffling a
+      // fingerprint column (collision odds ~n²/2²⁵⁶ ≈ 0)
       docs(s, dir)
-        .groupBy(sha2(normText, 256).as("h"))
+        .groupBy(unhex(sha2(normText, 256)).as("h"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
         .select(col("keep_id"), col("dup_cnt"))
         .orderBy(col("keep_id"))
@@ -221,7 +223,7 @@ object Dedup {
         |ORDER BY keep_id""".stripMargin) { (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
-          sha2(array_join(array_sort(array_distinct(split(col("text"), " "))), " "), 256).as("sig"))
+          unhex(sha2(array_join(array_sort(array_distinct(split(col("text"), " "))), " "), 256)).as("sig"))
         .groupBy(col("sig"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cluster_size"))
         .select(col("keep_id"), col("cluster_size"))
@@ -400,10 +402,10 @@ object Dedup {
     // 10-word chunk appearing in MORE THAN ONE document is boilerplate;
     // per-doc output = chunk counts + duplicated fraction (integer bp).
     // Cross-document by nature, so the chunk stream legitimately
-    // shuffles once — on a 32 B sha2 FINGERPRINT, not the ~60 B chunk
-    // text (the same key-shrinking trade as dedup_exact; collisions
-    // ~n²/2²⁵⁶ ≈ 0). The oracle states the identical computation over
-    // the raw strings.
+    // shuffles once — on a 32 B BINARY sha2 fingerprint (unhex; the hex
+    // string alone would be 64 B — wider than the chunk text), the same
+    // key-shrinking trade as dedup_exact; collisions ~n²/2²⁵⁶ ≈ 0. The
+    // oracle states the identical computation over the raw strings.
     Q("dedup_chunks",
       """WITH docs_ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
         |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM docs_ws),
@@ -421,7 +423,7 @@ object Dedup {
       val chunks = docs(s, dir).where(size(ws) >= 10)
         .select(col("doc_id"),
           explode(transform(sequence(lit(0), floor(size(ws) / 10).cast("int") - 1),
-            k => sha2(concat_ws(" ", slice(ws, k * 10 + 1, lit(10))), 256))).as("h"))
+            k => unhex(sha2(concat_ws(" ", slice(ws, k * 10 + 1, lit(10))), 256)))).as("h"))
       val chunkDf = chunks.groupBy(col("h"))
         .agg(countDistinct(col("doc_id")).as("docs"))
       chunks.join(chunkDf, "h")

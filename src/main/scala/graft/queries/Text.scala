@@ -254,7 +254,7 @@ object Text {
       val kept = q.withColumn("rn",
           org.apache.spark.sql.functions.row_number().over(
             org.apache.spark.sql.expressions.Window
-              .partitionBy(sha2(Dedup.normText, 256)) // SAME key as dedup_exact
+              .partitionBy(unhex(sha2(Dedup.normText, 256))) // SAME key as dedup_exact
               .orderBy(col("doc_id"))))
         .where(col("rn") === 1)
       kept.select(
