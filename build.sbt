@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench harness records only the last ~2000 chars of output; sbt's
+// "[success] Total time ..." trailer would eat ~75 of them right after
+// Bench's one-line JSON.
+Global / showSuccess := false
+// Without this, the forked runMain's stdout is re-logged with an "[info] "
+// prefix, which breaks line-oriented JSON parsing of Bench/Verify output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
