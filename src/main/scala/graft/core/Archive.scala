@@ -55,8 +55,15 @@ trait Archive {
   * lib/indexer.js:355; a filesystem only offers mtime).
   *
   * `contentHash = true` closes that blind spot: `fversion` becomes
-  * xxhash64 of the file CONTENT, and the engine diffs it against its
-  * per-origin file-version sidecar instead of comparing stamps. The
+  * xxhash64 of the file CONTENT (sign-masked to 63 bits), and the engine
+  * diffs it against its per-origin file-version sidecar instead of
+  * comparing stamps. xxhash64 is NON-cryptographic: a rewrite whose
+  * content happens to collide with the old 63-bit hash is permanently
+  * invisible to the sidecar diff — ~2^-63 per rewrite by chance, but
+  * CONSTRUCTIBLE by an adversary who controls archive bytes. For
+  * adversarial corpora, change detection needs a cryptographic digest
+  * (sha2, at ~4x the hashing cost), which this archive deliberately does
+  * not spend on the benign-writer case. The
   * tradeoff is explicit: every change-detection pass (including each
   * watch tick's listing signature) must read all file bytes, where the
   * mtime form is a metadata-only listing. Choose per archive: mtime for

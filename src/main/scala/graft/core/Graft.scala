@@ -494,6 +494,9 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
   /** `damr.get(view, key)` as a DataFrame of (key_json, value_json):
     * one row per value for map views (ordered by emitting file then emit
     * seq, reference view.js:51), one row for reduced views.
+    *
+    * Lazy, EXCEPT for Fold views: constructing a Fold read runs the
+    * cardinality-cap probe eagerly (see [[reduceEntries]]).
     */
   def get(view: String, key: Any): DataFrame = {
     val kb = KeyCodec.encode(KeyCodec.asKey(key))
@@ -527,6 +530,9 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
   /** `damr.list(view, opts)` as a DataFrame of (key_json, value_json)
     * in range order (reversed if asked). The kb bounds push down to the
     * parquet scan.
+    *
+    * Lazy, EXCEPT for Fold views: constructing a Fold read runs the
+    * cardinality-cap probe eagerly (see [[reduceEntries]]).
     */
   def list(view: String, opts: ListOpts = ListOpts()): DataFrame = {
     val vd = viewDef(view)
@@ -801,8 +807,17 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     */
   private def mergeFolds(df: DataFrame, r: Reduce, keepKb: Boolean): DataFrame = r match {
     case Reduce.Count =>
+      // fail-loud on corrupt state: a partial that doesn't parse as a long
+      // would cast to null and sum() would silently skip it, reading
+      // corrupted fold state as an undercount. Matches the fail-loud
+      // stance of the Fold cap and graft_dot null handling.
+      val strictPartial = coalesce(
+        col("value_json").cast("long"),
+        raise_error(concat(
+          lit("corrupt Count fold partial for key "), col("key_json"),
+          lit(": "), coalesce(col("value_json"), lit("null")))))
       val agg = df.groupBy(col("kb"), col("key_json"))
-        .agg(sum(col("value_json").cast("long")).as("c"))
+        .agg(sum(strictPartial).as("c"))
         .withColumn("value_json", col("c").cast("string"))
       if (keepKb) agg.select(col("kb"), col("key_json"), col("value_json"))
       else agg.select(col("key_json"), col("value_json"))
@@ -890,9 +905,15 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
         // aggregation never materializes the lists, so it survives the
         // exact cardinalities that would OOM the collect): one eager
         // count pass, then the in-UDF check stays as a second belt.
+        // NOTE: constructing a Fold read is EAGER (two jobs run here: the
+        // checkpoint materialization and the cap probe) — unlike every
+        // other Reduce, which stays lazy until the caller acts. The
+        // checkpoint means the probe + the real fold read the source
+        // entries ONCE, not twice.
         val cap = spark.conf.getOption("graft.fold.maxValuesPerKey")
           .map(_.toInt).getOrElse(Graft.defaultFoldCap)
-        val over = df.groupBy(col("kb")).agg(count(lit(1)).as("n"), first(col("key_json")).as("k"))
+        val mat = df.localCheckpoint(true)
+        val over = mat.groupBy(col("kb")).agg(count(lit(1)).as("n"), first(col("key_json")).as("k"))
           .filter(col("n") > cap).select(col("k"), col("n")).head(1)
         over.headOption.foreach { r =>
           throw new IllegalStateException(
@@ -920,7 +941,8 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
               Json.render(acc.orNull)
             }
           }, org.apache.spark.sql.types.StringType)
-        grouped.agg(collect_list(struct(col("file_url"), col("seq"), col("value_json"))).as("vs"))
+        mat.groupBy(col("kb"), col("key_json"))
+          .agg(collect_list(struct(col("file_url"), col("seq"), col("value_json"))).as("vs"))
           .withColumn("value_json", foldUdf(col("vs"), col("key_json")))
     }
     if (keepKb) agg.select(col("kb"), col("key_json"), col("value_json"))
