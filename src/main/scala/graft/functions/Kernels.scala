@@ -99,6 +99,30 @@ object Kernels extends Serializable {
     (c, n) => f(c, org.apache.spark.sql.functions.lit(n))
   }
 
+  /** ALL adjacent word n-grams, WITH multiplicity — the corpus-count
+    * companion of [[gramsN]]'s distinct-set form (LM counts need every
+    * occurrence; dedup/contamination need the set). Same JIT-loop
+    * rationale as [[gramsN]].
+    */
+  val gramsMultiN: (Column, Int) => Column = {
+    val f = udf { (ws: Seq[String], n: Int) =>
+      if (ws.size < n) Array.empty[String]
+      else {
+        val out = new Array[String](ws.size - n + 1)
+        var i = 0
+        while (i + n - 1 < ws.size) {
+          val sb = new StringBuilder(ws(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(ws(i + j)); j += 1 }
+          out(i) = sb.toString
+          i += 1
+        }
+        out
+      }
+    }
+    (c, n) => f(c, org.apache.spark.sql.functions.lit(n))
+  }
+
   /** 64-bit simhash over a word array: bit k is the sign of the ±1 votes
     * of each word-hash's bit k.
     */

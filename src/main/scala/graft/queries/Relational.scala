@@ -331,6 +331,29 @@ object Relational {
           col("event_type"))
         .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("total_value"))
         .orderBy(col("hour_bucket"), col("event_type"))
+    },
+
+    // B29: the salted-join skew path, oracle-gated. Salted.join spreads a
+    // hot key over `salts` synthetic sub-keys (dim side replicated
+    // x salts) so one skewed key can't pin a single reducer — this gate
+    // proves the rewrite is RESULT-IDENTICAL to the plain join the oracle
+    // runs. 8 salts here; at 100 TB you'd size salts ~ executor count /
+    // hot-key share (or lean on AQE skew-join for the non-pathological
+    // cases — Salted.join is for keys AQE can't split, e.g. a single
+    // null-like sentinel key carrying 30% of a corpus).
+    Q("q29_salted_join",
+      """SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(o.o_totalprice) AS DOUBLE), 2) AS total
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val dims = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.functions.Salted
+        .join(t(s, dir, "orders"), dims, "o_custkey", salts = 8,
+          ordinal = Some(col("o_orderkey")))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("segment"))
     }
   )
 }

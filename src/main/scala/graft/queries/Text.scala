@@ -484,6 +484,121 @@ object Text {
     // fp = sum_i ascii(c_i) * (1 + (131·i mod 997)) mod 2^31-1. Pure
     // integer arithmetic, identical across engines; order-sensitive, so
     // permuted documents fingerprint differently (unlike bag hashes).
+    // C26: corpus n-gram LM counts — the classic wordcount shape at
+    // n-gram granularity (KenLM-style count collection). Explode → one
+    // hash-aggregate shuffle with map-side partial aggregation; the
+    // count>=threshold filter runs AFTER the partial agg, so at 100 TB
+    // the shuffle carries one row per distinct gram per map partition,
+    // not one per occurrence.
+    Q("text_ngram_counts",
+      """WITH docs_ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM docs_ws),
+        |g AS (SELECT a.w||' '||b.w||' '||c.w AS gram
+        |      FROM w a JOIN w b ON b.doc_id=a.doc_id AND b.i=a.i+1
+        |               JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g
+        |GROUP BY gram HAVING count(*) >= 5 ORDER BY gram""".stripMargin) { (s, dir) =>
+      docs(s, dir).where(size(words) >= 3)
+        .select(explode(graft.functions.Kernels.gramsMultiN(words, 3)).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 5)
+        .orderBy(col("gram"))
+    },
+
+    // C27: TF-IDF top terms per document. The idf is INTEGER-scaled
+    // ((N*1e6) div df) so both engines rank identical integers — a
+    // ln()-based idf would hand the gate to cross-engine libm rounding.
+    // The df table is open-vocabulary → shuffle join, deliberately NOT
+    // broadcast (same stance as text_vocab_topk; a 100 TB corpus has a
+    // vocabulary far beyond driver memory).
+    Q("text_tfidf",
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM w) GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, (n.n*1000000)//df.df AS idf_sc,
+        |              tf.tf*((n.n*1000000)//df.df) AS score
+        |       FROM tf JOIN df USING(term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM sc)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(idf_sc AS BIGINT) AS idf_sc,
+        |       CAST(score AS BIGINT) AS score
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, score DESC, term""".stripMargin) { (s, dir) =>
+      val w = docs(s, dir).select(col("doc_id"), explode(words).as("term"))
+      val tf = w.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dft = w.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n"))
+      val sc = tf.join(dft, "term").crossJoin(n)
+        .select(col("doc_id"), col("term"), col("tf"),
+          expr("(n * 1000000) div df").as("idf_sc"),
+          (col("tf") * expr("(n * 1000000) div df")).as("score"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      sc.withColumn("rk", row_number().over(win)).where(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("idf_sc"), col("score"))
+        .orderBy(col("doc_id"), col("score").desc, col("term"))
+    },
+
+    // C28: PII redaction — ordered regex scrub (email, IPv4, phone,
+    // then an entity list standing in for NER output; the synthetic
+    // corpus has no digits, so the entity pattern is what exercises the
+    // replacement path end-to-end) plus a redaction count. Narrow
+    // per-row codegen'd work, zero shuffles — scan speed at 100 TB.
+    // NB DuckDB regexp_replace needs the 'g' flag; Spark replaces all
+    // matches by default.
+    Q("text_pii_redact",
+      """WITH red AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+        |  + len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}'))
+        |  + len(regexp_extract_all(text, '[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}'))
+        |  + len(regexp_extract_all(text, '\bcustomer\b')) AS n_red,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |    '[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}', '<PHONE>', 'g'),
+        |    '\bcustomer\b', '<ENT>', 'g') AS red_text
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_red AS BIGINT) AS n_red, red_text
+        |FROM red ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val email = """[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"""
+      val ipv4 = """([0-9]{1,3}\.){3}[0-9]{1,3}"""
+      val phone = """[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}"""
+      val ent = """\bcustomer\b"""
+      val nRed = Seq(email, ipv4, phone, ent)
+        .map(p => size(regexp_extract_all(col("text"), lit(p), lit(0))))
+        .reduce(_ + _)
+      val redText = Seq(email -> "<EMAIL>", ipv4 -> "<IP>",
+        phone -> "<PHONE>", ent -> "<ENT>")
+        .foldLeft(col("text")) { case (c, (p, r)) => regexp_replace(c, p, r) }
+      docs(s, dir)
+        .select(col("doc_id"), nRed.cast("long").as("n_red"), redText.as("red_text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C29: deterministic weighted (importance) sampling — keep
+    // probability proportional to document length (keep_bp =
+    // min(10000, chars*10000/400)), decided by the same Knuth-hash-mod
+    // coin as C19/C24 so the sample is a pure function of doc_id:
+    // reproducible across engines, reruns, and partitionings. One
+    // filter + one partial-agg shuffle; no per-group state.
+    Q("text_sample_weighted",
+      """WITH k AS (
+        |  SELECT source, n_chars FROM documents
+        |  WHERE ((doc_id % 1000003) * 131071 + 99991) % 1000003 % 10000
+        |        < least(10000, (n_chars * 10000) // 400))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM k GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .where(((col("doc_id") % 1000003L) * 131071L + 99991L) % 1000003L % 10000
+          < least(lit(10000L), expr("(n_chars * 10000) div 400")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+        .orderBy(col("source"))
+    },
+
     Q("text_fingerprint",
       """WITH c AS (
         |  SELECT doc_id, ascii(unnest(string_split(text, ''))) AS a,

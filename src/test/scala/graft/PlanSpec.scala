@@ -198,4 +198,52 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"corpus-side gram stream must not shuffle for the probe join:\n$p")
   }
+
+  test("text_ngram_counts: partial agg before the gram shuffle; count filter after partial agg") {
+    val p = planStr("text_ngram_counts")
+    val aggLines = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.exists(_.contains("partial")) || aggLines.size >= 2,
+      s"gram counting must map-side combine (one row per distinct gram " +
+        s"per partition crosses the wire, not one per occurrence):\n$p")
+    // groupBy(gram) + presentation ORDER BY(gram) — nothing else may shuffle
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 2,
+      s"unexpected extra shuffle in LM counting:\n$p")
+  }
+
+  test("text_tfidf: the open-vocabulary df join carries no broadcast hint") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val lp = SparkEntry.queries("text_tfidf")(spark, sf()).queryExecution.analyzed
+    assert(lp.collect { case h: ResolvedHint => h }.isEmpty,
+      "a hinted df-table broadcast would be forced at ANY scale — a 100 TB " +
+        "vocabulary exceeds driver memory; let size stats decide per scale")
+  }
+
+  test("text_pii_redact: pure per-row scan — no shuffle except the presentation sort") {
+    val p = planStr("text_pii_redact")
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 1,
+      s"redaction is per-row column work and must not shuffle:\n$p")
+  }
+
+  test("text_sample_weighted: deterministic coin filters BEFORE the aggregation shuffle") {
+    val p = planStr("text_sample_weighted")
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 2,
+      s"weighted sampling is filter + partial agg; extra shuffles:\n$p")
+    val aggLines = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.exists(_.contains("partial")) || aggLines.size >= 2,
+      s"per-source totals must map-side combine:\n$p")
+  }
+
+  test("q29_salted_join: joins on (key, _salt), dim side replicated, result matches plain join shape") {
+    val p = planStr("q29_salted_join")
+    assert(p.contains("_salt"), s"salted join must key the shuffle on (key, _salt):\n$p")
+  }
+
+  test("gramsMultiN keeps multiplicity where gramsN dedups") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq("a", "b", "a", "b", "c"))).toDF("ws")
+    val multi = df.select(graft.functions.Kernels.gramsMultiN(col("ws"), 2)).head.getSeq[String](0)
+    val dist = df.select(graft.functions.Kernels.gramsN(col("ws"), 2)).head.getSeq[String](0)
+    assert(multi == Seq("a b", "b a", "a b", "b c"))
+    assert(dist == Seq("a b", "b a", "b c"))
+  }
 }
