@@ -807,12 +807,14 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     */
   private def mergeFolds(df: DataFrame, r: Reduce, keepKb: Boolean): DataFrame = r match {
     case Reduce.Count =>
-      // fail-loud on corrupt state: a partial that doesn't parse as a long
-      // would cast to null and sum() would silently skip it, reading
-      // corrupted fold state as an undercount. Matches the fail-loud
-      // stance of the Fold cap and graft_dot null handling.
+      // fail-loud on corrupt state: under non-ANSI configs a partial that
+      // doesn't parse as a long casts to null and sum() silently skips
+      // it, reading corrupted fold state as an undercount (ANSI throws,
+      // but with a generic cast error). try_cast + raise_error gives the
+      // same clear refusal under EITHER ansi setting. Matches the
+      // fail-loud stance of the Fold cap and graft_dot null handling.
       val strictPartial = coalesce(
-        col("value_json").cast("long"),
+        expr("try_cast(value_json AS long)"),
         raise_error(concat(
           lit("corrupt Count fold partial for key "), col("key_json"),
           lit(": "), coalesce(col("value_json"), lit("null")))))

@@ -551,6 +551,33 @@ class GraftEngineSpec extends SparkSpec {
       Some(Reduce.Fold((acc, _, _) => acc.getOrElse(0))), materialize = true)))
   }
 
+  test("corrupt Count fold partial fails loudly instead of silently undercounting") {
+    val d = Files.createTempDirectory("graft-corrupt-arch")
+    writeJson(d, "/a.json", "first" -> "k1")
+    writeJson(d, "/b.json", "first" -> "k1")
+    val g = new Graft(spark, root.resolve("state-corrupt").toString)
+    g.define("cnt", ViewDef(Seq("/*.json"),
+      MapFn((v, m) => Seq(parseFirst(v) -> 1)), Some(Reduce.Count),
+      materialize = true))
+    g.index(new DirArchive("dat://corrupt", d.toString))
+    assert(g.getValue("cnt", "k1").contains(2))
+
+    // corrupt the materialized partial on disk (a torn write / bad
+    // writer): the read path must refuse, not cast-to-null-and-skip
+    val foldsPath = root.resolve("state-corrupt/cnt/folds").toString
+    val corrupted = spark.read.parquet(foldsPath)
+      .withColumn("value_json", org.apache.spark.sql.functions.lit("garbage"))
+      .localCheckpoint(true) // detach: Spark refuses to overwrite a read path
+    corrupted.write.partitionBy("ob").mode("overwrite").parquet(foldsPath)
+    spark.catalog.refreshByPath(foldsPath)
+    val e = intercept[Exception](g.getValue("cnt", "k1"))
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("corrupt Count fold partial")),
+      s"expected the loud corrupt-state error, got: ${chain(e)}")
+  }
+
   test("incremental index() retracts an origin whose matching files all disappeared") {
     val d = Files.createTempDirectory("graft-gone-arch")
     writeJson(d, "/single.json", "first" -> "gone", "second" -> 1)
