@@ -81,8 +81,11 @@ object Bench {
       }
     }
     def line(decimals: Int, foldBelow: Double): String = {
+      // failed (-1) and flaky queries are never folded: they are named in
+      // failed[]/flaky[], so their per-query entry must stay resolvable
+      // in the one line of record
       val (folded, kept) =
-        results.partition(r => r._2 >= 0 && r._2 < foldBelow)
+        results.partition(r => r._2 >= 0 && r._2 < foldBelow && r._3 == repeats)
       val qs = kept.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, decimals) }
         .mkString("{", ",", "}")
       val fold =

@@ -907,15 +907,17 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
         // aggregation never materializes the lists, so it survives the
         // exact cardinalities that would OOM the collect): one eager
         // count pass, then the in-UDF check stays as a second belt.
-        // NOTE: constructing a Fold read is EAGER (two jobs run here: the
-        // checkpoint materialization and the cap probe) — unlike every
-        // other Reduce, which stays lazy until the caller acts. The
-        // checkpoint means the probe + the real fold read the source
-        // entries ONCE, not twice.
+        // NOTE: constructing a Fold read is EAGER (the cap probe runs one
+        // job here) — unlike every other Reduce, which stays lazy until
+        // the caller acts. The probe deliberately re-reads the source
+        // rather than caching it for the fold: its scan is column-pruned
+        // to (kb, key_json) — it never touches the wide value_json — so
+        // the second read costs less than pinning the whole entry set on
+        // executors (a localCheckpoint here would never be unpersisted,
+        // and would strip the lineage a lost executor needs to recover).
         val cap = spark.conf.getOption("graft.fold.maxValuesPerKey")
           .map(_.toInt).getOrElse(Graft.defaultFoldCap)
-        val mat = df.localCheckpoint(true)
-        val over = mat.groupBy(col("kb")).agg(count(lit(1)).as("n"), first(col("key_json")).as("k"))
+        val over = df.groupBy(col("kb")).agg(count(lit(1)).as("n"), first(col("key_json")).as("k"))
           .filter(col("n") > cap).select(col("k"), col("n")).head(1)
         over.headOption.foreach { r =>
           throw new IllegalStateException(
@@ -943,7 +945,7 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
               Json.render(acc.orNull)
             }
           }, org.apache.spark.sql.types.StringType)
-        mat.groupBy(col("kb"), col("key_json"))
+        grouped
           .agg(collect_list(struct(col("file_url"), col("seq"), col("value_json"))).as("vs"))
           .withColumn("value_json", foldUdf(col("vs"), col("key_json")))
     }

@@ -80,21 +80,32 @@ object Kernels extends Serializable {
     * one Expression.eval per element per function; the kernel is one JIT
     * loop per row.
     */
+  /** All adjacent ' '-joined n-gram windows, in position order — the ONE
+    * gram-assembly loop behind both [[gramsN]] and [[gramsMultiN]], so
+    * set-form consumers (dedup, contamination) and count-form consumers
+    * (LM counts) can never disagree on gram identity.
+    */
+  private def gramWindows(ws: Seq[String], n: Int): Array[String] = {
+    if (ws.size < n) Array.empty[String]
+    else {
+      val out = new Array[String](ws.size - n + 1)
+      var i = 0
+      while (i + n - 1 < ws.size) {
+        val sb = new StringBuilder(ws(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(ws(i + j)); j += 1 }
+        out(i) = sb.toString
+        i += 1
+      }
+      out
+    }
+  }
+
   val gramsN: (Column, Int) => Column = {
     val f = udf { (ws: Seq[String], n: Int) =>
-      if (ws.size < n) Array.empty[String]
-      else {
-        val seen = new java.util.LinkedHashSet[String]
-        var i = 0
-        while (i + n - 1 < ws.size) {
-          val sb = new StringBuilder(ws(i))
-          var j = 1
-          while (j < n) { sb.append(' ').append(ws(i + j)); j += 1 }
-          seen.add(sb.toString)
-          i += 1
-        }
-        seen.toArray(new Array[String](seen.size))
-      }
+      val seen = new java.util.LinkedHashSet[String]
+      gramWindows(ws, n).foreach(seen.add)
+      seen.toArray(new Array[String](seen.size))
     }
     (c, n) => f(c, org.apache.spark.sql.functions.lit(n))
   }
@@ -105,21 +116,7 @@ object Kernels extends Serializable {
     * rationale as [[gramsN]].
     */
   val gramsMultiN: (Column, Int) => Column = {
-    val f = udf { (ws: Seq[String], n: Int) =>
-      if (ws.size < n) Array.empty[String]
-      else {
-        val out = new Array[String](ws.size - n + 1)
-        var i = 0
-        while (i + n - 1 < ws.size) {
-          val sb = new StringBuilder(ws(i))
-          var j = 1
-          while (j < n) { sb.append(' ').append(ws(i + j)); j += 1 }
-          out(i) = sb.toString
-          i += 1
-        }
-        out
-      }
-    }
+    val f = udf { (ws: Seq[String], n: Int) => gramWindows(ws, n) }
     (c, n) => f(c, org.apache.spark.sql.functions.lit(n))
   }
 

@@ -508,19 +508,24 @@ object Text {
     },
 
     // C27: TF-IDF top terms per document. The idf is INTEGER-scaled
-    // ((N*1e6) div df) so both engines rank identical integers — a
+    // ((N*1000) div df) so both engines rank identical integers — a
     // ln()-based idf would hand the gate to cross-engine libm rounding.
-    // The df table is open-vocabulary → shuffle join, deliberately NOT
-    // broadcast (same stance as text_vocab_topk; a 100 TB corpus has a
-    // vocabulary far beyond driver memory).
+    // Milli (not micro) fixed point bounds the score: score <= tf_max ·
+    // 1000·N, which fits a signed 64-bit long for corpora to ~9·10^10
+    // docs at tf_max 10^5 — three orders past 100 TB of 10 KB documents
+    // (micro scaling would wrap negative, silently mis-ranking in Spark
+    // while DuckDB raises, from N ~ 10^8). The df table is
+    // open-vocabulary → shuffle join, deliberately NOT broadcast (same
+    // stance as text_vocab_topk; a 100 TB corpus has a vocabulary far
+    // beyond driver memory).
     Q("text_tfidf",
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
         |df AS (SELECT term, count(*) AS df
         |       FROM (SELECT DISTINCT doc_id, term FROM w) GROUP BY 1),
         |n AS (SELECT count(*) AS n FROM documents),
-        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, (n.n*1000000)//df.df AS idf_sc,
-        |              tf.tf*((n.n*1000000)//df.df) AS score
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, (n.n*1000)//df.df AS idf_sc,
+        |              tf.tf*((n.n*1000)//df.df) AS score
         |       FROM tf JOIN df USING(term) CROSS JOIN n),
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM sc)
         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(idf_sc AS BIGINT) AS idf_sc,
@@ -532,8 +537,8 @@ object Text {
       val n = docs(s, dir).agg(count(lit(1)).as("n"))
       val sc = tf.join(dft, "term").crossJoin(n)
         .select(col("doc_id"), col("term"), col("tf"),
-          expr("(n * 1000000) div df").as("idf_sc"),
-          (col("tf") * expr("(n * 1000000) div df")).as("score"))
+          expr("(n * 1000) div df").as("idf_sc"),
+          (col("tf") * expr("(n * 1000) div df")).as("score"))
       val win = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
       sc.withColumn("rk", row_number().over(win)).where(col("rk") <= 3)
@@ -548,32 +553,41 @@ object Text {
     // per-row codegen'd work, zero shuffles — scan speed at 100 TB.
     // NB DuckDB regexp_replace needs the 'g' flag; Spark replaces all
     // matches by default.
+    // Counts are STAGE-WISE (each pattern counted on the text as already
+    // redacted by the previous patterns), so n_red equals the number of
+    // replacements actually performed — counting every pattern against
+    // the original text would double-count overlaps (the entity word
+    // inside an email address is gone by the time the entity pass runs).
     Q("text_pii_redact",
-      """WITH red AS (SELECT doc_id,
-        |  len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
-        |  + len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}'))
-        |  + len(regexp_extract_all(text, '[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}'))
-        |  + len(regexp_extract_all(text, '\bcustomer\b')) AS n_red,
-        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
-        |    '[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}', '<PHONE>', 'g'),
-        |    '\bcustomer\b', '<ENT>', 'g') AS red_text
-        |  FROM documents)
-        |SELECT doc_id, CAST(n_red AS BIGINT) AS n_red, red_text
-        |FROM red ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val email = """[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"""
-      val ipv4 = """([0-9]{1,3}\.){3}[0-9]{1,3}"""
-      val phone = """[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}"""
-      val ent = """\bcustomer\b"""
-      val nRed = Seq(email, ipv4, phone, ent)
-        .map(p => size(regexp_extract_all(col("text"), lit(p), lit(0))))
-        .reduce(_ + _)
-      val redText = Seq(email -> "<EMAIL>", ipv4 -> "<IP>",
-        phone -> "<PHONE>", ent -> "<ENT>")
-        .foldLeft(col("text")) { case (c, (p, r)) => regexp_replace(c, p, r) }
-      docs(s, dir)
-        .select(col("doc_id"), nRed.cast("long").as("n_red"), redText.as("red_text"))
+      """WITH s0 AS (SELECT doc_id, text AS t FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS c1,
+        |  regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS t
+        |  FROM s0),
+        |s2 AS (SELECT doc_id, c1,
+        |  len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS c2,
+        |  regexp_replace(t, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, c1, c2,
+        |  len(regexp_extract_all(t, '[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}')) AS c3,
+        |  regexp_replace(t, '[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}', '<PHONE>', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, c1, c2, c3,
+        |  len(regexp_extract_all(t, '\bcustomer\b')) AS c4,
+        |  regexp_replace(t, '\bcustomer\b', '<ENT>', 'g') AS t FROM s3)
+        |SELECT doc_id, CAST(c1 + c2 + c3 + c4 AS BIGINT) AS n_red, t AS red_text
+        |FROM s4 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val stages = Seq(
+        """[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}""" -> "<EMAIL>",
+        """([0-9]{1,3}\.){3}[0-9]{1,3}""" -> "<IP>",
+        """[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}""" -> "<PHONE>",
+        """\bcustomer\b""" -> "<ENT>")
+      val redacted = stages.foldLeft(
+        docs(s, dir).select(col("doc_id"), lit(0L).as("n_red"), col("text").as("t"))) {
+        case (df, (p, r)) => df.select(col("doc_id"),
+          (col("n_red") + size(regexp_extract_all(col("t"), lit(p), lit(0)))).as("n_red"),
+          regexp_replace(col("t"), p, r).as("t"))
+      }
+      redacted
+        .select(col("doc_id"), col("n_red"), col("t").as("red_text"))
         .orderBy(col("doc_id"))
     },
 

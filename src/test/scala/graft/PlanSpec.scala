@@ -233,9 +233,25 @@ class PlanSpec extends SparkSpec {
       s"per-source totals must map-side combine:\n$p")
   }
 
-  test("q29_salted_join: joins on (key, _salt), dim side replicated, result matches plain join shape") {
-    val p = planStr("q29_salted_join")
-    assert(p.contains("_salt"), s"salted join must key the shuffle on (key, _salt):\n$p")
+  test("q29_salted_join: joins on (key, _salt), dim side replicated, result matches plain join") {
+    val df = SparkEntry.queries("q29_salted_join")(spark, sf())
+    // (a) the join keys the shuffle on BOTH the natural key and the salt
+    val joinLine = df.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("Join")).getOrElse("")
+    assert(joinLine.contains("o_custkey") && joinLine.contains("_salt"),
+      s"join must key on (o_custkey, _salt): $joinLine")
+    // (b) the dim side is replicated x salts before the join
+    val lp = df.queryExecution.optimizedPlan.toString
+    assert(lp.contains("explode") || lp.contains("Generate"),
+      s"dim side must explode over the salt range:\n$lp")
+    // (c) result identical to the plain (unsalted) join the oracle runs
+    val o = spark.read.parquet(s"${sf()}/orders.parquet")
+    val c = spark.read.parquet(s"${sf()}/customer.parquet")
+    val plain = o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+    assert(df.collect().toSet == plain.collect().toSet,
+      "salted aggregate diverged from the plain join")
   }
 
   test("gramsMultiN keeps multiplicity where gramsN dedups") {
