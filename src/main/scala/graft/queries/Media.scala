@@ -58,5 +58,28 @@ object Media {
       Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, dir), 32).toDF()
         .select(col("media_id"), col("mediaType").as("media_type"))
         .orderBy(col("media_id"))
+    },
+
+    // C13c: frame sampling through the Codec seam — every stepMs=700
+    // within each item's duration, decode-fanout inside mapPartitions
+    // (0 shuffles until the per-item re-aggregation). The oracle
+    // recomputes the sampling arithmetic (frame count = max(1,
+    // duration/step)) and the decoded size contract (width*height bytes
+    // per frame) relationally, gating the flatMap multiplicity and the
+    // codec's size contract; pixel CONTENT stays codec output,
+    // spec-verified in MultimodalSpec.
+    Q("media_frame_sample",
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  16 + (doc_id % 4) * 8 AS w, 16 + (doc_id % 3) * 8 AS h,
+        |  greatest(1, (1000 + (n_chars % 5000)) // 700) AS n_frames
+        |  FROM documents)
+        |SELECT media_id, CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(n_frames * w * h AS BIGINT) AS px_bytes
+        |FROM m ORDER BY media_id""".stripMargin) { (s, dir) =>
+      Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, dir), stepMs = 700).toDF()
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("pixels"))).as("px_bytes"))
+        .orderBy(col("media_id"))
     })
 }
