@@ -105,6 +105,29 @@ object Dedup {
     verifyJaccard(cands, d, tau)
   }
 
+  /** MinHash(128) + 32×4 LSH banding near-dup pairs at rational
+    * threshold tau = tauNum/tauDen — the approximate counterpart of
+    * [[ngramJaccardPairs]] (same output contract; candidates meet only
+    * inside a (band, 4-hash) bucket, then exact Jaccard verifies).
+    * Banding probability ≈ 1 at j ≥ 0.8 with these parameters.
+    */
+  def minhashLshPairs(d: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen, "tau in (0, 1]")
+    val nPerm = 128; val bands = 32; val rows = nPerm / bands
+    val sigs = d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.Kernels.minhash128(gramsOf(col("ws"))).as("sig"))
+    val banded = sigs.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows)).as("bsig")))).as("bk"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    verifyJaccard(cands, d, tauNum.toDouble / tauDen)
+  }
+
   /** Connected components over an arbitrary near-dup pair source —
     * accepts ANY DataFrame with (a_id, b_id) columns (ngram, minhash,
     * simhash, or embedding pairs all feed it), returns (id, label) with
@@ -266,20 +289,7 @@ object Dedup {
     // this tau (banding probability ≈ 1 at j ≥ 0.8). Driver check is
     // rows-only (the SQL oracle can't express the banding).
     Q.noOracle("dedup_minhash_lsh") { (s, dir) =>
-      val d = docs(s, dir)
-      val nPerm = 128; val bands = 32; val rows = nPerm / bands
-      val sigs = d.select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .where(size(col("ws")) >= 3)
-        .select(col("doc_id"),
-          graft.functions.Kernels.minhash128(gramsOf(col("ws"))).as("sig"))
-      val banded = sigs.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows)).as("bsig")))).as("bk"))
-      val cands = banded.as("a").join(banded.as("b"),
-          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-      verifyJaccard(cands, d, 0.8).orderBy(col("a_id"), col("b_id"))
+      minhashLshPairs(docs(s, dir), 4, 5).orderBy(col("a_id"), col("b_id"))
     },
 
     // C5: 64-bit SimHash near-dup candidates at hamming <= 3, via the
