@@ -18,7 +18,12 @@ object DedupScale {
 
   /** n docs of 40 words from a 500-word vocab, every 4th word one of 5
     * stop-words; docs with id % 10 == 9 are a copy of id - 9's text with
-    * two words edited (a planted near-dup pair under tau = 0.8).
+    * two words edited. Word 0 touches 1 trigram and word 20 touches 3,
+    * so each side keeps 4 unique grams: |∩| = 34, |∪| = 42, jacc =
+    * 0.8095 — the planted pairs clear tau = 0.8 by design margin ~0.01,
+    * so DO NOT edit a third word or raise tau without redoing this
+    * arithmetic (a third edit drops jacc to ~0.65 and the verify stage
+    * silently loses all planted work).
     */
   private def corpus(spark: SparkSession, n: Long): DataFrame = {
     val base = spark.range(n).select(
@@ -40,10 +45,16 @@ object DedupScale {
         |  END)""".stripMargin))).otherwise(col("text")))
   }
 
-  private def timed(f: => Long): (Long, Double) = {
-    val t0 = System.nanoTime()
-    val n = f
-    (n, (System.nanoTime() - t0) / 1e9)
+  /** Median-of-3 — the repo's timing rule (single-shot sub-10 s timings
+    * on this host vary run to run; see Bench/ScaleSmoke).
+    */
+  private def med3(f: => Long): (Long, Double) = {
+    val runs = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val n = f
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    (runs.head._1, runs.map(_._2).sorted.apply(1))
   }
 
   def main(args: Array[String]): Unit = {
@@ -53,19 +64,26 @@ object DedupScale {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // corpora are materialized ONCE, OUTSIDE the timed window (synthesis
+    // is O(n) and would dilute a super-linear kernel toward 4x — the very
+    // claim being tested), and shared by both kernels
+    val warm = corpus(spark, small / 5).localCheckpoint(true)
+    val d1 = corpus(spark, small).localCheckpoint(true)
+    val d4 = corpus(spark, small * 4).localCheckpoint(true)
     Seq(("allpairs", (d: DataFrame) =>
       queries.Dedup.ngramJaccardPairs(d, 4, 5).count()),
       ("minhash", (d: DataFrame) =>
         queries.Dedup.minhashLshPairs(d, 4, 5).count())
     ).foreach { case (name, run) =>
-      // warm once at the small size so JIT/codegen cost doesn't inflate
+      // warm once at a small size so JIT/codegen cost doesn't inflate
       // the small-run denominator (which would understate the ratio)
-      run(corpus(spark, small / 5).localCheckpoint(true))
-      val (p1, t1) = timed(run(corpus(spark, small).localCheckpoint(true)))
-      val (p2, t2) = timed(run(corpus(spark, small * 4).localCheckpoint(true)))
+      run(warm)
+      val (p1, t1) = med3(run(d1))
+      val (p2, t2) = med3(run(d4))
       println(f"[dedupscale] $name: $small%d docs -> $p1 pairs in $t1%.1f s; " +
-        f"${small * 4}%d docs -> $p2 pairs in $t2%.1f s; 4x data = ${t2 / t1}%.1f x time")
+        f"${small * 4}%d docs -> $p2 pairs in $t2%.1f s; 4x data = ${t2 / t1}%.1f x time (median-of-3)")
     }
+    Seq(warm, d1, d4).foreach(_.unpersist())
     spark.stop()
   }
 }

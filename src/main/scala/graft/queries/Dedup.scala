@@ -113,6 +113,13 @@ object Dedup {
     */
   def minhashLshPairs(d: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen, "tau in (0, 1]")
+    // the 32x4 banding is tuned for high thresholds: candidate-capture
+    // probability at jaccard j is 1-(1-j^4)^32 — ~0.9998 at j=0.7 but
+    // only ~0.87 at j=0.5, which would silently drop qualifying pairs
+    // (ngramJaccardPairs is the exact-at-any-tau alternative)
+    require(tauNum * 10 >= tauDen * 7,
+      "minhashLshPairs' 32x4 banding needs tau >= 0.7 to keep capture " +
+        "probability ~1; use ngramJaccardPairs for lower thresholds")
     val nPerm = 128; val bands = 32; val rows = nPerm / bands
     val sigs = d.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .where(size(col("ws")) >= 3)
