@@ -354,6 +354,29 @@ object Relational {
         .groupBy(col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
         .orderBy(col("segment"))
+    },
+
+    // B30: arbitrary GROUPING SETS — unlike B16's ROLLUP prefix
+    // hierarchy, this mixes a 2-column set, a NON-prefix 1-column set
+    // (linestatus alone), and the grand total in ONE Expand+agg pass.
+    // Spark exposes grouping sets through SQL only, so this rides the
+    // q27-style spark.sql entry point. NULL group markers are coalesced
+    // to 'ALL' on both engines (sidesteps cross-engine NULL sort order).
+    Q("q30_grouping_sets",
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS cnt, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+          |  coalesce(l_linestatus, 'ALL') AS linestatus,
+          |  count(*) AS cnt, round(sum(l_quantity), 4) AS sum_qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+          |ORDER BY returnflag, linestatus""".stripMargin)
     }
   )
 }
