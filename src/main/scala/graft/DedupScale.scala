@@ -35,7 +35,7 @@ object DedupScale {
           |    ELSE concat('w', pmod(xxhash64(id * 41 + i), 500))
           |  END)""".stripMargin)).as("text"))
     // planted near-dups: id % 10 == 9 re-derives id-9's words, editing
-    // positions 0 and 20 — 38/42 shared distinct grams ~ jacc 0.9
+    // positions 0 and 20 — jacc 34/42 = 0.8095 (see scaladoc arithmetic)
     base.withColumn("text", when(col("doc_id") % 10 === 9, concat_ws(" ", expr(
       """transform(sequence(0, 39), i ->
         |  CASE WHEN i = 0 OR i = 20 THEN concat('edit', doc_id)

@@ -825,6 +825,17 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
       else agg.select(col("key_json"), col("value_json"))
     case _: Reduce.Fold => throw new IllegalStateException(
       "Fold views are never materialized (define() rejects them)")
+    case r @ (Reduce.Sum | Reduce.Min | Reduce.Max) =>
+      // numeric partials get the same fail-loud guard as Count: these are
+      // ENGINE-written values, so a non-numeric one is corruption, never
+      // user data — validate here rather than inside reduceEntries, whose
+      // cast also serves raw user emissions on the read-time path
+      val checked = df.withColumn("value_json",
+        when(expr("try_cast(value_json AS double)").isNotNull, col("value_json"))
+          .otherwise(raise_error(concat(
+            lit("corrupt numeric fold partial for key "), col("key_json"),
+            lit(": "), coalesce(col("value_json"), lit("null"))))))
+      reduceEntries(checked, r, keepKb)
     case other => reduceEntries(df, other, keepKb)
   }
 

@@ -20,6 +20,17 @@ object Text {
 
   private val words: Column = split(col("text"), " ")
 
+  /** The deterministic sampling coin shared by C19/C24/C29: an affine
+    * map of doc_id over Z_1000003, reduced mod `buckets` (100 for
+    * percent rates, 10000 for basis points). A pure function of doc_id,
+    * so every sample survives reruns, engines, and repartitionings.
+    * ONE definition on the Scala side; each query's oracle restates the
+    * SQL twin `((doc_id % 1000003) * 131071 + 99991) % 1000003 % B` —
+    * keep them in lockstep.
+    */
+  private def keepCoin(buckets: Int): Column =
+    ((col("doc_id") % 1000003L) * 131071L + 99991L) % 1000003L % buckets
+
   /** Marker-word lists per language for the stopword-heuristic langid.
     * (A real pipeline ships per-language function-word tables; the
     * mechanism — count marker hits per language, argmax — is identical.)
@@ -285,7 +296,7 @@ object Text {
         |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       docs(s, dir)
-        .where(((col("doc_id") % 1000003L) * 131071L + 99991L) % 1000003L % 100 <
+        .where(keepCoin(100) <
           when(col("lang") === "en", 50)
             .when(col("lang") === "fr", 80)
             .otherwise(100))
@@ -474,16 +485,12 @@ object Text {
         .select(col("lang"),
           least(lit(10000L), expr("(total * 10000) div (n_src * cnt)")).cast("long").as("keep_bp"))
       d.join(broadcast(rate), "lang")
-        .where(((col("doc_id") % 1000003L) * 131071L + 99991L) % 1000003L % 10000 < col("keep_bp"))
+        .where(keepCoin(10000) < col("keep_bp"))
         .groupBy(col("lang"), col("keep_bp"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
         .orderBy(col("lang"))
     },
 
-    // C12: polynomial position-weighted fingerprint over characters —
-    // fp = sum_i ascii(c_i) * (1 + (131·i mod 997)) mod 2^31-1. Pure
-    // integer arithmetic, identical across engines; order-sensitive, so
-    // permuted documents fingerprint differently (unlike bag hashes).
     // C26: corpus n-gram LM counts — the classic wordcount shape at
     // n-gram granularity (KenLM-style count collection). Explode → one
     // hash-aggregate shuffle with map-side partial aggregation; the
@@ -606,13 +613,17 @@ object Text {
         |       CAST(sum(n_chars) AS BIGINT) AS chars_kept
         |FROM k GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       docs(s, dir)
-        .where(((col("doc_id") % 1000003L) * 131071L + 99991L) % 1000003L % 10000
+        .where(keepCoin(10000)
           < least(lit(10000L), expr("(n_chars * 10000) div 400")))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
         .orderBy(col("source"))
     },
 
+    // C12: polynomial position-weighted fingerprint over characters —
+    // fp = sum_i ascii(c_i) * (1 + (131·i mod 997)) mod 2^31-1. Pure
+    // integer arithmetic, identical across engines; order-sensitive, so
+    // permuted documents fingerprint differently (unlike bag hashes).
     Q("text_fingerprint",
       """WITH c AS (
         |  SELECT doc_id, ascii(unnest(string_split(text, ''))) AS a,

@@ -576,6 +576,27 @@ class GraftEngineSpec extends SparkSpec {
         .map(x => Option(x.getMessage).getOrElse("")).toSeq
     assert(chain(e).exists(_.contains("corrupt Count fold partial")),
       s"expected the loud corrupt-state error, got: ${chain(e)}")
+
+    // same guard for the numeric (Sum/Min/Max) merge arm
+    val d2 = Files.createTempDirectory("graft-corrupt-arch2")
+    writeJson(d2, "/a.json", "first" -> "k1", "second" -> 3)
+    val g2 = new Graft(spark, root.resolve("state-corrupt2").toString)
+    g2.define("sums", ViewDef(Seq("/*.json"),
+      MapFn((v, m) => {
+        val rec = core.Json.parse(v).asInstanceOf[Map[String, Any]]
+        Seq(rec("first") -> rec("second"))
+      }), Some(Reduce.Sum), materialize = true))
+    g2.index(new DirArchive("dat://corrupt2", d2.toString))
+    assert(g2.getValue("sums", "k1").contains(3.0))
+    val foldsPath2 = root.resolve("state-corrupt2/sums/folds").toString
+    val corrupted2 = spark.read.parquet(foldsPath2)
+      .withColumn("value_json", org.apache.spark.sql.functions.lit("not-a-number"))
+      .localCheckpoint(true)
+    corrupted2.write.partitionBy("ob").mode("overwrite").parquet(foldsPath2)
+    spark.catalog.refreshByPath(foldsPath2)
+    val e2 = intercept[Exception](g2.getValue("sums", "k1"))
+    assert(chain(e2).exists(_.contains("corrupt numeric fold partial")),
+      s"expected the loud corrupt-state error, got: ${chain(e2)}")
   }
 
   test("incremental index() retracts an origin whose matching files all disappeared") {

@@ -244,14 +244,25 @@ class PlanSpec extends SparkSpec {
     val lp = df.queryExecution.optimizedPlan.toString
     assert(lp.contains("explode") || lp.contains("Generate"),
       s"dim side must explode over the salt range:\n$lp")
-    // (c) result identical to the plain (unsalted) join the oracle runs
+    // (c) result matches the plain (unsalted) join the oracle runs.
+    // Counts compare exactly; the double sums accumulate in different
+    // partition orders (per (key,salt) vs per key), so the last-ulp
+    // noise can round to a different cent — compare within 0.011, not
+    // with exact Set equality (a data-dependent flake otherwise)
     val o = spark.read.parquet(s"${sf()}/orders.parquet")
     val c = spark.read.parquet(s"${sf()}/customer.parquet")
     val plain = o.join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("segment"))
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
-    assert(df.collect().toSet == plain.collect().toSet,
-      "salted aggregate diverged from the plain join")
+    def bySeg(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val (saltedM, plainM) = (bySeg(df.collect()), bySeg(plain.collect()))
+    assert(saltedM.keySet == plainM.keySet, "segment sets diverged")
+    saltedM.foreach { case (seg, (n, total)) =>
+      assert(n == plainM(seg)._1, s"count diverged for $seg")
+      assert(math.abs(total - plainM(seg)._2) <= 0.011,
+        s"sum diverged for $seg: $total vs ${plainM(seg)._2}")
+    }
   }
 
   test("gramsMultiN keeps multiplicity where gramsN dedups") {
