@@ -9,7 +9,8 @@ object Bench {
     * inflate >2x right after q20s_stream_window).
     */
   private val sessionMutating =
-    Set("q20s_stream_window", "q21s_stream_sessions", "q17s_stream_distinct")
+    Set("q20s_stream_window", "q21s_stream_sessions", "q17s_stream_distinct",
+      "q28s_stream_join")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -255,5 +255,55 @@ object Events {
         .groupBy(col("p.p_id").as("event_id"))
         .agg(count(col("c.c_ts")).as("n_clicks"))
         .orderBy(col("event_id"))
+    },
+
+    // D5-gate: watermarked STREAM-STREAM interval join — the streaming
+    // twin of B28, INNER (matched pairs emit as soon as both sides
+    // arrive; append mode, the only mode stream-stream joins support).
+    // Spark keys the join state on the user_id equi-condition and prunes
+    // it with the two-sided time bound + watermarks, which is exactly
+    // B28's bucketize-by-interval trick performed by the engine's state
+    // store. The per-purchase count is a BATCH rollup over the completed
+    // sink: an aggregation downstream of a stream-stream join would need
+    // the watermark to pass each purchase before emitting, and
+    // AvailableNow ends with the final micro-batch's watermark still
+    // delay-behind max event time — the tail purchases would be
+    // silently withheld from the gate. (Oracle is INNER, so zero-click
+    // purchases don't appear — that's B28's LEFT-join job.)
+    Q("q28s_stream_join",
+      """SELECT p.event_id, CAST(count(*) AS BIGINT) AS n_clicks
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id AND c.event_type = 'click'
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def src() = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val purchases = src().where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+      val clicks = src().where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val joined = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") < col("p_ts"))
+      val sink = "q28s_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(sink).localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out.groupBy(col("p_id").as("event_id"))
+        .agg(count(lit(1)).as("n_clicks"))
+        .orderBy(col("event_id"))
     })
 }
