@@ -30,17 +30,28 @@ object Events {
     * `ts` is rebuilt as a µs timestamp and pruned away by queries that
     * don't select it.
     */
-  private def streamEventsToCompleteSink(
-      s: org.apache.spark.sql.SparkSession, dir: String, sinkPrefix: String)(
-      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** The ONE place the events file-stream source is built (nanos conf,
+    * schema read, directory glob, µs-timestamp rebuild): every streaming
+    * gate — single-source complete-mode sinks and the two-source q28s
+    * join alike — must construct its stream(s) through this factory, so
+    * a fix to any source gotcha can't miss a copy.
+    */
+  private def eventsStreamSource(
+      s: org.apache.spark.sql.SparkSession, dir: String): () => org.apache.spark.sql.DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     // the file streaming source wants a DIRECTORY; narrow it to the
     // events table with a glob filter
-    val src = s.readStream.schema(schema)
+    () => s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def streamEventsToCompleteSink(
+      s: org.apache.spark.sql.SparkSession, dir: String, sinkPrefix: String)(
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val src = eventsStreamSource(s, dir)()
     val sink = sinkPrefix + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = build(src).writeStream.format("memory").queryName(sink)
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
@@ -277,12 +288,7 @@ object Events {
         |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin) { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      def src() = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val src = eventsStreamSource(s, dir)
       val purchases = src().where(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
           col("ts").as("p_ts"))
@@ -294,15 +300,20 @@ object Events {
         col("p_user") === col("c_user") &&
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("c_ts") < col("p_ts"))
-      val sink = "q28s_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = joined.writeStream.format("memory").queryName(sink)
+      // the join output is the raw PAIR SPACE — O(matched pairs), not a
+      // small aggregate like the other gates' sinks — so it goes to a
+      // parquet file sink (stays on executors), never a driver-memory
+      // sink, and the rollup reads it back as a distributed scan
+      val tmp = java.nio.file.Files.createTempDirectory("q28s-pairs").toString
+      val q = joined.writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val out = s.table(sink).localCheckpoint(true)
-      s.catalog.dropTempView(sink)
-      out.groupBy(col("p_id").as("event_id"))
+      s.read.parquet(s"$tmp/out")
+        .groupBy(col("p_id").as("event_id"))
         .agg(count(lit(1)).as("n_clicks"))
         .orderBy(col("event_id"))
     })
