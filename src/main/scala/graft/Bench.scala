@@ -81,13 +81,16 @@ object Bench {
         BigDecimal(v).setScale(d, BigDecimal.RoundingMode.HALF_UP).toString
       }
     }
-    def line(decimals: Int, foldBelow: Double): String = {
-      // failed (-1) and flaky queries are never folded: they are named in
-      // failed[]/flaky[], so their per-query entry must stay resolvable
-      // in the one line of record
-      val (folded, kept) =
-        results.partition(r => r._2 >= 0 && r._2 < foldBelow && r._3 == repeats)
-      val qs = kept.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, decimals) }
+    // failed (-1) and flaky queries are never folded: they are named in
+    // failed[]/flaky[], so their per-query entry must stay resolvable
+    // in the one line of record. Everything else is foldable, CHEAPEST
+    // first — fold exactly as many as the budget demands, no more (a
+    // coarse threshold ladder once folded 32 queries where 3 sufficed).
+    val (foldable, pinned) = results.partition(r => r._2 >= 0 && r._3 == repeats)
+    val byCost = foldable.sortBy(_._2)
+    def line(nFold: Int, decimals: Int): String = {
+      val (folded, kept) = byCost.splitAt(nFold)
+      val qs = (kept ++ pinned).map { case (k, v, _) => "\"" + k + "\":" + fmt(v, decimals) }
         .mkString("{", ",", "}")
       val fold =
         if (folded.isEmpty) ""
@@ -98,9 +101,8 @@ object Bench {
       s"""{"metric":"total","value":$tot,"unit":"sec","queries":$qs$fold$opt,"sf":"$sfDir","repeats":$repeats}"""
     }
     val budget = 1880
-    val out = Seq((3, 0.0), (3, 0.05), (3, 0.1), (2, 0.2), (2, 0.5))
-      .map { case (d, f) => line(d, f) }.find(_.length <= budget)
-      .getOrElse(line(1, 1.0))
+    val out = (0 to byCost.size).iterator.map(line(_, 3)).find(_.length <= budget)
+      .getOrElse(line(byCost.size, 2))
     val full = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     try {
