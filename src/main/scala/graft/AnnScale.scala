@@ -1,0 +1,98 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling measurement for the similarity-search path: run the REAL gate
+  * queries (ann_bruteforce, ann_ivf — through SparkEntry, no test
+  * doubles) over synthetic clustered embeddings at two corpus sizes (4x
+  * apart) and report wall time + IVF recall vs the exact baseline. The
+  * 100 TB claim is that brute force pays the whole corpus per query
+  * batch while IVF probes P of K cells — so IVF's advantage must GROW
+  * with corpus size, at recall that stays useful. Deterministic
+  * (hash-derived cluster centers + noise, no RNG state).
+  */
+object AnnScale {
+
+  /** n unit-free 32-dim vectors in 50 hash-derived clusters: vector i =
+    * center(i % 50) + ~20% noise — clustered like real embedding
+    * corpora (the uniform-random case is ANN's pathological worst).
+    */
+  private def corpus(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      expr("""transform(sequence(0, 31), i -> cast(
+        |  (cast(pmod(xxhash64(id % 50, i), 1000) as double) - 500) / 500
+        |  + (cast(pmod(xxhash64(id, i), 200) as double) - 100) / 500
+        |as float))""".stripMargin).as("embedding"),
+      (col("id") % 50).cast("int").as("label"))
+
+  private def med3(f: => Long): Double = {
+    val runs = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    runs.sorted.apply(1)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val small = sys.env.getOrElse("SPARK_GRAFT_ANN_SMALL", "50000").toLong
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Seq(small, small * 4).foreach { n =>
+      // the gate queries read $dir/embeddings.parquet — stage the
+      // synthetic corpus exactly where a real scale factor would live
+      val dir = java.nio.file.Files.createTempDirectory(s"ann-scale-$n").toString
+      corpus(spark, n).write.parquet(s"$dir/embeddings.parquet")
+      // brute force pays the whole corpus on EVERY batch; IVF pays the
+      // assignment once and probes p=4 of k=64 cells (16x pruning; the
+      // gate query's k=8 is sized for the tiny sf tables, a real corpus
+      // gets k ~ sqrt(n) cells) —
+      // so the comparison is per-batch brute vs per-batch probe
+      // of a BUILT index (assigned cells materialized, as a deployment
+      // would persist them partitioned by cell)
+      val brute = SparkEntry.queries("ann_bruteforce")(spark, dir)
+      val e = graft.queries.Ann.embsWithNorm(spark, dir)
+      // index build = train + assign + PERSIST PARTITIONED BY CELL —
+      // the on-disk layout is the index: a probe that reads the
+      // assigned table un-partitioned still scans the whole corpus no
+      // matter how few cells it wants (hash joins don't prune storage)
+      val idxPath = s"$dir/ivf_index"
+      val t0 = System.nanoTime()
+      val built = graft.queries.Ann.ivfBuild(e.where(col("vec_id") >= 10), k = 64)
+      built.assigned.write.partitionBy("cell").parquet(idxPath)
+      val tIdx = (System.nanoTime() - t0) / 1e9
+      val queries = e.where(col("vec_id") < 10).localCheckpoint(true)
+      // STATIC cell pruning: the probed cells are known driver-side, so
+      // the index read lists/scans ONLY those cells' partitions — rows
+      // read is the quantity that scales (wall time at this toy size is
+      // fixed-overhead-bound for every variant). NB a BATCH reads the
+      // UNION of its queries' cells: per query the saving is p/k (16x
+      // here), while a 10-query batch touches ~40 of 64 cells — the
+      // shared scan is the amortization, not a contradiction
+      val cells = graft.queries.Ann.ivfProbeCells(built, queries, p = 4)
+      def prunedIdx() = spark.read.parquet(idxPath)
+        .where(col("cell").isin(cells.map(Int.box): _*))
+      val rowsRead = prunedIdx().count()
+      def probe() = graft.queries.Ann.ivfProbe(spark,
+        built.copy(assigned = prunedIdx()), queries, p = 4)
+      val tB = med3(brute.count())
+      val tP = med3(probe().count())
+      // recall@5: fraction of the exact top-5 the IVF probe recovers
+      def top(df: DataFrame): Map[Long, Set[Long]] = df
+        .select(col("q_id"), col("n_id")).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val (bt, it) = (top(brute), top(probe()))
+      val recall = bt.keys.toSeq.sorted.map(q =>
+        (bt(q) intersect it.getOrElse(q, Set.empty)).size.toDouble / bt(q).size)
+        .sum / bt.size
+      queries.unpersist()
+      println(f"[annscale] n=$n%d: brute/batch ${tB}%.2f s reads $n%d rows; " +
+        f"ivf build ${tIdx}%.2f s, probe/batch ${tP}%.2f s reads $rowsRead%d rows " +
+        f"(${n.toDouble / rowsRead}%.1f x fewer; ${cells.size}/64 cells for 10 queries, " +
+        f"p/k = 16 x per query), recall@5 $recall%.2f (median-of-3)")
+    }
+    spark.stop()
+  }
+}

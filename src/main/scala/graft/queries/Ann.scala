@@ -41,7 +41,7 @@ object Ann {
   /** (vec_id, emb double[], nrm) — the ONE loader every embedding query
     * (here and in [[Dedup]]) shares, so cast/norm semantics can't drift.
     */
-  private[queries] def embsWithNorm(s: SparkSession, dir: String): DataFrame =
+  private[graft] def embsWithNorm(s: SparkSession, dir: String): DataFrame =
     withNorm(embs(s, dir))
 
   private def cosine(s: SparkSession, a: Column, b: Column, na: Column, nb: Column): Column =
@@ -143,75 +143,110 @@ object Ann {
     // tunes with P/K. Spec measures recall vs ann_bruteforce; rows-only
     // for the driver (the quantizer isn't SQL-expressible).
     Q.noOracle("ann_ivf") { (s, dir) =>
-      val K = 8; val P = 4
       val e = withNorm(embs(s, dir))
-      val corpus = e.where(col("vec_id") >= NQ)
-      val queries = e.where(col("vec_id") < NQ)
-      // Quantizer TRAINING is a driver-side concern over a BOUNDED
-      // deterministic sample (~2k vectors, ~1 MB): collect once, run
-      // Lloyd in-process — exactly how production IVF libraries train on
-      // a sample while the corpus-scale work (assignment, probing,
-      // scoring) stays distributed. Lloyd-as-Spark-jobs would pay 3
-      // extra full planning/codegen/scan cycles to average a megabyte.
-      // The full corpus is only touched twice: this count and the final
-      // one-pass assignment.
-      val nCorpus = corpus.count()
-      val sampleMod = math.max(1L, nCorpus / 2000L)
-      val sample: Array[Array[Double]] = corpus
-        .where(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
-        .orderBy(col("vec_id")).select(col("emb"))
-        .collect().map(_.getSeq[Double](0).toArray)
-      require(sample.length >= K, s"IVF needs >= $K training vectors")
-      val dim = sample(0).length
-      def unit(c: Array[Double]): Array[Double] = {
-        val nrm = math.sqrt(c.map(x => x * x).sum)
-        if (nrm > 0) c.map(_ / nrm) else c
-      }
-      def nearest(cb: Array[Array[Double]], v: Array[Double]): Int = {
-        var best = 0; var bestS = Double.NegativeInfinity; var k = 0
-        while (k < cb.length) {
-          val c = cb(k); var sum = 0.0; var i = 0
-          while (i < v.length) { sum += v(i) * c(i); i += 1 }
-          if (sum > bestS) { bestS = sum; best = k }
-          k += 1
-        }
-        best
-      }
-      // deterministic init: K lowest-id sample vectors; 3 Lloyd rounds;
-      // empty cells keep their previous centroid
-      var cents: Array[Array[Double]] = sample.take(K).map(v => unit(v.clone()))
-      for (_ <- 1 to 3) {
-        val sums = Array.fill(K)(new Array[Double](dim))
-        val counts = new Array[Int](K)
-        sample.foreach { v =>
-          val c = nearest(cents, v)
-          counts(c) += 1
-          var i = 0
-          while (i < dim) { sums(c)(i) += v(i); i += 1 }
-        }
-        cents = Array.tabulate(K)(k =>
-          if (counts(k) == 0) cents(k) else unit(sums(k).map(_ / counts(k))))
-      }
-      def argmaxCells(cb: Array[Array[Double]], p: Int) = udf { emb: Seq[Double] =>
-        val n = emb.size
-        val scores = new Array[Double](cb.length)
-        var k = 0
-        while (k < cb.length) {
-          val c = cb(k); var sum = 0.0; var i = 0
-          while (i < n) { sum += emb(i) * c(i); i += 1 }
-          scores(k) = sum; k += 1
-        }
-        scores.zipWithIndex.sortBy { case (sc, idx) => (-sc, idx) }
-          .take(p).map(_._2).toSeq
-      }
-      val assigned = corpus.select(col("vec_id").as("n_id"), col("emb"),
-        col("nrm"), argmaxCells(cents, 1)(col("emb")).getItem(0).as("cell"))
-      val probed = queries.select(col("vec_id").as("q_id"),
-          col("emb").as("qemb"), col("nrm").as("qnrm"),
-          explode(argmaxCells(cents, P)(col("emb"))).as("cell"))
-      val scored = assigned.join(broadcast(probed), "cell")
-        .select(col("q_id"), col("n_id"),
-          cosine(s, col("qemb"), col("emb"), col("qnrm"), col("nrm")).as("cos"))
-      topK(scored)
+      val idx = ivfBuild(e.where(col("vec_id") >= NQ), k = 8)
+      ivfProbe(s, idx, e.where(col("vec_id") < NQ), p = 4)
     })
+
+  /** A built IVF index: the driver-held coarse quantizer (k x dim
+    * doubles -- broadcastable at any corpus size) plus the corpus
+    * assigned to its cells. Build ONCE, probe per query batch -- the
+    * assignment is the index-build cost and must never be re-paid per
+    * probe (at 100 TB: persist `assigned` partitioned by cell and read
+    * it back for every batch).
+    */
+  final case class IvfIndex(cents: Array[Array[Double]], assigned: DataFrame)
+
+  /** Train the coarse quantizer and assign the corpus -- `corpus` must be
+    * (vec_id, emb double[], nrm), e.g. [[embsWithNorm]] output.
+    *
+    * Quantizer TRAINING is a driver-side concern over a BOUNDED
+    * deterministic sample (~2k vectors, ~1 MB): collect once, run
+    * Lloyd in-process -- exactly how production IVF libraries train on
+    * a sample while the corpus-scale work (assignment, probing,
+    * scoring) stays distributed. Lloyd-as-Spark-jobs would pay 3
+    * extra full planning/codegen/scan cycles to average a megabyte.
+    * The full corpus is only touched twice: one count and the final
+    * one-pass assignment.
+    */
+  def ivfBuild(corpus: DataFrame, k: Int): IvfIndex = {
+    val nCorpus = corpus.count()
+    val sampleMod = math.max(1L, nCorpus / 2000L)
+    val sample: Array[Array[Double]] = corpus
+      .where(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+      .orderBy(col("vec_id")).select(col("emb"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k, s"IVF needs >= $k training vectors")
+    val dim = sample(0).length
+    def unit(c: Array[Double]): Array[Double] = {
+      val nrm = math.sqrt(c.map(x => x * x).sum)
+      if (nrm > 0) c.map(_ / nrm) else c
+    }
+    def nearest(cb: Array[Array[Double]], v: Array[Double]): Int = {
+      var best = 0; var bestS = Double.NegativeInfinity; var j = 0
+      while (j < cb.length) {
+        val c = cb(j); var sum = 0.0; var i = 0
+        while (i < v.length) { sum += v(i) * c(i); i += 1 }
+        if (sum > bestS) { bestS = sum; best = j }
+        j += 1
+      }
+      best
+    }
+    // deterministic init: k lowest-id sample vectors; 3 Lloyd rounds;
+    // empty cells keep their previous centroid
+    var cents: Array[Array[Double]] = sample.take(k).map(v => unit(v.clone()))
+    for (_ <- 1 to 3) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearest(cents, v)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(k)(j =>
+        if (counts(j) == 0) cents(j) else unit(sums(j).map(_ / counts(j))))
+    }
+    val assigned = corpus.select(col("vec_id").as("n_id"), col("emb"),
+      col("nrm"), argmaxCells(cents, 1)(col("emb")).getItem(0).as("cell"))
+    IvfIndex(cents, assigned)
+  }
+
+  /** Probe a built index: each query scores only its `p` nearest cells
+    * (exact cosine + TopK inside the probed cells); the query batch
+    * broadcasts into the cell-assigned corpus, which never re-shuffles
+    * per probe. `queries` must be (vec_id, emb, nrm).
+    */
+  def ivfProbe(s: SparkSession, idx: IvfIndex, queries: DataFrame, p: Int): DataFrame = {
+    val probed = queries.select(col("vec_id").as("q_id"),
+        col("emb").as("qemb"), col("nrm").as("qnrm"),
+        explode(argmaxCells(idx.cents, p)(col("emb"))).as("cell"))
+    val scored = idx.assigned.join(broadcast(probed), "cell")
+      .select(col("q_id"), col("n_id"),
+        cosine(s, col("qemb"), col("emb"), col("qnrm"), col("nrm")).as("cos"))
+    topK(scored)
+  }
+
+  /** The distinct cells a query batch will probe — driver-side (<= |queries|·p
+    * values). Against a cell-partitioned persisted index, filtering the read
+    * by these values is STATIC partition pruning: only the probed cells'
+    * files are listed and scanned, which is where IVF's P-of-K saving
+    * actually lands at scale (a hash join alone never prunes storage).
+    */
+  def ivfProbeCells(idx: IvfIndex, queries: DataFrame, p: Int): Seq[Int] =
+    queries.select(explode(argmaxCells(idx.cents, p)(col("emb"))).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+
+  private def argmaxCells(cb: Array[Array[Double]], p: Int) = udf { emb: Seq[Double] =>
+    val n = emb.size
+    val scores = new Array[Double](cb.length)
+    var k = 0
+    while (k < cb.length) {
+      val c = cb(k); var sum = 0.0; var i = 0
+      while (i < n) { sum += emb(i) * c(i); i += 1 }
+      scores(k) = sum; k += 1
+    }
+    scores.zipWithIndex.sortBy { case (sc, idx) => (-sc, idx) }
+      .take(p).map(_._2).toSeq
+  }
 }
