@@ -26,12 +26,7 @@ object AnnScale {
         |as float))""".stripMargin).as("embedding"),
       (col("id") % 50).cast("int").as("label"))
 
-  private def med3(f: => Long): Double = {
-    val runs = (1 to 3).map { _ =>
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
-    runs.sorted.apply(1)
-  }
+  private def med3(f: => Long): Double = Timing.med3(f)._2
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -52,18 +47,21 @@ object AnnScale {
       // so the comparison is per-batch brute vs per-batch probe
       // of a BUILT index (assigned cells materialized, as a deployment
       // would persist them partitioned by cell)
+      val k = 64; val p = 4
+      val nq = graft.queries.Ann.NQ // brute's query/corpus split — must match
       val brute = SparkEntry.queries("ann_bruteforce")(spark, dir)
       val e = graft.queries.Ann.embsWithNorm(spark, dir)
+      val bruteRows = e.where(col("vec_id") >= nq).count() // corpus side, measured
       // index build = train + assign + PERSIST PARTITIONED BY CELL —
       // the on-disk layout is the index: a probe that reads the
       // assigned table un-partitioned still scans the whole corpus no
       // matter how few cells it wants (hash joins don't prune storage)
       val idxPath = s"$dir/ivf_index"
       val t0 = System.nanoTime()
-      val built = graft.queries.Ann.ivfBuild(e.where(col("vec_id") >= 10), k = 64)
+      val built = graft.queries.Ann.ivfBuild(e.where(col("vec_id") >= nq), k = k)
       built.assigned.write.partitionBy("cell").parquet(idxPath)
       val tIdx = (System.nanoTime() - t0) / 1e9
-      val queries = e.where(col("vec_id") < 10).localCheckpoint(true)
+      val queries = e.where(col("vec_id") < nq).localCheckpoint(true)
       // STATIC cell pruning: the probed cells are known driver-side, so
       // the index read lists/scans ONLY those cells' partitions — rows
       // read is the quantity that scales (wall time at this toy size is
@@ -71,12 +69,12 @@ object AnnScale {
       // UNION of its queries' cells: per query the saving is p/k (16x
       // here), while a 10-query batch touches ~40 of 64 cells — the
       // shared scan is the amortization, not a contradiction
-      val cells = graft.queries.Ann.ivfProbeCells(built, queries, p = 4)
+      val cells = graft.queries.Ann.ivfProbeCells(built, queries, p)
       def prunedIdx() = spark.read.parquet(idxPath)
         .where(col("cell").isin(cells.map(Int.box): _*))
       val rowsRead = prunedIdx().count()
       def probe() = graft.queries.Ann.ivfProbe(spark,
-        built.copy(assigned = prunedIdx()), queries, p = 4)
+        built.copy(assigned = prunedIdx()), queries, p)
       val tB = med3(brute.count())
       val tP = med3(probe().count())
       // recall@5: fraction of the exact top-5 the IVF probe recovers
@@ -88,10 +86,10 @@ object AnnScale {
         (bt(q) intersect it.getOrElse(q, Set.empty)).size.toDouble / bt(q).size)
         .sum / bt.size
       queries.unpersist()
-      println(f"[annscale] n=$n%d: brute/batch ${tB}%.2f s reads $n%d rows; " +
-        f"ivf build ${tIdx}%.2f s, probe/batch ${tP}%.2f s reads $rowsRead%d rows " +
-        f"(${n.toDouble / rowsRead}%.1f x fewer; ${cells.size}/64 cells for 10 queries, " +
-        f"p/k = 16 x per query), recall@5 $recall%.2f (median-of-3)")
+      println(f"[annscale] n=$n%d: brute/batch ${tB}%.2f s reads $bruteRows%d rows; " +
+        f"ivf build ${tIdx}%.2f s (single-shot), probe/batch ${tP}%.2f s reads $rowsRead%d rows " +
+        f"(${bruteRows.toDouble / rowsRead}%.1f x fewer; ${cells.size}/$k%d cells for $nq%d queries, " +
+        f"p/k = ${k / p}%d x per query); batch timings median-of-3, recall@5 $recall%.2f")
     }
     spark.stop()
   }

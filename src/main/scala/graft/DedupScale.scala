@@ -45,17 +45,7 @@ object DedupScale {
         |  END)""".stripMargin))).otherwise(col("text")))
   }
 
-  /** Median-of-3 — the repo's timing rule (single-shot sub-10 s timings
-    * on this host vary run to run; see Bench/ScaleSmoke).
-    */
-  private def med3(f: => Long): (Long, Double) = {
-    val runs = (1 to 3).map { _ =>
-      val t0 = System.nanoTime()
-      val n = f
-      (n, (System.nanoTime() - t0) / 1e9)
-    }
-    (runs.head._1, runs.map(_._2).sorted.apply(1))
-  }
+  private def med3(f: => Long): (Long, Double) = Timing.med3(f)
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -23,7 +23,7 @@ import graft.core.Tables
 object Ann {
 
   private val K = 5
-  private val NQ = 10 // vec_id < NQ are the query vectors; the rest, corpus
+  private[graft] val NQ = 10 // vec_id < NQ are the query vectors; the rest, corpus
 
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -166,8 +166,10 @@ object Ann {
     * a sample while the corpus-scale work (assignment, probing,
     * scoring) stays distributed. Lloyd-as-Spark-jobs would pay 3
     * extra full planning/codegen/scan cycles to average a megabyte.
-    * The full corpus is only touched twice: one count and the final
-    * one-pass assignment.
+    * The full corpus is touched three times: the count, the sample
+    * scan (the pmod filter can't skip row groups), and the final
+    * one-pass assignment — at 100 TB, train on a stored sample table
+    * instead of re-scanning for one.
     */
   def ivfBuild(corpus: DataFrame, k: Int): IvfIndex = {
     val nCorpus = corpus.count()
@@ -232,6 +234,10 @@ object Ann {
     * by these values is STATIC partition pruning: only the probed cells'
     * files are listed and scanned, which is where IVF's P-of-K saving
     * actually lands at scale (a hash join alone never prunes storage).
+    * INVARIANT: pass the SAME `queries` and `p` here and to the
+    * [[ivfProbe]] that runs against the pruned index — a mismatch
+    * silently drops candidates (the probe joins cells the pruned read
+    * no longer contains).
     */
   def ivfProbeCells(idx: IvfIndex, queries: DataFrame, p: Int): Seq[Int] =
     queries.select(explode(argmaxCells(idx.cents, p)(col("emb"))).as("cell"))
