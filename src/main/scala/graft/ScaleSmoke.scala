@@ -85,12 +85,7 @@ object ScaleSmoke {
     val (n1, tList) = timedList()
     // median-of-3 for the sub-second read comparison — the same rule
     // Bench adopted after single-shot sub-second timings flagged noise
-    def med3(f: () => Long): (Long, Double) = {
-      val runs = (1 to 3).map { _ =>
-        val t = System.nanoTime(); val n = f(); (n, (System.nanoTime() - t) / 1e9)
-      }
-      (runs.head._1, runs.map(_._2).sorted.apply(1))
-    }
+    def med3(f: () => Long): (Long, Double) = Timing.med3(f())
     val (counts, tRed) = med3(() => db.list("lang-count").count())
     // materialized read path: scans |keys × origins| fold partials
     // instead of re-aggregating every raw entry
