@@ -67,6 +67,29 @@ class DedupAnnSpec extends SparkSpec {
     assert(recall >= 0.5, f"recall $recall%.3f below 0.5")
   }
 
+  test("IVF index: probing the cell-pruned persisted index equals probing the full index") {
+    // the deployment pattern ivfProbeCells documents: persist assigned
+    // partitioned by cell, prune the read to the batch's probed cells,
+    // probe the pruned index — results must be IDENTICAL to the unpruned
+    // probe (same queries, same p), or static pruning silently drops
+    // candidates
+    val dir = sf("sf0.01")
+    val e = Ann.embsWithNorm(spark, dir)
+    val idx = Ann.ivfBuild(e.where(col("vec_id") >= Ann.NQ), k = 8)
+    val queries = e.where(col("vec_id") < Ann.NQ)
+    val full = Ann.ivfProbe(spark, idx, queries, p = 3).collect().toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-idx").toString + "/idx"
+    idx.assigned.write.partitionBy("cell").parquet(tmp)
+    val cells = Ann.ivfProbeCells(idx, queries, p = 3)
+    assert(cells.nonEmpty && cells.size < 8 * Ann.NQ)
+    val pruned = spark.read.parquet(tmp)
+      .where(col("cell").isin(cells.map(Int.box): _*))
+    val viaPruned = Ann.ivfProbe(spark, idx.copy(assigned = pruned), queries, p = 3)
+      .collect().toSeq
+    assert(viaPruned == full,
+      s"pruned-index probe diverged: ${viaPruned.size} vs ${full.size} rows")
+  }
+
   test("C6-LSH: embedding-LSH pairs are a verified subset of the exact pairs") {
     val dir = sf("sf0.01")
     val exact = q("dedup_embedding", dir)
