@@ -48,9 +48,24 @@ object Events {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Stateful streaming ops instantiate one state store per shuffle
+    * partition AT QUERY START; a 32-partition session default means 32
+    * stores (checkpoint dirs, commit files, provider instances) for a
+    * stream these gates feed ~10k events — pure overhead. Production
+    * streaming jobs size shuffle partitions per query; these gates run
+    * theirs at 8 and restore the session setting after (the gates are in
+    * Bench's session-mutating set and run last/sequentially).
+    */
+  private def withStreamPartitions[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try body finally s.conf.set(key, prev)
+  }
+
   private def streamEventsToCompleteSink(
       s: org.apache.spark.sql.SparkSession, dir: String, sinkPrefix: String)(
-      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = withStreamPartitions(s) {
     val src = eventsStreamSource(s, dir)()
     val sink = sinkPrefix + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = build(src).writeStream.format("memory").queryName(sink)
@@ -288,6 +303,7 @@ object Events {
         |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      val rollup = withStreamPartitions(s) {
       val src = eventsStreamSource(s, dir)
       val purchases = src().where(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
@@ -313,6 +329,8 @@ object Events {
         .start()
       q.awaitTermination()
       s.read.parquet(s"$tmp/out")
+      }
+      rollup
         .groupBy(col("p_id").as("event_id"))
         .agg(count(lit(1)).as("n_clicks"))
         .orderBy(col("event_id"))
