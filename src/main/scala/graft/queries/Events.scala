@@ -59,7 +59,10 @@ object Events {
   private def withStreamPartitions[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, "8")
+    // min, not a flat 8: a session already below 8 (the local[4] spec
+    // session) must not have its state-store count RAISED by the helper
+    // that exists to lower it
+    s.conf.set(key, math.min(prev.toInt, 8).toString)
     try body finally s.conf.set(key, prev)
   }
 

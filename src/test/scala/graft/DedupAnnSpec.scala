@@ -76,15 +76,19 @@ class DedupAnnSpec extends SparkSpec {
     val dir = sf("sf0.01")
     val e = Ann.embsWithNorm(spark, dir)
     val idx = Ann.ivfBuild(e.where(col("vec_id") >= Ann.NQ), k = 8)
-    val queries = e.where(col("vec_id") < Ann.NQ)
-    val full = Ann.ivfProbe(spark, idx, queries, p = 3).collect().toSeq
+    // 3 queries x p=2 probes at most 6 of the 8 cells — pruning is
+    // GUARANTEED to occur, so the equality below can't degenerate into
+    // comparing the full index against itself
+    val queries = e.where(col("vec_id") < 3)
+    val full = Ann.ivfProbe(spark, idx, queries, p = 2).collect().toSeq
     val tmp = java.nio.file.Files.createTempDirectory("ivf-idx").toString + "/idx"
     idx.assigned.write.partitionBy("cell").parquet(tmp)
-    val cells = Ann.ivfProbeCells(idx, queries, p = 3)
-    assert(cells.nonEmpty && cells.size < 8 * Ann.NQ)
+    val cells = Ann.ivfProbeCells(idx, queries, p = 2)
+    assert(cells.nonEmpty && cells.size < idx.cents.length,
+      s"probed ${cells.size} of ${idx.cents.length} cells — nothing pruned")
     val pruned = spark.read.parquet(tmp)
       .where(col("cell").isin(cells.map(Int.box): _*))
-    val viaPruned = Ann.ivfProbe(spark, idx.copy(assigned = pruned), queries, p = 3)
+    val viaPruned = Ann.ivfProbe(spark, idx.copy(assigned = pruned), queries, p = 2)
       .collect().toSeq
     assert(viaPruned == full,
       s"pruned-index probe diverged: ${viaPruned.size} vs ${full.size} rows")
