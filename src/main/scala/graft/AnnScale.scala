@@ -89,7 +89,7 @@ object AnnScale {
       println(f"[annscale] n=$n%d: brute/batch ${tB}%.2f s reads $bruteRows%d rows; " +
         f"ivf build ${tIdx}%.2f s (single-shot), probe/batch ${tP}%.2f s reads $rowsRead%d rows " +
         f"(${bruteRows.toDouble / rowsRead}%.1f x fewer; ${cells.size}/$k%d cells for $nq%d queries, " +
-        f"p/k = ${k / p}%d x per query); batch timings median-of-3, recall@5 $recall%.2f")
+        f"k/p = ${k / p}%d x per query); batch timings median-of-3, recall@5 $recall%.2f")
     }
     spark.stop()
   }

@@ -57,12 +57,21 @@ object Bench {
       }
       (q.name, if (times.nonEmpty) median(times) else -1.0, times.size)
     }
-    val failed = results.filter(_._2 < 0).map(n => "\"" + n._1 + "\"")
-      .mkString("[", ",", "]")
+    // failed/flaky name lists are capped at 12: in a mass-failure run
+    // (bad SF dir, broken build) an uncapped 70-name list would push even
+    // the maximal-fold line past the ~2000-char record window and the
+    // one run whose record matters most would be unparseable again.
+    // The _n count always carries the true total.
+    def capped(names: Seq[String]): String = {
+      val shown = names.take(12).map("\"" + _ + "\"")
+      (if (names.size > 12) shown :+ "\"...\"" else shown).mkString("[", ",", "]")
+    }
+    val failedNames = results.filter(_._2 < 0).map(_._1)
+    val failed = capped(failedNames)
     // a query that crashed on SOME repeats still reports its successful
     // median, but must not read as a clean pass in the JSON of record
-    val flaky = results.filter(r => r._2 >= 0 && r._3 < repeats)
-      .map(n => "\"" + n._1 + "\"").mkString("[", ",", "]")
+    val flakyNames = results.filter(r => r._2 >= 0 && r._3 < repeats).map(_._1)
+    val flaky = capped(flakyNames)
     val total = results.map(_._2).filter(_ >= 0).sum
 
     // The harness that records this line keeps only the LAST ~2000 chars of
@@ -95,8 +104,8 @@ object Bench {
       val fold =
         if (folded.isEmpty) ""
         else s""","fast_other":{"n":${folded.size},"sum":${fmt(folded.map(_._2).sum, decimals)}}"""
-      val opt = (if (failed == "[]") "" else s""","failed":$failed""") +
-        (if (flaky == "[]") "" else s""","flaky":$flaky""")
+      val opt = (if (failed == "[]") "" else s""","failed_n":${failedNames.size},"failed":$failed""") +
+        (if (flaky == "[]") "" else s""","flaky_n":${flakyNames.size},"flaky":$flaky""")
       val tot = BigDecimal(total).setScale(2, BigDecimal.RoundingMode.HALF_UP)
       s"""{"metric":"total","value":$tot,"unit":"sec","queries":$qs$fold$opt,"sf":"$sfDir","repeats":$repeats}"""
     }

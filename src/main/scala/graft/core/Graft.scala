@@ -829,12 +829,18 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
       // numeric partials get the same fail-loud guard as Count: these are
       // ENGINE-written values, so a non-numeric one is corruption, never
       // user data — validate here rather than inside reduceEntries, whose
-      // cast also serves raw user emissions on the read-time path
+      // cast also serves raw user emissions on the read-time path.
+      // NULL and the string "null" are LEGITIMATE partials, not
+      // corruption: Json.renderNum renders NaN/Infinity as "null" (a
+      // Sum whose emissions overflow writes one), and the merge must
+      // treat them exactly like the non-materialized read path does
+      // (cast -> null, aggregate skips) rather than brick the view
       val checked = df.withColumn("value_json",
-        when(expr("try_cast(value_json AS double)").isNotNull, col("value_json"))
+        when(col("value_json").isNull || col("value_json") === "null" ||
+          expr("try_cast(value_json AS double)").isNotNull, col("value_json"))
           .otherwise(raise_error(concat(
             lit("corrupt numeric fold partial for key "), col("key_json"),
-            lit(": "), coalesce(col("value_json"), lit("null"))))))
+            lit(": "), col("value_json")))))
       reduceEntries(checked, r, keepKb)
     case other => reduceEntries(df, other, keepKb)
   }
@@ -901,11 +907,14 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     val agg = r match {
       case Reduce.Count => grouped.agg(count(lit(1)).as("cnt"))
         .withColumn("value_json", col("cnt").cast("string"))
-      case Reduce.Sum => grouped.agg(sum(col("value_json").cast("double")).as("s"))
+      // try_cast, not cast: value_json "null" (renderNum's NaN/Infinity
+      // rendering, or a null emission) must aggregate as absent — the
+      // ANSI cast would crash the read on data the engine itself writes
+      case Reduce.Sum => grouped.agg(sum(expr("try_cast(value_json AS double)")).as("s"))
         .withColumn("value_json", udfRenderNum(col("s")))
-      case Reduce.Min => grouped.agg(min(col("value_json").cast("double")).as("s"))
+      case Reduce.Min => grouped.agg(min(expr("try_cast(value_json AS double)")).as("s"))
         .withColumn("value_json", udfRenderNum(col("s")))
-      case Reduce.Max => grouped.agg(max(col("value_json").cast("double")).as("s"))
+      case Reduce.Max => grouped.agg(max(expr("try_cast(value_json AS double)")).as("s"))
         .withColumn("value_json", udfRenderNum(col("s")))
       case Reduce.Assoc(f) =>
         grouped.agg(udaf(new JsonMergeAggregator(f)).apply(col("value_json")).as("value_json"))

@@ -331,11 +331,18 @@ object Events {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(s"$tmp/out")
-      }
-      rollup
+      // explicit schema: a zero-match join commits no data files and
+      // schema inference would throw where the INNER oracle returns 0
+      // rows. The rollup (one small row per purchase) is detached
+      // eagerly so the O(pairs) sink + checkpoint can be deleted now
+      // instead of leaking a temp dir per invocation.
+      val rolled = s.read.schema(joined.schema).parquet(s"$tmp/out")
         .groupBy(col("p_id").as("event_id"))
         .agg(count(lit(1)).as("n_clicks"))
-        .orderBy(col("event_id"))
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      rolled
+      }
+      rollup.orderBy(col("event_id"))
     })
 }
