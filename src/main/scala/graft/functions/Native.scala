@@ -75,6 +75,51 @@ object DotProduct {
   }
 }
 
+/** Bloom-filter membership probe as a native expression — the pre-filter
+  * of the incremental-dedup scale path (Dedup.scala C30b). The serialized
+  * filter rides in the expression (ships once per task like Spark's own
+  * runtime bloom join filters) and deserializes lazily once per executor;
+  * the probe itself stays inside whole-stage codegen — a Scala UDF here
+  * would box every key on the corpus-scan hot path.
+  *
+  * Sizing envelope: a 3%-fpp filter costs ~7.3 bits/key (~90 MB at 1e8
+  * keys) — fine as a plan-shipped object to ~1e8 corpus keys; beyond
+  * that, partition the digest space into per-range filters or fall back
+  * to the plain anti-join.
+  */
+case class BloomMightContainLong(child: Expression, bytes: Array[Byte])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_bloom_contains expects a bigint key, got ${other.simpleString}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_bloom_contains"
+
+  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+
+  /** Called from generated code. */
+  def mightContain(v: Long): Boolean = bloom.mightContainLong(v)
+
+  override protected def nullSafeEval(v: Any): Any =
+    mightContain(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloom", this, classOf[BloomMightContainLong].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.mightContain($v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainLong =
+    copy(child = newChild)
+}
+
 /** Order-preserving key encoding as native expressions (SURVEY.md §4:
   * the codec is the designated custom-Expression surface). Children are
   * the key elements; internal values (UTF8String, Int/Long/Double/Bool)
@@ -139,7 +184,19 @@ object Native {
       exprs => KeyEncode(exprs)),
     (FunctionIdentifier("graft_key_json"),
       new ExpressionInfo(classOf[KeyJson].getName, "graft_key_json"),
-      exprs => KeyJson(exprs)))
+      exprs => KeyJson(exprs)),
+    (FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContainLong].getName, "graft_bloom_contains"),
+      exprs => {
+        // arg 0 carries the serialized filter as a foldable binary literal
+        // (the registry builder only sees Expressions); it folds to bytes
+        // HERE, once at resolution — not per row
+        require(exprs.length == 2, "graft_bloom_contains(filterBytes, key)")
+        require(exprs.head.foldable,
+          "graft_bloom_contains: the filter argument must be a literal")
+        val bytes = exprs.head.eval(null).asInstanceOf[Array[Byte]]
+        BloomMightContainLong(exprs(1), bytes)
+      }))
 
   private[functions] def injections: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     registrations
@@ -166,5 +223,20 @@ object Native {
   def keyJson(spark: SparkSession, elems: Seq[Column]): Column = {
     ensureRegistered(spark)
     call_function("graft_key_json", elems: _*)
+  }
+
+  /** Codegen'd membership probe of a driver-built bloom filter over a
+    * bigint key column — see [[BloomMightContainLong]] for the sizing
+    * envelope.
+    */
+  def bloomMightContain(
+      spark: SparkSession,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      key: Column): Column = {
+    ensureRegistered(spark)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    call_function("graft_bloom_contains",
+      org.apache.spark.sql.functions.lit(bos.toByteArray), key)
   }
 }

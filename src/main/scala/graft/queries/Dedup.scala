@@ -453,6 +453,93 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
 
+    // C30: INCREMENTAL dedup — a new batch against an already-deduped
+    // corpus, the shape every real ingest pipeline runs (a crawl lands
+    // daily; re-running dedup_exact over corpus+batch would re-pay the
+    // full corpus shuffle per increment). The corpus is NEVER self-joined:
+    // its pruned (digest-only) scan feeds one anti-join, cost
+    // O(batch + corpus digests) per increment. Batch-internal dups
+    // collapse first (map-side combinable agg on the 32 B digest), THEN
+    // the survivors anti-join the corpus. The doc_id % 3 split stands in
+    // for the corpus/batch boundary on the shared test table.
+    Q("dedup_incremental",
+      """WITH norm AS (
+        |  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS k
+        |  FROM documents),
+        |batch AS (SELECT doc_id, k FROM norm WHERE doc_id % 3 = 0),
+        |agg AS (SELECT k, min(doc_id) AS keep_id, count(*) AS batch_dups
+        |        FROM batch GROUP BY k)
+        |SELECT keep_id, batch_dups FROM agg
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM norm c WHERE c.doc_id % 3 != 0 AND c.k = agg.k)
+        |ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      val n = docs(s, dir)
+        .select(col("doc_id"), unhex(sha2(normText, 256)).as("h"))
+      val corpus = n.where(pmod(col("doc_id"), lit(3)) =!= 0).select(col("h"))
+      val batch = n.where(pmod(col("doc_id"), lit(3)) === 0)
+      batch
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("batch_dups"))
+        .join(corpus, Seq("h"), "left_anti")
+        .select(col("keep_id"), col("batch_dups"))
+        .orderBy(col("keep_id"))
+    },
+
+    // C30b: the bloom-prefiltered form of C30 — same EXACT output (same
+    // oracle SQL gates both), different 100 TB plan. A driver-built bloom
+    // filter of the corpus digests (xxhash64 keys; ~7.3 bits/key at 3%
+    // fpp) splits the batch: bloom-NEGATIVE digests are definitely new
+    // and skip every join; only the bloom-positive sliver (true dups +
+    // fpp·batch) probes the corpus — and because that sliver is small by
+    // construction, it BROADCASTS into a semi-join against the corpus
+    // scan, so the corpus is read once and NEVER shuffled (the plain C30
+    // anti-join shuffles all corpus digests every increment; PlanSpec
+    // asserts the zero-corpus-exchange shape). False positives die in the
+    // exact membership check, so approximation never reaches the result.
+    // Assumes increments whose corpus overlap is bounded (the ingest
+    // norm); a replay-heavy batch should take the C30 path instead.
+    Q("dedup_incremental_bloom",
+      """WITH norm AS (
+        |  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS k
+        |  FROM documents),
+        |batch AS (SELECT doc_id, k FROM norm WHERE doc_id % 3 = 0),
+        |agg AS (SELECT k, min(doc_id) AS keep_id, count(*) AS batch_dups
+        |        FROM batch GROUP BY k)
+        |SELECT keep_id, batch_dups FROM agg
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM norm c WHERE c.doc_id % 3 != 0 AND c.k = agg.k)
+        |ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      val n = docs(s, dir)
+        .select(col("doc_id"), xxhash64(normText).as("hl"),
+          unhex(sha2(normText, 256)).as("h"))
+      val corpus = n.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      val batch = n.where(pmod(col("doc_id"), lit(3)) === 0)
+      // the filter is built ONCE per increment by a distributed aggregate
+      // (stat.bloomFilter) — at scale, build it when the corpus digest
+      // table is (re)written and persist it beside the data instead of
+      // re-scanning here
+      val bloom = corpus.stat.bloomFilter(
+        "hl", math.max(1L, corpus.count()), 0.03)
+      val might = graft.functions.Native.bloomMightContain(s, bloom, col("hl"))
+      // batch-internal dups collapse first; hl is functionally dependent
+      // on h (both hash the same normalized text), so grouping by both
+      // keeps it without a second aggregate
+      val bAgg = batch.groupBy(col("h"), col("hl"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("batch_dups"))
+      val definitelyNew = bAgg.where(!might)
+      // digests the corpus ACTUALLY contains, out of the bloom-positive
+      // sliver: broadcast semi-join — the corpus side streams through it
+      // with no exchange
+      val hits = corpus.select(col("h"))
+        .join(broadcast(bAgg.where(might).select(col("h"))), Seq("h"), "left_semi")
+        .distinct()
+      val survived = bAgg.where(might)
+        .join(broadcast(hits), Seq("h"), "left_anti")
+      definitelyNew.unionByName(survived)
+        .select(col("keep_id"), col("batch_dups"))
+        .orderBy(col("keep_id"))
+    },
+
     // C6 scale path: hyperplane-LSH candidate buckets + the SAME exact
     // cosine verification — the form that replaces the O(n²) baseline at
     // 100 TB (corpus shuffles once per table on uniform bucket keys).

@@ -224,6 +224,56 @@ class DedupAnnSpec extends SparkSpec {
     assert(a.zip(b).forall { case (x, y) => x == y })
   }
 
+  test("C30b: bloom pre-filter stays exact under FORCED false positives") {
+    // the property the oracle can't stress: at 3% fpp on real data FPs
+    // may never fire. Build the same 4-branch plan with a deliberately
+    // tiny, high-fpp filter so false positives certainly occur, and
+    // assert the result still equals the plain anti-join — i.e. the
+    // approximation is structurally unable to reach the output.
+    import spark.implicits._
+    val corpus = (0L until 2000L).map(k => Tuple1(k * 7L)).toDF("hl")
+    val batch = ((0L until 300L).map(k => k * 7L) ++ // true dups
+      (0L until 700L).map(k => 1000000L + k))        // new keys
+      .zipWithIndex.map { case (hl, id) => (id.toLong, hl) }.toDF("id", "hl")
+    val bloom = corpus.stat.bloomFilter("hl", 100L, 0.5) // undersized on purpose
+    val might = graft.functions.Native.bloomMightContain(spark, bloom, col("hl"))
+    val positives = batch.where(might)
+    val fps = positives.count() - 300
+    assert(fps > 0, s"test filter produced no false positives (fps=$fps) — vacuous")
+    val hits = corpus.join(broadcast(positives.select(col("hl"))), Seq("hl"), "left_semi")
+      .select(col("hl")).distinct()
+    val got = batch.where(!might)
+      .unionByName(positives.join(broadcast(hits), Seq("hl"), "left_anti"))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val expected = batch.join(corpus, Seq("hl"), "left_anti")
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"missed=${expected -- got} extra=${got -- expected}")
+    // every inserted corpus key must probe positive (no false negatives —
+    // a false negative would leak a duplicate into the corpus forever)
+    assert(corpus.where(!might).count() == 0)
+  }
+
+  test("C30/C30b: incremental dedup forms agree; the bloom-negative shortcut is non-vacuous") {
+    val dir = sf("sf0.01")
+    val plain = q("dedup_incremental", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloomed = q("dedup_incremental_bloom", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain.nonEmpty && bloomed == plain,
+      s"missed=${plain -- bloomed} extra=${bloomed -- plain}")
+    // the scale claim is that MOST of a mostly-new batch skips the join:
+    // rebuild the filter the query builds and check the negative branch
+    // actually carries rows at this SF
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    val n = d.select(col("doc_id"), xxhash64(norm).as("hl"))
+    val corpus = n.where(pmod(col("doc_id"), lit(3)) =!= 0)
+    val bloom = corpus.stat.bloomFilter("hl", math.max(1L, corpus.count()), 0.03)
+    val might = graft.functions.Native.bloomMightContain(spark, bloom, col("hl"))
+    val negatives = n.where(pmod(col("doc_id"), lit(3)) === 0).where(!might).count()
+    assert(negatives > 0, "no batch digest tested bloom-negative — shortcut untested")
+  }
+
   test("no duplicate query names across suites") {
     // the authoritative composition — a dup anywhere in it silently
     // drops a query from the toMap-built driver contract

@@ -265,6 +265,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup_incremental_bloom: the corpus side never shuffles — bloom probe + broadcast joins") {
+    // the plan promise of the bloom form: corpus digests stream through a
+    // broadcast semi-join probe (and the survivors' anti-join broadcasts
+    // the found-digest sliver) — a SortMergeJoin anywhere means a corpus
+    // exchange crept back in, which is what the plain C30 form is for
+    val p = planOf("dedup_incremental_bloom", sf("sf0.01")).toString
+    assert(p.contains("graft_bloom_contains"),
+      s"bloom probe not in the plan (filter fell out?):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus side must join only by broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+  }
+
   test("gramsMultiN keeps multiplicity where gramsN dedups") {
     import spark.implicits._
     val df = Seq(Tuple1(Seq("a", "b", "a", "b", "c"))).toDF("ws")
