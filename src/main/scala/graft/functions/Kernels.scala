@@ -169,6 +169,40 @@ object Kernels extends Serializable {
     c => f(c)
   }
 
+  /** Hashing-trick linear-classifier pass over a word array:
+    * `[n_tokens, score]` where each non-empty token hashes into a 2^20
+    * feature bucket and the bucket's weight is a deterministic integer in
+    * [-1001, 1001]; score = Σ weights. One JIT loop per row — the
+    * fastText-style quality-classifier shape (single pass, no shuffle,
+    * no vocabulary table). Deliberately CROSS-ENGINE arithmetic (the
+    * position-salted ascii polynomial of text_fingerprint, all integer):
+    * the DuckDB oracle restates the identical hash relationally, so the
+    * whole feature-hash → weight → sum path is hash-gated, not spec'd.
+    * The hash-derived weights stand in for trained ones the way the
+    * multimodal StubCodec stands in for a real decoder: swapping in a
+    * learned weight table changes one array lookup, none of the plumbing.
+    */
+  val tokenWeightStats: Column => Column = {
+    val f = udf { ws: Seq[String] =>
+      var n = 0L
+      var score = 0L
+      ws.foreach { t =>
+        if (t.nonEmpty) {
+          n += 1
+          var h = 0L
+          var i = 0
+          while (i < t.length) {
+            h += t.charAt(i).toLong * (1L + (131L * (i + 1)) % 997L)
+            i += 1
+          }
+          score += (h % 1048576L) * 2654435761L % 2003L - 1001L
+        }
+      }
+      Array(n, score)
+    }
+    c => f(c)
+  }
+
   /** Deterministic ±1 plane component for (t, j, i) — the shared sign
     * function of [[hyperplaneSig]] and [[hyperplaneSigs]].
     */

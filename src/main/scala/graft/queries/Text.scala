@@ -620,6 +620,49 @@ object Text {
         .orderBy(col("source"))
     },
 
+    // C31: hashing-trick quality CLASSIFIER — the fastText-style linear
+    // scorer every curation stack runs after the heuristic filters: each
+    // token hashes into a 2^20 feature bucket (no vocabulary table, no
+    // join), the bucket weight is an integer in [-1001, 1001], and the
+    // document score is the plain weight sum with keep = score >= 0.
+    // Weights here derive deterministically from the bucket hash (a
+    // stand-in for trained weights — swapping in a learned table changes
+    // one lookup, none of the plumbing); everything is integer
+    // arithmetic, so the oracle restates the IDENTICAL hash relationally
+    // and the full feature→weight→score path is hash-gated. Plan shape:
+    // one JIT kernel pass at scan speed, zero shuffles except the
+    // presentation sort — at 100 TB, classification is a map, not a join.
+    Q("text_quality_classifier",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS j
+        |  FROM documents),
+        |chars AS (
+        |  SELECT doc_id, j, ascii(unnest(string_split(tok, ''))) AS a,
+        |         generate_subscripts(string_split(tok, ''), 1) AS i
+        |  FROM toks WHERE len(tok) > 0),
+        |th AS (
+        |  SELECT doc_id, j, (sum(a * (1 + (131 * i) % 997)) % 1048576) AS hh
+        |  FROM chars GROUP BY doc_id, j),
+        |sc AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         sum(((hh * 2654435761) % 2003) - 1001) AS score
+        |  FROM th GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(score AS BIGINT) AS score,
+        |  CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.Kernels.tokenWeightStats(words).as("st"))
+        .select(col("doc_id"), col("st").getItem(0).as("n_tokens"),
+          col("st").getItem(1).as("score"))
+        .where(col("n_tokens") > 0) // all-empty docs don't tokenize in the oracle
+        .select(col("doc_id"), col("n_tokens"), col("score"),
+          when(col("score") >= 0, lit(1L)).otherwise(lit(0L)).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // C12: polynomial position-weighted fingerprint over characters —
     // fp = sum_i ascii(c_i) * (1 + (131·i mod 997)) mod 2^31-1. Pure
     // integer arithmetic, identical across engines; order-sensitive, so

@@ -278,6 +278,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
   }
 
+  test("text_quality_classifier: one kernel pass, no shuffle except the presentation sort") {
+    val p = planStr("text_quality_classifier")
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 1,
+      s"classification is per-row column work and must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"hashing-trick scoring must not join a vocabulary:\n$p")
+  }
+
+  test("tokenWeightStats: empty tokens and empty docs score [0, 0]-consistently") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("ab", "", "ab")), // empty token skipped, dup token counted twice
+      (2L, Seq.empty[String]),
+      (3L, Seq(""))).toDF("id", "ws")
+    val got = df.select(col("id"),
+        graft.functions.Kernels.tokenWeightStats(col("ws")).as("st"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(2) == Seq(0L, 0L) && got(3) == Seq(0L, 0L))
+    assert(got(1)(0) == 2L && got(1)(1) % 2 == 0, "dup token must count twice")
+  }
+
   test("gramsMultiN keeps multiplicity where gramsN dedups") {
     import spark.implicits._
     val df = Seq(Tuple1(Seq("a", "b", "a", "b", "c"))).toDF("ws")
