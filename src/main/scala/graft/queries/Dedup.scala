@@ -540,6 +540,50 @@ object Dedup {
         .orderBy(col("keep_id"))
     },
 
+    // D6-gate: the STREAMING twin of C30 — new documents arrive as a
+    // stream and dedup against the STATIC corpus as they flow: a
+    // stream-static LEFT ANTI join (stateless — the static side is the
+    // probe table, no join state accumulates) drops already-known
+    // digests, then one stateful groupBy collapses batch-internal dups
+    // (state = one row per distinct surviving digest, the minimum
+    // streaming state this semantic admits). Run to completion
+    // (AvailableNow → complete-mode sink) and gated against the SAME
+    // DuckDB oracle as the batch form — batch/stream parity checked by
+    // the driver. At scale this is the ingest-time shape: dedup happens
+    // as data lands, not as a nightly batch over the accumulated pile.
+    Q("dedup_incremental_stream",
+      """WITH norm AS (
+        |  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS k
+        |  FROM documents),
+        |batch AS (SELECT doc_id, k FROM norm WHERE doc_id % 3 = 0),
+        |agg AS (SELECT k, min(doc_id) AS keep_id, count(*) AS batch_dups
+        |        FROM batch GROUP BY k)
+        |SELECT keep_id, batch_dups FROM agg
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM norm c WHERE c.doc_id % 3 != 0 AND c.k = agg.k)
+        |ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+          .where(pmod(col("doc_id"), lit(3)) === 0)
+          .select(col("doc_id"), unhex(sha2(normText, 256)).as("h"))
+        // the static corpus digests — DISTINCT'd batch-side so the anti
+        // probe table is as small as it can be
+        val corpus = docs(s, dir)
+          .where(pmod(col("doc_id"), lit(3)) =!= 0)
+          .select(unhex(sha2(normText, 256)).as("h"))
+          .distinct()
+        val kept = stream.join(corpus, Seq("h"), "left_anti")
+          .groupBy(col("h"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("batch_dups"))
+        Events.runToCompleteSink(s, "incr_dedup_sink_", kept)
+          .select(col("keep_id"), col("batch_dups"))
+          .orderBy(col("keep_id"))
+      }
+    },
+
     // C6 scale path: hyperplane-LSH candidate buckets + the SAME exact
     // cosine verification — the form that replaces the O(n²) baseline at
     // 100 TB (corpus shuffles once per table on uniform bucket keys).

@@ -56,7 +56,7 @@ object Events {
     * theirs at 8 and restore the session setting after (the gates are in
     * Bench's session-mutating set and run last/sequentially).
     */
-  private def withStreamPartitions[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+  private[queries] def withStreamPartitions[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     // min, not a flat 8: a session already below 8 (the local[4] spec
@@ -66,12 +66,17 @@ object Events {
     try body finally s.conf.set(key, prev)
   }
 
-  private def streamEventsToCompleteSink(
-      s: org.apache.spark.sql.SparkSession, dir: String, sinkPrefix: String)(
-      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = withStreamPartitions(s) {
-    val src = eventsStreamSource(s, dir)()
+  /** Run an already-built streaming DataFrame to completion into a
+    * complete-mode memory sink and return the result DETACHED with the
+    * sink dropped — the generic core every complete-mode gate (events
+    * aggregations here, the documents dedup gate in [[Dedup]]) must go
+    * through, so the detach/drop invariant can't be half-copied.
+    */
+  private[queries] def runToCompleteSink(
+      s: org.apache.spark.sql.SparkSession, sinkPrefix: String,
+      streamed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val sink = sinkPrefix + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = build(src).writeStream.format("memory").queryName(sink)
+    val q = streamed.writeStream.format("memory").queryName(sink)
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -79,6 +84,12 @@ object Events {
     val out = s.table(sink).localCheckpoint(true)
     s.catalog.dropTempView(sink)
     out
+  }
+
+  private def streamEventsToCompleteSink(
+      s: org.apache.spark.sql.SparkSession, dir: String, sinkPrefix: String)(
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = withStreamPartitions(s) {
+    runToCompleteSink(s, sinkPrefix, build(eventsStreamSource(s, dir)()))
   }
 
   val all: Seq[Q] = Seq(
