@@ -211,6 +211,39 @@ object Dedup {
     } finally cleanup()
   }
 
+  /** Default the reliable-checkpoint dir ONLY in local mode: on a
+    * cluster the driver's /tmp is not a shared filesystem, so reliable
+    * checkpoint partitions written by executors would be unreadable —
+    * there the deployment must configure a shared dir (else
+    * [[connectedComponents]] falls back to localCheckpoint). Shared by
+    * every query that feeds pairs into CC.
+    */
+  private def ensureLocalCkptDir(s: SparkSession): Unit =
+    if (s.sparkContext.isLocal && s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(
+        sys.props("java.io.tmpdir") + "/graft-ckpt")
+
+  /** SemDeDup core over any (vec_id, emb double[], nrm) frame: quantize
+    * into k cells ([[Ann.ivfBuild]]'s coarse quantizer), verify exact
+    * cosine >= tau within cells only, connect components, drop everything
+    * but the min-id representative. Returns (removed_id, rep_id) —
+    * public so the spec can drive planted synthetic corpora through the
+    * exact query path.
+    */
+  def semanticDedup(s: SparkSession, e: DataFrame, k: Int, tau: Double): DataFrame = {
+    ensureLocalCkptDir(s)
+    val a = Ann.ivfBuild(e, k).assigned // (n_id, emb, nrm, cell)
+    val pairs = a.as("x").join(a.as("y"),
+        col("x.cell") === col("y.cell") && col("x.n_id") < col("y.n_id"))
+      .select(col("x.n_id").as("a_id"), col("y.n_id").as("b_id"),
+        (graft.functions.Native.dot(s, col("x.emb"), col("y.emb")) /
+          (col("x.nrm") * col("y.nrm"))).as("cos"))
+      .where(col("cos") >= tau)
+    connectedComponents(pairs.select(col("a_id"), col("b_id")))
+      .where(col("id") =!= col("label"))
+      .select(col("id").as("removed_id"), col("label").as("rep_id"))
+  }
+
   /** (doc_id, sh) 64-bit simhash signatures (JIT kernel — see
     * [[graft.functions.Kernels]]) — public so the spec can brute-force-
     * verify the blocked candidate generation against it.
@@ -396,14 +429,7 @@ object Dedup {
         |SELECT label AS cluster_id, count(*) AS cluster_size,
         |  string_agg(id, ',' ORDER BY id) AS members
         |FROM labels GROUP BY label ORDER BY cluster_id""".stripMargin) { (s, dir) =>
-      // default the checkpoint dir ONLY in local mode: on a cluster the
-      // driver's /tmp is not a shared filesystem, so reliable checkpoint
-      // partitions written by executors would be unreadable — there the
-      // deployment must configure a shared dir (else connectedComponents
-      // falls back to localCheckpoint)
-      if (s.sparkContext.isLocal && s.sparkContext.getCheckpointDir.isEmpty)
-        s.sparkContext.setCheckpointDir(
-          sys.props("java.io.tmpdir") + "/graft-ckpt")
+      ensureLocalCkptDir(s)
       val pairs = all.find(_.name == "dedup_ngram_jaccard").get.run(s, dir)
       val labels = connectedComponents(pairs)
       labels.groupBy(col("label").as("cluster_id"))
@@ -538,6 +564,24 @@ object Dedup {
       definitelyNew.unionByName(survived)
         .select(col("keep_id"), col("batch_dups"))
         .orderBy(col("keep_id"))
+    },
+
+    // C32: SemDeDup — semantic (embedding-cluster) dedup: k-means cells
+    // from the SAME coarse quantizer as ann_ivf (Ann.ivfBuild), exact
+    // pairwise cosine WITHIN each cell only, connected components over
+    // the verified pairs, keep the min-id representative per component.
+    // This is the cluster-then-dedup method of the SemDeDup paper, vs
+    // C6b's LSH-bucket method — both feed the same CC + verification
+    // machinery. At scale, k grows with n so cells stay bounded
+    // (k ≈ n / target_cell_size): the within-cell join is quadratic in
+    // CELL size by design, never in corpus size, and the corpus
+    // shuffles once on its cell key. Rows-only for the driver (the
+    // quantizer isn't SQL-expressible); DedupAnnSpec verifies every
+    // removal edge lies inside an exact-cosine cluster and measures
+    // recall on planted near-dups.
+    Q.noOracle("dedup_semantic") { (s, dir) =>
+      semanticDedup(s, Ann.embsWithNorm(s, dir), k = 8, tau = 0.5)
+        .orderBy(col("removed_id"))
     },
 
     // D6-gate: the STREAMING twin of C30 — new documents arrive as a

@@ -274,6 +274,66 @@ class DedupAnnSpec extends SparkSpec {
     assert(negatives > 0, "no batch digest tested bloom-negative — shortcut untested")
   }
 
+  test("C32 dedup_semantic: removal edges lie inside exact-cosine clusters (sf0.01)") {
+    val dir = sf("sf0.01")
+    // exact-cosine pairs at the same tau — union-find them into the
+    // ground-truth components
+    val exact = q("dedup_embedding", dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    exact.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val sem = q("dedup_semantic", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // within-cell cosine is verified exact, so every semantic removal
+    // edge must connect two members of one TRUE cluster — cells can only
+    // split components (lower recall), never invent them
+    sem.foreach { case (removed, rep) =>
+      assert(parent.contains(removed) && find(removed) == find(rep),
+        s"semantic edge ($removed -> $rep) not inside an exact cluster")
+    }
+    info(s"semantic removals = ${sem.length}, exact pairs = ${exact.length}")
+  }
+
+  test("C32 dedup_semantic: planted near-dups collapse into one component (recall >= 0.9)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 8 well-separated gaussian clusters + 25 planted near-dup twins
+    // (copy + tiny noise, cosine ~0.999): the quantizer must put a twin
+    // in its original's cell essentially always, so SemDeDup's
+    // within-cell verification finds the pair
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian() * 5))
+    val base = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.toIndexedSeq.map(_ + rnd.nextGaussian() * 0.3))
+    }
+    val twins = (0 until 25).map { j =>
+      val (origId, v) = base(rnd.nextInt(base.size))
+      (1000L + j, origId, v.map(_ + rnd.nextGaussian() * 0.001))
+    }
+    val df = (base.map { case (id, v) => (id, v) } ++
+        twins.map { case (id, _, v) => (id, v) })
+      .toDF("vec_id", "emb")
+      .select(col("vec_id"), col("emb"),
+        sqrt(graft.functions.Native.dot(spark, col("emb"), col("emb"))).as("nrm"))
+    val labels = graft.queries.Dedup.semanticDedup(spark, df, k = 8, tau = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // rebuild full component membership: removed -> rep, rep -> itself
+    val comp = labels.toMap
+    def root(x: Long): Long = comp.getOrElse(x, x)
+    val hit = twins.count { case (twinId, origId, _) => root(twinId) == root(origId) }
+    info(s"planted-twin recall = $hit/25")
+    assert(hit >= 23, s"only $hit/25 planted twins collapsed")
+  }
+
   test("no duplicate query names across suites") {
     // the authoritative composition — a dup anywhere in it silently
     // drops a query from the toMap-built driver contract
