@@ -148,8 +148,22 @@ object Dedup {
     * an executor), else localCheckpoint. The convergence test reads the
     * materialized checkpoint (no lineage re-run). Throws rather than
     * silently returning split clusters if maxRounds is hit.
+    *
+    * SMALL-GRAPH FAST PATH: near-dup edge sets are post-verification
+    * output — orders of magnitude smaller than the corpus that produced
+    * them — and routinely fit on the driver even when the corpus is
+    * 100 TB. At or below `smallGraphThreshold` directed edges (default
+    * 100k ≈ 1.6 MB collected; same bounded-driver-work justification as
+    * [[Ann.ivfBuild]]'s sample training), the materialized edge list
+    * collects once and a driver union-find labels it — identical
+    * min-label semantics, none of the per-round join/checkpoint fixed
+    * cost that dominates small inputs. Above the threshold the
+    * distributed iteration runs unchanged (specs pin both paths to the
+    * same result).
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 30): DataFrame = ccLock.synchronized {
+  def connectedComponents(
+      pairs: DataFrame, maxRounds: Int = 30,
+      smallGraphThreshold: Long = 100000L): DataFrame = ccLock.synchronized {
     val s = pairs.sparkSession
     // reliable checkpoints go to a PER-RUN subdir that is deleted before
     // returning (Spark never garbage-collects reliable checkpoint files
@@ -179,6 +193,25 @@ object Dedup {
     // unmaterialized plan would re-run the whole pair mining per round
     val edges = ckpt(p.unionByName(
       p.select(col("b_id").as("a_id"), col("a_id").as("b_id"))))
+    // the count and (on the fast path) the collect both read the
+    // materialized checkpoint — the expensive pair mining ran exactly once
+    if (edges.count() <= smallGraphThreshold) {
+      val rows = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val pr = parent.getOrElseUpdate(x, x)
+        if (pr == x) x else { val r = find(pr); parent(x) = r; r }
+      }
+      // union-to-min keeps every root the minimum id of its component —
+      // the same label contract the iteration below converges to
+      rows.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val out = parent.keys.toSeq.map(x => (x, find(x)))
+      import s.implicits._
+      out.toDF("id", "label")
+    } else {
     var labels = edges.select(col("a_id").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
     var changed = 1L
@@ -208,6 +241,7 @@ object Dedup {
     // detach the result from the per-run checkpoint files before they
     // are deleted; the labels table is |nodes| × 2 longs — small
     labels.localCheckpoint(true)
+    }
     } finally cleanup()
   }
 
@@ -430,7 +464,10 @@ object Dedup {
         |  string_agg(id, ',' ORDER BY id) AS members
         |FROM labels GROUP BY label ORDER BY cluster_id""".stripMargin) { (s, dir) =>
       ensureLocalCkptDir(s)
-      val pairs = all.find(_.name == "dedup_ngram_jaccard").get.run(s, dir)
+      // the raw miner, NOT the gated query — the gate's presentation
+      // ORDER BY would range-partition the pair set just to have the
+      // edges union immediately discard the order
+      val pairs = ngramJaccardPairs(docs(s, dir), 4, 5)
       val labels = connectedComponents(pairs)
       labels.groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).as("cluster_size"),

@@ -186,14 +186,22 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
-  test("connectedComponents accepts any pair source: simhash pairs vs union-find") {
+  test("connectedComponents accepts any pair source: simhash pairs vs union-find (both paths)") {
     val dir = sf("sf0.01")
     val pairList = q("dedup_simhash", dir)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairList.nonEmpty)
+    // threshold 0 forces the DISTRIBUTED pointer-doubling iteration —
+    // small test graphs would otherwise only ever exercise the driver
+    // union-find fast path
     val labels = Dedup.connectedComponents(
+        q("dedup_simhash", dir).select("a_id", "b_id"),
+        smallGraphThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fast = Dedup.connectedComponents(
         q("dedup_simhash", dir).select("a_id", "b_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fast == labels, "fast path and distributed path diverged")
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       val p = parent.getOrElseUpdate(x, x)
