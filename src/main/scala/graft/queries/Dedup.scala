@@ -111,23 +111,39 @@ object Dedup {
     * inside a (band, 4-hash) bucket, then exact Jaccard verifies).
     * Banding probability ≈ 1 at j ≥ 0.8 with these parameters.
     */
-  def minhashLshPairs(d: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
-    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen, "tau in (0, 1]")
-    // the 32x4 banding is tuned for high thresholds: candidate-capture
-    // probability at jaccard j is 1-(1-j^4)^32 — ~0.9998 at j=0.7 but
-    // only ~0.87 at j=0.5, which would silently drop qualifying pairs
-    // (ngramJaccardPairs is the exact-at-any-tau alternative)
-    require(tauNum * 10 >= tauDen * 7,
-      "minhashLshPairs' 32x4 banding needs tau >= 0.7 to keep capture " +
-        "probability ~1; use ngramJaccardPairs for lower thresholds")
+  /** (doc_id, bk) MinHash(128) 32×4 band keys of a (doc_id, text) frame
+    * — the ONE banding implementation behind [[minhashLshPairs]] and the
+    * incremental form (C33), so the two can never disagree on signature
+    * or banding layout. At scale this IS the persistable signature
+    * index: write it partitioned/bucketed by bk once, probe it per
+    * increment.
+    */
+  def bandedMinhashKeys(d: DataFrame): DataFrame = {
     val nPerm = 128; val bands = 32; val rows = nPerm / bands
-    val sigs = d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    d.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .where(size(col("ws")) >= 3)
       .select(col("doc_id"),
         graft.functions.Kernels.minhash128(gramsOf(col("ws"))).as("sig"))
-    val banded = sigs.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows)).as("bsig")))).as("bk"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows)).as("bsig")))).as("bk"))
+  }
+
+  /** The banding's design range: capture probability at jaccard j is
+    * 1-(1-j^4)^32 — ~0.9998 at j=0.7 but only ~0.87 at j=0.5, which
+    * would silently drop qualifying pairs (ngramJaccardPairs is the
+    * exact-at-any-tau alternative).
+    */
+  private def requireBandingRange(tauNum: Int, tauDen: Int): Unit = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen, "tau in (0, 1]")
+    require(tauNum * 10 >= tauDen * 7,
+      "the 32x4 minhash banding needs tau >= 0.7 to keep capture " +
+        "probability ~1; use ngramJaccardPairs for lower thresholds")
+  }
+
+  def minhashLshPairs(d: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
+    requireBandingRange(tauNum, tauDen)
+    val banded = bandedMinhashKeys(d)
     val cands = banded.as("a").join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -619,6 +635,53 @@ object Dedup {
     Q.noOracle("dedup_semantic") { (s, dir) =>
       semanticDedup(s, Ann.embsWithNorm(s, dir), k = 8, tau = 0.5)
         .orderBy(col("removed_id"))
+    },
+
+    // C33: incremental NEAR-dup dedup — C30's MinHash analogue, the
+    // fuzzy-dedup shape real web pipelines run per crawl increment: the
+    // corpus's banded signature table is the INDEX (at scale: persisted
+    // bucketed-by-band once, probed per increment — bandedMinhashKeys is
+    // that layout), and the batch's band keys BROADCAST into it, so the
+    // corpus neither self-joins nor shuffles. Semantics: a batch doc is
+    // dropped if it's a verified near-dup (jaccard >= 0.8) of ANY corpus
+    // doc; the remaining survivors then dedup among themselves (CC over
+    // verified batch-internal pairs, keep the min id per cluster).
+    // Rows-only for the driver (banding isn't SQL-expressible);
+    // DedupAnnSpec pins the whole result against the same rule computed
+    // from the EXACT prefix-filtered pair miner.
+    Q.noOracle("dedup_incremental_minhash") { (s, dir) =>
+      ensureLocalCkptDir(s)
+      val d = docs(s, dir)
+      val isBatch = pmod(col("doc_id"), lit(3)) === 0
+      val tau = 0.8
+      val corpusB = bandedMinhashKeys(d.where(!isBatch))
+        .select(col("doc_id").as("c_id"), col("bk"))
+      val batchB = bandedMinhashKeys(d.where(isBatch))
+      // batch-vs-corpus candidates: the corpus signature scan streams
+      // through a broadcast join on the batch's band keys — zero corpus
+      // exchange, the C30b trade at near-dup grain
+      val crossCands = corpusB.join(
+          broadcast(batchB.select(col("doc_id").as("b_id"), col("bk"))), "bk")
+        .select(col("b_id").as("a_id"), col("c_id").as("b_id"))
+        .distinct()
+      val corpusDup = verifyJaccard(crossCands, d, tau)
+        .select(col("a_id").as("doc_id")).distinct()
+      // batch-internal near-dup pairs among corpus-survivors only
+      val survivors = d.where(isBatch).select(col("doc_id"))
+        .join(corpusDup, Seq("doc_id"), "left_anti")
+      val batchCands = batchB.as("a").join(batchB.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+        .join(survivors.select(col("doc_id").as("a_id")), Seq("a_id"), "left_semi")
+        .join(survivors.select(col("doc_id").as("b_id")), Seq("b_id"), "left_semi")
+      val pairs = verifyJaccard(batchCands, d, tau)
+      val nonMin = connectedComponents(pairs.select(col("a_id"), col("b_id")))
+        .where(col("id") =!= col("label"))
+        .select(col("id").as("doc_id"))
+      survivors.join(nonMin, Seq("doc_id"), "left_anti")
+        .select(col("doc_id").as("keep_id"))
+        .orderBy(col("keep_id"))
     },
 
     // D6-gate: the STREAMING twin of C30 — new documents arrive as a

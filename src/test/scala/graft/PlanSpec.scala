@@ -278,6 +278,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
   }
 
+  test("dedup_incremental_minhash: every broadcast hint wraps the BATCH side, never the corpus index") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val lp = SparkEntry.queries("dedup_incremental_minhash")(spark, sf("sf0.01"))
+      .queryExecution.analyzed
+    val hints = lp.collect { case h: ResolvedHint => h }
+    assert(hints.nonEmpty, "expected a broadcast hint on the batch band keys")
+    hints.foreach { h =>
+      val sub = h.child.toString
+      // the batch filter is pmod(doc_id, 3) = 0; the corpus side carries
+      // the negated form — a hint wrapping "NOT (pmod" would broadcast
+      // the 100 TB signature index
+      assert(sub.contains("pmod(doc_id") && !sub.contains("NOT (pmod"),
+        s"broadcast hint wraps a corpus-side subtree:\n$sub")
+    }
+  }
+
   test("text_quality_classifier: one kernel pass, no shuffle except the presentation sort") {
     val p = planStr("text_quality_classifier")
     assert(p.linesIterator.count(_.contains("Exchange")) <= 1,
