@@ -273,6 +273,62 @@ object Dedup {
       s.sparkContext.setCheckpointDir(
         sys.props("java.io.tmpdir") + "/graft-ckpt")
 
+  /** (keep_id, batch_dups) per distinct surviving digest: batch-internal
+    * dups collapse first (map-side-combinable agg on the 32 B sha2
+    * digest), then the survivors anti-join the corpus's pruned digest
+    * scan. The corpus is NEVER self-joined — the per-increment cost is
+    * O(batch + corpus digests), vs re-running exact dedup over
+    * corpus+batch every increment. `batch`/`corpus` are (doc_id, text)
+    * frames. Library form of C30 (the gate query and IncrScale both
+    * drive it).
+    */
+  def incrementalExact(batch: DataFrame, corpus: DataFrame): DataFrame =
+    batch.select(col("doc_id"), unhex(sha2(normText, 256)).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("batch_dups"))
+      .join(corpus.select(unhex(sha2(normText, 256)).as("h")), Seq("h"), "left_anti")
+      .select(col("keep_id"), col("batch_dups"))
+
+  /** The corpus-digest bloom filter of the C30b path — built by ONE
+    * distributed aggregate over the corpus. At scale, build it when the
+    * corpus digest table is (re)written and persist it beside the data;
+    * per-increment work is then [[incrementalExactBloom]] alone.
+    */
+  def corpusBloom(corpus: DataFrame): org.apache.spark.util.sketch.BloomFilter = {
+    val keys = corpus.select(xxhash64(normText).as("hl"))
+    keys.stat.bloomFilter("hl", math.max(1L, keys.count()), 0.03)
+  }
+
+  /** The bloom-prefiltered form of [[incrementalExact]] — same EXACT
+    * output, different plan: bloom-negative batch digests skip every
+    * join; the bloom-positive sliver broadcasts into a semi-join, so the
+    * corpus is scanned once and never shuffled. False positives die in
+    * the exact membership check. Assumes increments whose corpus overlap
+    * is bounded (the ingest norm); a replay-heavy batch should take the
+    * plain path.
+    */
+  def incrementalExactBloom(
+      batch: DataFrame, corpus: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val s = batch.sparkSession
+    val might = graft.functions.Native.bloomMightContain(s, bloom, col("hl"))
+    // hl is functionally dependent on h (both hash the same normalized
+    // text), so grouping by both keeps it without a second aggregate
+    val bAgg = batch
+      .select(col("doc_id"), xxhash64(normText).as("hl"),
+        unhex(sha2(normText, 256)).as("h"))
+      .groupBy(col("h"), col("hl"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("batch_dups"))
+    val definitelyNew = bAgg.where(!might)
+    val hits = corpus.select(unhex(sha2(normText, 256)).as("h"))
+      .join(broadcast(bAgg.where(might).select(col("h"))), Seq("h"), "left_semi")
+      .distinct()
+    val survived = bAgg.where(might)
+      .join(broadcast(hits), Seq("h"), "left_anti")
+    definitelyNew.unionByName(survived)
+      .select(col("keep_id"), col("batch_dups"))
+  }
+
   /** SemDeDup core over any (vec_id, emb double[], nrm) frame: quantize
     * into k cells ([[Ann.ivfBuild]]'s coarse quantizer), verify exact
     * cosine >= tau within cells only, connect components, drop everything
@@ -552,15 +608,10 @@ object Dedup {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM norm c WHERE c.doc_id % 3 != 0 AND c.k = agg.k)
         |ORDER BY keep_id""".stripMargin) { (s, dir) =>
-      val n = docs(s, dir)
-        .select(col("doc_id"), unhex(sha2(normText, 256)).as("h"))
-      val corpus = n.where(pmod(col("doc_id"), lit(3)) =!= 0).select(col("h"))
-      val batch = n.where(pmod(col("doc_id"), lit(3)) === 0)
-      batch
-        .groupBy(col("h"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("batch_dups"))
-        .join(corpus, Seq("h"), "left_anti")
-        .select(col("keep_id"), col("batch_dups"))
+      val d = docs(s, dir)
+      incrementalExact(
+        d.where(pmod(col("doc_id"), lit(3)) === 0),
+        d.where(pmod(col("doc_id"), lit(3)) =!= 0))
         .orderBy(col("keep_id"))
     },
 
@@ -588,34 +639,10 @@ object Dedup {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM norm c WHERE c.doc_id % 3 != 0 AND c.k = agg.k)
         |ORDER BY keep_id""".stripMargin) { (s, dir) =>
-      val n = docs(s, dir)
-        .select(col("doc_id"), xxhash64(normText).as("hl"),
-          unhex(sha2(normText, 256)).as("h"))
-      val corpus = n.where(pmod(col("doc_id"), lit(3)) =!= 0)
-      val batch = n.where(pmod(col("doc_id"), lit(3)) === 0)
-      // the filter is built ONCE per increment by a distributed aggregate
-      // (stat.bloomFilter) — at scale, build it when the corpus digest
-      // table is (re)written and persist it beside the data instead of
-      // re-scanning here
-      val bloom = corpus.stat.bloomFilter(
-        "hl", math.max(1L, corpus.count()), 0.03)
-      val might = graft.functions.Native.bloomMightContain(s, bloom, col("hl"))
-      // batch-internal dups collapse first; hl is functionally dependent
-      // on h (both hash the same normalized text), so grouping by both
-      // keeps it without a second aggregate
-      val bAgg = batch.groupBy(col("h"), col("hl"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("batch_dups"))
-      val definitelyNew = bAgg.where(!might)
-      // digests the corpus ACTUALLY contains, out of the bloom-positive
-      // sliver: broadcast semi-join — the corpus side streams through it
-      // with no exchange
-      val hits = corpus.select(col("h"))
-        .join(broadcast(bAgg.where(might).select(col("h"))), Seq("h"), "left_semi")
-        .distinct()
-      val survived = bAgg.where(might)
-        .join(broadcast(hits), Seq("h"), "left_anti")
-      definitelyNew.unionByName(survived)
-        .select(col("keep_id"), col("batch_dups"))
+      val d = docs(s, dir)
+      val corpus = d.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      val batch = d.where(pmod(col("doc_id"), lit(3)) === 0)
+      incrementalExactBloom(batch, corpus, corpusBloom(corpus))
         .orderBy(col("keep_id"))
     },
 
