@@ -44,12 +44,17 @@ object IncrScale {
 
   /** Batch of b docs over ids [base, base+b): id % 10 == 0 copies corpus
     * doc (id * 7 mod corpusN) — cross-increment dups; id % 20 == 1
-    * copies batch doc id - 1 — batch-internal dups; the rest are new.
+    * copies batch doc id - 4's text — batch-internal dups (the TARGET
+    * must be a plain-new row: (id-4) % 20 == 17, so it holds
+    * text("b", id+base-4); copying id-1 would silently copy a corpus
+    * text and leave the batch-internal collapse stage unexercised);
+    * the rest are new.
     */
   private def batchDf(spark: SparkSession, b: Long, base: Long, corpusN: Long): DataFrame =
     spark.range(b).select((col("id") + base).as("doc_id"),
       when(col("id") % 10 === 0, text("c", pmod(col("id") * 7, lit(corpusN))))
-        .when(col("id") % 20 === 1, text("b", (col("id") + base) - 1))
+        .when(col("id") % 20 === 1 && col("id") >= 4,
+          text("b", (col("id") + base) - 4))
         .otherwise(text("b", col("id") + base)).as("text"))
 
   def main(args: Array[String]): Unit = {

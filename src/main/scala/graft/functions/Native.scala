@@ -192,10 +192,13 @@ object Native {
         // (the registry builder only sees Expressions); it folds to bytes
         // HERE, once at resolution — not per row
         require(exprs.length == 2, "graft_bloom_contains(filterBytes, key)")
-        require(exprs.head.foldable,
-          "graft_bloom_contains: the filter argument must be a literal")
-        val bytes = exprs.head.eval(null).asInstanceOf[Array[Byte]]
-        BloomMightContainLong(exprs(1), bytes)
+        require(exprs.head.foldable &&
+          exprs.head.dataType == org.apache.spark.sql.types.BinaryType,
+          "graft_bloom_contains: the filter argument must be a binary literal")
+        val bytes = exprs.head.eval(null)
+        require(bytes != null,
+          "graft_bloom_contains: the filter literal must not be null")
+        BloomMightContainLong(exprs(1), bytes.asInstanceOf[Array[Byte]])
       }))
 
   private[functions] def injections: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =

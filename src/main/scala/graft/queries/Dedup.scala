@@ -129,6 +129,20 @@ object Dedup {
           b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows)).as("bsig")))).as("bk"))
   }
 
+  /** Batch-vs-corpus candidate pairs (a_id = batch doc, b_id = corpus
+    * doc): the corpus signature scan streams through a BROADCAST join on
+    * the batch's band keys — zero corpus exchange, the C30b trade at
+    * near-dup grain. `corpusB` must be (c_id, bk), `batchB` (doc_id, bk)
+    * from [[bandedMinhashKeys]]. private[graft] so PlanSpec can assert
+    * the hint placement on this exact subplan (the C33 query
+    * materializes its stages, which detaches them from the final plan).
+    */
+  private[graft] def crossBandCands(corpusB: DataFrame, batchB: DataFrame): DataFrame =
+    corpusB.join(
+        broadcast(batchB.select(col("doc_id").as("b_id"), col("bk"))), "bk")
+      .select(col("b_id").as("a_id"), col("c_id").as("b_id"))
+      .distinct()
+
   /** The banding's design range: capture probability at jaccard j is
     * 1-(1-j^4)^32 — ~0.9998 at j=0.7 but only ~0.87 at j=0.5, which
     * would silently drop qualifying pairs (ngramJaccardPairs is the
@@ -214,9 +228,16 @@ object Dedup {
     if (edges.count() <= smallGraphThreshold) {
       val rows = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
+      // ITERATIVE find: union-to-min has no rank balancing, so an
+      // adversarial edge order builds parent chains ~n/2 deep — a
+      // recursive find would blow the driver stack at the 100k-edge
+      // threshold (50k frames > default JVM stack)
       def find(x: Long): Long = {
-        val pr = parent.getOrElseUpdate(x, x)
-        if (pr == x) x else { val r = find(pr); parent(x) = r; r }
+        var root = x
+        while (parent.getOrElseUpdate(root, root) != root) root = parent(root)
+        var cur = x
+        while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+        root
       }
       // union-to-min keeps every root the minimum id of its component —
       // the same label contract the iteration below converges to
@@ -289,14 +310,19 @@ object Dedup {
       .join(corpus.select(unhex(sha2(normText, 256)).as("h")), Seq("h"), "left_anti")
       .select(col("keep_id"), col("batch_dups"))
 
-  /** The corpus-digest bloom filter of the C30b path — built by ONE
-    * distributed aggregate over the corpus. At scale, build it when the
-    * corpus digest table is (re)written and persist it beside the data;
-    * per-increment work is then [[incrementalExactBloom]] alone.
+  /** The corpus-digest bloom filter of the C30b path. At scale, build it
+    * when the corpus digest table is (re)written and persist it beside
+    * the data; per-increment work is then [[incrementalExactBloom]]
+    * alone. Pass `expectedItems` (from table metadata / the write-time
+    * row count) to size the filter in ONE corpus pass — when it's
+    * negative (the default), a counting scan runs first, i.e. the corpus
+    * is read twice.
     */
-  def corpusBloom(corpus: DataFrame): org.apache.spark.util.sketch.BloomFilter = {
+  def corpusBloom(
+      corpus: DataFrame, expectedItems: Long = -1L): org.apache.spark.util.sketch.BloomFilter = {
     val keys = corpus.select(xxhash64(normText).as("hl"))
-    keys.stat.bloomFilter("hl", math.max(1L, keys.count()), 0.03)
+    val n = if (expectedItems >= 0) expectedItems else keys.count()
+    keys.stat.bloomFilter("hl", math.max(1L, n), 0.03)
   }
 
   /** The bloom-prefiltered form of [[incrementalExact]] — same EXACT
@@ -313,12 +339,16 @@ object Dedup {
     val s = batch.sparkSession
     val might = graft.functions.Native.bloomMightContain(s, bloom, col("hl"))
     // hl is functionally dependent on h (both hash the same normalized
-    // text), so grouping by both keeps it without a second aggregate
+    // text), so grouping by both keeps it without a second aggregate.
+    // Materialized once: three subtrees consume it (the negative branch,
+    // the broadcast probe set, and the positive branch), and an
+    // unmaterialized plan would re-scan + re-hash the batch per consumer
     val bAgg = batch
       .select(col("doc_id"), xxhash64(normText).as("hl"),
         unhex(sha2(normText, 256)).as("h"))
       .groupBy(col("h"), col("hl"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("batch_dups"))
+      .localCheckpoint(true)
     val definitelyNew = bAgg.where(!might)
     val hits = corpus.select(unhex(sha2(normText, 256)).as("h"))
       .join(broadcast(bAgg.where(might).select(col("h"))), Seq("h"), "left_semi")
@@ -683,19 +713,23 @@ object Dedup {
       val tau = 0.8
       val corpusB = bandedMinhashKeys(d.where(!isBatch))
         .select(col("doc_id").as("c_id"), col("bk"))
-      val batchB = bandedMinhashKeys(d.where(isBatch))
-      // batch-vs-corpus candidates: the corpus signature scan streams
-      // through a broadcast join on the batch's band keys — zero corpus
-      // exchange, the C30b trade at near-dup grain
-      val crossCands = corpusB.join(
-          broadcast(batchB.select(col("doc_id").as("b_id"), col("bk"))), "bk")
-        .select(col("b_id").as("a_id"), col("c_id").as("b_id"))
-        .distinct()
+      // the batch signatures feed three subtrees (cross candidates +
+      // both sides of the batch self-join) — materialize once or the
+      // minhash kernel re-runs per consumer
+      val batchB = bandedMinhashKeys(d.where(isBatch)).localCheckpoint(true)
+      val crossCands = crossBandCands(corpusB, batchB)
+      // corpusDup is the CORPUS-SCALE stage (signature scan + gram-set
+      // verify); survivors is referenced by three downstream subtrees —
+      // materialize both so the expensive mining runs exactly once per
+      // increment, the same invariant connectedComponents holds for its
+      // edge list
       val corpusDup = verifyJaccard(crossCands, d, tau)
         .select(col("a_id").as("doc_id")).distinct()
+        .localCheckpoint(true)
       // batch-internal near-dup pairs among corpus-survivors only
       val survivors = d.where(isBatch).select(col("doc_id"))
         .join(corpusDup, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
       val batchCands = batchB.as("a").join(batchB.as("b"),
           col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))

@@ -313,15 +313,19 @@ class DedupAnnSpec extends SparkSpec {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     // 8 well-separated gaussian clusters + 25 planted near-dup twins
-    // (copy + tiny noise, cosine ~0.999): the quantizer must put a twin
+    // (copy + tiny noise, cosine ~0.9999): the quantizer must put a twin
     // in its original's cell essentially always, so SemDeDup's
-    // within-cell verification finds the pair
+    // within-cell verification finds the pair. Noise scale matters: at
+    // sigma 1.5 on |center| ~ 20, intra-cluster cosine sits ~0.92 —
+    // BELOW tau 0.98 — so ordinary cluster-mates do NOT count as
+    // near-dups and the recall measured is the twins', not a trivial
+    // whole-cluster collapse (asserted below)
     val rnd = new scala.util.Random(11)
     val dim = 16
     val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian() * 5))
     val base = (0 until 400).map { i =>
       val c = centers(i % 8)
-      (i.toLong, c.toIndexedSeq.map(_ + rnd.nextGaussian() * 0.3))
+      (i.toLong, c.toIndexedSeq.map(_ + rnd.nextGaussian() * 1.5))
     }
     val twins = (0 until 25).map { j =>
       val (origId, v) = base(rnd.nextInt(base.size))
@@ -334,11 +338,18 @@ class DedupAnnSpec extends SparkSpec {
         sqrt(graft.functions.Native.dot(spark, col("emb"), col("emb"))).as("nrm"))
     val labels = graft.queries.Dedup.semanticDedup(spark, df, k = 8, tau = 0.98)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // non-vacuity: if whole clusters collapsed (intra-cluster cosine
+    // above tau), removals would approach |base| - |clusters| ~ 390 and
+    // twin recall would be trivially 1 — the removal count must stay in
+    // the vicinity of the planted-pair count for the recall to mean
+    // anything
+    assert(labels.length < 100,
+      s"${labels.length} removals — clusters collapsed wholesale, twin recall is vacuous")
     // rebuild full component membership: removed -> rep, rep -> itself
     val comp = labels.toMap
     def root(x: Long): Long = comp.getOrElse(x, x)
     val hit = twins.count { case (twinId, origId, _) => root(twinId) == root(origId) }
-    info(s"planted-twin recall = $hit/25")
+    info(s"planted-twin recall = $hit/25 (${labels.length} removals)")
     assert(hit >= 23, s"only $hit/25 planted twins collapsed")
   }
 

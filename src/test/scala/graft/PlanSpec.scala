@@ -278,18 +278,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
   }
 
-  test("dedup_incremental_minhash: every broadcast hint wraps the BATCH side, never the corpus index") {
+  test("dedup_incremental_minhash: the probe join broadcasts the BATCH band keys, never the corpus index") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
-    val lp = SparkEntry.queries("dedup_incremental_minhash")(spark, sf("sf0.01"))
+    // assert on the probe subplan directly — the C33 query materializes
+    // its stages (localCheckpoint), which detaches this join from the
+    // final query's analyzed plan
+    val d = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val corpusB = graft.queries.Dedup.bandedMinhashKeys(d.where("doc_id % 3 != 0"))
+      .select(col("doc_id").as("c_id"), col("bk"))
+    val batchB = graft.queries.Dedup.bandedMinhashKeys(d.where("doc_id % 3 = 0"))
+    val lp = graft.queries.Dedup.crossBandCands(corpusB, batchB)
       .queryExecution.analyzed
     val hints = lp.collect { case h: ResolvedHint => h }
     assert(hints.nonEmpty, "expected a broadcast hint on the batch band keys")
     hints.foreach { h =>
       val sub = h.child.toString
-      // the batch filter is pmod(doc_id, 3) = 0; the corpus side carries
-      // the negated form — a hint wrapping "NOT (pmod" would broadcast
-      // the 100 TB signature index
-      assert(sub.contains("pmod(doc_id") && !sub.contains("NOT (pmod"),
+      // the batch filter is doc_id % 3 = 0; the corpus side carries the
+      // negated form — a hint wrapping the corpus subtree would
+      // broadcast the 100 TB signature index
+      // the corpus subtree is recognizable by its c_id alias and its
+      // negated batch filter ("NOT (...)"); neither may appear under a
+      // broadcast hint
+      assert(sub.contains("(doc_id#") &&
+        (sub.contains("= cast(0 as bigint)") || sub.contains("= 0")) &&
+        !sub.contains("AS c_id") && !sub.contains("NOT ("),
         s"broadcast hint wraps a corpus-side subtree:\n$sub")
     }
   }
