@@ -146,6 +146,20 @@ object Ann {
       val e = withNorm(embs(s, dir))
       val idx = ivfBuild(e.where(col("vec_id") >= NQ), k = 8)
       ivfProbe(s, idx, e.where(col("vec_id") < NQ), p = 4)
+    },
+
+    // C8c: product-quantization ANN (the FAISS-standard compressed
+    // path): 16 subspaces × 32 codewords trained driver-side on a
+    // bounded sample, corpus encoded once to 16 small ints (32× less
+    // scan I/O than raw 64-d float vectors), queries score via
+    // broadcast lookup tables (m adds per pair), top-`rerank` PQ
+    // candidates re-ranked with EXACT cosine — reported scores are
+    // never approximate, only candidate selection is. Spec measures
+    // recall vs ann_bruteforce; rows-only for the driver.
+    Q.noOracle("ann_pq") { (s, dir) =>
+      val e = withNorm(embs(s, dir))
+      val idx = pqBuild(e.where(col("vec_id") >= NQ), m = 16, k = 32)
+      pqProbe(s, idx, e.where(col("vec_id") < NQ), rerank = 50)
     })
 
   /** A built IVF index: the driver-held coarse quantizer (k x dim
@@ -242,6 +256,153 @@ object Ann {
   def ivfProbeCells(idx: IvfIndex, queries: DataFrame, p: Int): Seq[Int] =
     queries.select(explode(argmaxCells(idx.cents, p)(col("emb"))).as("cell"))
       .distinct().collect().map(_.getInt(0)).toSeq
+
+  /** A built product-quantization index: per-subspace codebooks
+    * (m × k × dim/m doubles — driver-held and broadcastable at any
+    * corpus size, like [[IvfIndex]]'s centroids), the corpus encoded to
+    * m-byte-class codes (one int per subspace — a 64-dim float vector
+    * compresses 512 B → m ints of index), and the raw corpus kept for
+    * exact re-ranking. Build ONCE, probe per batch; at 100 TB the
+    * encoded table is what the scoring scan reads — 32× less I/O than
+    * raw vectors — and only the re-rank candidates touch raw embeddings.
+    */
+  final case class PqIndex(
+      codebooks: Array[Array[Array[Double]]],
+      encoded: DataFrame,
+      corpus: DataFrame)
+
+  /** Train per-subspace codebooks on a bounded deterministic sample
+    * (driver-side Lloyd, the [[ivfBuild]] trade) and encode the corpus
+    * in one distributed pass. Vectors are unit-normalized before
+    * encoding so the PQ inner product approximates cosine directly.
+    * `corpus` must be (vec_id, emb double[], nrm).
+    */
+  def pqBuild(corpus: DataFrame, m: Int, k: Int): PqIndex = {
+    val nCorpus = corpus.count()
+    val sampleMod = math.max(1L, nCorpus / 2000L)
+    val sample: Array[Array[Double]] = corpus
+      .where(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+      .orderBy(col("vec_id")).select(col("emb"), col("nrm"))
+      .collect().map { r =>
+        val e = r.getSeq[Double](0).toArray
+        val n = r.getDouble(1)
+        if (n > 0) e.map(_ / n) else e
+      }
+    require(sample.length >= k, s"PQ needs >= $k training vectors per codebook")
+    val dim = sample(0).length
+    require(dim % m == 0, s"PQ needs m | dim (m=$m, dim=$dim)")
+    val dsub = dim / m
+    // deterministic per-subspace Lloyd: first-k init, 3 rounds, empty
+    // cells keep their previous codeword (same discipline as ivfBuild)
+    val codebooks = Array.tabulate(m) { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      var cents = sub.take(k).map(_.clone)
+      for (_ <- 1 to 3) {
+        val sums = Array.fill(k)(new Array[Double](dsub))
+        val counts = new Array[Int](k)
+        sub.foreach { v =>
+          val c = PqKernels.nearestL2(cents, v)
+          counts(c) += 1
+          var i = 0
+          while (i < dsub) { sums(c)(i) += v(i); i += 1 }
+        }
+        cents = Array.tabulate(k)(c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+      }
+      cents
+    }
+    val enc = PqKernels.encode(codebooks)
+    PqIndex(codebooks,
+      corpus.select(col("vec_id").as("n_id"),
+        enc(col("emb"), col("nrm")).as("codes")),
+      corpus.select(col("vec_id").as("n_id"), col("emb"), col("nrm")))
+  }
+
+  /** Probe a built PQ index: per-query lookup tables (query-subvector ·
+    * codeword, computed ONCE per query on the driver — the query batch
+    * is bounded by contract, like [[ivfProbeCells]]) broadcast to a
+    * single scan of the ENCODED corpus (m lookup-adds per pair, no raw
+    * vectors read); the top `rerank` PQ candidates per query then
+    * re-score with exact cosine against the raw corpus, so every emitted
+    * cosine is EXACT — quantization only affects which candidates are
+    * considered, never the reported scores.
+    */
+  def pqProbe(s: SparkSession, idx: PqIndex, queries: DataFrame, rerank: Int): DataFrame = {
+    val qRows = queries.select(col("vec_id"), col("emb"), col("nrm")).collect()
+    val luts: Map[Long, Array[Array[Double]]] = qRows.map { r =>
+      val qid = r.getLong(0)
+      val e = r.getSeq[Double](1).toArray
+      val n = r.getDouble(2)
+      val u = if (n > 0) e.map(_ / n) else e
+      val m = idx.codebooks.length
+      val dsub = u.length / m
+      qid -> Array.tabulate(m) { j =>
+        idx.codebooks(j).map { cw =>
+          var sum = 0.0; var i = 0
+          while (i < dsub) { sum += cw(i) * u(j * dsub + i); i += 1 }
+          sum
+        }
+      }
+    }.toMap
+    val lutBc = s.sparkContext.broadcast(luts)
+    val score = udf { (qid: Long, codes: Seq[Int]) =>
+      val lut = lutBc.value(qid)
+      var sum = 0.0; var j = 0
+      while (j < lut.length) { sum += lut(j)(codes(j)); j += 1 }
+      sum
+    }
+    val qids = qRows.map(_.getLong(0)).toSeq
+    import s.implicits._
+    val scored = idx.encoded.crossJoin(broadcast(qids.toDF("q_id")))
+      .select(col("q_id"), col("n_id"), score(col("q_id"), col("codes")).as("pq"))
+    val cands = scored.withColumn("prank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("pq").desc, col("n_id"))))
+      .where(col("prank") <= rerank)
+      .select(col("q_id"), col("n_id"))
+    val exact = cands
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("emb").as("qemb"), col("nrm").as("qnrm"))), "q_id")
+      .join(idx.corpus, "n_id")
+      .select(col("q_id"), col("n_id"),
+        cosine(s, col("qemb"), col("emb"), col("qnrm"), col("nrm")).as("cos"))
+    topK(exact)
+  }
+
+  /** PQ inner loops (JIT kernels — the [[graft.functions.Kernels]]
+    * rationale): nearest-codeword assignment and corpus encoding.
+    */
+  private[queries] object PqKernels extends Serializable {
+    def nearestL2(cents: Array[Array[Double]], v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cents.length) {
+        val cw = cents(c); var d = 0.0; var i = 0
+        while (i < v.length) { val t = v(i) - cw(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    /** (emb, nrm) → m nearest-codeword indices of the UNIT vector. */
+    def encode(codebooks: Array[Array[Array[Double]]]): (Column, Column) => Column = {
+      val f = udf { (emb: Seq[Double], nrm: Double) =>
+        val m = codebooks.length
+        val dim = emb.size
+        val dsub = dim / m
+        val u = new Array[Double](dim)
+        var i = 0
+        while (i < dim) { u(i) = if (nrm > 0) emb(i) / nrm else emb(i); i += 1 }
+        val codes = new Array[Int](m)
+        var j = 0
+        while (j < m) {
+          codes(j) = nearestL2(codebooks(j),
+            java.util.Arrays.copyOfRange(u, j * dsub, (j + 1) * dsub))
+          j += 1
+        }
+        codes
+      }
+      (e, n) => f(e, n)
+    }
+  }
 
   private def argmaxCells(cb: Array[Array[Double]], p: Int) = udf { emb: Seq[Double] =>
     val n = emb.size

@@ -67,6 +67,25 @@ class DedupAnnSpec extends SparkSpec {
     assert(recall >= 0.5, f"recall $recall%.3f below 0.5")
   }
 
+  test("C8c PQ ANN: recall@5 vs brute force, and every reported cosine is EXACT") {
+    val dir = sf("sf0.01")
+    val brute = q("ann_bruteforce", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val pq = q("ann_pq", dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    val recall = pq.count { case (key, _) => brute.contains(key) }.toDouble / brute.size
+    info(f"ann_pq recall@5 = $recall%.3f")
+    // rerank=50 of ~490 corpus vectors: quantization only selects
+    // candidates, the re-rank is exact — recall must beat the LSH floor
+    assert(recall >= 0.5, f"recall $recall%.3f below 0.5")
+    // exact-rescore contract: any pair ALSO in the brute-force top-5
+    // must carry the identical rounded cosine
+    pq.foreach { case (key, cos) =>
+      brute.get(key).foreach(bc =>
+        assert(bc == cos, s"pair $key: pq cos $cos != brute cos $bc"))
+    }
+  }
+
   test("IVF index: probing the cell-pruned persisted index equals probing the full index") {
     // the deployment pattern ivfProbeCells documents: persist assigned
     // partitioned by cell, prune the read to the batch's probed cells,
