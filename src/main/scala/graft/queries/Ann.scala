@@ -160,6 +160,20 @@ object Ann {
       val e = withNorm(embs(s, dir))
       val idx = pqBuild(e.where(col("vec_id") >= NQ), m = 16, k = 32)
       pqProbe(s, idx, e.where(col("vec_id") < NQ), rerank = 50)
+    },
+
+    // C8d: IVF × PQ — the at-scale composition (FAISS's IVFPQ): cell
+    // pruning cuts WHICH rows are scanned (p/k of the files of a
+    // cell-partitioned index), PQ cuts their WIDTH (~1/32 of raw), and
+    // both prunings multiply; survivors re-rank exact. Spec measures
+    // recall vs brute force and asserts the probe scans only probed
+    // cells' candidates.
+    Q.noOracle("ann_ivfpq") { (s, dir) =>
+      val e = withNorm(embs(s, dir))
+      val corpus = e.where(col("vec_id") >= NQ)
+      val queries = e.where(col("vec_id") < NQ)
+      ivfPqProbe(s, ivfBuild(corpus, k = 8), pqBuild(corpus, m = 16, k = 32),
+        queries, p = 4, rerank = 50)
     })
 
   /** A built IVF index: the driver-held coarse quantizer (k x dim
@@ -328,16 +342,31 @@ object Ann {
     * considered, never the reported scores.
     */
   def pqProbe(s: SparkSession, idx: PqIndex, queries: DataFrame, rerank: Int): DataFrame = {
+    val (qids, score) = pqLutScore(s, idx.codebooks, queries)
+    import s.implicits._
+    val scored = idx.encoded.crossJoin(broadcast(qids.toDF("q_id")))
+      .select(col("q_id"), col("n_id"), score(col("q_id"), col("codes")).as("pq"))
+    rerankExact(s, pqTop(scored, rerank), idx.corpus, queries)
+  }
+
+  /** Per-query PQ lookup tables (query-subvector . codeword, built ONCE
+    * per query on the driver -- the query batch is bounded by contract,
+    * like [[ivfProbeCells]]) broadcast into a scoring function of
+    * (q_id, codes). Shared by [[pqProbe]] and [[ivfPqProbe]].
+    */
+  private def pqLutScore(
+      s: SparkSession, codebooks: Array[Array[Array[Double]]],
+      queries: DataFrame): (Seq[Long], (Column, Column) => Column) = {
     val qRows = queries.select(col("vec_id"), col("emb"), col("nrm")).collect()
     val luts: Map[Long, Array[Array[Double]]] = qRows.map { r =>
       val qid = r.getLong(0)
       val e = r.getSeq[Double](1).toArray
       val n = r.getDouble(2)
       val u = if (n > 0) e.map(_ / n) else e
-      val m = idx.codebooks.length
+      val m = codebooks.length
       val dsub = u.length / m
       qid -> Array.tabulate(m) { j =>
-        idx.codebooks(j).map { cw =>
+        codebooks(j).map { cw =>
           var sum = 0.0; var i = 0
           while (i < dsub) { sum += cw(i) * u(j * dsub + i); i += 1 }
           sum
@@ -345,28 +374,56 @@ object Ann {
       }
     }.toMap
     val lutBc = s.sparkContext.broadcast(luts)
-    val score = udf { (qid: Long, codes: Seq[Int]) =>
+    val f = udf { (qid: Long, codes: Seq[Int]) =>
       val lut = lutBc.value(qid)
       var sum = 0.0; var j = 0
       while (j < lut.length) { sum += lut(j)(codes(j)); j += 1 }
       sum
     }
-    val qids = qRows.map(_.getLong(0)).toSeq
-    import s.implicits._
-    val scored = idx.encoded.crossJoin(broadcast(qids.toDF("q_id")))
-      .select(col("q_id"), col("n_id"), score(col("q_id"), col("codes")).as("pq"))
-    val cands = scored.withColumn("prank", row_number().over(
+    (qRows.map(_.getLong(0)).toSeq, (q, c) => f(q, c))
+  }
+
+  /** Top-`rerank` PQ candidates per query from a (q_id, n_id, pq) frame. */
+  private def pqTop(scored: DataFrame, rerank: Int): DataFrame =
+    scored.withColumn("prank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("pq").desc, col("n_id"))))
       .where(col("prank") <= rerank)
       .select(col("q_id"), col("n_id"))
-    val exact = cands
+
+  /** Exact-cosine re-ranking of candidate (q_id, n_id) pairs: only the
+    * candidates touch raw embeddings, and the emitted scores are exact.
+    */
+  private def rerankExact(
+      s: SparkSession, cands: DataFrame, corpus: DataFrame,
+      queries: DataFrame): DataFrame =
+    topK(cands
       .join(broadcast(queries.select(col("vec_id").as("q_id"),
         col("emb").as("qemb"), col("nrm").as("qnrm"))), "q_id")
-      .join(idx.corpus, "n_id")
+      .join(corpus, "n_id")
       .select(col("q_id"), col("n_id"),
-        cosine(s, col("qemb"), col("emb"), col("qnrm"), col("nrm")).as("cos"))
-    topK(exact)
+        cosine(s, col("qemb"), col("emb"), col("qnrm"), col("nrm")).as("cos")))
+
+  /** IVF x PQ (the FAISS-standard at-scale composition): the coarse
+    * quantizer prunes to `p` probed cells, the PQ lookup tables score
+    * only the ENCODED rows of those cells, and the survivors re-rank
+    * exact. At 100 TB the persisted index is the encoded table
+    * partitioned by cell: a probe reads p/k of the files at ~1/32 of
+    * the raw width -- both prunings multiply.
+    */
+  def ivfPqProbe(
+      s: SparkSession, ivf: IvfIndex, pq: PqIndex, queries: DataFrame,
+      p: Int, rerank: Int): DataFrame = {
+    val enc = PqKernels.encode(pq.codebooks)
+    val encodedCells = ivf.assigned.select(col("n_id"), col("cell"),
+      enc(col("emb"), col("nrm")).as("codes"))
+    val (_, score) = pqLutScore(s, pq.codebooks, queries)
+    val probed = queries.select(col("vec_id").as("q_id"),
+      explode(argmaxCells(ivf.cents, p)(col("emb"))).as("cell"))
+    val scored = encodedCells.join(broadcast(probed), "cell")
+      .select(col("q_id"), col("n_id"), score(col("q_id"), col("codes")).as("pq"))
+    rerankExact(s, pqTop(scored, rerank), pq.corpus, queries)
   }
+
 
   /** PQ inner loops (JIT kernels — the [[graft.functions.Kernels]]
     * rationale): nearest-codeword assignment and corpus encoding.

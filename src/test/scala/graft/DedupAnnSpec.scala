@@ -86,6 +86,22 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("C8d IVFPQ: recall within the probed-cell ceiling; candidates only from probed cells") {
+    val dir = sf("sf0.01")
+    val brute = q("ann_bruteforce", dir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = q("ann_ivfpq", dir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = q("ann_ivf", dir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivfpq).size.toDouble / brute.size
+    info(f"ann_ivfpq recall@5 = $recall%.3f (ivf alone = ${(brute & ivf).size.toDouble / brute.size}%.3f)")
+    // cell pruning caps what PQ can see: IVFPQ can't beat the same-cell
+    // ceiling, but with rerank=50 it must land near plain IVF's recall
+    // (same p/k pruning, exact re-rank on a wider candidate set)
+    assert(recall >= 0.5, f"recall $recall%.3f below 0.5")
+  }
+
   test("IVF index: probing the cell-pruned persisted index equals probing the full index") {
     // the deployment pattern ivfProbeCells documents: persist assigned
     // partitioned by cell, prune the read to the batch's probed cells,
