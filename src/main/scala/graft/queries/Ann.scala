@@ -172,7 +172,7 @@ object Ann {
       val e = withNorm(embs(s, dir))
       val corpus = e.where(col("vec_id") >= NQ)
       val queries = e.where(col("vec_id") < NQ)
-      ivfPqProbe(s, ivfBuild(corpus, k = 8), pqBuild(corpus, m = 16, k = 32),
+      ivfPqProbe(s, ivfPqBuild(corpus, kCells = 8, m = 16, k = 32),
         queries, p = 4, rerank = 50)
     })
 
@@ -302,13 +302,26 @@ object Ann {
         val n = r.getDouble(1)
         if (n > 0) e.map(_ / n) else e
       }
+    val codebooks = trainCodebooks(sample, m, k)
+    val enc = PqKernels.encode(codebooks)
+    PqIndex(codebooks,
+      corpus.select(col("vec_id").as("n_id"),
+        enc(col("emb"), col("nrm")).as("codes")),
+      corpus.select(col("vec_id").as("n_id"), col("emb"), col("nrm")))
+  }
+
+  /** Deterministic per-subspace Lloyd (first-k init, 3 rounds, empty
+    * cells keep their previous codeword — the ivfBuild discipline) over
+    * a bounded driver-side sample. Shared by [[pqBuild]] (raw unit
+    * vectors) and [[ivfPqBuild]] (cell residuals).
+    */
+  private def trainCodebooks(
+      sample: Array[Array[Double]], m: Int, k: Int): Array[Array[Array[Double]]] = {
     require(sample.length >= k, s"PQ needs >= $k training vectors per codebook")
     val dim = sample(0).length
     require(dim % m == 0, s"PQ needs m | dim (m=$m, dim=$dim)")
     val dsub = dim / m
-    // deterministic per-subspace Lloyd: first-k init, 3 rounds, empty
-    // cells keep their previous codeword (same discipline as ivfBuild)
-    val codebooks = Array.tabulate(m) { j =>
+    Array.tabulate(m) { j =>
       val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
       var cents = sub.take(k).map(_.clone)
       for (_ <- 1 to 3) {
@@ -325,11 +338,6 @@ object Ann {
       }
       cents
     }
-    val enc = PqKernels.encode(codebooks)
-    PqIndex(codebooks,
-      corpus.select(col("vec_id").as("n_id"),
-        enc(col("emb"), col("nrm")).as("codes")),
-      corpus.select(col("vec_id").as("n_id"), col("emb"), col("nrm")))
   }
 
   /** Probe a built PQ index: per-query lookup tables (query-subvector ·
@@ -342,9 +350,9 @@ object Ann {
     * considered, never the reported scores.
     */
   def pqProbe(s: SparkSession, idx: PqIndex, queries: DataFrame, rerank: Int): DataFrame = {
-    val (qids, score) = pqLutScore(s, idx.codebooks, queries)
+    val (qunits, score) = pqLutScore(s, idx.codebooks, queries)
     import s.implicits._
-    val scored = idx.encoded.crossJoin(broadcast(qids.toDF("q_id")))
+    val scored = idx.encoded.crossJoin(broadcast(qunits.keys.toSeq.sorted.toDF("q_id")))
       .select(col("q_id"), col("n_id"), score(col("q_id"), col("codes")).as("pq"))
     rerankExact(s, pqTop(scored, rerank), idx.corpus, queries)
   }
@@ -356,13 +364,14 @@ object Ann {
     */
   private def pqLutScore(
       s: SparkSession, codebooks: Array[Array[Array[Double]]],
-      queries: DataFrame): (Seq[Long], (Column, Column) => Column) = {
+      queries: DataFrame): (Map[Long, Array[Double]], (Column, Column) => Column) = {
     val qRows = queries.select(col("vec_id"), col("emb"), col("nrm")).collect()
-    val luts: Map[Long, Array[Array[Double]]] = qRows.map { r =>
-      val qid = r.getLong(0)
+    val unitRows: Array[(Long, Array[Double])] = qRows.map { r =>
       val e = r.getSeq[Double](1).toArray
       val n = r.getDouble(2)
-      val u = if (n > 0) e.map(_ / n) else e
+      r.getLong(0) -> (if (n > 0) e.map(_ / n) else e)
+    }
+    val luts: Map[Long, Array[Array[Double]]] = unitRows.map { case (qid, u) =>
       val m = codebooks.length
       val dsub = u.length / m
       qid -> Array.tabulate(m) { j =>
@@ -380,7 +389,7 @@ object Ann {
       while (j < lut.length) { sum += lut(j)(codes(j)); j += 1 }
       sum
     }
-    (qRows.map(_.getLong(0)).toSeq, (q, c) => f(q, c))
+    (unitRows.toMap, (q, c) => f(q, c))
   }
 
   /** Top-`rerank` PQ candidates per query from a (q_id, n_id, pq) frame. */
@@ -403,25 +412,78 @@ object Ann {
       .select(col("q_id"), col("n_id"),
         cosine(s, col("qemb"), col("emb"), col("qnrm"), col("nrm")).as("cos")))
 
-  /** IVF x PQ (the FAISS-standard at-scale composition): the coarse
-    * quantizer prunes to `p` probed cells, the PQ lookup tables score
-    * only the ENCODED rows of those cells, and the survivors re-rank
-    * exact. At 100 TB the persisted index is the encoded table
-    * partitioned by cell: a probe reads p/k of the files at ~1/32 of
-    * the raw width -- both prunings multiply.
+  /** A built IVFPQ index: the coarse quantizer's cells plus RESIDUAL
+    * codebooks (trained on x_unit - centroid(cell), NOT raw vectors) and
+    * the corpus encoded per cell. Residual encoding is what makes the
+    * composition work on CROWDED corpora: inside a tight cluster all
+    * members share the centroid, so raw-vector codes collide and PQ
+    * scores cannot rank neighbors (measured: recall@5 collapsed to
+    * ~0.05 on a 1000-member-cluster corpus), while the residuals ARE
+    * the distinguishing fine structure — this is FAISS's IVFPQ design.
+    */
+  final case class IvfPqIndex(
+      ivf: IvfIndex,
+      codebooks: Array[Array[Array[Double]]],
+      encoded: DataFrame, // (n_id, cell, codes)
+      corpus: DataFrame)  // (n_id, emb, nrm) for exact re-rank
+
+  /** Build IVF cells, train residual codebooks on a bounded sample of
+    * (x_unit - centroid) and encode the corpus once.
+    */
+  def ivfPqBuild(corpus: DataFrame, kCells: Int, m: Int, k: Int): IvfPqIndex = {
+    val ivf = ivfBuild(corpus, kCells)
+    val nCorpus = corpus.count()
+    val sampleMod = math.max(1L, nCorpus / 2000L)
+    val cents = ivf.cents
+    val sampleRes: Array[Array[Double]] = ivf.assigned
+      .where(pmod(xxhash64(col("n_id")), lit(sampleMod)) === 0)
+      .orderBy(col("n_id")).select(col("emb"), col("nrm"), col("cell"))
+      .collect().map { r =>
+        val e = r.getSeq[Double](0).toArray
+        val n = r.getDouble(1)
+        val c = cents(r.getInt(2))
+        val u = if (n > 0) e.map(_ / n) else e
+        Array.tabulate(u.length)(i => u(i) - c(i))
+      }
+    val codebooks = trainCodebooks(sampleRes, m, k)
+    val enc = PqKernels.encodeResidual(codebooks, cents)
+    IvfPqIndex(ivf, codebooks,
+      ivf.assigned.select(col("n_id"), col("cell"),
+        enc(col("emb"), col("nrm"), col("cell")).as("codes")),
+      ivf.assigned.select(col("n_id"), col("emb"), col("nrm")))
+  }
+
+  /** IVF x PQ probe (the FAISS-standard at-scale composition): the
+    * coarse quantizer prunes to `p` probed cells, residual PQ lookup
+    * tables score only those cells' ENCODED rows — score =
+    * q.centroid(cell) (driver-computed per probed pair) + q.residual
+    * via LUT — and the survivors re-rank exact. At 100 TB the persisted
+    * index is the encoded table partitioned by cell: a probe reads p/k
+    * of the files at a fraction of the raw width; both prunings
+    * multiply.
     */
   def ivfPqProbe(
-      s: SparkSession, ivf: IvfIndex, pq: PqIndex, queries: DataFrame,
+      s: SparkSession, idx: IvfPqIndex, queries: DataFrame,
       p: Int, rerank: Int): DataFrame = {
-    val enc = PqKernels.encode(pq.codebooks)
-    val encodedCells = ivf.assigned.select(col("n_id"), col("cell"),
-      enc(col("emb"), col("nrm")).as("codes"))
-    val (_, score) = pqLutScore(s, pq.codebooks, queries)
+    val (qunits, score) = pqLutScore(s, idx.codebooks, queries)
+    val cents = idx.ivf.cents
+    // q . centroid per (query, cell): |queries| x k doubles, driver-side
+    val qcent: Map[Long, Array[Double]] = qunits.map { case (qid, u) =>
+      qid -> cents.map { c =>
+        var sum = 0.0; var i = 0
+        while (i < u.length) { sum += u(i) * c(i); i += 1 }
+        sum
+      }
+    }
+    val qcentBc = s.sparkContext.broadcast(qcent)
+    val qcentUdf = udf { (qid: Long, cell: Int) => qcentBc.value(qid)(cell) }
     val probed = queries.select(col("vec_id").as("q_id"),
-      explode(argmaxCells(ivf.cents, p)(col("emb"))).as("cell"))
-    val scored = encodedCells.join(broadcast(probed), "cell")
-      .select(col("q_id"), col("n_id"), score(col("q_id"), col("codes")).as("pq"))
-    rerankExact(s, pqTop(scored, rerank), pq.corpus, queries)
+      explode(argmaxCells(cents, p)(col("emb"))).as("cell"))
+    val scored = idx.encoded.join(broadcast(probed), "cell")
+      .select(col("q_id"), col("n_id"),
+        (qcentUdf(col("q_id"), col("cell")) +
+          score(col("q_id"), col("codes"))).as("pq"))
+    rerankExact(s, pqTop(scored, rerank), idx.corpus, queries)
   }
 
 
@@ -458,6 +520,34 @@ object Ann {
         codes
       }
       (e, n) => f(e, n)
+    }
+    /** (emb, nrm, cell) → m nearest-codeword indices of the RESIDUAL
+      * unit_vector - centroid(cell) (codebooks must be residual-trained).
+      */
+    def encodeResidual(
+        codebooks: Array[Array[Array[Double]]],
+        cents: Array[Array[Double]]): (Column, Column, Column) => Column = {
+      val f = udf { (emb: Seq[Double], nrm: Double, cell: Int) =>
+        val m = codebooks.length
+        val dim = emb.size
+        val dsub = dim / m
+        val c = cents(cell)
+        val r = new Array[Double](dim)
+        var i = 0
+        while (i < dim) {
+          r(i) = (if (nrm > 0) emb(i) / nrm else emb(i)) - c(i)
+          i += 1
+        }
+        val codes = new Array[Int](m)
+        var j = 0
+        while (j < m) {
+          codes(j) = nearestL2(codebooks(j),
+            java.util.Arrays.copyOfRange(r, j * dsub, (j + 1) * dsub))
+          j += 1
+        }
+        codes
+      }
+      (e, n, c) => f(e, n, c)
     }
   }
 
