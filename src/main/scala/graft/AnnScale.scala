@@ -81,19 +81,22 @@ object AnnScale {
       def top(df: DataFrame): Map[Long, Set[Long]] = df
         .select(col("q_id"), col("n_id")).collect()
         .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-      val (bt, it) = (top(brute), top(probe()))
-      val recall = bt.keys.toSeq.sorted.map(q =>
-        (bt(q) intersect it.getOrElse(q, Set.empty)).size.toDouble / bt(q).size)
-        .sum / bt.size
+      val bt = top(brute)
+      def recallVs(cand: Map[Long, Set[Long]]): Double =
+        bt.keys.toSeq.sorted.map(q =>
+          (bt(q) intersect cand.getOrElse(q, Set.empty)).size.toDouble / bt(q).size)
+          .sum / bt.size
+      val recall = recallVs(top(probe()))
       println(f"[annscale] n=$n%d: brute/batch ${tB}%.2f s reads $bruteRows%d rows; " +
         f"ivf build ${tIdx}%.2f s (single-shot), probe/batch ${tP}%.2f s reads $rowsRead%d rows " +
         f"(${bruteRows.toDouble / rowsRead}%.1f x fewer; ${cells.size}/$k%d cells for $nq%d queries, " +
         f"k/p = ${k / p}%d x per query); batch timings median-of-3, recall@5 $recall%.2f")
-      // IVFPQ width compression, measured ON DISK: the cell-partitioned
-      // ENCODED index is what a probe scans instead of raw vectors —
-      // parquet bytes of (n_id, cell, codes) vs (n_id, emb, nrm) is the
-      // real I/O ratio (parquet compresses both; the "32x" headline is
-      // in-memory width, disk shows what a scan actually reads). PQ
+      // IVFPQ width compression, measured ON DISK against the FLOAT32
+      // SOURCE table (what a deployment actually stores — writing the
+      // engine's double-cast frame would inflate the ratio ~2x): parquet
+      // bytes of (n_id, cell, 16-byte codes) vs the raw embedding
+      // column; disk shows what a scan actually reads (in-memory width
+      // ratio is 16x: 256 B of floats -> 16 one-byte codes). PQ
       // codebooks are RESIDUAL-trained: raw-vector PQ measured recall
       // ~0.05 on this crowded corpus (1000-member clusters share codes),
       // residual encoding restores the fine structure — see
@@ -103,10 +106,20 @@ object AnnScale {
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.getContentSummary(p).getLength
       }
-      val ivfpq = graft.queries.Ann.ivfPqBuild(
-        e.where(col("vec_id") >= nq), kCells = k, m = 16, k = 32)
-      ivfpq.encoded.write.partitionBy("cell").parquet(s"$dir/ivfpq_encoded")
-      e.where(col("vec_id") >= nq).write.parquet(s"$dir/raw_corpus")
+      // reuse the ALREADY-BUILT coarse quantizer (`built`): re-training
+      // a second one would both waste the Lloyd passes and leave the
+      // pruning cells below coupled to bit-identical retraining
+      val ivfpq = graft.queries.Ann.ivfPqBuild(built, m = 16, k = 32)
+      // cluster rows into their cell partition before writing: without
+      // the repartition every one of the 32 writer tasks emits a file
+      // into all 64 cell dirs — 2048 tiny files whose per-file overhead
+      // dwarfs the codes being measured
+      ivfpq.encoded.repartition(col("cell"))
+        .write.partitionBy("cell").parquet(s"$dir/ivfpq_encoded")
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .where(col("vec_id") >= nq)
+        .select(col("vec_id"), col("embedding"))
+        .write.parquet(s"$dir/raw_corpus")
       val (rawB, encB) = (dirBytes(s"$dir/raw_corpus"), dirBytes(s"$dir/ivfpq_encoded"))
       // prune with THIS index's own quantizer (ivfProbeCells invariant:
       // same queries, same p as the probe below). rerank scales with
@@ -121,10 +134,7 @@ object AnnScale {
           .where(col("cell").isin(pqCells.map(Int.box): _*))),
         queries, p = p, rerank = rr)
       val tPq = med3(pqProbeOnDisk().count())
-      val pqt = top(pqProbeOnDisk())
-      val pqRecall = bt.keys.toSeq.sorted.map(q =>
-        (bt(q) intersect pqt.getOrElse(q, Set.empty)).size.toDouble / bt(q).size)
-        .sum / bt.size
+      val pqRecall = recallVs(top(pqProbeOnDisk()))
       println(f"[annscale] n=$n%d ivfpq: raw corpus ${rawB / 1024}%d KiB vs encoded index ${encB / 1024}%d KiB " +
         f"(${rawB.toDouble / encB}%.1f x smaller scan, x ${bruteRows.toDouble / rowsRead}%.1f x cell pruning), " +
         f"probe/batch ${tPq}%.2f s, recall@5 $pqRecall%.2f (residual PQ, rerank=$rr%d = " +

@@ -150,8 +150,8 @@ object Ann {
 
     // C8c: product-quantization ANN (the FAISS-standard compressed
     // path): 16 subspaces × 32 codewords trained driver-side on a
-    // bounded sample, corpus encoded once to 16 small ints (32× less
-    // scan I/O than raw 64-d float vectors), queries score via
+    // bounded sample, corpus encoded once to 16 ONE-BYTE codes (16× less
+    // in-memory width than raw 64-d float vectors), queries score via
     // broadcast lookup tables (m adds per pair), top-`rerank` PQ
     // candidates re-ranked with EXACT cosine — reported scores are
     // never approximate, only candidate selection is. Spec measures
@@ -164,7 +164,7 @@ object Ann {
 
     // C8d: IVF × PQ — the at-scale composition (FAISS's IVFPQ): cell
     // pruning cuts WHICH rows are scanned (p/k of the files of a
-    // cell-partitioned index), PQ cuts their WIDTH (~1/32 of raw), and
+    // cell-partitioned index), PQ cuts their WIDTH (~1/16 of raw), and
     // both prunings multiply; survivors re-rank exact. Spec measures
     // recall vs brute force and asserts the probe scans only probed
     // cells' candidates.
@@ -274,11 +274,11 @@ object Ann {
   /** A built product-quantization index: per-subspace codebooks
     * (m × k × dim/m doubles — driver-held and broadcastable at any
     * corpus size, like [[IvfIndex]]'s centroids), the corpus encoded to
-    * m-byte-class codes (one int per subspace — a 64-dim float vector
-    * compresses 512 B → m ints of index), and the raw corpus kept for
-    * exact re-ranking. Build ONCE, probe per batch; at 100 TB the
-    * encoded table is what the scoring scan reads — 32× less I/O than
-    * raw vectors — and only the re-rank candidates touch raw embeddings.
+    * m ONE-BYTE codes (k <= 256 by construction — a 64-dim float vector
+    * compresses 256 B → 16 B, 16×), and the raw corpus kept for exact
+    * re-ranking. Build ONCE, probe per batch; at 100 TB the encoded
+    * table is what the scoring scan reads, and only the re-rank
+    * candidates touch raw embeddings.
     */
   final case class PqIndex(
       codebooks: Array[Array[Array[Double]]],
@@ -292,22 +292,44 @@ object Ann {
     * `corpus` must be (vec_id, emb double[], nrm).
     */
   def pqBuild(corpus: DataFrame, m: Int, k: Int): PqIndex = {
-    val nCorpus = corpus.count()
-    val sampleMod = math.max(1L, nCorpus / 2000L)
-    val sample: Array[Array[Double]] = corpus
-      .where(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
-      .orderBy(col("vec_id")).select(col("emb"), col("nrm"))
-      .collect().map { r =>
-        val e = r.getSeq[Double](0).toArray
-        val n = r.getDouble(1)
-        if (n > 0) e.map(_ / n) else e
-      }
+    val sample = sampledUnits(
+      corpus.select(col("vec_id").as("n_id"), col("emb"), col("nrm")), None)
     val codebooks = trainCodebooks(sample, m, k)
-    val enc = PqKernels.encode(codebooks)
+    val enc = PqKernels.encode(codebooks, None)
     PqIndex(codebooks,
       corpus.select(col("vec_id").as("n_id"),
-        enc(col("emb"), col("nrm")).as("codes")),
+        enc(col("emb"), col("nrm"), lit(0)).as("codes")),
       corpus.select(col("vec_id").as("n_id"), col("emb"), col("nrm")))
+  }
+
+  /** Bounded deterministic driver-side sample of UNIT vectors from an
+    * (n_id, emb, nrm[, cell]) frame — when `residualCents` is set, each
+    * sampled unit vector has its cell centroid subtracted (residual
+    * training). The ONE sampling discipline [[pqBuild]] and
+    * [[ivfPqBuild]] share. `knownCount` skips the counting scan when the
+    * caller already holds the cardinality.
+    */
+  private def sampledUnits(
+      df: DataFrame, residualCents: Option[Array[Array[Double]]],
+      knownCount: Long = -1L): Array[Array[Double]] = {
+    val n = if (knownCount >= 0) knownCount else df.count()
+    val sampleMod = math.max(1L, n / 2000L)
+    val cols =
+      if (residualCents.isDefined) Seq(col("emb"), col("nrm"), col("cell"))
+      else Seq(col("emb"), col("nrm"))
+    df.where(pmod(xxhash64(col("n_id")), lit(sampleMod)) === 0)
+      .orderBy(col("n_id")).select(cols: _*)
+      .collect().map { r =>
+        val e = r.getSeq[Double](0).toArray
+        val nrm = r.getDouble(1)
+        val u = if (nrm > 0) e.map(_ / nrm) else e
+        residualCents match {
+          case Some(cents) =>
+            val c = cents(r.getInt(2))
+            Array.tabulate(u.length)(i => u(i) - c(i))
+          case None => u
+        }
+      }
   }
 
   /** Deterministic per-subspace Lloyd (first-k init, 3 rounds, empty
@@ -317,6 +339,7 @@ object Ann {
     */
   private def trainCodebooks(
       sample: Array[Array[Double]], m: Int, k: Int): Array[Array[Array[Double]]] = {
+    require(k <= 256, s"PQ codes are one byte: k <= 256 (got $k)")
     require(sample.length >= k, s"PQ needs >= $k training vectors per codebook")
     val dim = sample(0).length
     require(dim % m == 0, s"PQ needs m | dim (m=$m, dim=$dim)")
@@ -383,10 +406,10 @@ object Ann {
       }
     }.toMap
     val lutBc = s.sparkContext.broadcast(luts)
-    val f = udf { (qid: Long, codes: Seq[Int]) =>
+    val f = udf { (qid: Long, codes: Array[Byte]) =>
       val lut = lutBc.value(qid)
       var sum = 0.0; var j = 0
-      while (j < lut.length) { sum += lut(j)(codes(j)); j += 1 }
+      while (j < lut.length) { sum += lut(j)(codes(j) & 0xFF); j += 1 }
       sum
     }
     (unitRows.toMap, (q, c) => f(q, c))
@@ -430,23 +453,20 @@ object Ann {
   /** Build IVF cells, train residual codebooks on a bounded sample of
     * (x_unit - centroid) and encode the corpus once.
     */
-  def ivfPqBuild(corpus: DataFrame, kCells: Int, m: Int, k: Int): IvfPqIndex = {
-    val ivf = ivfBuild(corpus, kCells)
-    val nCorpus = corpus.count()
-    val sampleMod = math.max(1L, nCorpus / 2000L)
+  def ivfPqBuild(corpus: DataFrame, kCells: Int, m: Int, k: Int): IvfPqIndex =
+    ivfPqBuild(ivfBuild(corpus, kCells), m, k)
+
+  /** Residual-train + encode over an ALREADY-BUILT coarse quantizer —
+    * the deployment path (the IVF index persists cell-partitioned; PQ
+    * re-encoding must not re-train it) and the one AnnScale measures,
+    * so the probe's pruning cells and the encoded table provably come
+    * from the same quantizer.
+    */
+  def ivfPqBuild(ivf: IvfIndex, m: Int, k: Int): IvfPqIndex = {
     val cents = ivf.cents
-    val sampleRes: Array[Array[Double]] = ivf.assigned
-      .where(pmod(xxhash64(col("n_id")), lit(sampleMod)) === 0)
-      .orderBy(col("n_id")).select(col("emb"), col("nrm"), col("cell"))
-      .collect().map { r =>
-        val e = r.getSeq[Double](0).toArray
-        val n = r.getDouble(1)
-        val c = cents(r.getInt(2))
-        val u = if (n > 0) e.map(_ / n) else e
-        Array.tabulate(u.length)(i => u(i) - c(i))
-      }
+    val sampleRes = sampledUnits(ivf.assigned, Some(cents))
     val codebooks = trainCodebooks(sampleRes, m, k)
-    val enc = PqKernels.encodeResidual(codebooks, cents)
+    val enc = PqKernels.encode(codebooks, Some(cents))
     IvfPqIndex(ivf, codebooks,
       ivf.assigned.select(col("n_id"), col("cell"),
         enc(col("emb"), col("nrm"), col("cell")).as("codes")),
@@ -459,8 +479,8 @@ object Ann {
     * q.centroid(cell) (driver-computed per probed pair) + q.residual
     * via LUT — and the survivors re-rank exact. At 100 TB the persisted
     * index is the encoded table partitioned by cell: a probe reads p/k
-    * of the files at a fraction of the raw width; both prunings
-    * multiply.
+    * of the files at ~1/16 of the raw float width (m one-byte codes);
+    * both prunings multiply.
     */
   def ivfPqProbe(
       s: SparkSession, idx: IvfPqIndex, queries: DataFrame,
@@ -501,48 +521,31 @@ object Ann {
       }
       best
     }
-    /** (emb, nrm) → m nearest-codeword indices of the UNIT vector. */
-    def encode(codebooks: Array[Array[Array[Double]]]): (Column, Column) => Column = {
-      val f = udf { (emb: Seq[Double], nrm: Double) =>
-        val m = codebooks.length
-        val dim = emb.size
-        val dsub = dim / m
-        val u = new Array[Double](dim)
-        var i = 0
-        while (i < dim) { u(i) = if (nrm > 0) emb(i) / nrm else emb(i); i += 1 }
-        val codes = new Array[Int](m)
-        var j = 0
-        while (j < m) {
-          codes(j) = nearestL2(codebooks(j),
-            java.util.Arrays.copyOfRange(u, j * dsub, (j + 1) * dsub))
-          j += 1
-        }
-        codes
-      }
-      (e, n) => f(e, n)
-    }
-    /** (emb, nrm, cell) → m nearest-codeword indices of the RESIDUAL
-      * unit_vector - centroid(cell) (codebooks must be residual-trained).
+    /** (emb, nrm, cell) → m nearest-codeword ONE-BYTE codes of the unit
+      * vector, minus its cell centroid when `cents` is set (residual
+      * encoding; pass any constant cell column otherwise — it is
+      * ignored). One UDF body so the plain and residual forms can't
+      * drift (the centroid subtraction is the single difference).
       */
-    def encodeResidual(
+    def encode(
         codebooks: Array[Array[Array[Double]]],
-        cents: Array[Array[Double]]): (Column, Column, Column) => Column = {
+        cents: Option[Array[Array[Double]]]): (Column, Column, Column) => Column = {
       val f = udf { (emb: Seq[Double], nrm: Double, cell: Int) =>
         val m = codebooks.length
         val dim = emb.size
         val dsub = dim / m
-        val c = cents(cell)
+        val c: Array[Double] = cents.map(_(cell)).orNull
         val r = new Array[Double](dim)
         var i = 0
         while (i < dim) {
-          r(i) = (if (nrm > 0) emb(i) / nrm else emb(i)) - c(i)
+          r(i) = (if (nrm > 0) emb(i) / nrm else emb(i)) - (if (c == null) 0.0 else c(i))
           i += 1
         }
-        val codes = new Array[Int](m)
+        val codes = new Array[Byte](m)
         var j = 0
         while (j < m) {
           codes(j) = nearestL2(codebooks(j),
-            java.util.Arrays.copyOfRange(r, j * dsub, (j + 1) * dsub))
+            java.util.Arrays.copyOfRange(r, j * dsub, (j + 1) * dsub)).toByte
           j += 1
         }
         codes

@@ -100,6 +100,34 @@ class DedupAnnSpec extends SparkSpec {
     // ceiling, but with rerank=50 it must land near plain IVF's recall
     // (same p/k pruning, exact re-rank on a wider candidate set)
     assert(recall >= 0.5, f"recall $recall%.3f below 0.5")
+    // the pruning invariant itself: every returned neighbor must sit in
+    // one of ITS query's p probed cells — a probe that quietly scanned
+    // unprobed cells would only ever RAISE recall, so the threshold
+    // above can't catch that regression. Rebuild the (deterministic)
+    // index and replay the probe's own cell-selection rule.
+    val e = Ann.embsWithNorm(spark, dir)
+    val idx = Ann.ivfPqBuild(e.where(col("vec_id") >= Ann.NQ), kCells = 8, m = 16, k = 32)
+    val cellOf = idx.encoded.select("n_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cents = idx.ivf.cents
+    val probedOf: Map[Long, Set[Int]] = e.where(col("vec_id") < Ann.NQ)
+      .select("vec_id", "emb", "nrm").collect().map { r =>
+      val u0 = r.getSeq[Double](1).toArray
+      val n = r.getDouble(2)
+      val u = if (n > 0) u0.map(_ / n) else u0
+      val scores = cents.map { c =>
+        var sum = 0.0; var i = 0
+        while (i < u.length) { sum += u(i) * c(i); i += 1 }
+        sum
+      }
+      // same tie-break as argmaxCells: (-score, index)
+      r.getLong(0) -> scores.zipWithIndex.sortBy { case (sc, i) => (-sc, i) }
+        .take(4).map(_._2).toSet
+    }.toMap
+    ivfpq.foreach { case (q, n) =>
+      assert(probedOf(q).contains(cellOf(n)),
+        s"neighbor $n (cell ${cellOf(n)}) returned for query $q outside its probed cells ${probedOf(q)}")
+    }
   }
 
   test("IVF index: probing the cell-pruned persisted index equals probing the full index") {
