@@ -324,6 +324,33 @@ class DedupAnnSpec extends SparkSpec {
     assert(corpus.where(!might).count() == 0)
   }
 
+  test("property: incrementalExact == incrementalExactBloom on random corpora across fpp regimes") {
+    // the library pair under randomized overlap/dup structure — exact
+    // equality must hold for ANY filter quality, including one built
+    // with a wildly wrong expectedItems (fpp near 1)
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val vocabN = 40 + trial * 20
+      def doc(): String = Seq.fill(4 + rnd.nextInt(6))("t" + rnd.nextInt(vocabN)).mkString(" ")
+      val corpus = (0 until 400).map(i => (10000L + i, doc())).toDF("doc_id", "text")
+      val corpusTexts = corpus.select("text").collect().map(_.getString(0))
+      val batch = (0 until 300).map { i =>
+        val t = if (rnd.nextInt(10) < 3) corpusTexts(rnd.nextInt(corpusTexts.length)) else doc()
+        (i.toLong, t)
+      }.toDF("doc_id", "text")
+      val exact = graft.queries.Dedup.incrementalExact(batch, corpus)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // expectedItems deliberately undersized on odd trials — high fpp
+      val bloom = graft.queries.Dedup.corpusBloom(corpus,
+        expectedItems = if (trial % 2 == 1) 10L else -1L)
+      val bloomed = graft.queries.Dedup.incrementalExactBloom(batch, corpus, bloom)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact.nonEmpty && bloomed == exact,
+        s"trial $trial: missed=${exact -- bloomed} extra=${bloomed -- exact}")
+    }
+  }
+
   test("C30/C30b: incremental dedup forms agree; the bloom-negative shortcut is non-vacuous") {
     val dir = sf("sf0.01")
     val plain = q("dedup_incremental", dir).collect()
