@@ -54,16 +54,28 @@ object Layout {
       df: DataFrame, cols: Seq[String], bits: Int = 16,
       partitions: Int = 0,
       knownRanges: Map[String, (Double, Double)] = Map.empty): DataFrame = {
-    require(cols.nonEmpty && bits * cols.size <= 63,
-      s"z-order needs bits*|cols| <= 63 (got $bits x ${cols.size})")
+    require(cols.nonEmpty && bits > 0 && bits * cols.size <= 63,
+      s"z-order needs bits > 0 and bits*|cols| <= 63 (got $bits x ${cols.size})")
+    // merge supplied bounds with a scan over ONLY the missing columns —
+    // partially-available table metadata must not force a full recompute
+    val missing = cols.filterNot(knownRanges.contains)
     val ranges: Map[String, (Double, Double)] =
-      if (cols.forall(knownRanges.contains)) knownRanges
+      if (missing.isEmpty) knownRanges
       else {
-        val aggs = cols.flatMap(c =>
-          Seq(min(col(c)).cast("double").as(s"min_$c"),
-            max(col(c)).cast("double").as(s"max_$c")))
+        // NaN is ordered ABOVE every double by Spark's max(): one NaN
+        // row would poison the width and silently disable the column's
+        // clustering — exclude it from the range (NaN rows clamp to the
+        // top rank below, where the sort order puts them anyway)
+        def clean(c: String): Column = {
+          val cd = col(c).cast("double")
+          when(!isnan(cd), cd)
+        }
+        val aggs = missing.flatMap(c =>
+          Seq(min(clean(c)).as(s"min_$c"), max(clean(c)).as(s"max_$c")))
         val r = df.agg(aggs.head, aggs.tail: _*).head()
-        cols.zipWithIndex.map { case (c, i) =>
+        knownRanges ++ missing.zipWithIndex.map { case (c, i) =>
+          require(!r.isNullAt(2 * i),
+            s"z-order column '$c' has no non-null, non-NaN values (empty input?)")
           c -> (r.getDouble(2 * i), r.getDouble(2 * i + 1))
         }.toMap
       }
@@ -71,14 +83,18 @@ object Layout {
     val scaled = array(cols.map { c =>
       val (lo, hi) = ranges(c)
       val width = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
-      // clamp: knownRanges from stale metadata must not index out of range
+      // NaN ranks at the top (where Spark's ordering puts it); the
+      // clamp also keeps stale knownRanges from indexing out of range
       least(lit(maxRank), greatest(lit(0L),
-        floor((col(c).cast("double") - lit(lo)) / lit(width) * maxRank).cast("long")))
+        floor((nanvl(col(c).cast("double"), lit(hi)) - lit(lo)) / lit(width) * maxRank)
+          .cast("long")))
     }: _*)
-    val z = df.withColumn("_z", interleave(scaled, bits))
+    // collision-proof temp name: a user column named "_z" must survive
+    val zc = s"__graft_z_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val z = df.withColumn(zc, interleave(scaled, bits))
     val parted =
-      if (partitions > 0) z.repartitionByRange(partitions, col("_z"))
-      else z.repartitionByRange(col("_z"))
-    parted.sortWithinPartitions(col("_z")).drop("_z")
+      if (partitions > 0) z.repartitionByRange(partitions, col(zc))
+      else z.repartitionByRange(col(zc))
+    parted.sortWithinPartitions(col(zc)).drop(zc)
   }
 }

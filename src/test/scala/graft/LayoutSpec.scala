@@ -64,7 +64,9 @@ class LayoutSpec extends SparkSpec {
         spark.sparkContext.hadoopConfiguration.unset("parquet.block.size")
       else spark.sparkContext.hadoopConfiguration.set("parquet.block.size", prev)
     }
-    // content preserved exactly
+    // content preserved exactly — except() is set-semantics, so pin row
+    // MULTIPLICITY with the count too
+    assert(spark.read.parquet(s"$tmp/zorder").count() == n)
     assert(spark.read.parquet(s"$tmp/zorder").except(df).isEmpty &&
       df.except(spark.read.parquet(s"$tmp/zorder")).isEmpty)
     // a 2%-of-range y-slab, x unconstrained
@@ -83,5 +85,25 @@ class LayoutSpec extends SparkSpec {
     val (zxHit, _) = overlapping(s"$tmp/zorder", 500000L, 520000L, 0L, 1000000L)
     assert(zxHit.toDouble / zTotal <= 0.5,
       s"z-order should still prune on x too ($zxHit/$zTotal)")
+  }
+
+  test("zorderBy edge contracts: user _z column survives; empty/all-null and bad bits rejected") {
+    import spark.implicits._
+    val d = Seq((1L, 2L, "keep"), (3L, 4L, "it")).toDF("x", "y", "_z")
+    val out = graft.functions.Layout.zorderBy(d, Seq("x", "y"))
+    assert(out.columns.toSeq == Seq("x", "y", "_z"), s"lost a user column: ${out.columns.toSeq}")
+    assert(out.select("_z").collect().map(_.getString(0)).toSet == Set("keep", "it"))
+    intercept[IllegalArgumentException] {
+      graft.functions.Layout.zorderBy(d, Seq("x"), bits = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.Layout.zorderBy(
+        spark.emptyDataFrame.select(lit(1L).as("x")).where(lit(false)), Seq("x"))
+    }
+    // partial knownRanges must be honored, not discarded: supplying x's
+    // bounds and omitting y's still works (y computed from data)
+    val mixed = graft.functions.Layout.zorderBy(
+      d, Seq("x", "y"), knownRanges = Map("x" -> (0.0, 10.0)))
+    assert(mixed.count() == 2)
   }
 }
