@@ -41,7 +41,15 @@ object Bench {
     // shared-state queries (view_*) stay attributable run to run
     val ordered = {
       val (mutating, pure) = SparkEntry.allQ.partition(q => sessionMutating(q.name))
-      pure ++ mutating
+      val all = pure ++ mutating
+      // local-iteration escape hatch: SPARK_GRAFT_ONLY=q1,q2 benches a
+      // subset; the driver never sets it, so round benches are unaffected
+      sys.env.get("SPARK_GRAFT_ONLY") match {
+        case Some(names) =>
+          val want = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
+          all.filter(q => want(q.name))
+        case None => all
+      }
     }
     // a crashing query must NOT bench as "fast": if every repeat fails,
     // record -1 s (an impossible time) and surface it on stderr + failed[]

@@ -194,18 +194,34 @@ object Ann {
     * a sample while the corpus-scale work (assignment, probing,
     * scoring) stays distributed. Lloyd-as-Spark-jobs would pay 3
     * extra full planning/codegen/scan cycles to average a megabyte.
-    * The full corpus is touched three times: the count, the sample
-    * scan (the pmod filter can't skip row groups), and the final
-    * one-pass assignment — at 100 TB, train on a stored sample table
-    * instead of re-scanning for one.
+    *
+    * CORPUS SCAN BUDGET — the knobs that matter at 100 TB:
+    *   - default: THREE corpus touches (count, sample scan — the pmod
+    *     filter can't skip row groups — and the one-pass assignment);
+    *   - `knownCount >= 0` (from table metadata / the write-time row
+    *     count) skips the counting scan → two touches;
+    *   - `trainingSample` (a stored bounded (vec_id, emb) sample table,
+    *     maintained beside the corpus) skips count AND sample scan →
+    *     the assignment pass is the ONLY corpus touch. This is the
+    *     deployment path (AnnBuildScanSpec pins the scan counts).
     */
-  def ivfBuild(corpus: DataFrame, k: Int): IvfIndex = {
-    val nCorpus = corpus.count()
-    val sampleMod = math.max(1L, nCorpus / 2000L)
-    val sample: Array[Array[Double]] = corpus
-      .where(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
-      .orderBy(col("vec_id")).select(col("emb"))
-      .collect().map(_.getSeq[Double](0).toArray)
+  def ivfBuild(corpus: DataFrame, k: Int, knownCount: Long = -1L,
+      trainingSample: Option[DataFrame] = None): IvfIndex = {
+    // determinism comes from a DRIVER-side sort of the bounded sample: a
+    // distributed orderBy would cost a second full read of the input
+    // (RangePartitioner samples the scan once for bounds before sorting)
+    val sample: Array[Array[Double]] = trainingSample match {
+      case Some(t) =>
+        t.select(col("vec_id"), col("emb")).collect()
+          .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+      case None =>
+        val nCorpus = if (knownCount >= 0) knownCount else corpus.count()
+        val sampleMod = math.max(1L, nCorpus / 2000L)
+        corpus
+          .where(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+          .select(col("vec_id"), col("emb")).collect()
+          .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    }
     require(sample.length >= k, s"IVF needs >= $k training vectors")
     val dim = sample(0).length
     def unit(c: Array[Double]): Array[Double] = {
@@ -289,11 +305,26 @@ object Ann {
     * (driver-side Lloyd, the [[ivfBuild]] trade) and encode the corpus
     * in one distributed pass. Vectors are unit-normalized before
     * encoding so the PQ inner product approximates cosine directly.
-    * `corpus` must be (vec_id, emb double[], nrm).
+    * `corpus` must be (vec_id, emb double[], nrm). Same corpus-scan
+    * knobs as [[ivfBuild]]: `knownCount` skips the counting scan,
+    * `trainingSample` (a stored (vec_id, emb, nrm) sample table) skips
+    * the sampling scan too — the encoding pass becomes the only
+    * corpus touch.
     */
-  def pqBuild(corpus: DataFrame, m: Int, k: Int): PqIndex = {
-    val sample = sampledUnits(
-      corpus.select(col("vec_id").as("n_id"), col("emb"), col("nrm")), None)
+  def pqBuild(corpus: DataFrame, m: Int, k: Int, knownCount: Long = -1L,
+      trainingSample: Option[DataFrame] = None): PqIndex = {
+    val sample = trainingSample match {
+      case Some(t) =>
+        t.select(col("vec_id"), col("emb"), col("nrm")).collect()
+          .sortBy(_.getLong(0)).map { r =>
+            val e = r.getSeq[Double](1).toArray
+            val n = r.getDouble(2)
+            if (n > 0) e.map(_ / n) else e
+          }
+      case None => sampledUnits(
+        corpus.select(col("vec_id").as("n_id"), col("emb"), col("nrm")),
+        None, knownCount)
+    }
     val codebooks = trainCodebooks(sample, m, k)
     val enc = PqKernels.encode(codebooks, None)
     PqIndex(codebooks,
@@ -315,17 +346,20 @@ object Ann {
     val n = if (knownCount >= 0) knownCount else df.count()
     val sampleMod = math.max(1L, n / 2000L)
     val cols =
-      if (residualCents.isDefined) Seq(col("emb"), col("nrm"), col("cell"))
-      else Seq(col("emb"), col("nrm"))
+      if (residualCents.isDefined)
+        Seq(col("n_id"), col("emb"), col("nrm"), col("cell"))
+      else Seq(col("n_id"), col("emb"), col("nrm"))
+    // driver-side determinism sort — a distributed orderBy would read
+    // the input a second time for RangePartitioner bounds
     df.where(pmod(xxhash64(col("n_id")), lit(sampleMod)) === 0)
-      .orderBy(col("n_id")).select(cols: _*)
-      .collect().map { r =>
-        val e = r.getSeq[Double](0).toArray
-        val nrm = r.getDouble(1)
+      .select(cols: _*)
+      .collect().sortBy(_.getLong(0)).map { r =>
+        val e = r.getSeq[Double](1).toArray
+        val nrm = r.getDouble(2)
         val u = if (nrm > 0) e.map(_ / nrm) else e
         residualCents match {
           case Some(cents) =>
-            val c = cents(r.getInt(2))
+            val c = cents(r.getInt(3))
             Array.tabulate(u.length)(i => u(i) - c(i))
           case None => u
         }
@@ -451,20 +485,31 @@ object Ann {
       corpus: DataFrame)  // (n_id, emb, nrm) for exact re-rank
 
   /** Build IVF cells, train residual codebooks on a bounded sample of
-    * (x_unit - centroid) and encode the corpus once.
+    * (x_unit - centroid) and encode the corpus once. `knownCount` and
+    * `trainingSample` flow to [[ivfBuild]] (see its scan-budget note);
+    * the residual sampling scan still reads the assigned corpus once.
     */
-  def ivfPqBuild(corpus: DataFrame, kCells: Int, m: Int, k: Int): IvfPqIndex =
-    ivfPqBuild(ivfBuild(corpus, kCells), m, k)
+  def ivfPqBuild(corpus: DataFrame, kCells: Int, m: Int, k: Int,
+      knownCount: Long = -1L,
+      trainingSample: Option[DataFrame] = None): IvfPqIndex =
+    ivfPqBuild(ivfBuild(corpus, kCells, knownCount, trainingSample), m, k,
+      knownCount)
 
   /** Residual-train + encode over an ALREADY-BUILT coarse quantizer —
     * the deployment path (the IVF index persists cell-partitioned; PQ
     * re-encoding must not re-train it) and the one AnnScale measures,
     * so the probe's pruning cells and the encoded table provably come
-    * from the same quantizer.
+    * from the same quantizer. The 4-arg form's `knownCount` skips the
+    * residual sampler's counting scan (no default — only one overload
+    * may carry defaults in Scala).
     */
-  def ivfPqBuild(ivf: IvfIndex, m: Int, k: Int): IvfPqIndex = {
+  def ivfPqBuild(ivf: IvfIndex, m: Int, k: Int): IvfPqIndex =
+    ivfPqBuild(ivf, m, k, -1L)
+
+  def ivfPqBuild(ivf: IvfIndex, m: Int, k: Int,
+      knownCount: Long): IvfPqIndex = {
     val cents = ivf.cents
-    val sampleRes = sampledUnits(ivf.assigned, Some(cents))
+    val sampleRes = sampledUnits(ivf.assigned, Some(cents), knownCount)
     val codebooks = trainCodebooks(sampleRes, m, k)
     val enc = PqKernels.encode(codebooks, Some(cents))
     IvfPqIndex(ivf, codebooks,

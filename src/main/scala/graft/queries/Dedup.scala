@@ -207,8 +207,17 @@ object Dedup {
     val runDir = baseDir.map(_ + "/cc-" + java.util.UUID.randomUUID().toString)
     runDir.foreach(s.sparkContext.setCheckpointDir)
     def ckpt(df: DataFrame): DataFrame =
-      if (runDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
+      if (runDir.isDefined) {
+        // Dataset.checkpoint(eager=true) on the reliable path runs TWO
+        // jobs — the eager count, then ReliableCheckpointRDD's write
+        // job — and the write job RECOMPUTES an uncached plan from
+        // scratch. Persist first so the count populates the cache and
+        // the write job reads blocks instead of re-running the upstream
+        // plan (for the edge list that plan is the whole pair mining);
+        // the cache is dropped as soon as the checkpoint files exist.
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try df.checkpoint(true) finally df.unpersist(false)
+      } else df.localCheckpoint(true)
     def cleanup(): Unit = {
       baseDir.foreach(s.sparkContext.setCheckpointDir)
       runDir.foreach { d =>
@@ -219,12 +228,19 @@ object Dedup {
     }
     try {
     val p = pairs.select(col("a_id"), col("b_id"))
-    // materialize the edge list once — every round joins it, and an
-    // unmaterialized plan would re-run the whole pair mining per round
-    val edges = ckpt(p.unionByName(
-      p.select(col("b_id").as("a_id"), col("a_id").as("b_id"))))
+    // ONE pass over the pair source builds both edge directions: a
+    // self-union would embed the (expensive, unmaterialized) mining
+    // plan twice in one tree — the two branches do not canonicalize to
+    // a shared exchange — and together with an unpersisted eager
+    // checkpoint that executed mining up to 4× per call. explode keeps
+    // mining in the plan exactly once; ckpt's persist-before-checkpoint
+    // keeps it to exactly one execution (CCMiningOnceSpec pins this).
+    val edges = ckpt(p.select(explode(array(
+        struct(col("a_id"), col("b_id")),
+        struct(col("b_id").as("a_id"), col("a_id").as("b_id")))).as("e"))
+      .select(col("e.a_id").as("a_id"), col("e.b_id").as("b_id")))
     // the count and (on the fast path) the collect both read the
-    // materialized checkpoint — the expensive pair mining ran exactly once
+    // materialized checkpoint — pair mining ran exactly once
     if (edges.count() <= smallGraphThreshold) {
       val rows = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -293,6 +309,33 @@ object Dedup {
     if (s.sparkContext.isLocal && s.sparkContext.getCheckpointDir.isEmpty)
       s.sparkContext.setCheckpointDir(
         sys.props("java.io.tmpdir") + "/graft-ckpt")
+
+  /** Exact all-pairs embedding-cosine near-dup pairs (a_id, b_id, cos) —
+    * ORACLE BASELINE ONLY. The plan is a deliberate O(n²)
+    * BroadcastNestedLoopJoin used to gate correctness of the scale
+    * paths; it REFUSES inputs past `maxVectors` (default 50k ≈ 1.25e9
+    * pair evaluations — already minutes of work; 1M would be 5e11).
+    * Production near-dup at scale goes through `dedup_embedding_lsh`
+    * (hyperplane-LSH-bucketed candidates, same cosine verification) or
+    * `dedup_semantic` (SemDeDup: IVF cluster-then-dedup, within-cell
+    * cosine only). `withNorm` needs (vec_id, emb, nrm) as produced by
+    * [[Ann.embsWithNorm]].
+    */
+  def embeddingPairsExact(withNorm: DataFrame, tau: Double = 0.5,
+      maxVectors: Long = 50000L): DataFrame = {
+    val s = withNorm.sparkSession
+    val n = withNorm.count() // tiny metadata-speed scalar; guards the cartesian
+    require(n <= maxVectors,
+      s"embeddingPairsExact is the O(n²) oracle baseline: $n vectors exceeds " +
+        s"the $maxVectors ceiling (${n * (n - 1) / 2} pair evaluations). At " +
+        "scale use dedup_embedding_lsh (LSH-bucketed candidates) or " +
+        "dedup_semantic (cluster-then-dedup) instead")
+    withNorm.as("a").join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        round(graft.functions.Native.dot(s, col("a.emb"), col("b.emb")) /
+          (col("a.nrm") * col("b.nrm")), 4).as("cos"))
+      .where(col("cos") >= tau)
+  }
 
   /** (keep_id, batch_dups) per distinct surviving digest: batch-internal
     * dups collapse first (map-side-combinable agg on the 32 B sha2
@@ -495,9 +538,10 @@ object Dedup {
     // C6: embedding-cosine near-dup pairs (exact, tau = 0.5 on the rounded
     // score). ORACLE BASELINE ONLY — the plan is a deliberate O(n²)
     // BroadcastNestedLoopJoin used to gate correctness of the scale path;
-    // a size guard refuses corpora past ~1M vectors so it cannot be
-    // reached by accident. Scale traffic goes through dedup_embedding_lsh
-    // (same cosine verification, LSH-bucketed candidates).
+    // [[embeddingPairsExact]]'s size guard refuses corpora past 50k
+    // vectors so it cannot be reached by accident. Scale traffic goes
+    // through dedup_embedding_lsh (same cosine verification,
+    // LSH-bucketed candidates) or dedup_semantic (cluster-then-dedup).
     Q("dedup_embedding",
       """WITH e AS (
         |  SELECT vec_id, embedding FROM embeddings),
@@ -511,18 +555,7 @@ object Dedup {
         |FROM d JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id
         |WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      val withNorm = Ann.embsWithNorm(s, dir)
-      val n = withNorm.count() // tiny metadata-speed scalar; guards the cartesian
-      require(n <= 1000000L,
-        s"dedup_embedding is the O(n²) oracle baseline ($n vectors is too " +
-          "many) — use dedup_embedding_lsh for corpora at scale")
-      val pairs = withNorm.as("a").join(withNorm.as("b"),
-        col("a.vec_id") < col("b.vec_id"))
-      pairs
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          round(graft.functions.Native.dot(s, col("a.emb"), col("b.emb")) /
-            (col("a.nrm") * col("b.nrm")), 4).as("cos"))
-        .where(col("cos") >= 0.5)
+      embeddingPairsExact(Ann.embsWithNorm(s, dir))
         .orderBy(col("a_id"), col("b_id"))
     },
 

@@ -170,6 +170,22 @@ class DedupAnnSpec extends SparkSpec {
     info(s"embedding-LSH recall = ${lsh.size}/${exact.size}")
   }
 
+  test("C6: embeddingPairsExact refuses past the 50k O(n²) ceiling, naming the scale paths") {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    val tooBig = spark.range(50001L).select(
+      col("id").as("vec_id"), array(lit(1.0)).as("emb"), lit(1.0).as("nrm"))
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.Dedup.embeddingPairsExact(tooBig)
+    }
+    assert(e.getMessage.contains("dedup_embedding_lsh") &&
+      e.getMessage.contains("dedup_semantic"),
+      s"refusal must point at the scale paths, got: ${e.getMessage}")
+    // one under the ceiling plans fine (guard is on input size, not output)
+    val ok = spark.range(3L).select(
+      col("id").as("vec_id"), array(lit(1.0)).as("emb"), lit(1.0).as("nrm"))
+    assert(graft.queries.Dedup.embeddingPairsExact(ok).count() == 3L)
+  }
+
   test("q17b approx_count_distinct within 5% of the exact distinct counts") {
     val dir = sf("sf0.01")
     val exact = q("q17_count_distinct", dir).select("l_returnflag", "n_parts").collect()
