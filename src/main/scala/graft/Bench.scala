@@ -40,7 +40,11 @@ object Bench {
     // declaration order (deterministic), not Map hash order — timings of
     // shared-state queries (view_*) stay attributable run to run
     val ordered = {
-      val (mutating, pure) = SparkEntry.allQ.partition(q => sessionMutating(q.name))
+      // inv_* are correctness gates that re-run the approximate queries
+      // they wrap — benching them would double-count those operators'
+      // cost, so the bench line stays operators-only
+      val benchable = SparkEntry.allQ.filterNot(_.name.startsWith("inv_"))
+      val (mutating, pure) = benchable.partition(q => sessionMutating(q.name))
       val all = pure ++ mutating
       // local-iteration escape hatch: SPARK_GRAFT_ONLY=q1,q2 benches a
       // subset; the driver never sets it, so round benches are unaffected

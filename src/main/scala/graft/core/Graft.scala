@@ -86,6 +86,21 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
   // which only guards the in-memory catalog maps and is never held
   // across an action
   private val indexLock = new Object
+  // Fold cap-probe cache: a passed FULL-state probe stays valid until the
+  // view's entry state changes. stateGen counts state writes per view;
+  // foldProbeOkGen records the generation whose probe last passed — a
+  // read-heavy deployment then pays the probe once per state version,
+  // not once per get/list (r4 verdict finding #4).
+  private val stateGen = mutable.Map.empty[String, Long]
+  // view -> (state generation, cap) of the last PASSED full-state probe;
+  // valid while the generation matches and the current cap is >= the
+  // probed one (a pass under a tighter cap implies a pass under a looser)
+  private val foldProbeOkGen = mutable.Map.empty[String, (Long, Int)]
+  // spec-visible count of actual probe jobs (GraftEngineSpec asserts one
+  // probe across repeated reads)
+  private[graft] var foldProbeRuns = 0L
+  private def bumpStateGen(view: String): Unit =
+    synchronized { stateGen(view) = stateGen.getOrElse(view, 0L) + 1L }
 
   loadCatalog()
 
@@ -342,6 +357,7 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
       viewNames.foreach { name =>
         deleteDir(s"${viewDir(name)}/ob=${escape(origin)}")
         deleteDir(s"${foldsDir(name)}/ob=${escape(origin)}")
+        bumpStateGen(name)
       }
       deleteDir(fileVersionsDir(origin))
       synchronized {
@@ -431,6 +447,7 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     indexLock.synchronized {
       deleteDir(viewDir(view))
       deleteDir(foldsDir(view))
+      bumpStateGen(view)
       synchronized {
         viewVersions.filterInPlace { case (k, _) => !k.endsWith("\n" + view) }
         saveCatalog()
@@ -450,6 +467,8 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
       synchronized {
         indexed.clear()
         viewVersions.clear()
+        stateGen.clear()
+        foldProbeOkGen.clear()
       }
     }
   }
@@ -507,7 +526,8 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
         // never touches the (much larger) raw entry state
         mergeFolds(folds(view).filter(col("kb") === lit(kb)), r, keepKb = false)
       case Some(r) =>
-        reduceEntries(entries(view).filter(col("kb") === lit(kb)), r)
+        reduceEntries(entries(view).filter(col("kb") === lit(kb)), r,
+          probeCacheView = Some(view))
       case None =>
         entries(view).filter(col("kb") === lit(kb))
           .orderBy(col("file_url"), col("seq"))
@@ -547,7 +567,7 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
 
     val reduced = vd.reduce match {
       case Some(r) if fromFolds => mergeFolds(df, r, keepKb = true)
-      case Some(r) => reduceEntries(df, r, keepKb = true)
+      case Some(r) => reduceEntries(df, r, keepKb = true, probeCacheView = Some(view))
       case None => df.select(col("kb"), col("key_json"), col("file_url"), col("seq"), col("value_json"))
     }
 
@@ -882,6 +902,7 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
   private def writeOriginPartition(
       view: String, origin: String, rows: DataFrame,
       readsState: Boolean = false): Unit = {
+    bumpStateGen(view)
     val out = if (readsState) rows.localCheckpoint(true) else rows
     if (readsState && origin.nonEmpty && out.isEmpty) {
       // dynamic partition overwrite with ZERO rows writes nothing — when a
@@ -902,7 +923,8 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     spark.catalog.refreshByPath(viewDir(view))
   }
 
-  private def reduceEntries(df: DataFrame, r: Reduce, keepKb: Boolean = false): DataFrame = {
+  private def reduceEntries(df: DataFrame, r: Reduce, keepKb: Boolean = false,
+      probeCacheView: Option[String] = None): DataFrame = {
     val grouped = df.groupBy(col("kb"), col("key_json"))
     val agg = r match {
       case Reduce.Count => grouped.agg(count(lit(1)).as("cnt"))
@@ -935,17 +957,35 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
         // the second read costs less than pinning the whole entry set on
         // executors (a localCheckpoint here would never be unpersisted,
         // and would strip the lineage a lost executor needs to recover).
+        // When the caller names the view (get/list), the probe runs over
+        // the FULL entry state — a pass then covers ANY filtered read of
+        // the same state, so it is cached per (view, state generation)
+        // and repeated Fold reads skip it until the state changes.
         val cap = spark.conf.getOption("graft.fold.maxValuesPerKey")
           .map(_.toInt).getOrElse(Graft.defaultFoldCap)
-        val over = df.groupBy(col("kb")).agg(count(lit(1)).as("n"), first(col("key_json")).as("k"))
-          .filter(col("n") > cap).select(col("k"), col("n")).head(1)
-        over.headOption.foreach { r =>
-          throw new IllegalStateException(
-            s"Reduce.Fold: key ${r.getString(0)} has ${r.getLong(1)} values " +
-              s"(cap $cap). Fold collects a key's values to replay the " +
-              "reference's sequential order and is bounded-cardinality-only; " +
-              "use Reduce.Assoc for order-insensitive folds, or raise spark " +
-              "conf graft.fold.maxValuesPerKey.")
+        val genBefore = probeCacheView.map(v => synchronized(stateGen.getOrElse(v, 0L)))
+        val cached = probeCacheView.exists(v => synchronized(
+          foldProbeOkGen.get(v).exists { case (g, c) =>
+            g == stateGen.getOrElse(v, 0L) && c <= cap
+          }))
+        if (!cached) {
+          synchronized { foldProbeRuns += 1 }
+          val probeDf = probeCacheView.map(entries).getOrElse(df)
+          val over = probeDf.groupBy(col("kb")).agg(count(lit(1)).as("n"), first(col("key_json")).as("k"))
+            .filter(col("n") > cap).select(col("k"), col("n")).head(1)
+          over.headOption.foreach { r =>
+            throw new IllegalStateException(
+              s"Reduce.Fold: key ${r.getString(0)} has ${r.getLong(1)} values " +
+                s"(cap $cap). Fold collects a key's values to replay the " +
+                "reference's sequential order and is bounded-cardinality-only; " +
+                "use Reduce.Assoc for order-insensitive folds, or raise spark " +
+                "conf graft.fold.maxValuesPerKey.")
+          }
+          // record the generation captured BEFORE the probe: a write that
+          // raced the probe bumps the gen and invalidates this entry
+          probeCacheView.foreach(v => synchronized {
+            foldProbeOkGen(v) = (genBefore.get, cap)
+          })
         }
         val foldUdf = udf(
           new org.apache.spark.sql.api.java.UDF2[scala.collection.Seq[Row], String, String] {

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Driver-visible invariant gates for the approximate operators whose
+  * results SQL cannot restate (r4 verdict "next round" #3). Each query
+  * computes the VIOLATIONS of a property the approximate algorithm
+  * guarantees by construction, and its oracle is `... WHERE 1=0`: the
+  * driver's rows+schema+hash compare then asserts "no violations" in
+  * DuckDB terms without restating quantizers/banding in SQL. That moves
+  * the rows-only entries from "trust the spec" to driver-checked.
+  *
+  * Soundness notes (why each property is a theorem, not a hope):
+  *   - minhash/embedding-LSH pairs are VERIFIED (exact Jaccard / exact
+  *     cosine) after candidate generation, so ⊆ the exact miner's output
+  *     regardless of banding luck;
+  *   - every ANN variant re-ranks with exact cosine, so reported scores
+  *     must equal a fresh exact computation on the same (q, n) pairs;
+  *   - HLL at rsd=0.01 on fixed data with Spark's fixed seed is
+  *     deterministic — the 5% envelope is the spec bound re-checked at
+  *     gate scale;
+  *   - SemDeDup removals: min-label CC ⇒ rep < removed, a representative
+  *     is never removed, and every removed doc has ≥1 incident
+  *     within-cell edge at cos ≥ tau (rebuilt from the deterministic
+  *     quantizer).
+  *
+  * These run the underlying approximate queries again at gate time
+  * (cost is paid in Verify, deliberately kept OUT of Bench — benching
+  * them would double-count the operators they wrap).
+  */
+object Invariants {
+
+  /** Re-run a registered query — late-bound through SparkEntry so the
+    * invariant always checks exactly what the driver gates.
+    */
+  private def run(name: String)(s: SparkSession, dir: String): DataFrame =
+    graft.SparkEntry.queries(name)(s, dir)
+
+  private val emptyPair =
+    "SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id WHERE 1=0"
+
+  def all: Seq[Q] = Seq(
+
+    // dedup_minhash_lsh ⊆ dedup_ngram_jaccard at the same tau=4/5: both
+    // verify candidates with exact gram-set Jaccard, so any LSH pair
+    // missing from the exact miner is a bug in banding or verification.
+    Q("inv_minhash_subset_ngram", emptyPair) { (s, dir) =>
+      run("dedup_minhash_lsh")(s, dir).select(col("a_id"), col("b_id"))
+        .except(run("dedup_ngram_jaccard")(s, dir).select(col("a_id"), col("b_id")))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // dedup_embedding_lsh ⊆ dedup_embedding (the exact O(n²) baseline):
+    // hyperplane-LSH only prunes candidates; survivors verify with the
+    // same exact rounded cosine the baseline computes.
+    Q("inv_embedding_lsh_subset_exact", emptyPair) { (s, dir) =>
+      run("dedup_embedding_lsh")(s, dir).select(col("a_id"), col("b_id"))
+        .except(run("dedup_embedding")(s, dir).select(col("a_id"), col("b_id")))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Every ANN variant's reported cos must EQUAL a fresh exact cosine
+    // on the returned (q_id, n_id) — quantization may only affect which
+    // candidates are considered, never the emitted scores.
+    Q("inv_ann_scores_exact",
+      """SELECT CAST(NULL AS VARCHAR) AS variant, CAST(NULL AS BIGINT) AS q_id,
+        |  CAST(NULL AS BIGINT) AS n_id, CAST(NULL AS DOUBLE) AS cos,
+        |  CAST(NULL AS DOUBLE) AS exact_cos WHERE 1=0""".stripMargin) { (s, dir) =>
+      val e = Ann.embsWithNorm(s, dir)
+      val variants = Seq("ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq")
+      variants.map { v =>
+        run(v)(s, dir)
+          .join(e.select(col("vec_id").as("q_id"), col("emb").as("qe"), col("nrm").as("qn")), "q_id")
+          .join(e.select(col("vec_id").as("n_id"), col("emb").as("ne"), col("nrm").as("nn")), "n_id")
+          .select(lit(v).as("variant"), col("q_id"), col("n_id"), col("cos"),
+            round(graft.functions.Native.dot(s, col("qe"), col("ne")) /
+              (col("qn") * col("nn")), 4).as("exact_cos"))
+          .where(col("cos") =!= col("exact_cos"))
+      }.reduce(_.unionByName(_))
+        .orderBy(col("variant"), col("q_id"), col("n_id"))
+    },
+
+    // q17b's HLL estimate stays inside the 5% envelope of the exact
+    // distinct count (rsd=0.01, fixed data+seed ⇒ deterministic).
+    Q("inv_hll_error_bounded",
+      """SELECT CAST(NULL AS VARCHAR) AS l_returnflag, CAST(NULL AS BIGINT) AS n_parts,
+        |  CAST(NULL AS BIGINT) AS approx_parts WHERE 1=0""".stripMargin) { (s, dir) =>
+      run("q17_count_distinct")(s, dir).select(col("l_returnflag"), col("n_parts"))
+        .join(run("q17b_approx_distinct")(s, dir), "l_returnflag")
+        .where(abs(col("approx_parts") - col("n_parts")) >
+          col("n_parts") * lit(0.05))
+        .select(col("l_returnflag"), col("n_parts"), col("approx_parts"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // dedup_simhash re-verification: recompute both signatures
+    // independently and the reported hamming must match bit_count of
+    // their xor AND sit within the <=3 bound the pigeonhole join claims.
+    Q("inv_simhash_verified",
+      """SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id,
+        |  CAST(NULL AS INTEGER) AS hamming WHERE 1=0""".stripMargin) { (s, dir) =>
+      val sigs = Dedup.simhashSignatures(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+      run("dedup_simhash")(s, dir)
+        .join(sigs.select(col("doc_id").as("a_id"), col("sh").as("sha2_")), "a_id")
+        .join(sigs.select(col("doc_id").as("b_id"), col("sh").as("shb2_")), "b_id")
+        .where(col("hamming") =!= expr("bit_count(sha2_ ^ shb2_)") ||
+          col("hamming") > 3)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // SemDeDup structural soundness: min-label CC ⇒ rep_id < removed_id;
+    // a representative is never itself removed; and every removed doc
+    // has at least one incident within-cell edge at cos >= tau (edges
+    // rebuilt from the SAME deterministic coarse quantizer).
+    Q("inv_semantic_sound",
+      """SELECT CAST(NULL AS VARCHAR) AS reason, CAST(NULL AS BIGINT) AS removed_id,
+        |  CAST(NULL AS BIGINT) AS rep_id WHERE 1=0""".stripMargin) { (s, dir) =>
+      val removals = run("dedup_semantic")(s, dir).localCheckpoint(true)
+      val a = Ann.ivfBuild(Ann.embsWithNorm(s, dir), k = 8).assigned
+      val endpoints = a.as("x").join(a.as("y"),
+          col("x.cell") === col("y.cell") && col("x.n_id") < col("y.n_id"))
+        .where(graft.functions.Native.dot(s, col("x.emb"), col("y.emb")) /
+          (col("x.nrm") * col("y.nrm")) >= 0.5)
+        .select(explode(array(col("x.n_id"), col("y.n_id"))).as("removed_id"))
+        .distinct()
+      val badOrder = removals.where(col("rep_id") >= col("removed_id"))
+        .select(lit("rep_not_less").as("reason"), col("removed_id"), col("rep_id"))
+      val repRemoved = removals.as("r")
+        .join(removals.select(col("removed_id").as("rep_id")).distinct().as("x"), "rep_id")
+        .select(lit("rep_removed").as("reason"), col("removed_id"), col("rep_id"))
+      val noEdge = removals.join(endpoints, Seq("removed_id"), "left_anti")
+        .select(lit("no_incident_edge").as("reason"), col("removed_id"), col("rep_id"))
+      badOrder.unionByName(repRemoved).unionByName(noEdge)
+        .orderBy(col("reason"), col("removed_id"))
+    })
+}

@@ -496,6 +496,37 @@ class GraftEngineSpec extends SparkSpec {
     assert(dbF.getValue("folded", "same-key") == Some(3.0))
   }
 
+  test("Fold cap probe runs once per state version, not once per read") {
+    val d = Files.createTempDirectory("graft-foldprobe")
+    (1 to 3).foreach(i => writeJson(d, s"/p$i.json", "first" -> s"k$i", "second" -> i))
+    val dbP = new Graft(spark, root.resolve("state-foldprobe").toString)
+    dbP.define("folded", ViewDef("/*.json",
+      MapFn((v, m) => Seq(parseFirst(v) -> 1)),
+      Reduce.Fold((acc, _, _) => acc.map(_.asInstanceOf[Double] + 1).getOrElse(1.0))))
+    val arch = new DirArchive("dat://foldprobe", d.toString)
+    dbP.index(arch)
+    val base = dbP.foldProbeRuns
+    dbP.getValue("folded", "k1")
+    assert(dbP.foldProbeRuns == base + 1, "first Fold read must probe")
+    dbP.getValue("folded", "k2")
+    dbP.list("folded").collect()
+    assert(dbP.foldProbeRuns == base + 1,
+      "repeated reads of unchanged state must reuse the cached probe")
+    // a state write invalidates: the next read probes exactly once more
+    writeJson(d, "/p4.json", "first" -> "k4", "second" -> 4)
+    dbP.index(arch)
+    dbP.getValue("folded", "k1")
+    dbP.getValue("folded", "k4")
+    assert(dbP.foldProbeRuns == base + 2,
+      "a state change must re-probe once, then cache again")
+    // a TIGHTER cap cannot ride the old pass: probing resumes (and fails)
+    spark.conf.set("graft.fold.maxValuesPerKey", "0")
+    try intercept[Exception](dbP.getValue("folded", "k1"))
+    finally spark.conf.unset("graft.fold.maxValuesPerKey")
+    assert(dbP.foldProbeRuns == base + 3,
+      "a lower cap than the cached pass must force a fresh probe")
+  }
+
   test("materialized reduce: write-time folds track incremental re-index and retraction") {
     val d1 = Files.createTempDirectory("graft-mat-a")
     val d2 = Files.createTempDirectory("graft-mat-b")
