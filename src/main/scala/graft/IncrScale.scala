@@ -81,18 +81,27 @@ object IncrScale {
     // wall time at this scale is fixed-overhead-bound; the quantity that
     // extrapolates to 100 TB is SHUFFLE VOLUME — what each path moves
     // over the wire per increment as the corpus grows. A listener sums
-    // shuffle-write bytes across stages; the bus is async, so settle
-    // briefly before reading (measurement harness, not product code).
+    // shuffle-write bytes across stages; the bus is async, so it is
+    // drained DETERMINISTICALLY (listenerBus.waitUntilEmpty via
+    // reflection — the API is private[spark]) before each read: fixed
+    // sleeps under-drain on a loaded host and attribute late stages to
+    // the wrong measurement (measurement harness, not product code).
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
         shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
     })
+    def drainBus(): Unit =
+      try {
+        val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+          .invoke(spark.sparkContext)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: Throwable => Thread.sleep(2000) } // reflective API moved: settle
     def measureShuffle(f: => Long): Long = {
-      Thread.sleep(500); shuffleBytes.set(0L)
+      drainBus(); shuffleBytes.set(0L)
       f
-      Thread.sleep(1000) // let the listener bus drain
+      drainBus()
       shuffleBytes.get()
     }
     val paths: Seq[(String, (DataFrame, DataFrame, org.apache.spark.util.sketch.BloomFilter) => Long)] = Seq(

@@ -44,6 +44,19 @@ object GraftEvent {
     * origin-scoped, so `origin` is empty.
     */
   final case class ViewReset(view: String) extends GraftEvent { def origin: String = "" }
+  /** `open` (reference index.js:53): the engine's state catalog loaded.
+    * Construction is synchronous here (the reference defers open a
+    * tick), so the event is delivered to constructor-passed listeners
+    * immediately and REPLAYED once to any listener added later — the
+    * same "subscribe after new, still hear open" contract the
+    * reference's async open gives its same-tick subscribers.
+    */
+  case object Open extends GraftEvent { def origin: String = "" }
+  /** `open-failed` (reference index.js:57): catalog load threw. Only
+    * constructor-passed listeners can observe it — the constructor
+    * rethrows, as the reference's open() does after emitting.
+    */
+  final case class OpenFailed(error: Throwable) extends GraftEvent { def origin: String = "" }
 }
 
 /** The engine: a Spark-native re-expression of DatArchiveMapReduce
@@ -64,7 +77,8 @@ object GraftEvent {
   *     light `groupBy(kb)` over only the key range being read, which
   *     scales with executors instead of serializing on write.
   */
-class Graft(val spark: SparkSession, val stateRoot: String) {
+class Graft(val spark: SparkSession, val stateRoot: String,
+    initialListeners: Seq[GraftEvent => Unit] = Nil) {
 
   private val views = mutable.LinkedHashMap.empty[String, ViewDef]
   // origin -> last indexed fversion (drives listIndexed/isIndexed)
@@ -102,13 +116,22 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
   private def bumpStateGen(view: String): Unit =
     synchronized { stateGen(view) = stateGen.getOrElse(view, 0L) + 1L }
 
-  loadCatalog()
+  listeners ++= initialListeners
+  // `open` / `open-failed` (reference index.js:53-58): catalog load IS
+  // the open. Failure emits to the constructor-passed listeners, then
+  // rethrows (the reference's open() also throws after emitting).
+  try { loadCatalog(); emit(GraftEvent.Open) }
+  catch { case e: Throwable => emit(GraftEvent.OpenFailed(e)); throw e }
 
   /** Subscribe to lifecycle events ([[GraftEvent]]) — the reference's
     * EventEmitter surface. Listener exceptions are swallowed (an observer
-    * must not fail indexing).
+    * must not fail indexing). The one-shot [[GraftEvent.Open]] is
+    * replayed to late subscribers (see its scaladoc).
     */
-  def addListener(f: GraftEvent => Unit): Unit = synchronized { listeners += f }
+  def addListener(f: GraftEvent => Unit): Unit = {
+    synchronized { listeners += f }
+    try f(GraftEvent.Open) catch { case _: Throwable => () }
+  }
 
   private def emit(e: GraftEvent): Unit = {
     val ls = synchronized { listeners.toList }
@@ -131,6 +154,8 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
       throw new SchemaError(s"$name: at least one path pattern is required")
     if (view.path.exists(p => p == null || p.trim.isEmpty))
       throw new SchemaError(s"$name: path patterns must be non-empty strings")
+    if (view.path.exists(p => p.trim == "!"))
+      throw new SchemaError(s"$name: a negation pattern needs a glob after '!'")
     if (view.reduce != null && view.reduce.contains(null))
       throw new SchemaError(s"$name: reduce must not be null")
     if (view.materialize && (view.reduce == null || view.reduce.isEmpty))
@@ -237,7 +262,7 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     val modeSwitchedToMtime = !archive.contentVersioned &&
       Files.exists(Paths.get(fileVersionsDir(archive.url)))
     val jobs = viewsSnap.map { case (name, view, lastV) => Future {
-      val matched = filesNow.filter(col("pathname").rlike(view.pathRegex))
+      val matched = filesNow.filter(view.pathFilter(col("pathname")))
       if (lastV < 0) {
         writeOriginPartition(name, archive.url, mapEntries(view, matched))
         refoldOrigin(name, view, archive.url)
@@ -408,12 +433,24 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     }
   }
 
-  /** Compact a view's state: rewrite each origin partition as one file.
-    * Repeated incremental merges leave an origin's partition as several
-    * small files (one per write's task set); compaction restores scan
-    * efficiency without changing contents — the routine small-files pass
-    * of any incrementally-maintained table. Runs as a single dynamic
-    * partition overwrite clustered by origin.
+  /** Compact a view's state: rewrite each origin partition as one file,
+    * CLUSTERED BY `kb`. Repeated incremental merges leave an origin's
+    * partition as several small files (one per write's task set) with
+    * interleaved key ranges; compaction restores scan efficiency without
+    * changing contents — the routine small-files pass of any
+    * incrementally-maintained table.
+    *
+    * The kb sort is the storage-layout move of [[graft.functions.Layout]]
+    * applied to view state: `get`/`list` push kb point/range predicates
+    * into the parquet scan, and row-group min/max stats only prune along
+    * the physical order — after compaction each row group covers a
+    * narrow kb slice, so a range read skips the rest of the origin
+    * (CompactLayoutSpec proves it on real footers). A multi-column
+    * Z-ORDER is deliberately NOT used here: origin — the other read
+    * dimension — is already the physical partition key (`ob=` dirs), and
+    * kb is the only in-partition predicate column; a 1-D z-order IS the
+    * sort. `Layout.zorderBy` stays the tool for numeric user tables with
+    * two+ independent predicate columns.
     */
   def compact(view: String): Unit = indexLock.synchronized {
     val dir = viewDir(view)
@@ -434,6 +471,9 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
         val rows = spark.read.schema(Graft.entrySchemaWithPartition).parquet(dir)
           .filter(col("ob") === obVal)
           .repartition(col("ob"))
+          // kb-clustered layout (see scaladoc); (file_url, seq) as
+          // tiebreakers keep multi-value emit order physically contiguous
+          .sortWithinPartitions(col("kb"), col("file_url"), col("seq"))
         writeOriginPartition(view, origin = "", rows, readsState = true)
       }
     }
@@ -643,7 +683,7 @@ class Graft(val spark: SparkSession, val stateRoot: String) {
     */
   def streamEntries(view: String, files: DataFrame): DataFrame = {
     val v = viewDef(view)
-    val matched = files.filter(col("pathname").rlike(v.pathRegex))
+    val matched = files.filter(v.pathFilter(col("pathname")))
     v.map match {
       case MapDF(f) => projectEntries(f(matched).withColumn("seq", lit(1)))
       case MapFn(_) => mapEntries(v, matched) // typed flatMap is streaming-safe

@@ -97,22 +97,49 @@ final case class ViewDef(
     reduce: Option[Reduce] = None,
     materialize: Boolean = false) {
 
-  /** SQL regexp equivalent of the glob patterns (applied as a pushed-down
-    * filter on pathname).
+  // anymatch-style matcher set (reference lib/indexer.js:361, via the
+  // anymatch/picomatch `!` convention): `!`-prefixed patterns are
+  // EXCLUSIONS — a pathname matches when some positive pattern matches
+  // and no exclusion does. An all-negative set matches everything not
+  // excluded (the minimatch/gitignore convention). `\!` escapes a
+  // literal leading bang in a positive pattern.
+  @transient private lazy val (negGlobs, posGlobs) = {
+    val (n, p) = path.partition(_.startsWith("!"))
+    (n.map(_.substring(1)),
+      p.map(g => if (g.startsWith("\\!")) g.substring(1) else g))
+  }
+
+  /** SQL regexp of the POSITIVE patterns (applied as a pushed-down filter
+    * on pathname); `**` when every pattern is an exclusion.
     */
   def pathRegex: String =
-    path.map(ViewDef.globToRegex).mkString("(", ")|(", ")")
+    (if (posGlobs.nonEmpty) posGlobs else Seq("**"))
+      .map(ViewDef.globToRegex).mkString("(", ")|(", ")")
+
+  /** SQL regexp of the exclusions, when any. */
+  def negPathRegex: Option[String] =
+    if (negGlobs.isEmpty) None
+    else Some(negGlobs.map(ViewDef.globToRegex).mkString("(", ")|(", ")"))
+
+  /** The full matcher as a Column predicate over a pathname column —
+    * both sides stay native `rlike` (codegen'd, pushdown-eligible).
+    */
+  def pathFilter(c: Column): Column =
+    negPathRegex.foldLeft(c.rlike(pathRegex))((acc, neg) => acc && !c.rlike(neg))
 
   @transient private lazy val pathPattern =
     java.util.regex.Pattern.compile(pathRegex)
+  @transient private lazy val negPattern =
+    negPathRegex.map(java.util.regex.Pattern.compile)
 
   /** Driver-side glob test with `rlike` semantics (unanchored find over
-    * the same regex), for call sites where the pathname is already known
-    * on the driver — a `filter(...).limit(1).count()` job per view just
-    * to test a glob is a job too many.
+    * the same regexes), for call sites where the pathname is already
+    * known on the driver — a `filter(...).limit(1).count()` job per view
+    * just to test a glob is a job too many.
     */
   def pathMatches(pathname: String): Boolean =
-    pathPattern.matcher(pathname).find()
+    pathPattern.matcher(pathname).find() &&
+      !negPattern.exists(_.matcher(pathname).find())
 }
 
 object ViewDef {

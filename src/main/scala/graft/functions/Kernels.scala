@@ -190,9 +190,17 @@ object Kernels extends Serializable {
         if (t.nonEmpty) {
           n += 1
           var h = 0L
-          var i = 0
-          while (i < t.length) {
-            h += t.charAt(i).toLong * (1L + (131L * (i + 1)) % 997L)
+          // CODE POINTS, not UTF-16 units: the DuckDB oracle iterates
+          // ascii(string_split(tok, '')) — per code point with a
+          // code-point position index — so a non-BMP character (emoji,
+          // astral CJK) must hash identically here, surrogate pairs
+          // stepped as one position
+          var i = 0  // code-point index (the oracle's subscript - 1)
+          var ci = 0 // UTF-16 unit cursor
+          while (ci < t.length) {
+            val cp = t.codePointAt(ci)
+            h += cp.toLong * (1L + (131L * (i + 1)) % 997L)
+            ci += Character.charCount(cp)
             i += 1
           }
           score += (h % 1048576L) * 2654435761L % 2003L - 1001L

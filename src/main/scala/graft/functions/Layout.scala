@@ -56,6 +56,19 @@ object Layout {
       knownRanges: Map[String, (Double, Double)] = Map.empty): DataFrame = {
     require(cols.nonEmpty && bits > 0 && bits * cols.size <= 63,
       s"z-order needs bits > 0 and bits*|cols| <= 63 (got $bits x ${cols.size})")
+    // fail with a TYPE error up front: a string column would silently
+    // cast every value to null below and die with a misleading
+    // "no non-null values" — name the offending column instead
+    cols.foreach { c =>
+      val f = df.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"z-order column '$c' does not exist (have: ${df.columns.mkString(", ")})"))
+      f.dataType match {
+        case _: org.apache.spark.sql.types.NumericType => ()
+        case other => throw new IllegalArgumentException(
+          s"z-order requires numeric columns: '$c' is ${other.simpleString}")
+      }
+    }
     // merge supplied bounds with a scan over ONLY the missing columns —
     // partially-available table metadata must not force a full recompute
     val missing = cols.filterNot(knownRanges.contains)

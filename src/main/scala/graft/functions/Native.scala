@@ -118,6 +118,18 @@ case class BloomMightContainLong(child: Expression, bytes: Array[Byte])
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContainLong =
     copy(child = newChild)
+
+  // case-class equality would compare the Array[Byte] by REFERENCE, so
+  // two semantically identical probes never canonicalize equal (missed
+  // subexpression elimination; equals can flip after plan copies) —
+  // compare the filter bytes by content instead
+  override def equals(other: Any): Boolean = other match {
+    case o: BloomMightContainLong =>
+      child == o.child && java.util.Arrays.equals(bytes, o.bytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bytes)
 }
 
 /** Order-preserving key encoding as native expressions (SURVEY.md §4:

@@ -496,6 +496,62 @@ class GraftEngineSpec extends SparkSpec {
     assert(dbF.getValue("folded", "same-key") == Some(3.0))
   }
 
+  test("open/open-failed lifecycle events (reference index.js:53-58)") {
+    val events = scala.collection.mutable.ArrayBuffer.empty[GraftEvent]
+    val dbO = new Graft(spark, root.resolve("state-open").toString,
+      initialListeners = Seq(e => events.synchronized { events += e; () }))
+    assert(events.synchronized(events.toList) == List(GraftEvent.Open),
+      "constructor-passed listener must hear open exactly once")
+    // subscribe-after-new still hears open (replay — the same contract
+    // the reference's deferred open gives same-tick subscribers)
+    var late = List.empty[GraftEvent]
+    dbO.addListener(e => late = late :+ e)
+    assert(late == List(GraftEvent.Open))
+    // corrupt catalog: open-failed reaches the constructor listeners,
+    // and the constructor still throws
+    val badRoot = root.resolve("state-openfail")
+    Files.createDirectories(badRoot)
+    Files.write(badRoot.resolve("_catalog.json"),
+      "{not json".getBytes(StandardCharsets.UTF_8))
+    val failEvents = scala.collection.mutable.ArrayBuffer.empty[GraftEvent]
+    intercept[Exception] {
+      new Graft(spark, badRoot.toString,
+        initialListeners = Seq(e => failEvents.synchronized { failEvents += e; () }))
+    }
+    val seen = failEvents.synchronized(failEvents.toList)
+    assert(seen.size == 1 && seen.head.isInstanceOf[GraftEvent.OpenFailed],
+      s"expected one open-failed, got $seen")
+  }
+
+  test("anymatch '!' negation: exclusions subtract from the matcher set (indexer.js:361)") {
+    val d = Files.createTempDirectory("graft-negglob")
+    writeJson(d, "/multi/1.json", "first" -> "a", "second" -> 1)
+    writeJson(d, "/multi/2.json", "first" -> "b", "second" -> 2)
+    writeJson(d, "/multi/3.json", "first" -> "c", "second" -> 3)
+    writeJson(d, "/single.json", "first" -> "s", "second" -> 0)
+    val dbN = new Graft(spark, root.resolve("state-negglob").toString)
+    dbN.define("notthree", ViewDef(Seq("/multi/*.json", "!/multi/3.json"),
+      MapFn((_, m) => Seq(m.pathname -> 1))))
+    // all-negative set: everything not excluded (minimatch convention)
+    dbN.define("allneg", ViewDef(Seq("!/multi/**"),
+      MapFn((_, m) => Seq(m.pathname -> 1))))
+    val arch = new DirArchive("dat://negglob", d.toString)
+    dbN.index(arch)
+    def keys(view: String): Set[String] =
+      dbN.list(view).collect().map(r =>
+        Json.parse(r.getAs[String]("key_json")).asInstanceOf[String]).toSet
+    assert(keys("notthree") == Set("/multi/1.json", "/multi/2.json"))
+    assert(keys("allneg") == Set("/single.json"))
+    // driver-side matcher agrees with the distributed filter
+    val vd = ViewDef(Seq("/multi/*.json", "!/multi/3.json"),
+      MapFn((_, _) => Seq.empty))
+    assert(vd.pathMatches("/multi/1.json") && !vd.pathMatches("/multi/3.json")
+      && !vd.pathMatches("/single.json"))
+    // bare "!" is rejected at define time
+    intercept[SchemaError](dbN.define("bad", ViewDef(Seq("!"),
+      MapFn((_, _) => Seq.empty))))
+  }
+
   test("Fold cap probe runs once per state version, not once per read") {
     val d = Files.createTempDirectory("graft-foldprobe")
     (1 to 3).foreach(i => writeJson(d, s"/p$i.json", "first" -> s"k$i", "second" -> i))

@@ -87,6 +87,18 @@ class LayoutSpec extends SparkSpec {
       s"z-order should still prune on x too ($zxHit/$zTotal)")
   }
 
+  test("zorderBy rejects non-numeric and missing columns with a type error naming them") {
+    import spark.implicits._
+    val df = Seq((1, "a")).toDF("n", "s")
+    val e1 = intercept[IllegalArgumentException](
+      graft.functions.Layout.zorderBy(df, Seq("n", "s")))
+    assert(e1.getMessage.contains("requires numeric") && e1.getMessage.contains("'s'"),
+      s"got: ${e1.getMessage}")
+    val e2 = intercept[IllegalArgumentException](
+      graft.functions.Layout.zorderBy(df, Seq("nope")))
+    assert(e2.getMessage.contains("does not exist"), s"got: ${e2.getMessage}")
+  }
+
   test("zorderBy edge contracts: user _z column survives; empty/all-null and bad bits rejected") {
     import spark.implicits._
     val d = Seq((1L, 2L, "keep"), (3L, 4L, "it")).toDF("x", "y", "_z")

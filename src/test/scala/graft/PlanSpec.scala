@@ -326,6 +326,42 @@ class PlanSpec extends SparkSpec {
     assert(got(1)(0) == 2L && got(1)(1) % 2 == 0, "dup token must count twice")
   }
 
+  test("tokenWeightStats hashes CODE POINTS — non-BMP tokens follow the oracle's convention") {
+    import spark.implicits._
+    // "a😀b": code points (97, 128512, 98) at positions 1..3 — the old
+    // charAt loop saw FOUR UTF-16 units (surrogate pair split) and
+    // diverged from DuckDB's ascii(string_split(tok, '')) iteration
+    val df = Seq(Seq("a😀b")).toDF("ws")
+    val st = df.select(graft.functions.Kernels.tokenWeightStats(col("ws")).as("st"))
+      .head().getSeq[Long](0)
+    var h = 0L
+    Seq(97L, 128512L, 98L).zipWithIndex.foreach { case (cp, i) =>
+      h += cp * (1L + (131L * (i + 1)) % 997L)
+    }
+    val expected = (h % 1048576L) * 2654435761L % 2003L - 1001L
+    assert(st == Seq(1L, expected),
+      s"kernel must hash per code point with code-point positions, got $st")
+  }
+
+  test("BloomMightContainLong equality is by filter CONTENT, not array identity") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.util.sketch.BloomFilter
+    def bytesOf(seed: Long): Array[Byte] = {
+      val bf = BloomFilter.create(100L, 0.03)
+      bf.putLong(seed)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos); bos.toByteArray
+    }
+    val e1 = graft.functions.BloomMightContainLong(Literal(1L), bytesOf(42L))
+    val e2 = graft.functions.BloomMightContainLong(Literal(1L), bytesOf(42L))
+    val e3 = graft.functions.BloomMightContainLong(Literal(1L), bytesOf(43L))
+    assert(!(e1.bytes eq e2.bytes), "test must exercise distinct arrays")
+    assert(e1 == e2 && e1.hashCode == e2.hashCode,
+      "identical probes must compare equal for canonicalization/CSE")
+    assert(e1.semanticEquals(e2))
+    assert(e1 != e3, "different filters must not compare equal")
+  }
+
   test("gramsMultiN keeps multiplicity where gramsN dedups") {
     import spark.implicits._
     val df = Seq(Tuple1(Seq("a", "b", "a", "b", "c"))).toDF("ws")
