@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -111,6 +111,60 @@ object Invariants {
           col("hamming") > 3)
         .select(col("a_id"), col("b_id"), col("hamming"))
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // ann_ivf candidates come ONLY from the batch's probed cells: the
+    // corpus cell assignment and the probe set both rebuild from the
+    // SAME deterministic quantizer (ivfBuild is sample-order and
+    // Lloyd-deterministic), so a returned neighbor outside the probed
+    // cells means the probe scanned rows the index said it wouldn't —
+    // the P-of-K pruning claim, driver-checked.
+    Q("inv_ivf_candidates_probed",
+      """SELECT CAST(NULL AS BIGINT) AS q_id, CAST(NULL AS BIGINT) AS n_id,
+        |  CAST(NULL AS INTEGER) AS cell WHERE 1=0""".stripMargin) { (s, dir) =>
+      val e = Ann.embsWithNorm(s, dir)
+      val idx = Ann.ivfBuild(e.where(col("vec_id") >= Ann.NQ), k = 8)
+      val probed = Ann.ivfProbeCells(idx, e.where(col("vec_id") < Ann.NQ), p = 4)
+      run("ann_ivf")(s, dir)
+        .join(idx.assigned.select(col("n_id"), col("cell")), "n_id")
+        .where(!col("cell").isin(probed: _*))
+        .select(col("q_id"), col("n_id"), col("cell"))
+        .orderBy(col("q_id"), col("n_id"))
+    },
+
+    // dedup_incremental_minhash FULL-RESULT replay: the same drop rule
+    // (batch docs near-dup of any corpus doc drop; survivors CC among
+    // themselves; keep min-id per cluster) computed from the EXACT
+    // prefix-filtered pair miner instead of the banded index. 32×4
+    // banding captures j >= 0.8 with prob ~1-5e-8 per pair and the
+    // permutations are fixed, so the symmetric difference is
+    // deterministically empty — the gate form of the C33 spec.
+    Q("inv_incr_minhash_vs_exact",
+      """SELECT CAST(NULL AS VARCHAR) AS side, CAST(NULL AS BIGINT) AS keep_id
+        |WHERE 1=0""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val exact = Dedup.ngramJaccardPairs(d, 4, 5)
+        .select(col("a_id"), col("b_id")).localCheckpoint(true)
+      val isBatch: Column => Column = c => pmod(c, lit(3)) === 0
+      val corpusDup = exact.where(isBatch(col("a_id")) && !isBatch(col("b_id")))
+        .select(col("a_id").as("doc_id"))
+        .unionByName(exact.where(isBatch(col("b_id")) && !isBatch(col("a_id")))
+          .select(col("b_id").as("doc_id")))
+        .distinct()
+      val survivors = d.where(isBatch(col("doc_id"))).select(col("doc_id"))
+        .join(corpusDup, Seq("doc_id"), "left_anti")
+      val bp = exact
+        .join(survivors.select(col("doc_id").as("a_id")), Seq("a_id"), "left_semi")
+        .join(survivors.select(col("doc_id").as("b_id")), Seq("b_id"), "left_semi")
+      val nonMin = Dedup.connectedComponents(bp)
+        .where(col("id") =!= col("label")).select(col("id").as("doc_id"))
+      val expected = survivors.join(nonMin, Seq("doc_id"), "left_anti")
+        .select(col("doc_id").as("keep_id"))
+      val got = run("dedup_incremental_minhash")(s, dir).select(col("keep_id"))
+      got.except(expected).select(lit("extra").as("side"), col("keep_id"))
+        .unionByName(
+          expected.except(got).select(lit("missing").as("side"), col("keep_id")))
+        .orderBy(col("side"), col("keep_id"))
     },
 
     // SemDeDup structural soundness: min-label CC ⇒ rep_id < removed_id;
