@@ -167,6 +167,34 @@ object Invariants {
         .orderBy(col("side"), col("keep_id"))
     },
 
+    // approx_percentile's rank guarantee, driver-checked via the
+    // discrete-quantile sandwich (sound under arbitrary duplicate mass):
+    // for a returned value v at quantile q, count(< v)/n <= q + tol and
+    // count(<= v)/n >= q - tol, tol = 1/accuracy (0.001) + 0.005 slack
+    // for partial-merge order.
+    Q("inv_approx_percentile_rank",
+      """SELECT CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS which,
+        |  CAST(NULL AS DOUBLE) AS approx, CAST(NULL AS DOUBLE) AS frac_lt,
+        |  CAST(NULL AS DOUBLE) AS frac_le WHERE 1=0""".stripMargin) { (s, dir) =>
+      val tol = 0.001 + 0.005
+      val ap = run("text_length_percentiles_approx")(s, dir)
+      val melted = ap.select(col("lang"), explode(array(
+          struct(lit("p50").as("which"), lit(0.5).as("q"), col("p50").as("v")),
+          struct(lit("p90").as("which"), lit(0.9).as("q"), col("p90").as("v")))).as("m"))
+        .select(col("lang"), col("m.which"), col("m.q"), col("m.v"))
+      val d = Tables(s, dir, "documents").select(col("lang"), col("n_chars"))
+      melted.join(d, "lang")
+        .groupBy(col("lang"), col("which"), col("q"), col("v"))
+        .agg(
+          (count(when(col("n_chars") < col("v"), 1)) / count(lit(1))).as("frac_lt"),
+          (count(when(col("n_chars") <= col("v"), 1)) / count(lit(1))).as("frac_le"))
+        .where(col("frac_lt") > col("q") + lit(tol) ||
+          col("frac_le") < col("q") - lit(tol))
+        .select(col("lang"), col("which"), col("v").as("approx"),
+          col("frac_lt"), col("frac_le"))
+        .orderBy(col("lang"), col("which"))
+    },
+
     // SemDeDup structural soundness: min-label CC ⇒ rep_id < removed_id;
     // a representative is never itself removed; and every removed doc
     // has at least one incident within-cell edge at cos >= tau (edges

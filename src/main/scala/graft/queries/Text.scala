@@ -153,6 +153,25 @@ object Text {
         .orderBy(col("lang"))
     },
 
+    // C12b-scale: the SKETCH form of the percentiles — exact
+    // percentile() buffers every value of a group on one reducer, which
+    // is exactly what cannot happen at 100 TB; approx_percentile is a
+    // mergeable bounded-memory quantile summary (map-side partials, rank
+    // error <= 1/accuracy). Rows-only for the driver (DuckDB's
+    // approx_quantile is a different sketch), but
+    // inv_approx_percentile_rank drives the rank-error guarantee through
+    // the gate: count(< v)/n <= q + tol AND count(<= v)/n >= q - tol,
+    // the discrete-quantile sandwich that holds for any correct
+    // implementation regardless of duplicate mass.
+    Q.noOracle("text_length_percentiles_approx") { (s, dir) =>
+      docs(s, dir).groupBy(col("lang"))
+        .agg(expr("approx_percentile(n_chars, array(0.5D, 0.9D), 1000)").as("ps"))
+        .select(col("lang"),
+          col("ps").getItem(0).cast("double").as("p50"),
+          col("ps").getItem(1).cast("double").as("p90"))
+        .orderBy(col("lang"))
+    },
+
     // Vocabulary build: global word counts, top-20 by (count desc, word).
     // The first step of any tokenizer/vocab pipeline; one explode + one
     // partial-aggregated groupBy at any scale.
