@@ -297,6 +297,70 @@ object Text {
         .orderBy(col("split"), col("lang"))
     },
 
+    // C18-stream: the SAME curation pipeline run at INGEST time — the
+    // shape a production pipeline actually wants (curate as data lands,
+    // not as a nightly batch over the accumulated pile). Quality
+    // features and the filter are stateless per-row work on the stream;
+    // dedup-keep-first is the ONE stateful aggregation (state = one
+    // (digest, min-attrs) row per distinct surviving digest —
+    // min(struct) carries the kept doc's attributes with its min
+    // doc_id, the streaming form of C18's rn=1-by-doc_id). The final
+    // per-(split, lang) accounting runs BATCH over the completed sink:
+    // chained stateful aggregations are unsupported in complete mode,
+    // so this reuses D4's two-level aggregate split. Gated by the SAME
+    // DuckDB oracle as batch pipeline_curate — driver-checked
+    // batch/stream parity, like C30/D6.
+    Q("pipeline_curate_stream",
+      """WITH f AS (
+        |  SELECT doc_id, lang, n_chars, text,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the','a','of','and','to'))) AS n_stop
+        |  FROM documents),
+        |q AS (
+        |  SELECT *, CAST(least(n_words, 100) * 40
+        |    + (least(n_stop * 10, n_words) * 3000) // n_words
+        |    + (n_distinct * 3000) // n_words AS BIGINT) AS quality_bp
+        |  FROM f),
+        |kept AS (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn
+        |  FROM q WHERE quality_bp >= 5000)
+        |SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |            WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+        |  lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM kept WHERE rn = 1
+        |GROUP BY 1, lang ORDER BY split, lang""".stripMargin) { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val f = stream.select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+          size(words).as("n_words"),
+          size(array_distinct(words)).as("n_distinct"),
+          size(filter(words, w => w.isin("the", "a", "of", "and", "to"))).as("n_stop"))
+        val kept = f.withColumn("quality_bp",
+            (least(col("n_words"), lit(100)) * 40
+              + expr("(least(n_stop * 10, n_words) * 3000) div n_words")
+              + expr("(n_distinct * 3000) div n_words")).cast("long"))
+          .where(col("quality_bp") >= 5000)
+          .groupBy(unhex(sha2(Dedup.normText, 256)).as("h"))
+          .agg(min(struct(col("doc_id"), col("lang"), col("n_chars"))).as("keep"))
+        Events.runToCompleteSink(s, "curate_sink_", kept)
+          .select(
+            when(col("keep.doc_id") % 10 < 8, lit("train"))
+              .when(col("keep.doc_id") % 10 === 8, lit("val"))
+              .otherwise(lit("test")).as("split"),
+            col("keep.lang").as("lang"), col("keep.n_chars").as("n_chars"))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+          .orderBy(col("split"), col("lang"))
+      }
+    },
+
     // C19: deterministic stratified sampling — downsample over-
     // represented strata (the lang-rebalancing step of corpus curation)
     // by Knuth-hash-mod per row: pure function of the row, so the sample
