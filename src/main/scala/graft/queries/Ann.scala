@@ -174,6 +174,51 @@ object Ann {
       val queries = e.where(col("vec_id") < NQ)
       ivfPqProbe(s, ivfPqBuild(corpus, kCells = 8, m = 16, k = 32),
         queries, p = 4, rerank = 50)
+    },
+
+    // Embedding-quality monitoring: per-label cluster statistics — the
+    // drift/collapse check a pipeline runs on every embedding refresh.
+    // ALL-INTEGER arithmetic for cross-engine exactness (the milli-idf
+    // discipline): components quantize to KILO-scale longs (floor(v·1e3)
+    // — float→double is exact, ·1e3 and floor round identically under
+    // IEEE in both engines), then only long sums/products follow, which
+    // are order-independent — no float summation anywhere. Emitted per
+    // label: n, ‖Σx‖² and Σᵢ⟨xᵢ, Σx⟩ in kilo²-space (= n²·‖centroid‖²
+    // and n²·mean-dot-to-centroid — division-free so truncation
+    // semantics never diverge). Long-overflow bound: |m| ≤ 600 ⇒
+    // Σd sd² ≤ 64·(600·n)² < 2⁶³ for n < 2e6 rows per label.
+    // Plan shape: one explode + two hash aggs; the per-(label, d) sum
+    // table (k·64 rows) BROADCASTS back into the dot pass — the corpus
+    // never joins anything its own size.
+    Q("emb_label_stats",
+      """WITH x AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS d,
+        |         CAST(floor(unnest(embedding)::DOUBLE * 1000) AS BIGINT) AS m
+        |  FROM embeddings),
+        |s AS (SELECT label, d, CAST(sum(m) AS BIGINT) AS sd, count(*) AS n
+        |      FROM x GROUP BY label, d),
+        |qn AS (SELECT label, max(n) AS n, CAST(sum(sd * sd) AS BIGINT) AS svec_qnorm
+        |       FROM s GROUP BY label),
+        |dots AS (SELECT x.label, CAST(sum(x.m * s.sd) AS BIGINT) AS tot_dot
+        |         FROM x JOIN s ON s.label = x.label AND s.d = x.d
+        |         GROUP BY x.label)
+        |SELECT qn.label AS label, qn.n, qn.svec_qnorm, dots.tot_dot
+        |FROM qn JOIN dots ON dots.label = qn.label
+        |ORDER BY qn.label""".stripMargin) { (s, dir) =>
+      val x = Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
+        .select(col("label"), col("d"),
+          floor(col("v").cast("double") * 1000).cast("long").as("m"))
+      val sums = x.groupBy(col("label"), col("d"))
+        .agg(sum(col("m")).as("sd"), count(lit(1)).as("n"))
+      val qn = sums.groupBy(col("label"))
+        .agg(max(col("n")).as("n"), sum(expr("sd * sd")).as("svec_qnorm"))
+      val dots = x
+        .join(broadcast(sums.select(col("label"), col("d"), col("sd"))), Seq("label", "d"))
+        .groupBy(col("label")).agg(sum(expr("m * sd")).as("tot_dot"))
+      qn.join(dots, Seq("label"))
+        .select(col("label"), col("n"), col("svec_qnorm"), col("tot_dot"))
+        .orderBy(col("label"))
     })
 
   /** A built IVF index: the driver-held coarse quantizer (k x dim
