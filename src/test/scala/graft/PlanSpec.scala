@@ -326,6 +326,14 @@ class PlanSpec extends SparkSpec {
     assert(got(1)(0) == 2L && got(1)(1) % 2 == 0, "dup token must count twice")
   }
 
+  test("emb_label_stats: the (label, dim) sum table broadcasts back — no corpus-size sort-merge join") {
+    val p = planStr("emb_label_stats")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"dot pass must broadcast the tiny centroid-sum table:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no join in this plan may sort-merge (both join inputs bound by k x dim):\n$p")
+  }
+
   test("tokenWeightStats hashes CODE POINTS — non-BMP tokens follow the oracle's convention") {
     import spark.implicits._
     // "a😀b": code points (97, 128512, 98) at positions 1..3 — the old
