@@ -186,6 +186,49 @@ object Text {
         .limit(20)
     },
 
+    // RETRIEVAL: per-term top-k document search — the probe shape of
+    // decontamination/quality audits (search the corpus for each probe
+    // term, inspect the top hits). Probe set = the 20 rarest terms with
+    // df >= 3 (deterministic: df asc, term asc). Scoring is C27's
+    // integer milli-idf (tf * ((N*1000) div df)) — cross-engine exact,
+    // no libm. SCALE SHAPE: the probe set is driver-bounded (20 rows)
+    // and BROADCASTS into the tf table, so only the probed terms'
+    // posting lists ever move — the corpus itself never re-shuffles for
+    // a query batch, exactly how a probe-retrieval runs at 100 TB.
+    Q("text_search_topk",
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM w WHERE t <> '' GROUP BY doc_id, t),
+        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |probe AS (SELECT t, df FROM df WHERE df >= 3 ORDER BY df ASC, t ASC LIMIT 20),
+        |scored AS (
+        |  SELECT tf.t, tf.doc_id,
+        |         CAST(tf.tf * ((n.n * 1000) // probe.df) AS BIGINT) AS score
+        |  FROM tf JOIN probe ON probe.t = tf.t CROSS JOIN n),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY t ORDER BY score DESC, doc_id) AS rnk
+        |       FROM scored)
+        |SELECT t AS term, rnk AS rank, doc_id, score FROM rk WHERE rnk <= 5
+        |ORDER BY term, rank""".stripMargin) { (s, dir) =>
+      val w = docs(s, dir).select(col("doc_id"), explode(words).as("t"))
+        .where(col("t") =!= "")
+      val tf = w.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val n = docs(s, dir).count()
+      val probe = dfT.where(col("df") >= 3)
+        .orderBy(col("df").asc, col("t").asc).limit(20)
+      val scored = tf.join(broadcast(probe), Seq("t"))
+        .select(col("t"), col("doc_id"),
+          (col("tf") * expr(s"(${n}L * 1000) div df")).cast("long").as("score"))
+      scored.withColumn("rank",
+          org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("t")).orderBy(col("score").desc, col("doc_id"))))
+        .where(col("rank") <= 5)
+        .select(col("t").as("term"), col("rank"), col("doc_id"), col("score"))
+        .orderBy(col("term"), col("rank"))
+    },
+
     // TF-IDF-style term salience, in LOG-FREE rational form so both
     // engines compute identical doubles: score = (tf_in_doc * N_docs) /
     // (doc_len * doc_freq) — same ranking as tf·idf for monotone idf,

@@ -326,6 +326,14 @@ class PlanSpec extends SparkSpec {
     assert(got(1)(0) == 2L && got(1)(1) % 2 == 0, "dup token must count twice")
   }
 
+  test("text_search_topk: the probe set broadcasts — the corpus never re-shuffles for the query batch") {
+    val p = planStr("text_search_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe retrieval must broadcast the bounded probe set:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join here would shuffle the whole tf table per probe batch:\n$p")
+  }
+
   test("emb_label_stats: the (label, dim) sum table broadcasts back — no corpus-size sort-merge join") {
     val p = planStr("emb_label_stats")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
