@@ -51,7 +51,16 @@ object Bench {
       sys.env.get("SPARK_GRAFT_ONLY") match {
         case Some(names) =>
           val want = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
-          all.filter(q => want(q.name))
+          val known = all.map(_.name).toSet
+          val unknown = want -- known
+          if (unknown.nonEmpty)
+            System.err.println(
+              s"BENCH WARN: SPARK_GRAFT_ONLY names match no query: ${unknown.mkString(", ")}")
+          val picked = all.filter(q => want(q.name))
+          // a typo'd filter must not masquerade as a fast clean run
+          require(picked.nonEmpty,
+            s"SPARK_GRAFT_ONLY matched zero queries (asked: ${want.mkString(", ")})")
+          picked
         case None => all
       }
     }

@@ -942,7 +942,6 @@ class Graft(val spark: SparkSession, val stateRoot: String,
   private def writeOriginPartition(
       view: String, origin: String, rows: DataFrame,
       readsState: Boolean = false): Unit = {
-    bumpStateGen(view)
     val out = if (readsState) rows.localCheckpoint(true) else rows
     if (readsState && origin.nonEmpty && out.isEmpty) {
       // dynamic partition overwrite with ZERO rows writes nothing — when a
@@ -951,6 +950,11 @@ class Graft(val spark: SparkSession, val stateRoot: String,
       // be deleted explicitly or retraction silently fails
       deleteDir(s"${viewDir(view)}/ob=${escape(origin)}")
       spark.catalog.refreshByPath(viewDir(view))
+      // AFTER the state change lands (a bump before it would let a
+      // racing Fold probe cache a pass under the NEW generation while
+      // reading the OLD files — permanently skipping the cap probe for
+      // state it never saw)
+      bumpStateGen(view)
       return
     }
     out.write
@@ -961,6 +965,8 @@ class Graft(val spark: SparkSession, val stateRoot: String,
     // the session-shared FileStatusCache would otherwise serve the old
     // file listing to the next read of this path
     spark.catalog.refreshByPath(viewDir(view))
+    // see the early-return branch: the bump must follow the commit
+    bumpStateGen(view)
   }
 
   private def reduceEntries(df: DataFrame, r: Reduce, keepKb: Boolean = false,

@@ -58,9 +58,15 @@ object Layout {
       s"z-order needs bits > 0 and bits*|cols| <= 63 (got $bits x ${cols.size})")
     // fail with a TYPE error up front: a string column would silently
     // cast every value to null below and die with a misleading
-    // "no non-null values" — name the offending column instead
+    // "no non-null values" — name the offending column instead. Name
+    // lookup honors the session's resolver (case-insensitive unless
+    // spark.sql.caseSensitive), matching how col(c) resolves below.
+    val caseSensitive = df.sparkSession.conf
+      .getOption("spark.sql.caseSensitive").exists(_.toBoolean)
+    def sameName(a: String, b: String): Boolean =
+      if (caseSensitive) a == b else a.equalsIgnoreCase(b)
     cols.foreach { c =>
-      val f = df.schema.fields.find(_.name == c).getOrElse(
+      val f = df.schema.fields.find(f => sameName(f.name, c)).getOrElse(
         throw new IllegalArgumentException(
           s"z-order column '$c' does not exist (have: ${df.columns.mkString(", ")})"))
       f.dataType match {

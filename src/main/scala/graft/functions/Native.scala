@@ -125,11 +125,17 @@ case class BloomMightContainLong(child: Expression, bytes: Array[Byte])
   // compare the filter bytes by content instead
   override def equals(other: Any): Boolean = other match {
     case o: BloomMightContainLong =>
-      child == o.child && java.util.Arrays.equals(bytes, o.bytes)
+      // cheap content pre-check first: Catalyst compares expressions
+      // repeatedly during optimization, and the full byte compare is
+      // O(filter size) (hundreds of KB at corpus scale)
+      child == o.child && bytesHash == o.bytesHash &&
+        java.util.Arrays.equals(bytes, o.bytes)
     case _ => false
   }
-  override def hashCode(): Int =
-    31 * child.hashCode() + java.util.Arrays.hashCode(bytes)
+  // content hash computed ONCE — the filter bytes are immutable, and
+  // Expression.hashCode is called many times per optimizer pass
+  @transient private lazy val bytesHash: Int = java.util.Arrays.hashCode(bytes)
+  override def hashCode(): Int = 31 * child.hashCode() + bytesHash
 }
 
 /** Order-preserving key encoding as native expressions (SURVEY.md §4:

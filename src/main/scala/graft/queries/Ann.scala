@@ -533,6 +533,12 @@ object Ann {
     * (x_unit - centroid) and encode the corpus once. `knownCount` and
     * `trainingSample` flow to [[ivfBuild]] (see its scan-budget note);
     * the residual sampling scan still reads the assigned corpus once.
+    * NOTE: pass `knownCount` TOGETHER with `trainingSample` on the
+    * deployment path — the residual sampler needs the cardinality for
+    * its sampling rate, so trainingSample alone still pays a counting
+    * scan (the count comes from the same table metadata that supplies
+    * the stored sample; AnnBuildScanSpec pins the combined path at one
+    * eager scan).
     */
   def ivfPqBuild(corpus: DataFrame, kCells: Int, m: Int, k: Int,
       knownCount: Long = -1L,

@@ -214,12 +214,16 @@ object Text {
         .where(col("t") =!= "")
       val tf = w.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
       val dfT = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-      val n = docs(s, dir).count()
+      // N stays IN the plan (1-row broadcast, like the oracle's CTE) — an
+      // eager .count() here would full-scan documents once per builder
+      // call, outside the timed job
+      val nDf = docs(s, dir).agg(count(lit(1)).as("n"))
       val probe = dfT.where(col("df") >= 3)
         .orderBy(col("df").asc, col("t").asc).limit(20)
       val scored = tf.join(broadcast(probe), Seq("t"))
+        .crossJoin(broadcast(nDf))
         .select(col("t"), col("doc_id"),
-          (col("tf") * expr(s"(${n}L * 1000) div df")).cast("long").as("score"))
+          (col("tf") * expr("(n * 1000) div df")).cast("long").as("score"))
       scored.withColumn("rank",
           org.apache.spark.sql.functions.row_number().over(
             org.apache.spark.sql.expressions.Window

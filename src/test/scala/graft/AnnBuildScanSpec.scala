@@ -90,4 +90,14 @@ class AnnBuildScanSpec extends SparkSpec {
     assert(a.value == 2L * parts,
       s"knownCount ivfpq build: ${a.value} partition scans, expected ${2 * parts}")
   }
+
+  test("ivfPqBuild deployment path (trainingSample + knownCount): 1 eager scan") {
+    val (a, c) = instrumentedCorpus()
+    Ann.ivfPqBuild(c, kCells = 4, m = 2, k = 4, knownCount = n.toLong,
+      trainingSample = Some(plainSample()))
+    // only the residual sampler touches the corpus eagerly; coarse
+    // training comes from the stored sample, the count from metadata
+    assert(a.value == 1L * parts,
+      s"deployment ivfpq build: ${a.value} partition scans, expected $parts")
+  }
 }
