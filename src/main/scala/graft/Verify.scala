@@ -15,7 +15,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-dev subset filter (substring match, comma-separated), same
+    // contract as Bench's: the driver runs unfiltered, so the manifest
+    // below always reflects exactly what this run produced — check.py
+    // then compares a filtered outDir 1:1 without counting absent
+    // queries as crashes. Refuses a zero-match filter loudly.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only.fold(SparkEntry.queries) { pats =>
+      SparkEntry.queries.filter { case (n, _) => pats.exists(n.contains) }
+    }
+    require(selected.nonEmpty,
+      s"SPARK_GRAFT_ONLY=${only.getOrElse(Nil).mkString(",")} matches no query")
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -52,7 +64,7 @@ object Verify {
     // dirs would count it neither pass nor fail — the whole gate would
     // go green around a broken query
     Files.writeString(Paths.get(s"$outDir/queries.json"),
-      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -1006,7 +1006,12 @@ class Graft(val spark: SparkSession, val stateRoot: String,
         // When the caller names the view (get/list), the probe runs over
         // the FULL entry state — a pass then covers ANY filtered read of
         // the same state, so it is cached per (view, state generation)
-        // and repeated Fold reads skip it until the state changes.
+        // and repeated Fold reads skip it until the state changes. A
+        // full-state FAILURE does not doom kb-filtered reads: the probe
+        // falls back to just the rows this read aggregates, so a point
+        // get() of an under-cap key still succeeds while an over-cap key
+        // exists elsewhere in the view (nothing is cached in that case —
+        // the cache is whole-view-scoped).
         val cap = spark.conf.getOption("graft.fold.maxValuesPerKey")
           .map(_.toInt).getOrElse(Graft.defaultFoldCap)
         val genBefore = probeCacheView.map(v => synchronized(stateGen.getOrElse(v, 0L)))
@@ -1016,10 +1021,18 @@ class Graft(val spark: SparkSession, val stateRoot: String,
           }))
         if (!cached) {
           synchronized { foldProbeRuns += 1 }
+          def overCap(frame: DataFrame) = frame
+            .groupBy(col("kb")).agg(count(lit(1)).as("n"), first(col("key_json")).as("k"))
+            .filter(col("n") > cap).select(col("k"), col("n")).head(1).headOption
           val probeDf = probeCacheView.map(entries).getOrElse(df)
-          val over = probeDf.groupBy(col("kb")).agg(count(lit(1)).as("n"), first(col("key_json")).as("k"))
-            .filter(col("n") > cap).select(col("k"), col("n")).head(1)
-          over.headOption.foreach { r =>
+          val fullOver = overCap(probeDf)
+          // per-kb fallback: the whole-view probe failed, but this read
+          // may not touch the hostile key — re-probe only its own rows
+          val violation =
+            if (fullOver.isEmpty) None
+            else if (probeCacheView.isEmpty) fullOver
+            else overCap(df)
+          violation.foreach { r =>
             throw new IllegalStateException(
               s"Reduce.Fold: key ${r.getString(0)} has ${r.getLong(1)} values " +
                 s"(cap $cap). Fold collects a key's values to replay the " +
@@ -1028,8 +1041,10 @@ class Graft(val spark: SparkSession, val stateRoot: String,
                 "conf graft.fold.maxValuesPerKey.")
           }
           // record the generation captured BEFORE the probe: a write that
-          // raced the probe bumps the gen and invalidates this entry
-          probeCacheView.foreach(v => synchronized {
+          // raced the probe bumps the gen and invalidates this entry.
+          // Only a FULL-state pass is cacheable — a filtered-read pass
+          // says nothing about the keys other reads will touch.
+          if (fullOver.isEmpty) probeCacheView.foreach(v => synchronized {
             foldProbeOkGen(v) = (genBefore.get, cap)
           })
         }

@@ -97,12 +97,18 @@ final case class ViewDef(
     reduce: Option[Reduce] = None,
     materialize: Boolean = false) {
 
-  // anymatch-style matcher set (reference lib/indexer.js:361, via the
-  // anymatch/picomatch `!` convention): `!`-prefixed patterns are
-  // EXCLUSIONS — a pathname matches when some positive pattern matches
-  // and no exclusion does. An all-negative set matches everything not
-  // excluded (the minimatch/gitignore convention). `\!` escapes a
-  // literal leading bang in a positive pattern.
+  // `!`-pattern matcher set. DELIBERATE DIVERGENCE from the reference:
+  // lib/indexer.js:361 uses anymatch ^1.3.2, whose any-of semantics let a
+  // positive match win even when a `!` pattern also matches (and a lone
+  // negated matcher matches only the non-excluded paths it was built
+  // from) — so upstream, ['/multi/*.json','!/multi/3.json'] still
+  // matches /multi/3.json. Graft instead implements the subtractive
+  // anymatch-v3/picomatch/gitignore convention: `!`-prefixed patterns
+  // are EXCLUSIONS — a pathname matches when some positive pattern
+  // matches and no exclusion does; an all-negative set matches
+  // everything not excluded. That is what view authors writing an
+  // exclusion invariably mean. `\!` escapes a literal leading bang in a
+  // positive pattern.
   @transient private lazy val (negGlobs, posGlobs) = {
     val (n, p) = path.partition(_.startsWith("!"))
     (n.map(_.substring(1)),

@@ -332,6 +332,16 @@ object Ann {
     queries.select(explode(argmaxCells(idx.cents, p)(col("emb"))).as("cell"))
       .distinct().collect().map(_.getInt(0)).toSeq
 
+  /** Per-query probed cells as `(q_id, cell)` PAIRS — the strict form of
+    * [[ivfProbeCells]]: containment of a served neighbor must hold
+    * against the cells ITS OWN query probed, not the union of cells any
+    * query in the batch probed (a global `isin` would accept a neighbor
+    * served to query A from a cell only query B probed).
+    */
+  def ivfProbeCellPairs(idx: IvfIndex, queries: DataFrame, p: Int): DataFrame =
+    queries.select(col("vec_id").as("q_id"),
+      explode(argmaxCells(idx.cents, p)(col("emb"))).as("cell"))
+
   /** A built product-quantization index: per-subspace codebooks
     * (m × k × dim/m doubles — driver-held and broadcastable at any
     * corpus size, like [[IvfIndex]]'s centroids), the corpus encoded to

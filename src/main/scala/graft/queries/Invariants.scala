@@ -39,6 +39,22 @@ object Invariants {
   private def run(name: String)(s: SparkSession, dir: String): DataFrame =
     graft.SparkEntry.queries(name)(s, dir)
 
+  /** Ties the lifetime of frames a gate must pin during plan
+    * construction (localCheckpoint blocks) to the gate RUN: the gate
+    * result is materialized eagerly — violation sets are empty by
+    * design, so the collect is bounded (capped defensively; a capped
+    * result is still non-empty, so a failing gate still fails) — then
+    * every pinned frame is unpersisted and a local relation with the
+    * same schema is returned. Without this, each gate run leaks its
+    * checkpointed storage blocks for the rest of the session.
+    */
+  private def releasing(pinned: DataFrame*)(out: DataFrame): DataFrame = {
+    val s = out.sparkSession
+    val rows = out.limit(100001).collect()
+    pinned.foreach(_.unpersist())
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   private val emptyPair =
     "SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id WHERE 1=0"
 
@@ -124,10 +140,14 @@ object Invariants {
         |  CAST(NULL AS INTEGER) AS cell WHERE 1=0""".stripMargin) { (s, dir) =>
       val e = Ann.embsWithNorm(s, dir)
       val idx = Ann.ivfBuild(e.where(col("vec_id") >= Ann.NQ), k = 8)
-      val probed = Ann.ivfProbeCells(idx, e.where(col("vec_id") < Ann.NQ), p = 4)
+      // per-QUERY containment: anti-join on (q_id, cell) pairs, not a
+      // global isin over the batch-distinct cell set — a neighbor served
+      // to query A from a cell only query B probed must count as a
+      // violation
+      val probed = Ann.ivfProbeCellPairs(idx, e.where(col("vec_id") < Ann.NQ), p = 4)
       run("ann_ivf")(s, dir)
         .join(idx.assigned.select(col("n_id"), col("cell")), "n_id")
-        .where(!col("cell").isin(probed: _*))
+        .join(probed, Seq("q_id", "cell"), "left_anti")
         .select(col("q_id"), col("n_id"), col("cell"))
         .orderBy(col("q_id"), col("n_id"))
     },
@@ -161,10 +181,11 @@ object Invariants {
       val expected = survivors.join(nonMin, Seq("doc_id"), "left_anti")
         .select(col("doc_id").as("keep_id"))
       val got = run("dedup_incremental_minhash")(s, dir).select(col("keep_id"))
-      got.except(expected).select(lit("extra").as("side"), col("keep_id"))
-        .unionByName(
-          expected.except(got).select(lit("missing").as("side"), col("keep_id")))
-        .orderBy(col("side"), col("keep_id"))
+      releasing(exact)(
+        got.except(expected).select(lit("extra").as("side"), col("keep_id"))
+          .unionByName(
+            expected.except(got).select(lit("missing").as("side"), col("keep_id")))
+          .orderBy(col("side"), col("keep_id")))
     },
 
     // approx_percentile's rank guarantee, driver-checked via the
@@ -217,7 +238,8 @@ object Invariants {
         .select(lit("rep_removed").as("reason"), col("removed_id"), col("rep_id"))
       val noEdge = removals.join(endpoints, Seq("removed_id"), "left_anti")
         .select(lit("no_incident_edge").as("reason"), col("removed_id"), col("rep_id"))
-      badOrder.unionByName(repRemoved).unionByName(noEdge)
-        .orderBy(col("reason"), col("removed_id"))
+      releasing(removals)(
+        badOrder.unionByName(repRemoved).unionByName(noEdge)
+          .orderBy(col("reason"), col("removed_id")))
     })
 }

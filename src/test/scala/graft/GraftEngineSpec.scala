@@ -583,6 +583,35 @@ class GraftEngineSpec extends SparkSpec {
       "a lower cap than the cached pass must force a fresh probe")
   }
 
+  test("Fold cap probe: over-cap key elsewhere does not doom filtered reads of healthy keys") {
+    val d = Files.createTempDirectory("graft-foldpartial")
+    // "hot" gets 3 values (over cap 2); "cool" gets 1 (healthy)
+    (1 to 3).foreach(i => writeJson(d, s"/h$i.json", "first" -> "hot", "second" -> i))
+    writeJson(d, "/c1.json", "first" -> "cool", "second" -> 9)
+    val dbH = new Graft(spark, root.resolve("state-foldpartial").toString)
+    dbH.define("folded", ViewDef("/*.json",
+      MapFn((v, m) => Seq(parseFirst(v) -> 1)),
+      Reduce.Fold((acc, _, _) => acc.map(_.asInstanceOf[Double] + 1).getOrElse(1.0))))
+    dbH.index(new DirArchive("dat://foldpartial", d.toString))
+    spark.conf.set("graft.fold.maxValuesPerKey", "2")
+    try {
+      // the full-state probe fails, but the per-kb fallback lets a point
+      // read of the under-cap key through
+      assert(dbH.getValue("folded", "cool") == Some(1.0))
+      // the hostile key itself still fails loudly
+      intercept[Exception](dbH.getValue("folded", "hot"))
+      // and so does an unfiltered list (it aggregates the hostile key)
+      intercept[Exception](dbH.list("folded").collect())
+      // a filtered-read pass is NOT cached as a whole-view pass: the
+      // next read must probe again (the cache would otherwise skip the
+      // cap check for the hostile key)
+      val runsBefore = dbH.foldProbeRuns
+      assert(dbH.getValue("folded", "cool") == Some(1.0))
+      assert(dbH.foldProbeRuns == runsBefore + 1,
+        "a fallback pass must not populate the whole-view probe cache")
+    } finally spark.conf.unset("graft.fold.maxValuesPerKey")
+  }
+
   test("materialized reduce: write-time folds track incremental re-index and retraction") {
     val d1 = Files.createTempDirectory("graft-mat-a")
     val d2 = Files.createTempDirectory("graft-mat-b")
