@@ -104,21 +104,27 @@ object IncrScale {
       drainBus()
       shuffleBytes.get()
     }
-    val paths: Seq[(String, (DataFrame, DataFrame, org.apache.spark.util.sketch.BloomFilter) => Long)] = Seq(
-      ("full", (c, b, _) => full(c, b)),
-      ("anti", (c, b, _) => queries.Dedup.incrementalExact(b, c).count()),
-      ("bloom", (c, b, f) => queries.Dedup.incrementalExactBloom(b, c, f).count()))
+    // the partitioned-index state is likewise corpus-side and pre-built
+    // (persisted beside the corpus at scale, rebuilt when the corpus is
+    // rewritten) — localCheckpointed so the timed probe never re-builds
+    val idx1 = queries.Dedup.corpusBloomIndex(c1, nBuckets = 64).localCheckpoint(true)
+    val idx4 = queries.Dedup.corpusBloomIndex(c4, nBuckets = 64).localCheckpoint(true)
+    val paths: Seq[(String, (DataFrame, DataFrame, org.apache.spark.util.sketch.BloomFilter, DataFrame) => Long)] = Seq(
+      ("full", (c, b, _, _) => full(c, b)),
+      ("anti", (c, b, _, _) => queries.Dedup.incrementalExact(b, c).count()),
+      ("bloom", (c, b, f, _) => queries.Dedup.incrementalExactBloom(b, c, f).count()),
+      ("bloomIdx", (c, b, _, i) => queries.Dedup.incrementalExactBloomIndexed(b, c, i).count()))
     paths.foreach { case (name, run) =>
-      run(c1, batch1, bloom1) // warm
-      val (r1, t1) = Timing.med3(run(c1, batch1, bloom1))
-      val (r4, t4) = Timing.med3(run(c4, batch4, bloom4))
-      val s1 = measureShuffle(run(c1, batch1, bloom1))
-      val s4 = measureShuffle(run(c4, batch4, bloom4))
+      run(c1, batch1, bloom1, idx1) // warm
+      val (r1, t1) = Timing.med3(run(c1, batch1, bloom1, idx1))
+      val (r4, t4) = Timing.med3(run(c4, batch4, bloom4, idx4))
+      val s1 = measureShuffle(run(c1, batch1, bloom1, idx1))
+      val s4 = measureShuffle(run(c4, batch4, bloom4, idx4))
       println(f"[incrscale] $name: corpus $small%d -> $r1 rows in $t1%.2f s (${s1 / 1024}%d KiB shuffled); " +
         f"corpus ${small * 4}%d -> $r4 rows in $t4%.2f s (${s4 / 1024}%d KiB shuffled); " +
         f"4x corpus = ${t4 / t1}%.2f x time, ${s4.toDouble / math.max(1L, s1)}%.2f x shuffle (median-of-3, batch $bSize%d fixed)")
     }
-    Seq(c1, c4, batch1, batch4).foreach(_.unpersist())
+    Seq(c1, c4, batch1, batch4, idx1, idx4).foreach(_.unpersist())
     spark.stop()
   }
 }

@@ -577,9 +577,12 @@ class Graft(val spark: SparkSession, val stateRoot: String,
 
   /** Driver-side `get` returning parsed values (multi-value for map
     * views, the fold for reduced views) — the reference's return shape.
+    * BOUNDED like [[listEntries]]: a map-view key with more than
+    * `graft.driverCollect.maxRows` values fails loudly instead of
+    * collecting them all (reduced views return one row and never trip).
     */
   def getValue(view: String, key: Any): Option[Any] = {
-    val rows = get(view, key).collect()
+    val rows = boundedCollect(get(view, key), s"getValue($view, $key)", s"get($view, key)")
     if (rows.isEmpty) None
     else viewDef(view).reduce match {
       case Some(_) => Some(Json.parse(rows(0).getAs[String]("value_json")))
@@ -628,11 +631,33 @@ class Graft(val spark: SparkSession, val stateRoot: String,
     limited.orderBy(ord: _*).select(col("key_json"), col("value_json"))
   }
 
-  /** Driver-side `list` returning parsed entries. */
+  /** Driver-side `list` returning parsed entries — BOUNDED: collects at
+    * most `graft.driverCollect.maxRows` rows (default 100k) and fails
+    * loudly past that, naming the escape hatches. The cap counts result
+    * ROWS (what occupies driver memory); `opts.limit` counts KEYS
+    * (reference view.js:73-82), so a limited read can still trip the cap
+    * if its keys flatten to more rows than fit.
+    */
   def listEntries(view: String, opts: ListOpts = ListOpts()): Seq[Entry] =
-    list(view, opts).collect().toSeq.map { r =>
-      Entry(Json.parse(r.getAs[String]("key_json")), Json.parse(r.getAs[String]("value_json")))
-    }
+    boundedCollect(list(view, opts), s"listEntries($view)", s"list($view)")
+      .map { r =>
+        Entry(Json.parse(r.getAs[String]("key_json")), Json.parse(r.getAs[String]("value_json")))
+      }
+
+  /** Collect with the driver-OOM guard: one extra row past the cap is
+    * fetched to distinguish "exactly cap" from "over cap".
+    */
+  private def boundedCollect(df: DataFrame, what: String, dfForm: String): Seq[Row] = {
+    val cap = spark.conf.getOption("graft.driverCollect.maxRows")
+      .map(_.toInt).getOrElse(Graft.defaultDriverCollectMax)
+    val rows = df.limit(cap + 1).collect()
+    if (rows.length > cap) throw new IllegalStateException(
+      s"$what would materialize more than $cap rows on the driver. " +
+        s"Page with ListOpts(limit=...), use the $dfForm DataFrame form " +
+        "(distributed, unbounded), or raise spark conf " +
+        "graft.driverCollect.maxRows.")
+    rows.toSeq
+  }
 
   // --- internals -----------------------------------------------------
 
@@ -1161,4 +1186,13 @@ object Graft {
     * and a safe executor-memory margin.
     */
   val defaultFoldCap: Int = 100000
+
+  /** Default row cap for the DRIVER-materializing convenience reads
+    * ([[Graft.listEntries]], [[Graft.getValue]]) — the one user-reachable
+    * driver OOM: an unlimited listEntries on a huge view would collect
+    * everything into the driver JVM. Override with spark conf
+    * `graft.driverCollect.maxRows`. The `list`/`get` DataFrame forms
+    * stay unbounded — distributing big results is Spark's job.
+    */
+  val defaultDriverCollectMax: Int = 100000
 }

@@ -353,13 +353,15 @@ object Dedup {
       .join(corpus.select(unhex(sha2(normText, 256)).as("h")), Seq("h"), "left_anti")
       .select(col("keep_id"), col("batch_dups"))
 
-  /** The corpus-digest bloom filter of the C30b path. At scale, build it
-    * when the corpus digest table is (re)written and persist it beside
-    * the data; per-increment work is then [[incrementalExactBloom]]
-    * alone. Pass `expectedItems` (from table metadata / the write-time
-    * row count) to size the filter in ONE corpus pass — when it's
-    * negative (the default), a counting scan runs first, i.e. the corpus
-    * is read twice.
+  /** The MONOLITHIC corpus-digest bloom filter of the C30b path — the
+    * small-corpus form: at 3% fpp the filter is ~7.3 bits/key, so it is
+    * driver-buildable and task-shippable up to ~1e9 keys (~0.9 GB); at
+    * 1e10 keys (100 TB of ~10 KB docs) it is a ~9 GB single object and
+    * the bucket-partitioned [[corpusBloomIndex]] is the right shape.
+    * Pass `expectedItems` (from table metadata / the write-time row
+    * count) to size the filter in ONE corpus pass — when it's negative
+    * (the default), a counting scan runs first, i.e. the corpus is read
+    * twice.
     */
   def corpusBloom(
       corpus: DataFrame, expectedItems: Long = -1L): org.apache.spark.util.sketch.BloomFilter = {
@@ -398,6 +400,118 @@ object Dedup {
       .distinct()
     val survived = bAgg.where(might)
       .join(broadcast(hits), Seq("h"), "left_anti")
+    definitelyNew.unionByName(survived)
+      .select(col("keep_id"), col("batch_dups"))
+  }
+
+  /** Counts filter deserializations in [[incrementalExactBloomIndexed]]
+    * — a LOCAL-MODE spec aid (single JVM), not a distributed metric:
+    * the per-bucket-probing claim is "one deserialization per touched
+    * bucket", and the spec pins it here.
+    */
+  private[graft] val bloomProbeDeserializations =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Bucket-PARTITIONED corpus bloom index — the extreme-scale form of
+    * [[corpusBloom]]: the monolithic filter at 1e10 keys (100 TB of
+    * ~10 KB docs) is a ~9 GB object built on ONE driver, embedded in
+    * the expression tree, and shipped with every task binary. Here the
+    * corpus digests bucket by `pmod(hl, nBuckets)` and each bucket gets
+    * its own exactly-sized filter, emitted as a ROW of a
+    * `(bucket, n_buckets, n_keys, bloom)` table: no single JVM ever
+    * holds more than one bucket's filter, and the table persists beside
+    * the corpus digest table ([[writeBloomIndex]]/[[readBloomIndex]] —
+    * partitioned by bucket, so a probe's static `isin` prunes to the
+    * touched buckets' FILES).
+    *
+    * The build is ONE corpus pass with no counting pre-scan and no
+    * `expectedItems` guess: the aggregation buffers each bucket's raw
+    * keys (native `collect_list`, bounded by ~corpus/nBuckets × 8 B —
+    * pick nBuckets so that fits a task comfortably; 4096 buckets at
+    * 1e10 keys is ~20 MB/task) and sizes the filter from the ACTUAL
+    * count at finish. The filter-constructing udf runs once per BUCKET,
+    * not per row — off the hot path by construction.
+    */
+  def corpusBloomIndex(
+      corpus: DataFrame, nBuckets: Int = 256, fpp: Double = 0.03): DataFrame = {
+    require(nBuckets > 0 && fpp > 0 && fpp < 1,
+      s"bad bloom index shape: nBuckets=$nBuckets fpp=$fpp")
+    val buildF = udf { keys: Seq[Long] =>
+      val f = org.apache.spark.util.sketch.BloomFilter.create(
+        math.max(1L, keys.length.toLong), fpp)
+      keys.foreach(f.putLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      f.writeTo(bos)
+      bos.toByteArray
+    }
+    corpus.select(xxhash64(normText).as("hl"))
+      .select(col("hl"), pmod(col("hl"), lit(nBuckets)).cast("int").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(collect_list(col("hl")).as("keys"))
+      .select(col("bucket"), lit(nBuckets).as("n_buckets"),
+        size(col("keys")).cast("long").as("n_keys"), buildF(col("keys")).as("bloom"))
+  }
+
+  /** Persist a [[corpusBloomIndex]] beside the corpus digest table,
+    * partitioned by bucket so the probe's touched-bucket pruning becomes
+    * file-level partition pruning.
+    */
+  def writeBloomIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  def readBloomIndex(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  /** [[incrementalExactBloom]] against a bucket-partitioned index —
+    * same EXACT output, no single-JVM filter. Per-increment plan: the
+    * batch aggregates its digests once and shuffles by bucket (both
+    * batch-scale); the index contributes ONLY the touched buckets
+    * (static `isin` collected driver-side, ≤ nBuckets ints — partition
+    * pruning against a persisted index, the IVF probed-cells pattern),
+    * each bucket's filter deserialized ONCE per increment, never per
+    * row; the might-positive sliver broadcasts into one corpus digest
+    * scan. The corpus never shuffles, false positives die in the exact
+    * `h` membership check, and a bucket absent from the index (no
+    * corpus key hashes there) contributes no candidates.
+    */
+  def incrementalExactBloomIndexed(
+      batch: DataFrame, corpus: DataFrame, index: DataFrame): DataFrame = {
+    val nb = index.select(col("n_buckets")).head(1).headOption
+      .map(_.getInt(0)).getOrElse(1) // empty index: every bucket misses
+    val bAgg = batch
+      .select(col("doc_id"), xxhash64(normText).as("hl"),
+        unhex(sha2(normText, 256)).as("h"))
+      .groupBy(col("h"), col("hl"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("batch_dups"))
+      .localCheckpoint(true)
+    val perBucket = bAgg
+      .select(col("hl"), pmod(col("hl"), lit(nb)).cast("int").as("bucket"))
+      .groupBy(col("bucket")).agg(collect_set(col("hl")).as("hls"))
+      .localCheckpoint(true)
+    val touched = perBucket.select(col("bucket")).collect().map(_.getInt(0)).toSeq
+    val probeF = udf { (bloom: Array[Byte], hls: Seq[Long]) =>
+      if (bloom == null) Seq.empty[Long]
+      else {
+        bloomProbeDeserializations.incrementAndGet()
+        val f = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bloom))
+        hls.filter(f.mightContainLong)
+      }
+    }
+    // the candidate (might-positive) key set: one row per touched
+    // bucket flows through probeF, then explodes back to keys.
+    // Materialized once — two consumers (the anti and semi joins below)
+    // would otherwise re-run the index join and re-deserialize filters
+    val cand = perBucket
+      .join(index.where(col("bucket").isin(touched: _*)), Seq("bucket"), "left")
+      .select(explode(probeF(col("bloom"), col("hls"))).as("hl"))
+      .localCheckpoint(true)
+    val definitelyNew = bAgg.join(broadcast(cand), Seq("hl"), "left_anti")
+    val mightRows = bAgg.join(broadcast(cand), Seq("hl"), "left_semi")
+    val hits = corpus.select(unhex(sha2(normText, 256)).as("h"))
+      .join(broadcast(mightRows.select(col("h"))), Seq("h"), "left_semi")
+      .distinct()
+    val survived = mightRows.join(broadcast(hits), Seq("h"), "left_anti")
     definitelyNew.unionByName(survived)
       .select(col("keep_id"), col("batch_dups"))
   }
@@ -679,18 +793,25 @@ object Dedup {
     },
 
     // C30b: the bloom-prefiltered form of C30 — same EXACT output (same
-    // oracle SQL gates both), different 100 TB plan. A driver-built bloom
-    // filter of the corpus digests (xxhash64 keys; ~7.3 bits/key at 3%
-    // fpp) splits the batch: bloom-NEGATIVE digests are definitely new
-    // and skip every join; only the bloom-positive sliver (true dups +
+    // oracle SQL gates both), different 100 TB plan. A bloom filter of
+    // the corpus digests (xxhash64 keys; ~7.3 bits/key at 3% fpp)
+    // splits the batch: bloom-NEGATIVE digests are definitely new and
+    // skip every join; only the bloom-positive sliver (true dups +
     // fpp·batch) probes the corpus — and because that sliver is small by
     // construction, it BROADCASTS into a semi-join against the corpus
     // scan, so the corpus is read once and NEVER shuffled (the plain C30
     // anti-join shuffles all corpus digests every increment; PlanSpec
     // asserts the zero-corpus-exchange shape). False positives die in the
     // exact membership check, so approximation never reaches the result.
-    // Assumes increments whose corpus overlap is bounded (the ingest
-    // norm); a replay-heavy batch should take the C30 path instead.
+    // The flagship runs the DEPLOYMENT shape: the bucket-partitioned
+    // corpusBloomIndex (no single-JVM filter, no counting pre-scan —
+    // per-bucket filters sized from actual counts in one corpus pass;
+    // at scale the index persists beside the corpus digest table and
+    // the per-increment plan scans the corpus ONCE — scan-count
+    // spec-pinned). The monolithic corpusBloom/incrementalExactBloom
+    // pair stays as the small-corpus form, equality-spec'd against this
+    // one. Assumes increments whose corpus overlap is bounded (the
+    // ingest norm); a replay-heavy batch should take the C30 path.
     Q("dedup_incremental_bloom",
       """WITH norm AS (
         |  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS k
@@ -705,7 +826,8 @@ object Dedup {
       val d = docs(s, dir)
       val corpus = d.where(pmod(col("doc_id"), lit(3)) =!= 0)
       val batch = d.where(pmod(col("doc_id"), lit(3)) === 0)
-      incrementalExactBloom(batch, corpus, corpusBloom(corpus))
+      incrementalExactBloomIndexed(batch, corpus,
+        corpusBloomIndex(corpus, nBuckets = 64))
         .orderBy(col("keep_id"))
     },
 

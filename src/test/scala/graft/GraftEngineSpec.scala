@@ -583,6 +583,34 @@ class GraftEngineSpec extends SparkSpec {
       "a lower cap than the cached pass must force a fresh probe")
   }
 
+  test("listEntries/getValue are driver-OOM bounded; DataFrame forms stay unbounded") {
+    val d = Files.createTempDirectory("graft-collectcap")
+    (1 to 5).foreach(i => writeJson(d, s"/c$i.json", "first" -> s"k$i", "second" -> i))
+    (1 to 5).foreach(i => writeJson(d, s"/m$i.json", "first" -> "multi", "second" -> i))
+    val dbC = new Graft(spark, root.resolve("state-collectcap").toString)
+    dbC.define("vals", ViewDef("/*.json",
+      MapFn((v, m) => Seq(parseFirst(v) -> 1))))
+    dbC.index(new DirArchive("dat://collectcap", d.toString))
+    spark.conf.set("graft.driverCollect.maxRows", "3")
+    try {
+      val e = intercept[IllegalStateException](dbC.listEntries("vals"))
+      assert(e.getMessage.contains("ListOpts(limit=") &&
+        e.getMessage.contains("graft.driverCollect.maxRows"),
+        s"failure must name the escape hatches, got: ${e.getMessage}")
+      // a key-limited read under the cap works (limit counts KEYS)
+      assert(dbC.listEntries("vals", ListOpts(limit = Some(2))).size >= 2)
+      // a hostile multi-value key trips getValue too
+      intercept[IllegalStateException](dbC.getValue("vals", "multi"))
+      // healthy point reads are unaffected
+      assert(dbC.getValue("vals", "k1") == Some(Vector(1.0)))
+      // the DataFrame forms stay unbounded — that's Spark's job
+      assert(dbC.list("vals").count() == 10L)
+      assert(dbC.get("vals", "multi").count() == 5L)
+    } finally spark.conf.unset("graft.driverCollect.maxRows")
+    // under the default cap everything collects
+    assert(dbC.listEntries("vals").size == 10)
+  }
+
   test("Fold cap probe: over-cap key elsewhere does not doom filtered reads of healthy keys") {
     val d = Files.createTempDirectory("graft-foldpartial")
     // "hot" gets 3 values (over cap 2); "cool" gets 1 (healthy)

@@ -270,9 +270,11 @@ class PlanSpec extends SparkSpec {
     // broadcast semi-join probe (and the survivors' anti-join broadcasts
     // the found-digest sliver) — a SortMergeJoin anywhere means a corpus
     // exchange crept back in, which is what the plain C30 form is for
+    // (the indexed form's per-bucket probe runs behind a localCheckpoint
+    // during construction, so it is not visible in this final plan — its
+    // one-deserialization-per-touched-bucket behavior is pinned in
+    // DedupAnnSpec's scan-count spec instead)
     val p = planOf("dedup_incremental_bloom", sf("sf0.01")).toString
-    assert(p.contains("graft_bloom_contains"),
-      s"bloom probe not in the plan (filter fell out?):\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"corpus side must join only by broadcast:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
