@@ -108,8 +108,14 @@ object AnnScale {
       }
       // reuse the ALREADY-BUILT coarse quantizer (`built`): re-training
       // a second one would both waste the Lloyd passes and leave the
-      // pruning cells below coupled to bit-identical retraining
-      val ivfpq = graft.queries.Ann.ivfPqBuild(built, m = 16, k = 32)
+      // pruning cells below coupled to bit-identical retraining.
+      // k=256 codes/subspace (the full one-byte range — same 16 B/vector
+      // encoded width as k=32): on this crowded corpus (n/50 near-tied
+      // members per cluster) the recall limiter is PQ quantization noise
+      // among near-ties, not cell coverage (IVF recall@5 is 1.00 above),
+      // so the fix is FINER codebooks, not more cells — k=32 measured
+      // recall@5 0.48 at n=200k, k=256 restores it (r5 verdict #3)
+      val ivfpq = graft.queries.Ann.ivfPqBuild(built, m = 16, k = 256)
       // cluster rows into their cell partition before writing: without
       // the repartition every one of the 32 writer tasks emits a file
       // into all 64 cell dirs — 2048 tiny files whose per-file overhead
@@ -127,7 +133,7 @@ object AnnScale {
       // members per cluster, so the exact top-5's PQ scores sit inside
       // the quantization noise of hundreds of neighbors — re-rank must
       // cover that margin (FAISS users tune exactly this knob)
-      val rr = math.max(200, (n / 250).toInt)
+      val rr = math.max(200, (n / 125).toInt) // ≤0.8% of corpus re-ranked
       val pqCells = graft.queries.Ann.ivfProbeCells(ivfpq.ivf, queries, p)
       def pqProbeOnDisk() = graft.queries.Ann.ivfPqProbe(spark,
         ivfpq.copy(encoded = spark.read.parquet(s"$dir/ivfpq_encoded")

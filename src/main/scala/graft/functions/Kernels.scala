@@ -211,6 +211,30 @@ object Kernels extends Serializable {
     c => f(c)
   }
 
+  /** Per-token hashing-trick bucket ids (2^20 space) for the
+    * weights-table classifier variant — the SAME token hash as
+    * [[tokenWeightStats]] (code-point positions, surrogate-aware), so a
+    * trained weights table keyed by bucket id drops in without
+    * re-hashing the corpus. Empty tokens produce no bucket.
+    */
+  val tokenBuckets: Column => Column = {
+    val f = udf { ws: Seq[String] =>
+      ws.iterator.filter(_.nonEmpty).map { t =>
+        var h = 0L
+        var i = 0  // code-point index
+        var ci = 0 // UTF-16 unit cursor
+        while (ci < t.length) {
+          val cp = t.codePointAt(ci)
+          h += cp.toLong * (1L + (131L * (i + 1)) % 997L)
+          ci += Character.charCount(cp)
+          i += 1
+        }
+        h % 1048576L
+      }.toArray
+    }
+    c => f(c)
+  }
+
   /** Deterministic ±1 plane component for (t, j, i) — the shared sign
     * function of [[hyperplaneSig]] and [[hyperplaneSigs]].
     */

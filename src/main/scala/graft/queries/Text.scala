@@ -44,6 +44,37 @@ object Text {
   private def hits(lang: String): Column =
     size(filter(words, w => w.isin(markers.toMap.apply(lang): _*)))
 
+  /** C31's classifier with a STORED weights table `(bucket: long,
+    * weight: long)` — the loadable-model form (r5 verdict #7): tokens
+    * bucket with the same hash as the hashing-trick kernel
+    * ([[graft.functions.Kernels.tokenBuckets]]), bucket weights come
+    * from a broadcast left join (a trained fastText-style vocab is
+    * ~1-2M buckets ≈ tens of MB — broadcastable; switch to a shuffle
+    * join on bucket if a model ever outgrows that), absent buckets
+    * score 0, keep = score >= 0. Docs whose every token is empty carry
+    * no buckets and drop, matching the hashed form's n_tokens > 0.
+    */
+  def qualityClassifierWeighted(d: DataFrame, weights: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        explode(graft.functions.Kernels.tokenBuckets(words)).as("bucket"))
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("weight"), lit(0L))).as("score"))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        when(col("score") >= 0, lit(1L)).otherwise(lit(0L)).as("keep"))
+
+  /** A deterministic SPARSE stand-in for a trained weights table: every
+    * 7th bucket carries the same affine weight the hashed classifier
+    * derives in-kernel, the rest are absent (a trained vocab covers a
+    * subset of the 2^20 bucket space). Swapping in real trained weights
+    * is a DataFrame substitution — none of the query plumbing changes.
+    */
+  def demoWeights(s: SparkSession): DataFrame =
+    s.range(0, 1L << 20).where(pmod(col("id"), lit(7)) === 0)
+      .select(col("id").as("bucket"),
+        (pmod(col("id") * lit(2654435761L), lit(2003L)) - lit(1001L)).as("weight"))
+
   val all: Seq[Q] = Seq(
 
     // C9: n-gram/stopword-heuristic language ID — marker hits per
@@ -790,6 +821,44 @@ object Text {
         .where(col("n_tokens") > 0) // all-empty docs don't tokenize in the oracle
         .select(col("doc_id"), col("n_tokens"), col("score"),
           when(col("score") >= 0, lit(1L)).otherwise(lit(0L)).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C31b: the classifier with a REAL (stored, sparse) weights table —
+    // the deployment shape for a TRAINED model: the corpus explodes to
+    // (doc_id, bucket) pairs at scan speed, the weights table broadcasts
+    // into a left join (absent bucket = weight 0), and the per-doc sum
+    // aggregates map-side before the one doc_id shuffle. The oracle
+    // regenerates the identical sparse table relationally and joins it
+    // the same way, so the full token→bucket→stored-weight→score path
+    // is hash-gated — C31 gates the hashing-trick scorer, this gates
+    // the model-lookup plumbing a trained fastText-style table drops
+    // into (Text.demoWeights is a DataFrame substitution away).
+    Q("text_quality_classifier_weights",
+      """WITH w AS (
+        |  SELECT range AS bucket,
+        |         ((range * 2654435761) % 2003) - 1001 AS weight
+        |  FROM range(1048576) WHERE range % 7 = 0),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS j
+        |  FROM documents),
+        |chars AS (
+        |  SELECT doc_id, j, ascii(unnest(string_split(tok, ''))) AS a,
+        |         generate_subscripts(string_split(tok, ''), 1) AS i
+        |  FROM toks WHERE len(tok) > 0),
+        |th AS (
+        |  SELECT doc_id, j, (sum(a * (1 + (131 * i) % 997)) % 1048576) AS hh
+        |  FROM chars GROUP BY doc_id, j),
+        |sc AS (
+        |  SELECT th.doc_id, count(*) AS n_tokens,
+        |         sum(coalesce(w.weight, 0)) AS score
+        |  FROM th LEFT JOIN w ON th.hh = w.bucket GROUP BY th.doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(score AS BIGINT) AS score,
+        |  CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      qualityClassifierWeighted(docs(s, dir), demoWeights(s))
         .orderBy(col("doc_id"))
     },
 

@@ -26,6 +26,31 @@ class DedupAnnSpec extends SparkSpec {
     assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
   }
 
+  test("C31b weights-table classifier == hashed classifier under the FULL weight table") {
+    // the weights path must be a pure mechanism change: handing it a
+    // DENSE table carrying exactly the weight the hashed kernel derives
+    // per bucket must reproduce C31's output row for row
+    val dir = sf("sf0.01")
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val full = spark.range(0, 1L << 20)
+      .select(col("id").as("bucket"),
+        (pmod(col("id") * lit(2654435761L), lit(2003L)) - lit(1001L)).as("weight"))
+    val viaTable = Text.qualityClassifierWeighted(
+        spark.read.parquet(s"$dir/documents.parquet"), full)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val hashed = q("text_quality_classifier", dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(hashed.nonEmpty && viaTable == hashed,
+      s"diff=${(hashed.toSet diff viaTable.toSet).take(3)} / ${(viaTable.toSet diff hashed.toSet).take(3)}")
+    // and the sparse demo table must actually diverge (the gate would
+    // otherwise be re-gating C31 under a different name)
+    val sparse = Text.qualityClassifierWeighted(
+        spark.read.parquet(s"$dir/documents.parquet"), Text.demoWeights(spark))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(sparse.exists { case (id, s) => hashed.get(id).exists(_._2 != s) },
+      "sparse weights produced identical scores — not a distinct operator")
+  }
+
   test("C5 simhash blocked join == brute-force hamming<=3 pairs") {
     val dir = sf("sf0.01")
     val sigs = Dedup.simhashSignatures(spark.read.parquet(s"$dir/documents.parquet"))
