@@ -120,6 +120,47 @@ object ScaleSmoke {
     println(f"[scale] range list limit=1000 -> $n1 rows in $tList%.2f s; reduced list -> $counts keys in $tRed%.2f s")
     println(f"[scale] reduced list, MATERIALIZED (folds) -> $countsM keys in $tRedM%.2f s (read-time fold was $tRed%.2f s)")
     println(f"[scale] compact(by-lang-size): $filesBefore -> $filesAfter parquet files in $tCompact%.1f s; same range list $tListAfter%.2f s (was $tList%.2f s)")
+
+    // --- watch-mode breadth: N origins under continuous watch --------
+    // (r5 verdict #8) ten directories watched concurrently by ONE
+    // engine, files landing in all of them after the watches start —
+    // the multi-archive daily shape. Reported figure: ingested
+    // entries/s from first write to convergence, watch-driven end to
+    // end (poll tick → listing diff → merge pass → readable state).
+    val wOrigins = 10
+    val wFiles = sys.env.getOrElse("SPARK_GRAFT_SMOKE_WATCH_FILES", "100").toInt
+    val wdb = new Graft(spark,
+      java.nio.file.Files.createTempDirectory("graft-scale-watch-state").toString)
+    wdb.define("w-count", ViewDef(Seq("/*.json"), MapDF { files =>
+      val parsed = files.withColumn("j", from_json(col("value"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType)))))
+      GraftFunctions.emitEntry(parsed, Seq(col("j.k")), lit(1))
+    }, Some(Reduce.Count)))
+    val wDirs = (0 until wOrigins).map(i =>
+      java.nio.file.Files.createTempDirectory(s"graft-scale-watch-$i"))
+    (0 until wOrigins).foreach(i =>
+      wdb.watch(new DirArchive(s"dat://smoke-watch-$i", wDirs(i).toString),
+        "300 milliseconds"))
+    val tw0 = System.nanoTime()
+    wDirs.zipWithIndex.foreach { case (d, i) =>
+      (0 until wFiles).foreach { f =>
+        java.nio.file.Files.writeString(d.resolve(f"$f%05d.json"),
+          s"""{"k":"o$i"}""")
+      }
+    }
+    def countOf(i: Int): Double =
+      try wdb.getValue("w-count", s"o$i").map(_.asInstanceOf[Double]).getOrElse(0.0)
+      catch { case _: Throwable => -1.0 } // read racing an overwrite: retry
+    def converged(): Boolean = (0 until wOrigins).forall(i => countOf(i) == wFiles.toDouble)
+    val wDeadline = System.currentTimeMillis() + 600000
+    while (!converged() && System.currentTimeMillis() < wDeadline) Thread.sleep(200)
+    val tWatch = (System.nanoTime() - tw0) / 1e9
+    require(converged(), "watch ingestion did not converge within 600 s; " +
+      s"per-origin counts: ${(0 until wOrigins).map(countOf).mkString(",")}")
+    println(f"[scale] watch: $wOrigins origins x $wFiles files each under continuous watch " +
+      f"converged in $tWatch%.1f s (${wOrigins * wFiles / tWatch}%.0f entries/s end-to-end)")
+    wdb.close()
     spark.stop()
   }
 }

@@ -187,14 +187,20 @@ object Events {
     // — batch/stream parity checked by the driver, not just a spec.
     Q("q20s_stream_window",
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
-        |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
+        |  event_type, count(*) AS n,
+        |  CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS total_value
         |FROM events GROUP BY 1, 2
         |ORDER BY hour_bucket, event_type""".stripMargin) { (s, dir) =>
+      // exact integer cents in the streaming state too (same Fixed
+      // discipline as batch q20 — the oracles are twins and must stay
+      // in lockstep)
       streamEventsToCompleteSink(s, dir, "q20s_sink_") { src =>
         src.groupBy(
             date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour_bucket"),
             col("event_type"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+          .agg(count(lit(1)).as("n"),
+            (sum(round(col("value") * 100, 0).cast("long")).cast("double") / 100.0)
+              .as("total_value"))
       }.orderBy(col("hour_bucket"), col("event_type"))
     },
 

@@ -26,3 +26,32 @@ object Q {
   def noOracle(name: String)(run: (SparkSession, String) => DataFrame): Q =
     Q(name, run, None)
 }
+
+/** Exact fixed-point arithmetic for money/quantity aggregates — the
+  * scale-proof form of the "round to 4 decimals" discipline. The sf1
+  * sweep (10x gate scale) caught `round(sum(double), 4)` flipping a
+  * rounding boundary on a ~5e10 sum (q14: Spark ...111.3499 vs DuckDB
+  * ...111.35): at that magnitude the accumulated summation-order noise
+  * of millions of adds reaches the 4th decimal, and no presentation
+  * rounding can mask it — at 100 TB every such sum would sit on a coin
+  * flip. Fix: the 2-decimal source columns become exact integer cents
+  * BEFORE aggregation (round kills the float representation error, the
+  * cast makes the sum exact and order-free), and presentation divides
+  * the one exact integer by the scale factor — both engines perform the
+  * identical IEEE op on the identical integer. SQL twins (keep in
+  * lockstep; CAST sums to BIGINT — DuckDB sum(BIGINT) is HUGEINT and
+  * stringifies differently):
+  *   cents:    CAST(round(x * 100) AS BIGINT)
+  *   present:  CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / scale.0
+  */
+private[queries] object Fixed {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** A 2-decimal double column as exact integer cents. */
+  def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** Present an exact integer sum at `scale` fixed decimals as double. */
+  def asDouble(sumCol: Column, scale: Long): Column =
+    sumCol.cast("double") / scale.toDouble
+}

@@ -25,25 +25,35 @@ object Relational {
   val all: Seq[Q] = Seq(
 
     // B1: TPC-H Q1-style flat aggregation; partial agg map-side, one shuffle.
+    // Money math in exact integer fixed point ([[Fixed]]): price cents ×
+    // integer discount/tax percents sum as longs (order-free, exact),
+    // presentation divides the one exact integer — the sf1 sweep showed
+    // round(sum(double)) flipping rounding boundaries at 10x gate scale.
     Q("q01_agg",
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 4) AS sum_qty,
-        |  round(sum(l_extendedprice), 4) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-        |  round(sum(l_quantity), 4) / count(*) AS avg_qty,
+        |  CAST(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sum_base_price,
+        |  CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |    * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_charge,
+        |  CAST(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE) / count(*) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      val priceC = Fixed.cents(col("l_extendedprice"))
+      val discP = lit(100L) - Fixed.cents(col("l_discount"))
+      val taxP = lit(100L) + Fixed.cents(col("l_tax"))
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          r4(sum(col("l_quantity"))).as("sum_qty"),
-          r4(sum(col("l_extendedprice"))).as("sum_base_price"),
-          r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
-          r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
-          (r4(sum(col("l_quantity"))) / count(lit(1))).as("avg_qty"),
+          Fixed.asDouble(sum(col("l_quantity").cast("long")), 1L).as("sum_qty"),
+          Fixed.asDouble(sum(priceC), 100L).as("sum_base_price"),
+          Fixed.asDouble(sum(priceC * discP), 10000L).as("sum_disc_price"),
+          Fixed.asDouble(sum(priceC * discP * taxP), 1000000L).as("sum_charge"),
+          (Fixed.asDouble(sum(col("l_quantity").cast("long")), 1L) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
@@ -65,7 +75,9 @@ object Relational {
 
     // B3: fact joins two broadcast dims; no shuffle on the dim side.
     Q("q03_join_broadcast",
-      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      """SELECT n_name,
+        |  CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS DOUBLE) / 10000.0 AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -76,7 +88,9 @@ object Relational {
         .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        .agg(Fixed.asDouble(sum(
+            Fixed.cents(col("l_extendedprice")) * (lit(100L) - Fixed.cents(col("l_discount")))),
+            10000L).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))
     },
@@ -84,7 +98,7 @@ object Relational {
     // B4: star join orders→customer→nation→region, all dims broadcast.
     Q("q04_star_join",
       """SELECT r_name, n_name, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 4) AS total_price
+        |  CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS total_price
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -96,7 +110,8 @@ object Relational {
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n_orders"), r4(sum(col("o_totalprice"))).as("total_price"))
+        .agg(count(lit(1)).as("n_orders"),
+          Fixed.asDouble(sum(Fixed.cents(col("o_totalprice"))), 100L).as("total_price"))
         .orderBy(col("r_name"), col("n_name"))
     },
 
@@ -226,15 +241,20 @@ object Relational {
     // B14: CASE WHEN / conditional aggregation.
     Q("q14_case_when",
       """SELECT l_linestatus,
-        |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END), 4) AS returned_price,
-        |  round(sum(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice ELSE 0 END), 4) AS kept_price
+        |  CAST(CAST(sum(CASE WHEN l_returnflag = 'R'
+        |    THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS DOUBLE) / 100.0 AS returned_price,
+        |  CAST(CAST(sum(CASE WHEN l_returnflag <> 'R'
+        |    THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS DOUBLE) / 100.0 AS kept_price
         |FROM lineitem GROUP BY l_linestatus
         |ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      val priceC = Fixed.cents(col("l_extendedprice"))
       t(s, dir, "lineitem")
         .groupBy(col("l_linestatus"))
         .agg(
-          r4(sum(when(col("l_returnflag") === "R", col("l_extendedprice")).otherwise(0.0))).as("returned_price"),
-          r4(sum(when(col("l_returnflag") =!= "R", col("l_extendedprice")).otherwise(0.0))).as("kept_price"))
+          Fixed.asDouble(sum(when(col("l_returnflag") === "R", priceC).otherwise(0L)), 100L)
+            .as("returned_price"),
+          Fixed.asDouble(sum(when(col("l_returnflag") =!= "R", priceC).otherwise(0L)), 100L)
+            .as("kept_price"))
         .orderBy(col("l_linestatus"))
     },
 
@@ -255,12 +275,14 @@ object Relational {
     Q("q16_rollup",
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
-        |  count(*) AS cnt, round(sum(l_quantity), 4) AS sum_qty
+        |  count(*) AS cnt,
+        |  CAST(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("cnt"), r4(sum(col("l_quantity"))).as("sum_qty"))
+        .agg(count(lit(1)).as("cnt"),
+          Fixed.asDouble(sum(col("l_quantity").cast("long")), 1L).as("sum_qty"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
           col("cnt"), col("sum_qty"))
@@ -310,26 +332,30 @@ object Relational {
     Q("q19_date_funcs",
       """SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
         |  CAST(extract(month FROM o_orderdate) AS BIGINT) AS o_month,
-        |  count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+        |  count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS total
         |FROM orders GROUP BY 1, 2
         |ORDER BY o_year, o_month""".stripMargin) { (s, dir) =>
       t(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
           month(col("o_orderdate")).cast("long").as("o_month"))
-        .agg(count(lit(1)).as("n_orders"), r4(sum(col("o_totalprice"))).as("total"))
+        .agg(count(lit(1)).as("n_orders"),
+          Fixed.asDouble(sum(Fixed.cents(col("o_totalprice"))), 100L).as("total"))
         .orderBy(col("o_year"), col("o_month"))
     },
 
     // B20: time-bucketed event aggregation (batch form of the streaming D1).
     Q("q20_events_window",
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
-        |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
+        |  event_type, count(*) AS n,
+        |  CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS total_value
         |FROM events GROUP BY 1, 2
         |ORDER BY hour_bucket, event_type""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour_bucket"),
           col("event_type"))
-        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("total_value"))
+        .agg(count(lit(1)).as("n"),
+          Fixed.asDouble(sum(Fixed.cents(col("value"))), 100L).as("total_value"))
         .orderBy(col("hour_bucket"), col("event_type"))
     },
 
@@ -343,7 +369,7 @@ object Relational {
     // null-like sentinel key carrying 30% of a corpus).
     Q("q29_salted_join",
       """SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n,
-        |  round(CAST(sum(o.o_totalprice) AS DOUBLE), 2) AS total
+        |  CAST(CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS total
         |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       val dims = t(s, dir, "customer")
@@ -352,7 +378,8 @@ object Relational {
         .join(t(s, dir, "orders"), dims, "o_custkey", salts = 8,
           ordinal = Some(col("o_orderkey")))
         .groupBy(col("c_mktsegment").as("segment"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .agg(count(lit(1)).as("n"),
+          Fixed.asDouble(sum(Fixed.cents(col("o_totalprice"))), 100L).as("total"))
         .orderBy(col("segment"))
     },
 
@@ -365,7 +392,8 @@ object Relational {
     Q("q30_grouping_sets",
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
-        |  count(*) AS cnt, round(sum(l_quantity), 4) AS sum_qty
+        |  count(*) AS cnt,
+        |  CAST(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
         |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
@@ -373,7 +401,8 @@ object Relational {
       s.sql(
         """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
           |  coalesce(l_linestatus, 'ALL') AS linestatus,
-          |  count(*) AS cnt, round(sum(l_quantity), 4) AS sum_qty
+          |  count(*) AS cnt,
+          |  CAST(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE) AS sum_qty
           |FROM lineitem
           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
           |ORDER BY returnflag, linestatus""".stripMargin)

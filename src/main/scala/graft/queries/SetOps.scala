@@ -43,15 +43,18 @@ object SetOps {
     Q("q27_sql_api",
       """SELECT n_name,
         |  count(*) AS n_customers,
-        |  round(sum(c_acctbal), 4) AS total_bal
+        |  CAST(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS total_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+      // exact integer cents (Fixed discipline; c_acctbal is signed —
+      // round() is away-from-zero in BOTH engines, and 2-decimal inputs
+      // never land on a .5 cent anyway)
       Tables(s, dir, "customer").createOrReplaceTempView("customer")
       Tables(s, dir, "nation").createOrReplaceTempView("nation")
       s.sql(
         """SELECT n_name,
           |  count(*) AS n_customers,
-          |  round(sum(c_acctbal), 4) AS total_bal
+          |  CAST(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS total_bal
           |FROM customer JOIN nation ON c_nationkey = n_nationkey
           |GROUP BY n_name ORDER BY n_name""".stripMargin)
     },

@@ -383,6 +383,71 @@ class StreamingSpec extends SparkSpec {
     } finally db.close()
   }
 
+  test("A4: ten watched origins — interleaved edits/deletes, per-origin retraction isolation, idempotent replay") {
+    // the reference's multi-archive daily shape (indexer.js:67): N
+    // archives watched by ONE engine, each indexing independently. The
+    // claims under test: (1) a change in origin i retracts/updates ONLY
+    // origin i's entries (partition isolation by ob=); (2) replaying an
+    // UNCHANGED origin through index() is a no-op (fversion diff), never
+    // a duplication; (3) all ten watch loops stay live through
+    // interleaved edits, deletes, and appends.
+    val N = 10
+    val stateRoot = Files.createTempDirectory("graft-watch10-state")
+    val schema = StructType(Seq(
+      StructField("first", StringType), StructField("second", LongType)))
+    val db = new Graft(spark, stateRoot.toString)
+    db.define("m", ViewDef(Seq("/*.json"), MapDF { files =>
+      val parsed = files.withColumn("j", from_json(col("value"), schema))
+      GraftFunctions.emitEntry(parsed, Seq(col("j.first")), col("j.second"))
+    }, None))
+    val dirs = (0 until N).map(i => Files.createTempDirectory(s"graft-watch10-$i"))
+    dirs.zipWithIndex.foreach { case (d, i) =>
+      writeFile(d, "a.json", Seq(s"""{"first":"o$i","second":${i * 100 + 1}}"""))
+      writeFile(d, "b.json", Seq(s"""{"first":"o$i","second":${i * 100 + 2}}"""))
+    }
+    // the reference's one-call form: synchronous initial build, then the
+    // watch loop owns the origin (index.js:127-141) — ten live watches
+    (0 until N).foreach(i =>
+      db.index(new DirArchive(s"dat://multi-$i", dirs(i).toString), watch = true))
+    try {
+      (0 until N).foreach { i =>
+        assert(db.getValue("m", s"o$i") ==
+          Some(Vector((i * 100 + 1).toDouble, (i * 100 + 2).toDouble)),
+          s"initial synchronous build of origin $i")
+      }
+      // interleave one mutation per origin while all ten watches run:
+      // edit a (i%3==0), delete b (i%3==1), append c (i%3==2)
+      (0 until N).foreach { i =>
+        if (i % 3 == 0)
+          editFile(dirs(i), "a.json", Seq(s"""{"first":"o$i","second":${i * 100 + 11}}"""))
+        else if (i % 3 == 1) Files.delete(dirs(i).resolve("b.json"))
+        else writeFile(dirs(i), "c.json", Seq(s"""{"first":"o$i","second":${i * 100 + 3}}"""))
+      }
+      def expected(i: Int): Vector[Double] =
+        if (i % 3 == 0) Vector(i * 100 + 11.0, i * 100 + 2.0) // a edited, b kept
+        else if (i % 3 == 1) Vector(i * 100 + 1.0)            // b retracted
+        else Vector(i * 100 + 1.0, i * 100 + 2.0, i * 100 + 3.0)
+      // ten watchers converge concurrently; generous deadline — the
+      // merge passes serialize through the engine and share the host
+      (0 until N).foreach { i =>
+        eventually(180000)(db.getValue("m", s"o$i") == Some(expected(i)))
+      }
+      // ISOLATION is the converged state itself: every origin's value
+      // vector is exactly its own files' — no cross-origin retraction
+      // took a neighbor's entries, no cross-origin replay duplicated any
+      // (each origin's expected vector is checked above post-mutation).
+      // Idempotent replay: a forced synchronous re-index of every
+      // UNCHANGED origin must change nothing (fversion diff short-circuit)
+      (0 until N).foreach(i => db.index(new DirArchive(s"dat://multi-$i", dirs(i).toString)))
+      (0 until N).foreach { i =>
+        assert(db.getValue("m", s"o$i") == Some(expected(i)),
+          s"replaying unchanged origin $i must be a no-op")
+      }
+      assert((0 until N).forall(i => db.isWatching(s"dat://multi-$i")),
+        "all ten watch loops must still be live")
+    } finally db.close()
+  }
+
   test("A4: watch survives a missing archive dir and reports found/missing") {
     val parent = Files.createTempDirectory("graft-watch3-parent")
     val watched = parent.resolve("arch")
