@@ -25,8 +25,12 @@ object Bench {
     */
   private def parseBaselines(): Map[String, Double] = {
     try {
-      val text = new String(java.nio.file.Files.readAllBytes(
+      val full = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("BASELINE.md")), "UTF-8")
+      // Baselines of record are sf0.1 — everything below the "## sf1"
+      // sentinel heading is the 10x-scale record and must NOT override
+      // the sf0.1 medians this parser feeds to the suspect-rerun pass.
+      val text = full.split("\n## sf1", 2)(0)
       val name = "^[A-Za-z][A-Za-z0-9_]*$".r
       val fromTables = text.linesIterator.filter(_.trim.startsWith("|")).flatMap { ln =>
         ln.split("\\|").map(_.trim).filter(_.nonEmpty).grouped(2).flatMap {

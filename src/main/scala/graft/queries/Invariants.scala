@@ -241,5 +241,17 @@ object Invariants {
       releasing(removals)(
         badOrder.unionByName(repRemoved).unionByName(noEdge)
           .orderBy(col("reason"), col("removed_id")))
+    },
+
+    // Misra-Gries heavy-hitter merge guarantees vs exact counts:
+    // every candidate's exact count sits in [cnt_lo, cnt_hi], and every
+    // word whose exact count exceeds the merged decrement total D is
+    // present in the candidate set (both theorems of the summary
+    // construction — see Tokenizer scaladoc). The gate pays the exact
+    // vocabulary shuffle so production scale doesn't have to.
+    Q("inv_heavy_hitters_bounded",
+      """SELECT CAST(NULL AS VARCHAR) AS word, CAST(NULL AS BIGINT) AS exact
+        |WHERE 1=0""".stripMargin) { (s, dir) =>
+      Tokenizer.heavyHitterViolations(s, dir)
     })
 }

@@ -259,14 +259,23 @@ object Relational {
     },
 
     // B15: scalar subquery → broadcast one-row agg, joined with a cross join.
+    // The `price > avg(price)` threshold is taken in exact integer space
+    // (price_cents * n > sum_cents — the division-free restatement; see
+    // Fixed): avg() over a scale-growing table carries summation-order
+    // noise in its last ulps, so a boundary part could flip between
+    // engines at 100 TB even though presentation rounding hides it here.
     Q("q15_scalar_subquery",
       """SELECT p_partkey, p_name, p_retailprice FROM part
-        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        |WHERE CAST(round(p_retailprice * 100) AS BIGINT)
+        |      * (SELECT count(*) FROM part)
+        |    > (SELECT sum(CAST(round(p_retailprice * 100) AS BIGINT)) FROM part)
         |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
       val part = t(s, dir, "part")
-      val avgPrice = part.agg(avg(col("p_retailprice")).as("avg_price"))
-      part.join(broadcast(avgPrice))
-        .filter(col("p_retailprice") > col("avg_price"))
+      val stats = part.agg(
+        sum(Fixed.cents(col("p_retailprice"))).as("sum_cents"),
+        count(lit(1)).as("n_parts"))
+      part.join(broadcast(stats))
+        .filter(Fixed.cents(col("p_retailprice")) * col("n_parts") > col("sum_cents"))
         .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
         .orderBy(col("p_partkey"))
     },

@@ -1,0 +1,293 @@
+package graft.queries
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Tokenizer-training operators over the `documents` table: the two
+  * corpus-scale steps of building a subword tokenizer for an LLM data
+  * pipeline.
+  *
+  *  1. HEAVY HITTERS (`text_vocab_topk_approx`): the bounded-memory form
+  *     of C14's exact vocabulary count. The exact form shuffles one row
+  *     per DISTINCT word — at 100 TB the long tail of typos/URLs/ids
+  *     makes that billions of rows moving for a top-k answer. Here each
+  *     input partition runs a Misra-Gries summary with M counters
+  *     (mapPartitions, O(M) memory regardless of partition size), and
+  *     the per-partition summaries merge RELATIONALLY: shuffle volume is
+  *     #partitions x M rows, independent of vocabulary size. Mergeable
+  *     deterministic bounds come with the summary (Agarwal et al.,
+  *     "Mergeable Summaries", PODS'12):
+  *       lower(w) = sum over partitions of est_p(w)      <= true(w)
+  *       upper(w) = lower(w) + D,  D = sum of d_p        >= true(w)
+  *     where d_p counts partition p's Misra-Gries decrement rounds
+  *     (d_p <= N_p/(M+1)), because a word absent from p's summary has
+  *     true_p(w) <= d_p and a present one has true_p(w) <= est_p + d_p.
+  *     Contrapositive: true(w) > D  =>  w appears in the merged
+  *     candidate set. `inv_heavy_hitters_bounded` drives both facts
+  *     through the driver gate against the exact counts.
+  *
+  *  2. BPE MERGE TRAINING (`Tokenizer.bpeTrain` + `text_bpe_pairs` /
+  *     `text_bpe_merges`): byte-pair-encoding merge learning in the
+  *     shape that scales — the corpus is touched ONCE to build the
+  *     (word, freq) vocabulary table (the same partial-aggregated scan
+  *     as C14), then every merge iteration runs over that bounded table
+  *     only: count adjacent symbol pairs weighted by freq, take the
+  *     global argmax (cnt desc, pair asc — deterministic), rewrite the
+  *     symbol arrays, repeat. k iterations = k jobs over vocab-sized
+  *     data, never k corpus scans. `text_bpe_pairs` (iteration 0's pair
+  *     count) is oracle-gated in DuckDB; the merge LOOP is pinned by
+  *     BpeSpec on a corpus with hand-computable merges and registered
+  *     as the rows-only `text_bpe_merges`.
+  *
+  * Tokens are restricted to `[a-z]+` in both engines (lowercase ASCII
+  * words) so substring/length semantics can never diverge on code-point
+  * vs grapheme counting between Spark and DuckDB.
+  */
+object Tokenizer {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  private val words: Column = split(col("text"), " ")
+
+  /** Misra-Gries summary size per partition (counters). The merged
+    * upper-lower gap is D = sum d_p <= N/(M+1): at gate scale (~5e5
+    * words over 32 partitions) the bound is tight enough that the true
+    * top-20 words (Zipf head) all clear it comfortably.
+    */
+  val MgCounters = 1024
+
+  /** Per-partition Misra-Gries over the exploded word stream.
+    * Emits the M surviving (word, est) rows per partition plus ONE
+    * sentinel row (null, d_p) carrying the partition's decrement count.
+    * Deterministic for a fixed file layout: parquet splits and in-file
+    * row order are stable, and the algorithm is sequential per
+    * partition.
+    */
+  private[graft] def mgSummaries(wordsDs: DataFrame, m: Int): DataFrame = {
+    val s = wordsDs.sparkSession
+    import s.implicits._
+    wordsDs.select(col("w")).as[String].mapPartitions { it =>
+      val counts = mutable.HashMap.empty[String, Long]
+      var d = 0L
+      it.foreach { w =>
+        counts.get(w) match {
+          case Some(c) => counts.update(w, c + 1)
+          case None if counts.size < m => counts.update(w, 1L)
+          case None =>
+            // decrement-all round: the new word and every counter lose 1
+            // (the new word's 1 cancels to absence). Amortized O(1)/token:
+            // each round removes >= m+1 total count, and total count only
+            // grows 1 per token.
+            d += 1
+            val dead = mutable.ArrayBuffer.empty[String]
+            counts.foreach { case (k, c) =>
+              if (c == 1L) dead += k else counts.update(k, c - 1)
+            }
+            dead.foreach(counts.remove)
+        }
+      }
+      counts.iterator.map { case (w, est) => (w, est) } ++
+        Iterator((null: String, d))
+    }.toDF("w", "n")
+  }
+
+  /** Merged heavy-hitter table: (word, cnt_lo, cnt_hi) for the top-k
+    * candidates by deterministic (cnt_lo desc, word asc) order. cnt_lo
+    * <= true count <= cnt_hi always; any word with true count > (the
+    * shared cnt_hi - cnt_lo gap) is guaranteed to be a candidate.
+    */
+  def approxVocabTopK(s: SparkSession, dir: String, k: Int, m: Int = MgCounters): DataFrame =
+    approxTopKFromWords(
+      docs(s, dir).select(explode(words).as("w")).where(col("w") =!= ""), k, m)
+
+  /** The summary-merge pipeline over an explicit word column — also the
+    * unit TokenizerSpec measures shuffle volume on.
+    */
+  private[graft] def approxTopKFromWords(w: DataFrame, k: Int, m: Int): DataFrame = {
+    // two consumers (D + candidates) — localCheckpoint the tiny summary
+    // table (#partitions x (M+1) rows) so the corpus scan runs ONCE;
+    // blocks are freed with the plan reference (ContextCleaner)
+    val summaries = mgSummaries(w, m).localCheckpoint(true)
+    // D is a one-row broadcast; the candidate merge shuffles only
+    // #partitions x M summary rows, never the vocabulary. The final
+    // top-k is TakeOrdered (per-partition heads to the driver), not a
+    // global sort exchange.
+    val dTotal = summaries.where(col("w").isNull).agg(sum(col("n")).as("d"))
+    summaries.where(col("w").isNotNull)
+      .groupBy(col("w")).agg(sum(col("n")).as("cnt_lo"))
+      .crossJoin(broadcast(dTotal))
+      .select(col("w").as("word"), col("cnt_lo"),
+        (col("cnt_lo") + coalesce(col("d"), lit(0L))).as("cnt_hi"))
+      .orderBy(col("cnt_lo").desc, col("word"))
+      .limit(k)
+  }
+
+  /** Violations of the Misra-Gries merge guarantees vs the EXACT counts
+    * (recomputed at gate time — gate scale pays the exact shuffle so
+    * production scale doesn't have to):
+    *   (a) a reported candidate whose exact count falls outside
+    *       [cnt_lo, cnt_hi];
+    *   (b) a word with exact count > D missing from the candidate set.
+    * Both are theorems of the summary construction, so the violation
+    * set is empty for any correct implementation.
+    */
+  def heavyHitterViolations(s: SparkSession, dir: String): DataFrame = {
+    val w = docs(s, dir).select(explode(words).as("w")).where(col("w") =!= "")
+    val summaries = mgSummaries(w, MgCounters).persist()
+    val dRow = summaries.where(col("w").isNull).agg(sum(col("n")).as("d"))
+    val candidates = summaries.where(col("w").isNotNull)
+      .groupBy(col("w")).agg(sum(col("n")).as("cnt_lo"))
+      .crossJoin(broadcast(dRow))
+      .select(col("w"), col("cnt_lo"),
+        (col("cnt_lo") + coalesce(col("d"), lit(0L))).as("cnt_hi"))
+    val exact = w.groupBy(col("w")).agg(count(lit(1)).as("exact"))
+    val boundViol = candidates.join(exact, Seq("w"))
+      .where(col("exact") < col("cnt_lo") || col("exact") > col("cnt_hi"))
+      .select(col("w").as("word"), col("exact"))
+    val missedViol = exact.crossJoin(broadcast(dRow))
+      .where(col("exact") > coalesce(col("d"), lit(0L)))
+      .join(candidates.select(col("w")), Seq("w"), "left_anti")
+      .select(col("w").as("word"), col("exact"))
+    val out = boundViol.unionByName(missedViol).orderBy(col("word"))
+    val rows = out.limit(100001).collect()
+    summaries.unpersist()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** The bounded (word, freq) vocabulary table BPE trains on: lowercase
+    * ASCII words only (engine-divergence-proof), aggregated once at
+    * corpus scale.
+    */
+  private[graft] def wordFreq(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(explode(words).as("t"))
+      .where(col("t").rlike("^[a-z]+$"))
+      .groupBy(col("t")).agg(count(lit(1)).as("freq"))
+
+  /** One BPE iteration's pair table over symbol arrays: adjacent symbol
+    * pairs weighted by word frequency.
+    */
+  private def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.where(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(0, size(syms) - 2), i -> named_struct('a', syms[i], 'b', syms[i+1]))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** Learn `k` BPE merges from the corpus. Returns the merge table
+    * (step, left, right, cnt) in learned order. The corpus is scanned
+    * exactly once (wordFreq); each iteration is one aggregation over
+    * the persisted vocab table plus a 1-row driver argmax — the
+    * standard trainer shape (Sennrich et al. 2016), distributed.
+    * Deterministic: argmax ties break (cnt desc, a asc, b asc).
+    */
+  def bpeTrain(s: SparkSession, dir: String, k: Int): Seq[(Int, String, String, Long)] =
+    bpeTrainFromVocab(wordFreq(s, dir), k)
+
+  /** The merge loop over an explicit (t, freq) vocabulary table — the
+    * unit BpeSpec drives with hand-computable corpora.
+    */
+  private[graft] def bpeTrainFromVocab(wf: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {
+    var vocab = wf
+      .select(split(col("t"), "").as("syms"), col("freq"))
+      .persist()
+    vocab.count() // materialize before iterating so the scan happens once
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 0
+    while (step < k) {
+      val top = pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty) { step = k }
+      else {
+        val r = top(0)
+        val (a, b) = (r.getString(0), r.getString(1))
+        merges += ((merges.size, a, b, r.getLong(2)))
+        val next = vocab.select(mergePair(a, b), col("freq")).persist()
+        next.count()
+        vocab.unpersist()
+        vocab = next
+        step += 1
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq
+  }
+
+  /** Left-to-right single-pass merge of adjacent (a, b) into ab — the
+    * BPE application rule (greedy, non-overlapping: "aaa" under (a,a)
+    * becomes ["aa","a"]) — as an aggregate() fold over the `syms`
+    * column, so the whole rewrite stays inside Tungsten (no UDF).
+    * acc = (out array, pend flag); pend means the previous symbol was
+    * an unconsumed `a`. When a == b the pend/x=b arm must win, which
+    * the CASE order guarantees.
+    */
+  private[graft] def mergePair(a: String, b: String): Column = {
+    def st(out: String, pend: String) = s"named_struct('out', $out, 'pend', $pend)"
+    expr(s"""
+      aggregate(
+        syms,
+        ${st("CAST(array() AS ARRAY<STRING>)", "false")},
+        (acc, x) -> CASE
+          WHEN acc.pend AND x = ${sqlLit(b)}
+            THEN ${st(s"concat(acc.out, array(${sqlLit(a + b)}))", "false")}
+          WHEN acc.pend AND x = ${sqlLit(a)}
+            THEN ${st(s"concat(acc.out, array(${sqlLit(a)}))", "true")}
+          WHEN acc.pend
+            THEN ${st(s"concat(acc.out, array(${sqlLit(a)}, x))", "false")}
+          WHEN x = ${sqlLit(a)} THEN ${st("acc.out", "true")}
+          ELSE ${st("concat(acc.out, array(x))", "false")} END,
+        acc -> CASE WHEN acc.pend THEN concat(acc.out, array(${sqlLit(a)}))
+                    ELSE acc.out END)
+    """).as("syms")
+  }
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  def all: Seq[Q] = Seq(
+
+    // C36: first BPE iteration's pair counts, oracle-gated — the
+    // corpus-scale step of merge training (everything after it runs on
+    // the bounded vocab table; see bpeTrain).
+    Q("text_bpe_pairs",
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |f AS (SELECT t, count(*) AS freq FROM w
+        |      WHERE regexp_full_match(t, '[a-z]+') GROUP BY t),
+        |p AS (SELECT substring(t, CAST(i AS INT), 2) AS pair, freq
+        |      FROM f, unnest(range(1, length(t))) AS r(i)
+        |      WHERE length(t) >= 2)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
+      wordFreq(s, dir).where(length(col("t")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
+    },
+
+    // C36b: the learned merge sequence (first 10 merges). Iterative
+    // argmax-then-rewrite is not restatable in one SQL query — rows-only
+    // for the driver; BpeSpec pins the sequence on a hand-computable
+    // corpus and step 0 must agree with text_bpe_pairs' gated argmax
+    // (also spec-asserted).
+    Q.noOracle("text_bpe_merges") { (s, dir) =>
+      val m = bpeTrain(s, dir, 10)
+      val sess = s
+      import sess.implicits._
+      m.toDF("step", "left", "right", "cnt")
+        .select(col("step").cast("int"), col("left"), col("right"), col("cnt"))
+        .orderBy(col("step"))
+    },
+
+    // C14b: bounded-memory heavy hitters (see scaladoc above). Rows-only
+    // for the driver — Misra-Gries summaries aren't restatable in SQL —
+    // with inv_heavy_hitters_bounded driving the merge guarantees
+    // through the gate against exact counts.
+    Q.noOracle("text_vocab_topk_approx") { (s, dir) =>
+      approxVocabTopK(s, dir, 20)
+    })
+}
