@@ -123,7 +123,13 @@ object Bench {
     // annotates itself away in the same JSON. Reruns happen per group
     // (pure queries before the session-mutating tail) so a stream
     // query's session churn can't contaminate a pure query's rerun.
-    val baselines = parseBaselines()
+    // BASELINE.md medians are sf0.1 measurements — at any other scale
+    // every query would read as a >2x "suspect" and the defensive rerun
+    // pass would double the whole run for nothing, so it only arms at
+    // the baseline's own scale
+    val baselines =
+      if (sfDir.replaceAll("/+$", "").endsWith("sf0.1")) parseBaselines()
+      else Map.empty[String, Double]
     def rerunSuspects(rs: Seq[(String, Double, Int)],
         qs: Seq[queries.Q]): Seq[(String, Double, Double, Double)] = {
       val byName = qs.map(q => q.name -> q).toMap

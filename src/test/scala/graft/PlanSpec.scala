@@ -380,6 +380,29 @@ class PlanSpec extends SparkSpec {
     assert(e1 != e3, "different filters must not compare equal")
   }
 
+  test("text_bpe_pairs: both aggs partial, top-k is TakeOrdered, scan reads text only") {
+    val p = planStr("text_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TopK, not global sort:\n$p")
+    assert(p.linesIterator.count(_.contains("partial_")) >= 2,
+      s"expected map-side combine on BOTH the vocab and pair aggs:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("text") && !readSchema.contains("doc_id"),
+      s"scan should read only the text column: $readSchema")
+  }
+
+  test("text_vocab_topk_approx: D broadcasts; no exchange ever carries the raw word stream") {
+    val p = planStr("text_vocab_topk_approx")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the one-row D aggregate should broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TopK, not global sort:\n$p")
+    // every Exchange input is downstream of the checkpointed summary
+    // table (Scan ExistingRDD), never the exploded corpus words — the
+    // quantitative form of this claim is the shuffle-records bound in
+    // TokenizerSpec
+    assert(!p.contains("Scan parquet"),
+      s"corpus scan must be behind the localCheckpoint, not re-read per branch:\n$p")
+  }
+
   test("gramsMultiN keeps multiplicity where gramsN dedups") {
     import spark.implicits._
     val df = Seq(Tuple1(Seq("a", "b", "a", "b", "c"))).toDF("ws")
