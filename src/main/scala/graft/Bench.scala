@@ -45,8 +45,16 @@ object Bench {
       }.toSeq
       val prose = "`([A-Za-z][A-Za-z0-9_]*)`\\s+([0-9.]+)\\s*s".r
         .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toSeq
-      // table entries are the medians of record; prose only fills gaps
-      (prose ++ fromTables).toMap
+      // FIRST occurrence wins: the v2 table of record leads the file, so
+      // a query re-listed in a later historical table (e.g. ann_ivfpq in
+      // the round-4 additions) must not override its entry of record;
+      // prose additions only fill names no table carries at all
+      def firstWins(xs: Seq[(String, Double)]): Map[String, Double] =
+        xs.foldLeft(Map.empty[String, Double]) { case (m, (k, v)) =>
+          if (m.contains(k)) m else m + (k -> v)
+        }
+      val tables = firstWins(fromTables)
+      tables ++ firstWins(prose).filterNot { case (k, _) => tables.contains(k) }
     } catch { case _: Throwable => Map.empty }
   }
 

@@ -15,15 +15,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Local-dev subset filter (substring match, comma-separated), same
-    // contract as Bench's: the driver runs unfiltered, so the manifest
-    // below always reflects exactly what this run produced — check.py
-    // then compares a filtered outDir 1:1 without counting absent
-    // queries as crashes. Refuses a zero-match filter loudly.
+    // Local-dev subset filter: EXACT names, comma-separated — the same
+    // contract as Bench's (one env var, one semantics; a substring match
+    // here used to select different subsets than Bench for the same
+    // value). The driver runs unfiltered, so the manifest below always
+    // reflects exactly what this run produced — check.py then compares
+    // a filtered outDir 1:1 without counting absent queries as crashes.
+    // Refuses a zero-match filter loudly; warns on unknown names.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val selected = only.fold(SparkEntry.queries) { pats =>
-      SparkEntry.queries.filter { case (n, _) => pats.exists(n.contains) }
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries) { want =>
+      val unknown = want -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[verify] WARN: SPARK_GRAFT_ONLY names match no query: ${unknown.mkString(", ")}")
+      SparkEntry.queries.filter { case (n, _) => want(n) }
     }
     require(selected.nonEmpty,
       s"SPARK_GRAFT_ONLY=${only.getOrElse(Nil).mkString(",")} matches no query")

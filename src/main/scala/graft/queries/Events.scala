@@ -199,8 +199,7 @@ object Events {
             date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour_bucket"),
             col("event_type"))
           .agg(count(lit(1)).as("n"),
-            (sum(round(col("value") * 100, 0).cast("long")).cast("double") / 100.0)
-              .as("total_value"))
+            Fixed.asDouble(sum(Fixed.cents(col("value"))), 100L).as("total_value"))
       }.orderBy(col("hour_bucket"), col("event_type"))
     },
 

@@ -48,7 +48,7 @@ object Invariants {
     * same schema is returned. Without this, each gate run leaks its
     * checkpointed storage blocks for the rest of the session.
     */
-  private def releasing(pinned: DataFrame*)(out: DataFrame): DataFrame = {
+  private[queries] def releasing(pinned: DataFrame*)(out: DataFrame): DataFrame = {
     val s = out.sparkSession
     val rows = out.limit(100001).collect()
     pinned.foreach(_.unpersist())
@@ -224,7 +224,12 @@ object Invariants {
       """SELECT CAST(NULL AS VARCHAR) AS reason, CAST(NULL AS BIGINT) AS removed_id,
         |  CAST(NULL AS BIGINT) AS rep_id WHERE 1=0""".stripMargin) { (s, dir) =>
       val removals = run("dedup_semantic")(s, dir).localCheckpoint(true)
-      val a = Ann.ivfBuild(Ann.embsWithNorm(s, dir), k = 8).assigned
+      // rebuild with the SAME scale-derived cell count as the query —
+      // a drifting k would rebuild different cells than the ones the
+      // removals were mined in
+      val e = Ann.embsWithNorm(s, dir)
+      val n = e.count()
+      val a = Ann.ivfBuild(e, Dedup.semanticCellCount(n), knownCount = n).assigned
       val endpoints = a.as("x").join(a.as("y"),
           col("x.cell") === col("y.cell") && col("x.n_id") < col("y.n_id"))
         .where(graft.functions.Native.dot(s, col("x.emb"), col("y.emb")) /

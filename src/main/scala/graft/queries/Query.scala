@@ -51,6 +51,20 @@ private[queries] object Fixed {
   /** A 2-decimal double column as exact integer cents. */
   def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
+  /** Exact sum for COMPOSITE terms (cents × percent [× percent]): the
+    * per-row product reaches ~1e11, so a Long sum overflows 2^63 at
+    * ~8e7 rows per group — three orders of magnitude below the 100 TB
+    * design scale. Summing in decimal(38,0) is exact to 1e38 (any
+    * conceivable corpus) and mirrors the oracle, where DuckDB's
+    * sum(BIGINT) is HUGEINT (exact to 1.7e38): both engines then cast
+    * the one exact integer to its nearest double at presentation.
+    * Plain cents sums (≤ ~1e7/row) stay Long — exact past 1e11
+    * rows/group — because Long aggregation is the faster codegen path.
+    * SQL twin: `sum(...)` UNcast (keep HUGEINT), then
+    * `CAST(sum(...) AS DOUBLE) / scale.0`.
+    */
+  def sumExact(term: Column): Column = sum(term.cast("decimal(38,0)"))
+
   /** Present an exact integer sum at `scale` fixed decimals as double. */
   def asDouble(sumCol: Column, scale: Long): Column =
     sumCol.cast("double") / scale.toDouble

@@ -25,19 +25,21 @@ object Relational {
   val all: Seq[Q] = Seq(
 
     // B1: TPC-H Q1-style flat aggregation; partial agg map-side, one shuffle.
-    // Money math in exact integer fixed point ([[Fixed]]): price cents ×
-    // integer discount/tax percents sum as longs (order-free, exact),
-    // presentation divides the one exact integer — the sf1 sweep showed
-    // round(sum(double)) flipping rounding boundaries at 10x gate scale.
+    // Money math in exact integer fixed point ([[Fixed]]): plain cents
+    // sums stay Long; the cents×percent composites (per-row ~1e11) sum
+    // in decimal(38,0) via Fixed.sumExact so no group size can overflow
+    // — the sf1 sweep showed round(sum(double)) flipping rounding
+    // boundaries at 10x gate scale, and a Long composite sum would cap
+    // out near ~8e7 rows/group, far below the 100 TB target.
     Q("q01_agg",
       """SELECT l_returnflag, l_linestatus,
         |  CAST(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE) AS sum_qty,
         |  CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sum_base_price,
-        |  CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS DOUBLE) / 10000.0 AS sum_disc_price,
-        |  CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
         |    * (100 - CAST(round(l_discount * 100) AS BIGINT))
-        |    * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_charge,
+        |    * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE) / 1000000.0 AS sum_charge,
         |  CAST(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE) / count(*) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem
@@ -51,8 +53,8 @@ object Relational {
         .agg(
           Fixed.asDouble(sum(col("l_quantity").cast("long")), 1L).as("sum_qty"),
           Fixed.asDouble(sum(priceC), 100L).as("sum_base_price"),
-          Fixed.asDouble(sum(priceC * discP), 10000L).as("sum_disc_price"),
-          Fixed.asDouble(sum(priceC * discP * taxP), 1000000L).as("sum_charge"),
+          Fixed.asDouble(Fixed.sumExact(priceC * discP), 10000L).as("sum_disc_price"),
+          Fixed.asDouble(Fixed.sumExact(priceC * discP * taxP), 1000000L).as("sum_charge"),
           (Fixed.asDouble(sum(col("l_quantity").cast("long")), 1L) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -76,8 +78,8 @@ object Relational {
     // B3: fact joins two broadcast dims; no shuffle on the dim side.
     Q("q03_join_broadcast",
       """SELECT n_name,
-        |  CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS DOUBLE) / 10000.0 AS revenue,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -88,7 +90,7 @@ object Relational {
         .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(Fixed.asDouble(sum(
+        .agg(Fixed.asDouble(Fixed.sumExact(
             Fixed.cents(col("l_extendedprice")) * (lit(100L) - Fixed.cents(col("l_discount")))),
             10000L).as("revenue"),
           count(lit(1)).as("n_items"))

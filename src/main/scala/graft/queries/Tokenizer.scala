@@ -108,23 +108,35 @@ object Tokenizer {
   /** The summary-merge pipeline over an explicit word column — also the
     * unit TokenizerSpec measures shuffle volume on.
     */
-  private[graft] def approxTopKFromWords(w: DataFrame, k: Int, m: Int): DataFrame = {
-    // two consumers (D + candidates) — localCheckpoint the tiny summary
-    // table (#partitions x (M+1) rows) so the corpus scan runs ONCE;
-    // blocks are freed with the plan reference (ContextCleaner)
-    val summaries = mgSummaries(w, m).localCheckpoint(true)
-    // D is a one-row broadcast; the candidate merge shuffles only
-    // #partitions x M summary rows, never the vocabulary. The final
-    // top-k is TakeOrdered (per-partition heads to the driver), not a
-    // global sort exchange.
+  private[graft] def approxTopKFromWords(w: DataFrame, k: Int, m: Int): DataFrame =
+    mgMerged(mgSummariesCk(w, m))
+      .select(col("w").as("word"), col("cnt_lo"), col("cnt_hi"))
+      .orderBy(col("cnt_lo").desc, col("word"))
+      .limit(k)
+
+  /** Checkpointed per-partition summaries: two consumers (D + the
+    * candidate merge) read them, so the corpus scan must run ONCE; the
+    * table is tiny (#partitions x (M+1) rows) and its blocks free with
+    * the plan reference (ContextCleaner).
+    */
+  private def mgSummariesCk(w: DataFrame, m: Int): DataFrame =
+    mgSummaries(w, m).localCheckpoint(true)
+
+  /** The merged candidate table over ALL candidates — (w, cnt_lo,
+    * cnt_hi) with the mergeable-summaries bounds. ONE definition of the
+    * bound math, shared by the shipped operator and the gate so they
+    * can never drift. D is a one-row broadcast; the merge shuffles only
+    * #partitions x M summary rows, never the vocabulary; the operator's
+    * final top-k is TakeOrdered (per-partition heads to the driver),
+    * not a global sort exchange.
+    */
+  private def mgMerged(summaries: DataFrame): DataFrame = {
     val dTotal = summaries.where(col("w").isNull).agg(sum(col("n")).as("d"))
     summaries.where(col("w").isNotNull)
       .groupBy(col("w")).agg(sum(col("n")).as("cnt_lo"))
       .crossJoin(broadcast(dTotal))
-      .select(col("w").as("word"), col("cnt_lo"),
+      .select(col("w"), col("cnt_lo"),
         (col("cnt_lo") + coalesce(col("d"), lit(0L))).as("cnt_hi"))
-      .orderBy(col("cnt_lo").desc, col("word"))
-      .limit(k)
   }
 
   /** Violations of the Misra-Gries merge guarantees vs the EXACT counts
@@ -138,13 +150,9 @@ object Tokenizer {
     */
   def heavyHitterViolations(s: SparkSession, dir: String): DataFrame = {
     val w = docs(s, dir).select(explode(words).as("w")).where(col("w") =!= "")
-    val summaries = mgSummaries(w, MgCounters).persist()
+    val summaries = mgSummariesCk(w, MgCounters)
+    val candidates = mgMerged(summaries)
     val dRow = summaries.where(col("w").isNull).agg(sum(col("n")).as("d"))
-    val candidates = summaries.where(col("w").isNotNull)
-      .groupBy(col("w")).agg(sum(col("n")).as("cnt_lo"))
-      .crossJoin(broadcast(dRow))
-      .select(col("w"), col("cnt_lo"),
-        (col("cnt_lo") + coalesce(col("d"), lit(0L))).as("cnt_hi"))
     val exact = w.groupBy(col("w")).agg(count(lit(1)).as("exact"))
     val boundViol = candidates.join(exact, Seq("w"))
       .where(col("exact") < col("cnt_lo") || col("exact") > col("cnt_hi"))
@@ -153,10 +161,8 @@ object Tokenizer {
       .where(col("exact") > coalesce(col("d"), lit(0L)))
       .join(candidates.select(col("w")), Seq("w"), "left_anti")
       .select(col("w").as("word"), col("exact"))
-    val out = boundViol.unionByName(missedViol).orderBy(col("word"))
-    val rows = out.limit(100001).collect()
-    summaries.unpersist()
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    Invariants.releasing(summaries)(
+      boundViol.unionByName(missedViol).orderBy(col("word")))
   }
 
   /** The bounded (word, freq) vocabulary table BPE trains on: lowercase
