@@ -784,6 +784,72 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
 
+    // C37: exact duplicated-SUBSTRING coverage — the signal C25's
+    // DISJOINT chunks structurally miss: a passage repeated across
+    // documents but straddling a chunk boundary never matches any
+    // chunk, while every repeated run of >= n words contains at least
+    // one repeated OVERLAPPING n-gram. This is the word-grain form of
+    // suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better") and of Gopher's
+    // duplicated-n-gram-fraction filter: emit every overlapping word
+    // 10-gram with its start position, count occurrences corpus-wide
+    // over the 32 B digest (a window count — ONE corpus scan and one
+    // digest shuffle, where the agg+self-join form pays a second scan
+    // unless exchange reuse fires), keep positions of grams seen more
+    // than once, and per document MERGE the covering spans
+    // [pos, pos+10) — an interval-union fold over sorted starts — into
+    // the exact count of tokens inside any duplicated run. Shuffle
+    // keys are digests, never gram text; the per-doc collect_list is
+    // bounded by document length (positions, not grams). The oracle
+    // restates the identical span-merge as a gaps-and-islands window
+    // (running max of preceding span ends).
+    Q("dedup_substring_spans",
+      """WITH docs_ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, len(ws) AS n_tokens, gs-1 AS pos,
+        |             array_to_string(ws[gs:gs+9], ' ') AS gram
+        |      FROM docs_ws, UNNEST(generate_series(1, len(ws)-9)) AS t(gs)),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+        |hit AS (SELECT g.doc_id, g.n_tokens, g.pos FROM g JOIN dup USING (gram)),
+        |m AS (SELECT doc_id, n_tokens, pos,
+        |        coalesce(max(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_end
+        |      FROM hit),
+        |cov AS (SELECT doc_id, any_value(n_tokens) AS n_tokens,
+        |        count(*) AS dup_gram_hits,
+        |        CAST(sum(greatest(0, pos + 10 - greatest(prev_end, pos))) AS BIGINT) AS covered
+        |        FROM m GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(dup_gram_hits AS BIGINT) AS dup_gram_hits, covered,
+        |       CAST((covered * 10000) // n_tokens AS BIGINT) AS dup_frac_bp
+        |FROM cov ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val n = 10
+      val ws = split(col("text"), " ")
+      val grams = docs(s, dir).where(size(ws) >= n)
+        .select(col("doc_id"), size(ws).as("n_tokens"),
+          posexplode(graft.functions.Kernels.gramsMultiN(ws, n)).as(Seq("pos", "gram")))
+        .select(col("doc_id"), col("n_tokens"), col("pos"),
+          unhex(sha2(col("gram"), 256)).as("h"))
+      grams
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("h"))))
+        .where(col("cnt") > 1)
+        .groupBy(col("doc_id"))
+        .agg(first(col("n_tokens")).as("nt"),
+          count(lit(1)).as("dup_gram_hits"),
+          sort_array(collect_list(col("pos"))).as("ps"))
+        .select(col("doc_id"), col("nt").cast("long").as("n_tokens"),
+          col("dup_gram_hits"),
+          aggregate(col("ps"),
+            struct(lit(0).as("e"), lit(0).as("c")),
+            (acc, p) => struct(
+              greatest(acc.getField("e"), p + lit(n)).as("e"),
+              (acc.getField("c") +
+                greatest(lit(0), p + lit(n) - greatest(acc.getField("e"), p))).as("c")),
+            acc => acc.getField("c")).cast("long").as("covered"))
+        .select(col("doc_id"), col("n_tokens"), col("dup_gram_hits"), col("covered"),
+          expr("(covered * 10000) div n_tokens").as("dup_frac_bp"))
+        .orderBy(col("doc_id"))
+    },
+
     // C30: INCREMENTAL dedup — a new batch against an already-deduped
     // corpus, the shape every real ingest pipeline runs (a crawl lands
     // daily; re-running dedup_exact over corpus+batch would re-pay the
