@@ -714,6 +714,58 @@ object Text {
         .orderBy(col("doc_id"), col("score").desc, col("term"))
     },
 
+    // C38: n-gram language-model document scoring — the CCNet/Wiki-LM
+    // perplexity-filter shape with the float perplexity replaced by an
+    // integer-exact statistic. A bigram model's conditional
+    // probabilities p(w2|w1) = cnt(w1 w2) / Σ_x cnt(w1 x) are rational;
+    // scoring each document by the AVERAGE conditional probability in
+    // basis points ((c2*10000) div cp, summed, div n_bigrams — all
+    // non-negative, so Spark's truncating div and DuckDB's flooring //
+    // agree) keeps the whole count→probability→score path inside the
+    // driver's hash gate, where log-space perplexity would hand it to
+    // cross-engine libm. Bigrams are (w1, w2) COLUMN pairs built by one
+    // zip_with over the token array (no gram-string assembly, no UDF);
+    // the count tables derive from ONE corpus pairs pass (prefix
+    // totals roll up from the bigram counts — Σ_x cnt(w1 x), a proper
+    // distribution), and scoring joins are open-vocabulary shuffle
+    // joins, deliberately un-broadcast (same stance as text_tfidf: a
+    // 100 TB vocabulary outgrows any driver). Counts here come from the
+    // corpus itself (self-scoring, the dedup-adjacent "how predictable
+    // is this doc given the corpus" signal); pointing `docs` at a
+    // reference corpus gives CCNet's exact train-on-Wikipedia shape.
+    Q("text_lm_score",
+      """WITH docs_ws AS (
+        |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
+        |  WHERE len(string_split(text,' ')) >= 2),
+        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM docs_ws),
+        |bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |       FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+        |cp AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS cp FROM c2 GROUP BY 1),
+        |s AS (SELECT bg.doc_id, (c2.c2 * 10000) // cp.cp AS p
+        |      FROM bg JOIN c2 USING (w1, w2) JOIN cp USING (w1))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(p) AS BIGINT) AS sum_pbp,
+        |       CAST(CAST(sum(p) AS BIGINT) // count(*) AS BIGINT) AS lm_bp
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ws = split(col("text"), " ")
+      val pairs = docs(s, dir).where(size(ws) >= 2)
+        .select(col("doc_id"),
+          explode(zip_with(
+            slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val cp = c2.groupBy(col("w1")).agg(sum(col("c2")).as("cp"))
+      pairs.join(c2, Seq("w1", "w2")).join(cp, Seq("w1"))
+        .select(col("doc_id"), expr("(c2 * 10000) div cp").as("p"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("sum_pbp"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_pbp"),
+          expr("sum_pbp div n_bigrams").as("lm_bp"))
+        .orderBy(col("doc_id"))
+    },
+
     // C28: PII redaction — ordered regex scrub (email, IPv4, phone,
     // then an entity list standing in for NER output; the synthetic
     // corpus has no digits, so the entity pattern is what exercises the
