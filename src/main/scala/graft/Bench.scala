@@ -32,16 +32,28 @@ object Bench {
       // the sf0.1 medians this parser feeds to the suspect-rerun pass.
       val text = full.split("\n## sf1", 2)(0)
       val name = "^[A-Za-z][A-Za-z0-9_]*$".r
+      // Rows parse POSITIONALLY as strict (name, value)+ pairs and are
+      // all-or-nothing: a row with an odd cell count or any cell that
+      // isn't a clean name/number in its slot contributes NOTHING,
+      // instead of grouped(2) silently re-pairing around the bad cell —
+      // a mis-parse would feed wrong 2x thresholds to suspect_rerun,
+      // worse than no baseline at all. (Header/separator rows fail the
+      // value slots and drop whole, as before.)
       val fromTables = text.linesIterator.filter(_.trim.startsWith("|")).flatMap { ln =>
-        ln.split("\\|").map(_.trim).filter(_.nonEmpty).grouped(2).flatMap {
-          case Array(n, v) if name.matches(n) =>
-            // values may carry annotation suffixes ("12.9*")
-            v.takeWhile(c => c.isDigit || c == '.') match {
-              case num if num.nonEmpty => Some(n -> num.toDouble)
-              case _ => None
-            }
-          case _ => None
-        }
+        val cells = ln.split("\\|").map(_.trim).filter(_.nonEmpty)
+        val pairs =
+          if (cells.length % 2 != 0) Seq.empty
+          else cells.grouped(2).map {
+            case Array(n, v) if name.matches(n) =>
+              // values may carry annotation suffixes ("12.9*")
+              v.takeWhile(c => c.isDigit || c == '.') match {
+                case num if num.nonEmpty =>
+                  scala.util.Try(num.toDouble).toOption.map(n -> _)
+                case _ => None
+              }
+            case _ => None
+          }.toSeq
+        if (pairs.exists(_.isEmpty)) Seq.empty else pairs.flatten
       }.toSeq
       val prose = "`([A-Za-z][A-Za-z0-9_]*)`\\s+([0-9.]+)\\s*s".r
         .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toSeq

@@ -33,6 +33,19 @@ object Verify {
     }
     require(selected.nonEmpty,
       s"SPARK_GRAFT_ONLY=${only.getOrElse(Nil).mkString(",")} matches no query")
+    // A filtered outDir is indistinguishable from a complete run to a
+    // checker that only reads queries.json — stamp the filter value so
+    // a SPARK_GRAFT_ONLY leak into a driver/CI run can't masquerade as
+    // a full green gate. (Separate file, not a queries.json shape
+    // change: the driver's checker parses that manifest as a plain
+    // list.) Deleted first so an unfiltered rerun over the same outDir
+    // clears a stale marker.
+    val marker = Paths.get(s"$outDir/filtered.json")
+    Files.deleteIfExists(marker)
+    only.foreach { want =>
+      Files.writeString(marker,
+        s"""{"filtered": true, "only": ${want.toSeq.sorted.map(n => "\"" + n + "\"").mkString("[", ",", "]")}}""")
+    }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -481,6 +481,25 @@ object Dedup {
     */
   def incrementalExactBloomIndexed(
       batch: DataFrame, corpus: DataFrame, index: DataFrame): DataFrame = {
+    val (lazyOut, pinned) = incrementalExactBloomIndexedPlan(batch, corpus, index)
+    // Materialize the result eagerly, then RELEASE the pinned
+    // intermediates — a long-lived ingest session runs many increments,
+    // and un-released localCheckpoint blocks accumulate until plan GC
+    // (the leak class Invariants.releasing closes for the gates). The
+    // returned frame is itself a localCheckpoint: batch-scale, and its
+    // blocks free with the frame reference (ContextCleaner).
+    val out = lazyOut.localCheckpoint(true)
+    pinned.foreach(_.unpersist())
+    out
+  }
+
+  /** The lazy plan + the localCheckpoint-pinned frames it references —
+    * separated from the public method so plan-shape specs can assert on
+    * the join structure before the result checkpoint collapses it to a
+    * scan.
+    */
+  private[graft] def incrementalExactBloomIndexedPlan(
+      batch: DataFrame, corpus: DataFrame, index: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val nb = index.select(col("n_buckets")).head(1).headOption
       .map(_.getInt(0)).getOrElse(1) // empty index: every bucket misses
     val bAgg = batch
@@ -517,8 +536,9 @@ object Dedup {
       .join(broadcast(mightRows.select(col("h"))), Seq("h"), "left_semi")
       .distinct()
     val survived = mightRows.join(broadcast(hits), Seq("h"), "left_anti")
-    definitelyNew.unionByName(survived)
-      .select(col("keep_id"), col("batch_dups"))
+    (definitelyNew.unionByName(survived)
+      .select(col("keep_id"), col("batch_dups")),
+      Seq(bAgg, perBucket, cand))
   }
 
   /** SemDeDup core over any (vec_id, emb double[], nrm) frame: quantize
@@ -916,9 +936,12 @@ object Dedup {
       // would re-run the whole corpus-digest build per read. The
       // deployment shape loads it via readBloomIndex, where the second
       // read is a pruned file scan, not a rebuild.
-      incrementalExactBloomIndexed(batch, corpus,
-        corpusBloomIndex(corpus, nBuckets = 64).localCheckpoint(true))
-        .orderBy(col("keep_id"))
+      val idx = corpusBloomIndex(corpus, nBuckets = 64).localCheckpoint(true)
+      val out = incrementalExactBloomIndexed(batch, corpus, idx)
+      // the probe materialized eagerly above, so the index pin releases
+      // here rather than living until plan GC
+      idx.unpersist()
+      out.orderBy(col("keep_id"))
     },
 
     // C32: SemDeDup — semantic (embedding-cluster) dedup: k-means cells

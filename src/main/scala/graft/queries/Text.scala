@@ -53,11 +53,17 @@ object Text {
     * join on bucket if a model ever outgrows that), absent buckets
     * score 0, keep = score >= 0. Docs whose every token is empty carry
     * no buckets and drop, matching the hashed form's n_tokens > 0.
+    * `weights` need not be key-unique: duplicate bucket rows SUM into
+    * one weight before the join (the linear-model reading of repeated
+    * features) — a raw duplicate-keyed table must never fan out the
+    * left join, which would inflate n_tokens and double-count score.
     */
   def qualityClassifierWeighted(d: DataFrame, weights: DataFrame): DataFrame =
     d.select(col("doc_id"),
         explode(graft.functions.Kernels.tokenBuckets(words)).as("bucket"))
-      .join(broadcast(weights), Seq("bucket"), "left")
+      .join(broadcast(
+        weights.groupBy(col("bucket")).agg(sum(col("weight")).as("weight"))),
+        Seq("bucket"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(coalesce(col("weight"), lit(0L))).as("score"))

@@ -271,13 +271,27 @@ class PlanSpec extends SparkSpec {
     // the found-digest sliver) — a SortMergeJoin anywhere means a corpus
     // exchange crept back in, which is what the plain C30 form is for
     // (the indexed form's per-bucket probe runs behind a localCheckpoint
-    // during construction, so it is not visible in this final plan — its
+    // during construction, so it is not visible in the LAZY plan — its
     // one-deserialization-per-touched-bucket behavior is pinned in
-    // DedupAnnSpec's scan-count spec instead)
-    val p = planOf("dedup_incremental_bloom", sf("sf0.01")).toString
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      s"corpus side must join only by broadcast:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    // DedupAnnSpec's scan-count spec instead).
+    // Asserted on incrementalExactBloomIndexedPlan, the pre-checkpoint
+    // plan builder: the shipped operator eagerly checkpoints its result
+    // (so per-increment pins release), which collapses the final plan
+    // to a scan — the join structure only exists here.
+    val d = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val corpus = d.where("doc_id % 3 != 0")
+    val batch = d.where("doc_id % 3 = 0")
+    val idx = graft.queries.Dedup
+      .corpusBloomIndex(corpus, nBuckets = 64).localCheckpoint(true)
+    try {
+      val (lazyOut, pinned) = graft.queries.Dedup
+        .incrementalExactBloomIndexedPlan(batch, corpus, idx)
+      val p = lazyOut.queryExecution.executedPlan.toString
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"corpus side must join only by broadcast:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+      pinned.foreach(_.unpersist())
+    } finally idx.unpersist()
   }
 
   test("dedup_incremental_minhash: the probe join broadcasts the BATCH band keys, never the corpus index") {
