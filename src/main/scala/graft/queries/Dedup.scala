@@ -585,6 +585,70 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.Kernels.simhash64(split(col("text"), " ")).as("sh"))
 
+  /** C37's overlapping word-n-gram stream: one row per token position,
+    * digest-keyed. Shared by the shipped operator and
+    * SubstringShuffleSpec's window-form comparator.
+    */
+  private[graft] def substringGrams(d: DataFrame, n: Int): DataFrame = {
+    val ws = split(col("text"), " ")
+    d.where(size(ws) >= n)
+      .select(col("doc_id"), size(ws).as("n_tokens"),
+        posexplode(graft.functions.Kernels.gramsMultiN(ws, n)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("n_tokens"), col("pos"),
+        unhex(sha2(col("gram"), 256)).as("h"))
+  }
+
+  /** Per-doc interval-union coverage over duplicated-gram hit positions
+    * — the aggregation half of C37, from the (doc_id, n_tokens, pos)
+    * hit stream to (doc_id, n_tokens, dup_gram_hits, covered,
+    * dup_frac_bp). Partial-aggregates to ~one record per doc per
+    * partition before its one shuffle; the span merge is an
+    * `aggregate()` fold inside Tungsten.
+    */
+  private def spanCoverage(hits: DataFrame, n: Int): DataFrame =
+    hits
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_tokens")).as("nt"),
+        count(lit(1)).as("dup_gram_hits"),
+        sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"), col("nt").cast("long").as("n_tokens"),
+        col("dup_gram_hits"),
+        aggregate(col("ps"),
+          struct(lit(0).as("e"), lit(0).as("c")),
+          (acc, p) => struct(
+            greatest(acc.getField("e"), p + lit(n)).as("e"),
+            (acc.getField("c") +
+              greatest(lit(0), p + lit(n) - greatest(acc.getField("e"), p))).as("c")),
+          acc => acc.getField("c")).cast("long").as("covered"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_gram_hits"), col("covered"),
+        expr("(covered * 10000) div n_tokens").as("dup_frac_bp"))
+
+  /** C37 `dedup_substring_spans` core over any (doc_id, text) frame —
+    * see the query's scaladoc for the shuffle-shape reasoning. The
+    * duplicated-digest sliver comes from a map-side-combinable
+    * groupBy(h) and broadcasts back as a semi join: the probe-side gram
+    * stream never shuffles, at the price of generating grams twice
+    * (two scan-speed passes).
+    */
+  private[graft] def substringSpans(d: DataFrame, n: Int): DataFrame = {
+    val grams = substringGrams(d, n)
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1).select(col("h"))
+    spanCoverage(grams.join(broadcast(dup), Seq("h"), "left_semi"), n)
+  }
+
+  /** The pre-r7 window-count form of C37 — shuffles one row per corpus
+    * token position (a window count cannot map-side combine). Kept ONLY
+    * as SubstringShuffleSpec's measured comparator and equality
+    * witness; the shipped operator is [[substringSpans]].
+    */
+  private[graft] def substringSpansWindowed(d: DataFrame, n: Int): DataFrame =
+    spanCoverage(
+      substringGrams(d, n)
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("h"))))
+        .where(col("cnt") > 1)
+        .drop("cnt"), n)
+
   val all: Seq[Q] = Seq(
 
     // C1: exact dedup — hash-groupBy on normalized text, keep min id.
@@ -812,17 +876,32 @@ object Dedup {
     // suffix-array substring dedup (Lee et al. 2022, "Deduplicating
     // Training Data Makes Language Models Better") and of Gopher's
     // duplicated-n-gram-fraction filter: emit every overlapping word
-    // 10-gram with its start position, count occurrences corpus-wide
-    // over the 32 B digest (a window count — ONE corpus scan and one
-    // digest shuffle, where the agg+self-join form pays a second scan
-    // unless exchange reuse fires), keep positions of grams seen more
-    // than once, and per document MERGE the covering spans
-    // [pos, pos+10) — an interval-union fold over sorted starts — into
-    // the exact count of tokens inside any duplicated run. Shuffle
-    // keys are digests, never gram text; the per-doc collect_list is
-    // bounded by document length (positions, not grams). The oracle
-    // restates the identical span-merge as a gaps-and-islands window
-    // (running max of preceding span ends).
+    // 10-gram with its start position, find digests occurring more
+    // than once corpus-wide, keep those positions, and per document
+    // MERGE the covering spans [pos, pos+10) — an interval-union fold
+    // over sorted starts — into the exact count of tokens inside any
+    // duplicated run. Shuffle keys are digests, never gram text; the
+    // per-doc collect_list is bounded by document length (positions,
+    // not grams). The oracle restates the identical span-merge as a
+    // gaps-and-islands window (running max of preceding span ends).
+    //
+    // SHUFFLE SHAPE (the r6 verdict's one wrong-shape shuffle, fixed):
+    // the duplicate set was a `count(*) over (partition by h)` window,
+    // which cannot map-side combine — the exchange carried one row per
+    // corpus TOKEN POSITION (digest + doc + pos). Now the dup sliver
+    // comes from groupBy(h) (partial-aggregated: the shuffle moves
+    // (digest, cnt) records, combined within each map partition — at
+    // 100 TB boilerplate-heavy corpora collapse hard here) and joins
+    // back as a BROADCAST semi join, so the probe-side corpus never
+    // shuffles at all; the only other exchange is the per-doc agg,
+    // whose partials combine to ~one record per doc per partition.
+    // Cost: the gram generation runs twice (two scan-speed passes, no
+    // exchange-reuse dependency) — scans are the cheap resource at
+    // scale, token-position-sized shuffles the expensive one. If a
+    // corpus's duplicated-digest sliver ever outgrows broadcast (~10s
+    // of MB), swap the semi join to a shuffle join: it still moves
+    // narrow digest records, never the window's full position stream.
+    // SubstringShuffleSpec MEASURES both forms' shuffle records.
     Q("dedup_substring_spans",
       """WITH docs_ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
         |g AS (SELECT doc_id, len(ws) AS n_tokens, gs-1 AS pos,
@@ -842,32 +921,7 @@ object Dedup {
         |       CAST(dup_gram_hits AS BIGINT) AS dup_gram_hits, covered,
         |       CAST((covered * 10000) // n_tokens AS BIGINT) AS dup_frac_bp
         |FROM cov ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val n = 10
-      val ws = split(col("text"), " ")
-      val grams = docs(s, dir).where(size(ws) >= n)
-        .select(col("doc_id"), size(ws).as("n_tokens"),
-          posexplode(graft.functions.Kernels.gramsMultiN(ws, n)).as(Seq("pos", "gram")))
-        .select(col("doc_id"), col("n_tokens"), col("pos"),
-          unhex(sha2(col("gram"), 256)).as("h"))
-      grams
-        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("h"))))
-        .where(col("cnt") > 1)
-        .groupBy(col("doc_id"))
-        .agg(first(col("n_tokens")).as("nt"),
-          count(lit(1)).as("dup_gram_hits"),
-          sort_array(collect_list(col("pos"))).as("ps"))
-        .select(col("doc_id"), col("nt").cast("long").as("n_tokens"),
-          col("dup_gram_hits"),
-          aggregate(col("ps"),
-            struct(lit(0).as("e"), lit(0).as("c")),
-            (acc, p) => struct(
-              greatest(acc.getField("e"), p + lit(n)).as("e"),
-              (acc.getField("c") +
-                greatest(lit(0), p + lit(n) - greatest(acc.getField("e"), p))).as("c")),
-            acc => acc.getField("c")).cast("long").as("covered"))
-        .select(col("doc_id"), col("n_tokens"), col("dup_gram_hits"), col("covered"),
-          expr("(covered * 10000) div n_tokens").as("dup_frac_bp"))
-        .orderBy(col("doc_id"))
+      substringSpans(docs(s, dir), 10).orderBy(col("doc_id"))
     },
 
     // C30: INCREMENTAL dedup — a new batch against an already-deduped

@@ -265,6 +265,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup_substring_spans: dup sliver broadcasts back, no window count, probe side never shuffles") {
+    // the r6 verdict's wrong-shape shuffle: a count(*) over (partition
+    // by h) window moved one row per corpus token position. The shipped
+    // plan must carry the duplicate set through a partial-aggregated
+    // groupBy and a BROADCAST semi join — any Window operator or
+    // shuffled join here is the regression coming back
+    // (SubstringShuffleSpec measures the record counts).
+    val p = planOf("dedup_substring_spans", sf("sf0.01")).toString
+    assert(!p.contains("Window"), s"window count crept back into C37:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"dup-sliver join-back must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast semi join:\n$p")
+  }
+
   test("dedup_incremental_bloom: the corpus side never shuffles — bloom probe + broadcast joins") {
     // the plan promise of the bloom form: corpus digests stream through a
     // broadcast semi-join probe (and the survivors' anti-join broadcasts
