@@ -730,15 +730,24 @@ object Text {
     // agree) keeps the whole count→probability→score path inside the
     // driver's hash gate, where log-space perplexity would hand it to
     // cross-engine libm. Bigrams are (w1, w2) COLUMN pairs built by one
-    // zip_with over the token array (no gram-string assembly, no UDF);
-    // the count tables derive from ONE corpus pairs pass (prefix
-    // totals roll up from the bigram counts — Σ_x cnt(w1 x), a proper
-    // distribution), and scoring joins are open-vocabulary shuffle
-    // joins, deliberately un-broadcast (same stance as text_tfidf: a
-    // 100 TB vocabulary outgrows any driver). Counts here come from the
-    // corpus itself (self-scoring, the dedup-adjacent "how predictable
-    // is this doc given the corpus" signal); pointing `docs` at a
-    // reference corpus gives CCNet's exact train-on-Wikipedia shape.
+    // zip_with over the token array (no gram-string assembly, no UDF).
+    //
+    // PLAN SHAPE (r6 verdict #1): the corpus tokenize+explode runs
+    // EXACTLY ONCE. The position stream first partial-aggregates to
+    // per-doc bigram counts `bgc` (doc_id, w1, w2, nd) — map-side
+    // combinable, so repeated bigrams within a doc collapse before the
+    // one corpus-scale exchange — and EVERYTHING downstream derives
+    // from bgc: c2 = Σ_docs nd, cp = Σ_x c2(w1 x) (a proper
+    // distribution), and the scoring probe re-keys bgc by (w1, w2),
+    // scoring sum(nd·p) per doc. Both consumers sit above bgc's
+    // exchange, so Spark's ReuseExchange collapses the second subtree
+    // to a ReusedExchange — PlanSpec asserts ONE documents scan and a
+    // fired reuse. The count-table joins stay UN-hinted (same stance as
+    // text_tfidf: a 100 TB vocabulary outgrows any driver broadcast;
+    // size stats decide per scale). Counts come from the corpus itself
+    // (self-scoring, the dedup-adjacent "how predictable is this doc
+    // given the corpus" signal); pointing `docs` at a reference corpus
+    // gives CCNet's exact train-on-Wikipedia shape.
     Q("text_lm_score",
       """WITH docs_ws AS (
         |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
@@ -761,12 +770,24 @@ object Text {
             slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
             (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
         .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        // split() never yields null tokens, so this filter drops nothing
+        // — it exists so the joins below infer NO per-consumer isnotnull
+        // filters: inferred filters differ per join side (w1-only on the
+        // cp path, w1+w2 on the probe path), which makes the three bgc
+        // subtrees structurally different and defeats ReuseExchange —
+        // i.e. the corpus would tokenize three times
+        .where(col("w1").isNotNull && col("w2").isNotNull)
+      // the ONE corpus-scale aggregation — every downstream frame
+      // derives from here, so the tokenize+explode above runs once
+      val bgc = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("nd"))
+      val c2 = bgc.groupBy(col("w1"), col("w2")).agg(sum(col("nd")).as("c2"))
       val cp = c2.groupBy(col("w1")).agg(sum(col("c2")).as("cp"))
-      pairs.join(c2, Seq("w1", "w2")).join(cp, Seq("w1"))
-        .select(col("doc_id"), expr("(c2 * 10000) div cp").as("p"))
+      bgc.join(c2, Seq("w1", "w2")).join(cp, Seq("w1"))
+        .select(col("doc_id"), col("nd"), expr("(c2 * 10000) div cp").as("p"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("sum_pbp"))
+        .agg(sum(col("nd")).as("n_bigrams"),
+          sum(col("nd") * col("p")).as("sum_pbp"))
         .select(col("doc_id"), col("n_bigrams"), col("sum_pbp"),
           expr("sum_pbp div n_bigrams").as("lm_bp"))
         .orderBy(col("doc_id"))

@@ -218,6 +218,35 @@ class PlanSpec extends SparkSpec {
         "vocabulary exceeds driver memory; let size stats decide per scale")
   }
 
+  test("text_lm_score: ONE corpus scan (bgc exchange reused), count-table joins un-hinted") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    // the bigram tokenize+explode must run once: the per-doc bigram
+    // count `bgc` is the single corpus-scale aggregation and both its
+    // consumers (count tables, scoring probe) sit above its exchange,
+    // which ReuseExchange collapses — a second documents scan in this
+    // plan means the derivation regressed to re-tokenizing the corpus
+    val df = SparkEntry.queries("text_lm_score")(spark, sf())
+    // AQE dedups exchanges at STAGE MATERIALIZATION time — the initial
+    // adaptive plan prints every subtree; only the final plan shows
+    // which stages were reused. Execute, then read the final plan.
+    df.collect()
+    // the adaptive plan string appends the pre-execution "Initial Plan"
+    // section, which re-prints every un-reused subtree — assert on the
+    // FINAL section only
+    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents")) == 1,
+      s"bigram source must scan documents exactly once:\n$p")
+    // bgc's exchange feeds the count tables AND the scoring probe; c2's
+    // exchange feeds the join side AND cp — both dedups must fire
+    assert(p.linesIterator.count(_.contains("ReusedExchange")) >= 2,
+      s"bgc/c2 exchange reuse did not fire — a consumer re-derives the corpus:\n$p")
+    // open-vocabulary c2/cp joins: no forced broadcast at ANY scale (a
+    // 100 TB vocabulary outgrows any driver); size stats decide
+    assert(df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.isEmpty,
+      "count-table joins must stay un-hinted — stats decide per scale")
+  }
+
   test("text_pii_redact: pure per-row scan — no shuffle except the presentation sort") {
     val p = planStr("text_pii_redact")
     assert(p.linesIterator.count(_.contains("Exchange")) <= 1,
