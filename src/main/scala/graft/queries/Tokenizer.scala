@@ -196,12 +196,89 @@ object Tokenizer {
 
   /** The merge loop over an explicit (t, freq) vocabulary table — the
     * unit BpeSpec drives with hand-computable corpora.
+    *
+    * INCREMENTAL pair maintenance (r6 verdict #3, Sennrich's fast
+    * trainer distributed): the naive loop recounts EVERY word's pairs
+    * each iteration — correct, but a real tokenizer learns ~30k merges
+    * and each recount explodes the whole vocab's symbol stream. Here
+    * the pair table updates by DELTA: merging (a,b) only changes the
+    * pair multiset of words that CONTAIN (a,b) adjacent, so each
+    * iteration recounts pairs for the touched sliver before and after
+    * its rewrite and folds `pc + after - before` — all neighbor
+    * bookkeeping ((x,a) losses, (x,ab) gains, overlapping-run
+    * subtleties) falls out of the exact recount-diff, with no hand
+    * accounting to get wrong. Per-iteration shuffle volume is
+    * O(touched pairs) + O(|pc|) (the pair-TYPE table — bounded by
+    * alphabet²+merges, independent of word count); the untouched
+    * vocab is only re-projected from cache, never re-exploded.
+    * BpeIncrementalSpec proves k=100 sequence equality with the naive
+    * loop and MEASURES the flat per-iteration shuffle.
+    *
+    * Two shapes that matter over 30k-merge-scale iteration counts:
+    *  - the vocab rewrite is a single CASE projection (touched words
+    *    rewrite, the rest pass through), NOT untouched ∪ rewritten —
+    *    a per-iteration union doubles the partition count every step
+    *    (union concatenates partitions and localCheckpoint preserves
+    *    them), which is 2^k empty tasks by merge k;
+    *  - localCheckpoint (eager), not persist: a lineage-keeping cache
+    *    stacks k mergePair fold layers into one logical plan, so
+    *    analysis cost grows per iteration. Checkpointing truncates to
+    *    a LogicalRDD: constant plan size and constant partitioning.
+    * Remaining design limit, documented: the CASE projection still
+    * re-materializes the full vocab cache each iteration (memory
+    * bandwidth, no shuffle); a production 30k-merge run would overlay
+    * touched words on a static base instead.
     */
   private[graft] def bpeTrainFromVocab(wf: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {
     var vocab = wf
       .select(split(col("t"), "").as("syms"), col("freq"))
-      .persist()
-    vocab.count() // materialize before iterating so the scan happens once
+      .localCheckpoint(true)
+    var pc = pairCounts(vocab).localCheckpoint(true)
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 0
+    while (step < k) {
+      val top = pc.orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty) { step = k }
+      else {
+        val r = top(0)
+        val (a, b) = (r.getString(0), r.getString(1))
+        merges += ((merges.size, a, b, r.getLong(2)))
+        val hasPair = expr(
+          s"""size(syms) >= 2 AND exists(sequence(0, size(syms) - 2),
+             |  i -> syms[i] = ${sqlLit(a)} AND syms[i+1] = ${sqlLit(b)})""".stripMargin)
+        val touched = vocab.where(hasPair)
+        // plan, not a materialized frame: the touched sliver is tiny and
+        // cached upstream, so computing the fold twice (delta + rewrite)
+        // is cheaper than a third checkpoint job per iteration
+        val rewritten = touched.select(mergePair(a, b), col("freq"))
+        val nextVocab = vocab
+          .select(when(hasPair, mergePair(a, b)).otherwise(col("syms")).as("syms"), col("freq"))
+          .localCheckpoint(true)
+        val nextPc = pc
+          .unionByName(pairCounts(touched).select(col("a"), col("b"), (-col("cnt")).as("cnt")))
+          .unionByName(pairCounts(rewritten))
+          .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("cnt"))
+          .where(col("cnt") > 0)
+          .localCheckpoint(true)
+        Seq(vocab, pc).foreach(_.unpersist())
+        vocab = nextVocab
+        pc = nextPc
+        step += 1
+      }
+    }
+    vocab.unpersist()
+    pc.unpersist()
+    merges.toSeq
+  }
+
+  /** The pre-r7 full-recount loop — kept as BpeIncrementalSpec's
+    * equality witness for the incremental trainer (identical argmax
+    * tie-break, identical rewrite).
+    */
+  private[graft] def bpeTrainFromVocabNaive(wf: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {
+    var vocab = wf
+      .select(split(col("t"), "").as("syms"), col("freq"))
+      .localCheckpoint(true) // truncate lineage: k mergePair layers
     val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 0
     while (step < k) {
@@ -212,8 +289,7 @@ object Tokenizer {
         val r = top(0)
         val (a, b) = (r.getString(0), r.getString(1))
         merges += ((merges.size, a, b, r.getLong(2)))
-        val next = vocab.select(mergePair(a, b), col("freq")).persist()
-        next.count()
+        val next = vocab.select(mergePair(a, b), col("freq")).localCheckpoint(true)
         vocab.unpersist()
         vocab = next
         step += 1
@@ -221,6 +297,54 @@ object Tokenizer {
     }
     vocab.unpersist()
     merges.toSeq
+  }
+
+  /** Gate-side replay of the emitted merge SEQUENCE (r6 verdict #4):
+    * for each step i, recompute the pair-count argmax over the
+    * vocabulary rewritten by the EMITTED merges 0..i-1 and emit a
+    * violation row when it disagrees with the emitted merge i (or when
+    * one side stops early). Rewriting with the emitted prefix — not the
+    * replay's own argmax — keeps every step independently checked
+    * against the sequence the driver gates, with no cascade after a
+    * first divergence. The recount here is the NAIVE full pair count,
+    * so this is an independent witness for the shipped incremental
+    * trainer's delta folding. Violations `WHERE 1=0` in DuckDB terms.
+    * Driver collects are bounded: k argmax rows + the k-row emitted
+    * table.
+    */
+  def bpeMergeReplayViolations(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import s.implicits._
+    val emitted = graft.SparkEntry.queries("text_bpe_merges")(s, dir)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    var vocab = wordFreq(s, dir)
+      .select(split(col("t"), "").as("syms"), col("freq"))
+      .localCheckpoint(true)
+    val viols = mutable.ArrayBuffer.empty[(Int, String, String)]
+    var step = 0
+    var done = false
+    while (step < k && !done) {
+      val top = pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      val replay = top.headOption.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val emit = emitted.lift(step)
+      (emit, replay) match {
+        case (None, None) => done = true
+        case (Some((a, b, c)), rep) =>
+          if (!rep.contains((a, b, c)))
+            viols += ((step, s"$a $b $c",
+              rep.map { case (ra, rb, rc) => s"$ra $rb $rc" }.orNull))
+          val next = vocab.select(mergePair(a, b), col("freq")).localCheckpoint(true)
+          vocab.unpersist()
+          vocab = next
+          step += 1
+        case (None, Some((ra, rb, rc))) =>
+          viols += ((step, null, s"$ra $rb $rc"))
+          done = true
+      }
+    }
+    vocab.unpersist()
+    viols.toSeq.toDF("step", "emitted", "replayed").orderBy(col("step"))
   }
 
   /** Left-to-right single-pass merge of adjacent (a, b) into ab — the

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tokenizer
+
+/** r6 verdict #3: the shipped BPE trainer maintains pair counts by
+  * DELTA (only words containing the merged pair are recounted), while
+  * the naive loop re-explodes the whole vocabulary every iteration.
+  * Two contracts:
+  *
+  *  1. EQUALITY — the incremental trainer's merge sequence equals the
+  *     naive loop's row-for-row at k=100 (same argmax tie-break, same
+  *     rewrite, exact integer delta folding).
+  *  2. FLAT ITERATIONS — per-iteration shuffle volume depends on the
+  *     touched sliver + the bounded pair-TYPE table only. Map-side
+  *     combine makes even the naive recount flat in vocabulary SIZE
+  *     (partials emit per-partition pair types, not words), so the
+  *     scale axis that separates the two is the MAP PARTITION COUNT:
+  *     the naive loop shuffles P x |types| partial rows per iteration
+  *     (every map partition re-emits its pair types), while the
+  *     incremental loop's per-iteration shuffle is the already-global
+  *     pair table + the touched sliver's partials — independent of
+  *     both vocab size and P. Growing the corpus 8x the way a cluster
+  *     does (8x partitions at fixed rows/partition) must leave the
+  *     incremental per-merge shuffle ~flat while the naive loop's
+  *     grows with P. MEASURED via shuffle-write records.
+  */
+class BpeIncrementalSpec extends SparkSpec {
+
+  private def vocabDF(words: Seq[(String, Long)], parts: Int = 2): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.parallelize(words, parts).toDF("t", "freq")
+  }
+
+  /** Deterministic word soup (LCG): `n` words, length 3..10, over the
+    * 8-letter alphabet a..h — rich enough pair structure to sustain
+    * 100+ merges once merged symbols start forming new pairs.
+    */
+  private def soup(n: Int, seed: Long): Seq[(String, Long)] = {
+    var x = seed
+    def nxt(m: Int): Int = { x = x * 6364136223846793005L + 1442695040888963407L; (((x >>> 33) % m) + m).toInt % m }
+    (0 until n).map { _ =>
+      val len = 3 + nxt(8)
+      val w = (0 until len).map(_ => ('a' + nxt(8)).toChar).mkString
+      (w, 1L + nxt(5))
+    }.distinct
+  }
+
+  test("incremental trainer equals the naive loop row-for-row at k=100") {
+    val wf = vocabDF(soup(60, 42L))
+    val inc = Tokenizer.bpeTrainFromVocab(wf, 100)
+    val naive = Tokenizer.bpeTrainFromVocabNaive(wf, 100)
+    assert(inc.size == naive.size, s"lengths: inc=${inc.size} naive=${naive.size}")
+    inc.zip(naive).foreach { case (i, n) =>
+      assert(i == n, s"merge diverged at step ${i._1}: inc=$i naive=$n")
+    }
+    assert(inc.size == 100, s"corpus should sustain 100 merges, got ${inc.size}")
+  }
+
+  // ---- flat-iteration measurement ------------------------------------
+
+  private val records = new java.util.concurrent.atomic.AtomicLong
+  private val listener = new org.apache.spark.scheduler.SparkListener {
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      records.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+  }
+  private def drainBus(): Unit =
+    try {
+      val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+        .invoke(spark.sparkContext)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+    } catch { case _: Throwable => Thread.sleep(2000) }
+  private def measure(f: => Unit): Long = {
+    drainBus(); records.set(0L); f; drainBus(); records.get()
+  }
+
+  /** One high-frequency planted word drives every merge (touched sliver
+    * = 1 word/iteration); filler words draw from the DISJOINT alphabet
+    * m..t, so their pair-type table is bounded (~64 types) at any
+    * filler count and none of their pair counts can out-vote the
+    * planted pairs.
+    */
+  private def planted(filler: Int): Seq[(String, Long)] = {
+    var x = 7L
+    def nxt(m: Int): Int = { x = x * 6364136223846793005L + 1442695040888963407L; (((x >>> 33) % m) + m).toInt % m }
+    val fillers = (0 until filler).map { _ =>
+      val len = 3 + nxt(8)
+      ((0 until len).map(_ => ('m' + nxt(8)).toChar).mkString, 1L)
+    }
+    (("abcdefgh", 1000000L) +: fillers).distinct
+  }
+
+  test("per-merge shuffle is flat under 8x corpus growth for the incremental trainer, grows with partitions for the naive loop") {
+    // cluster-shaped growth: 8x the words at fixed rows/partition
+    val small = vocabDF(planted(2000), parts = 2)
+    val big = vocabDF(planted(16000), parts = 16)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // k=7 minus k=1 isolates six merge iterations (the k=1 run pays
+      // the identical init + first merge)
+      def diff(train: (DataFrame, Int) => Seq[_], wf: DataFrame): Long = {
+        val one = measure { train(wf, 1) }
+        val seven = measure { train(wf, 7) }
+        seven - one
+      }
+      val incSmall = diff(Tokenizer.bpeTrainFromVocab, small)
+      val incBig = diff(Tokenizer.bpeTrainFromVocab, big)
+      val naiveSmall = diff(Tokenizer.bpeTrainFromVocabNaive, small)
+      val naiveBig = diff(Tokenizer.bpeTrainFromVocabNaive, big)
+      // incremental: global pair table + touched sliver (1 word) —
+      // 8x corpus/partitions must not move it beyond noise
+      assert(incBig <= incSmall * 2 + 256,
+        s"incremental per-merge shuffle grew with corpus: $incSmall -> $incBig")
+      // naive: every map partition re-emits its pair-type partials
+      // each iteration — 8x the partitions must show up
+      assert(naiveBig >= naiveSmall * 3,
+        s"naive loop should scale with partitions: $naiveSmall -> $naiveBig")
+      assert(incBig * 3 < naiveBig,
+        s"incremental ($incBig) should shuffle far less than naive ($naiveBig) on the big corpus")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}
