@@ -16,7 +16,7 @@ object ScaleSmoke {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val totalFiles = sys.env.getOrElse("SPARK_GRAFT_SMOKE_FILES", "200000").toLong
-    val origins = 20
+    val origins = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ORIGINS", "20").toInt
     val perOrigin = totalFiles / origins
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

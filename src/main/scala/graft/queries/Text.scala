@@ -81,6 +81,47 @@ object Text {
       .select(col("id").as("bucket"),
         (pmod(col("id") * lit(2654435761L), lit(2003L)) - lit(1001L)).as("weight"))
 
+  /** C38's scoring frame — (doc_id, n_bigrams, sum_pbp, lm_bp), one per
+    * >=2-token document — shared by `text_lm_score` (which adds the
+    * presentation ORDER BY) and `pipeline_curate_lm` (which joins lm_bp
+    * in as a CCNet-style filter stage). ONE definition so the gated
+    * score and the pipeline's cutoff can never drift. See the C38 Q
+    * below for the plan-shape reasoning (single bgc exchange, reuse).
+    */
+  private[graft] def lmScores(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val pairs = docs(s, dir).where(size(ws) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // none of these columns is ever null (split() yields no null
+      // tokens; doc_id is a parquet key), so this filter drops nothing
+      // — it exists so joins above infer NO per-consumer isnotnull
+      // filters: inferred filters differ per consumer subtree (w1-only
+      // on the cp path, w1+w2 on the probe path, and doc_id on the
+      // probe path only when a caller like pipeline_curate_lm joins the
+      // scores on doc_id — the c2 path has no doc_id output to infer
+      // on), which makes the bgc subtrees structurally different and
+      // defeats ReuseExchange — i.e. the corpus would tokenize again
+      // per consumer
+      .where(col("doc_id").isNotNull && col("w1").isNotNull && col("w2").isNotNull)
+    // the ONE corpus-scale aggregation — every downstream frame
+    // derives from here, so the tokenize+explode above runs once
+    val bgc = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("nd"))
+    val c2 = bgc.groupBy(col("w1"), col("w2")).agg(sum(col("nd")).as("c2"))
+    val cp = c2.groupBy(col("w1")).agg(sum(col("c2")).as("cp"))
+    bgc.join(c2, Seq("w1", "w2")).join(cp, Seq("w1"))
+      .select(col("doc_id"), col("nd"), expr("(c2 * 10000) div cp").as("p"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nd")).as("n_bigrams"),
+        sum(col("nd") * col("p")).as("sum_pbp"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_pbp"),
+        expr("sum_pbp div n_bigrams").as("lm_bp"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // C9: n-gram/stopword-heuristic language ID — marker hits per
@@ -365,6 +406,81 @@ object Text {
           + expr("(least(n_stop * 10, n_words) * 3000) div n_words")
           + expr("(n_distinct * 3000) div n_words")).cast("long"))
         .where(col("quality_bp") >= 5000)
+      val kept = q.withColumn("rn",
+          org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(unhex(sha2(Dedup.normText, 256))) // SAME key as dedup_exact
+              .orderBy(col("doc_id"))))
+        .where(col("rn") === 1)
+      kept.select(
+          when(col("doc_id") % 10 < 8, lit("train"))
+            .when(col("doc_id") % 10 === 8, lit("val"))
+            .otherwise(lit("test")).as("split"),
+          col("lang"), col("n_chars"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("split"), col("lang"))
+    },
+
+    // C18b: pipeline_curate with C38's LM score wired in as a filter
+    // stage — the CCNet composition (quality heuristics AND an n-gram
+    // LM predictability cutoff, then dedup, then split accounting).
+    // lm_bp >= 330 rejects the ~10-15% least-predictable documents at
+    // every tested scale (sf0.01/sf0.1/sf1 medians all ≈332-344 bp).
+    // The cutoff filters the SCORES side before the doc_id equi-join,
+    // so the join probe carries only survivors; docs the LM cannot
+    // score (< 2 tokens) drop, like CCNet's unscoreable pages. Shuffle
+    // budget = curate's two (dedup digest window + final agg) + ONE
+    // doc_id join exchange on the corpus side — the lm stage's scores
+    // arrive already partitioned by doc_id from their per-doc agg.
+    Q("pipeline_curate_lm",
+      """WITH docs_ws AS (
+        |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
+        |  WHERE len(string_split(text,' ')) >= 2),
+        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM docs_ws),
+        |bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |       FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+        |cp AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS cp FROM c2 GROUP BY 1),
+        |sp AS (SELECT bg.doc_id, (c2.c2 * 10000) // cp.cp AS p
+        |       FROM bg JOIN c2 USING (w1, w2) JOIN cp USING (w1)),
+        |lm AS (SELECT doc_id, CAST(CAST(sum(p) AS BIGINT) // count(*) AS BIGINT) AS lm_bp
+        |       FROM sp GROUP BY doc_id),
+        |f AS (
+        |  SELECT doc_id, lang, n_chars, text,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the','a','of','and','to'))) AS n_stop
+        |  FROM documents),
+        |q AS (
+        |  SELECT *, CAST(least(n_words, 100) * 40
+        |    + (least(n_stop * 10, n_words) * 3000) // n_words
+        |    + (n_distinct * 3000) // n_words AS BIGINT) AS quality_bp
+        |  FROM f),
+        |kept AS (
+        |  SELECT q.*, row_number() OVER (
+        |      PARTITION BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn
+        |  FROM q JOIN lm USING (doc_id)
+        |  WHERE quality_bp >= 5000 AND lm.lm_bp >= 330)
+        |SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |            WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+        |  lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM kept WHERE rn = 1
+        |GROUP BY 1, lang ORDER BY split, lang""".stripMargin) { (s, dir) =>
+      val lmKeep = lmScores(s, dir).where(col("lm_bp") >= 330)
+        .select(col("doc_id"))
+      val f = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+        size(words).as("n_words"),
+        size(array_distinct(words)).as("n_distinct"),
+        size(filter(words, w => w.isin("the", "a", "of", "and", "to"))).as("n_stop"))
+      val q = f.withColumn("quality_bp",
+        (least(col("n_words"), lit(100)) * 40
+          + expr("(least(n_stop * 10, n_words) * 3000) div n_words")
+          + expr("(n_distinct * 3000) div n_words")).cast("long"))
+        .where(col("quality_bp") >= 5000)
+        .join(lmKeep, Seq("doc_id"), "left_semi")
       val kept = q.withColumn("rn",
           org.apache.spark.sql.functions.row_number().over(
             org.apache.spark.sql.expressions.Window
@@ -763,34 +879,7 @@ object Text {
         |       CAST(sum(p) AS BIGINT) AS sum_pbp,
         |       CAST(CAST(sum(p) AS BIGINT) // count(*) AS BIGINT) AS lm_bp
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val ws = split(col("text"), " ")
-      val pairs = docs(s, dir).where(size(ws) >= 2)
-        .select(col("doc_id"),
-          explode(zip_with(
-            slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
-            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-        // split() never yields null tokens, so this filter drops nothing
-        // — it exists so the joins below infer NO per-consumer isnotnull
-        // filters: inferred filters differ per join side (w1-only on the
-        // cp path, w1+w2 on the probe path), which makes the three bgc
-        // subtrees structurally different and defeats ReuseExchange —
-        // i.e. the corpus would tokenize three times
-        .where(col("w1").isNotNull && col("w2").isNotNull)
-      // the ONE corpus-scale aggregation — every downstream frame
-      // derives from here, so the tokenize+explode above runs once
-      val bgc = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
-        .agg(count(lit(1)).as("nd"))
-      val c2 = bgc.groupBy(col("w1"), col("w2")).agg(sum(col("nd")).as("c2"))
-      val cp = c2.groupBy(col("w1")).agg(sum(col("c2")).as("cp"))
-      bgc.join(c2, Seq("w1", "w2")).join(cp, Seq("w1"))
-        .select(col("doc_id"), col("nd"), expr("(c2 * 10000) div cp").as("p"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("nd")).as("n_bigrams"),
-          sum(col("nd") * col("p")).as("sum_pbp"))
-        .select(col("doc_id"), col("n_bigrams"), col("sum_pbp"),
-          expr("sum_pbp div n_bigrams").as("lm_bp"))
-        .orderBy(col("doc_id"))
+      lmScores(s, dir).orderBy(col("doc_id"))
     },
 
     // C28: PII redaction — ordered regex scrub (email, IPv4, phone,

@@ -247,6 +247,21 @@ class PlanSpec extends SparkSpec {
       "count-table joins must stay un-hinted — stats decide per scale")
   }
 
+  test("pipeline_curate_lm: two documents scans (lm stage + curate stage), bgc/c2 reuse still fires") {
+    // the composed pipeline may touch the corpus once per stage — the
+    // lm model derivation and the curate feature pass — but no more:
+    // a third scan means the lm subtree's exchange reuse regressed
+    // inside the composition
+    val df = SparkEntry.queries("pipeline_curate_lm")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents")) == 2,
+      s"lm stage + curate stage = exactly two documents scans:\n$p")
+    assert(p.linesIterator.count(_.contains("ReusedExchange")) >= 2,
+      s"bgc/c2 exchange reuse must survive the composition:\n$p")
+  }
+
   test("text_pii_redact: pure per-row scan — no shuffle except the presentation sort") {
     val p = planStr("text_pii_redact")
     assert(p.linesIterator.count(_.contains("Exchange")) <= 1,
