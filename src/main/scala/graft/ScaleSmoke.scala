@@ -154,9 +154,16 @@ object ScaleSmoke {
       catch { case _: Throwable => -1.0 } // read racing an overwrite: retry
     def converged(): Boolean = (0 until wOrigins).forall(i => countOf(i) == wFiles.toDouble)
     val wDeadline = System.currentTimeMillis() + 600000
-    while (!converged() && System.currentTimeMillis() < wDeadline) Thread.sleep(200)
+    // evaluate convergence ONCE per tick and remember it: watch ticks keep
+    // merging after convergence, so a second converged() call can race an
+    // overwrite and read -1 — the loop would have exited green and the
+    // re-check would fail with all counts at wFiles
+    var wOk = converged()
+    while (!wOk && System.currentTimeMillis() < wDeadline) {
+      Thread.sleep(200); wOk = converged()
+    }
     val tWatch = (System.nanoTime() - tw0) / 1e9
-    require(converged(), "watch ingestion did not converge within 600 s; " +
+    require(wOk, "watch ingestion did not converge within 600 s; " +
       s"per-origin counts: ${(0 until wOrigins).map(countOf).mkString(",")}")
     println(f"[scale] watch: $wOrigins origins x $wFiles files each under continuous watch " +
       f"converged in $tWatch%.1f s (${wOrigins * wFiles / tWatch}%.0f entries/s end-to-end)")

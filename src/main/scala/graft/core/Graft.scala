@@ -646,11 +646,38 @@ class Graft(val spark: SparkSession, val stateRoot: String,
 
   /** Collect with the driver-OOM guard: one extra row past the cap is
     * fetched to distinguish "exactly cap" from "over cap".
+    *
+    * `df` is BY-NAME and may run more than once: a read that races a
+    * concurrent watch-merge's dynamic partition overwrite can list state
+    * files that the commit then replaces (`FAILED_READ_FILE.FILE_NOT_EXIST`
+    * mid-collect). The writer refreshes the shared file-status cache after
+    * every commit, so re-building the frame lists the NEW files — retry a
+    * bounded number of times before giving up, so driver-side point reads
+    * (`getValue`/`listEntries`) are safe to call while watches merge.
+    * DataFrame-returning forms stay lazy and keep the caller-visible race
+    * (documented on [[entries]]); only the engine's own collects retry.
     */
-  private def boundedCollect(df: DataFrame, what: String, dfForm: String): Seq[Row] = {
+  private[graft] def boundedCollect(df: => DataFrame, what: String, dfForm: String): Seq[Row] = {
     val cap = spark.conf.getOption("graft.driverCollect.maxRows")
       .map(_.toInt).getOrElse(Graft.defaultDriverCollectMax)
-    val rows = df.limit(cap + 1).collect()
+    def overwriteRace(t: Throwable): Boolean = {
+      var c = t; var depth = 0
+      while (c != null && depth < 16) {
+        if (c.isInstanceOf[java.io.FileNotFoundException] ||
+          String.valueOf(c.getMessage).contains("FILE_NOT_EXIST")) return true
+        c = c.getCause; depth += 1
+      }
+      false
+    }
+    var rows: Array[Row] = null
+    var attempt = 0
+    while (rows == null) {
+      try rows = df.limit(cap + 1).collect()
+      catch {
+        case scala.util.control.NonFatal(t) if overwriteRace(t) && attempt < 5 =>
+          attempt += 1; Thread.sleep(200L * attempt)
+      }
+    }
     if (rows.length > cap) throw new IllegalStateException(
       s"$what would materialize more than $cap rows on the driver. " +
         s"Page with ListOpts(limit=...), use the $dfForm DataFrame form " +
