@@ -313,4 +313,69 @@ object Kernels extends Serializable {
     }
     (e, l, b) => f(e, l, b)
   }
+
+  /** BPE ENCODE: apply a learned merge table to one word — tokenizer
+    * INFERENCE, the loop that runs once per distinct word when encoding
+    * a corpus with a trained tokenizer. Standard rank-priority
+    * application (Sennrich et al. 2016 apply_bpe): repeatedly find the
+    * adjacent token pair with the best (lowest) learned rank and merge
+    * all its occurrences greedy left-to-right (non-overlapping — "aaa"
+    * under (a,a) gives ["aa","a"], the same rule as the trainer's
+    * `Tokenizer.mergePair` fold), until no learnable pair remains.
+    *
+    * Rank-priority application is RESULT-equal to replaying the merges
+    * one-per-pass in learned order (BpeEncodeSpec asserts it against
+    * exactly that fold): merging never deletes a token between two
+    * others, so two tokens adjacent at the end were adjacent at every
+    * earlier step — a learnable pair skipped at its own rank's turn
+    * cannot exist — and pairs involving a merge's OUTPUT token only
+    * carry later ranks than the merge that created it.
+    *
+    * Kernel, not expression, per this file's contract: the loop is
+    * O(len × merges-applied) map probes per word and runs over every
+    * distinct word in a 100 TB vocabulary. The merge table itself is
+    * bounded (30k entries ≈ 1 MB) and ships once per executor in the
+    * closure, a broadcast in all but name.
+    */
+  def bpeEncode(merges: Seq[(String, String)]): Column => Column = {
+    val ms = merges.toArray
+    val rank: Map[(String, String), Int] =
+      ms.zipWithIndex.map { case (p, i) => (p, i) }.toMap
+    val f = udf { t: String =>
+      if (t == null) null
+      else {
+        var toks: Array[String] = {
+          val a = new Array[String](t.length)
+          var i = 0
+          while (i < t.length) { a(i) = String.valueOf(t.charAt(i)); i += 1 }
+          a
+        }
+        var done = toks.length < 2
+        while (!done) {
+          var best = Int.MaxValue
+          var i = 0
+          while (i < toks.length - 1) {
+            val r = rank.getOrElse((toks(i), toks(i + 1)), Int.MaxValue)
+            if (r < best) best = r
+            i += 1
+          }
+          if (best == Int.MaxValue) done = true
+          else {
+            val (a, b) = ms(best)
+            val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+            var j = 0
+            while (j < toks.length) {
+              if (j < toks.length - 1 && toks(j) == a && toks(j + 1) == b) {
+                out += (a + b); j += 2
+              } else { out += toks(j); j += 1 }
+            }
+            toks = out.toArray
+            done = toks.length < 2
+          }
+        }
+        toks
+      }
+    }
+    c => f(c)
+  }
 }

@@ -269,5 +269,18 @@ object Invariants {
       """SELECT CAST(NULL AS INT) AS step, CAST(NULL AS VARCHAR) AS emitted,
         |  CAST(NULL AS VARCHAR) AS replayed WHERE 1=0""".stripMargin) { (s, dir) =>
       Tokenizer.bpeMergeReplayViolations(s, dir, 10)
+    },
+
+    // text_bpe_encode canonical-form check: over every distinct corpus
+    // word, the encoding must (a) concatenate back to the word, (b)
+    // leave no adjacent token pair that is itself a learned merge —
+    // the property a wrong rank-priority loop breaks — and (c) emit
+    // only source chars and learned merge outputs. All three are
+    // construction theorems of a correct encoder; violations WHERE 1=0.
+    Q("inv_bpe_encode_canonical",
+      """SELECT CAST(NULL AS VARCHAR) AS t, CAST(NULL AS BOOLEAN) AS bad_roundtrip,
+        |  CAST(NULL AS BOOLEAN) AS bad_canonical, CAST(NULL AS BOOLEAN) AS bad_closure
+        |WHERE 1=0""".stripMargin) { (s, dir) =>
+      Tokenizer.bpeEncodeViolations(s, dir, 10)
     })
 }

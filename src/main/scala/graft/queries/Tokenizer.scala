@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 
-/** Tokenizer-training operators over the `documents` table: the two
-  * corpus-scale steps of building a subword tokenizer for an LLM data
-  * pipeline.
+/** Tokenizer operators over the `documents` table: the corpus-scale
+  * steps of building a subword tokenizer for an LLM data pipeline —
+  * heavy hitters, BPE merge TRAINING, and BPE ENCODE (inference,
+  * `text_bpe_encode`/[[bpeEncodeDocs]]: apply the trained tokenizer to
+  * every document — per-distinct-word kernel, never per-occurrence).
   *
   *  1. HEAVY HITTERS (`text_vocab_topk_approx`): the bounded-memory form
   *     of C14's exact vocabulary count. The exact form shuffles one row
@@ -347,6 +349,112 @@ object Tokenizer {
     viols.toSeq.toDF("step", "emitted", "replayed").orderBy(col("step"))
   }
 
+  /** C36c: corpus BPE ENCODE — tokenizer INFERENCE at corpus scale, the
+    * missing half of the train→encode story (C36b learns the merges;
+    * this applies them to every document). In a real pretraining
+    * pipeline this is the single largest compute step: tokenize 100 TB
+    * with the trained tokenizer.
+    *
+    * Scale shape: the corpus is scanned ONCE into per-doc word counts
+    * (`perDoc`, partial-aggregated map-side, then materialized — three
+    * consumers derive from it and a recompute would be a corpus
+    * re-scan). The global vocabulary folds out of `perDoc` (never a
+    * second scan), the merge table trains on it (k bounded iterations,
+    * see bpeTrainFromVocab), and — the point — the expensive per-word
+    * merge loop (`Kernels.bpeEncode`) runs once per DISTINCT word over
+    * the bounded vocab table, NOT once per corpus token occurrence.
+    * Token counts then join back to `perDoc` on the word (shuffle join,
+    * un-hinted: a 100 TB vocabulary outgrows any driver broadcast — the
+    * text_tfidf stance) and per-doc sums finish map-side-combinable.
+    *
+    * Output per doc: kept-word occurrences (`n_words`), BPE token count
+    * (`n_bpe_tokens`), and FERTILITY in integer basis points
+    * (tokens-per-word × 10⁴, `DIV`-exact) — the metric tokenizer
+    * evaluations report (higher fertility = worse compression). Docs
+    * whose every word fails the `[a-z]+` filter have no kept words and
+    * drop, like C38's unscoreable docs.
+    *
+    * Rows-only for the driver (the merge table is data-derived and
+    * iterative — same class as text_bpe_merges);
+    * `inv_bpe_encode_canonical` drives the encoder's three correctness
+    * properties through the gate and BpeEncodeSpec pins hand-computed
+    * encodings + kernel ≡ sequential-mergePair-replay equality.
+    *
+    * The returned frame derives LAZILY from the two pinned
+    * localCheckpoints; they release only when this JVM's session ends
+    * (the incrementalExactBloomIndexed contract — materialize the
+    * result, then the pins are dead weight a long-lived session can
+    * `unpersist` via `spark.sharedState.cacheManager` if needed).
+    */
+  def bpeEncodeDocs(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val perDoc = docs(s, dir).select(col("doc_id"), explode(words).as("t"))
+      .where(col("t").rlike("^[a-z]+$"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val wf = perDoc.groupBy(col("t")).agg(sum(col("cnt")).as("freq"))
+      .localCheckpoint(true)
+    val merges = bpeTrainFromVocab(wf, k).map { case (_, a, b, _) => (a, b) }
+    val enc = bpeEncodeTable(wf, merges)
+      .select(col("t"), size(col("toks")).cast("long").as("n_toks"))
+    perDoc.join(enc, "t")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_toks")).as("n_bpe_tokens"))
+      .withColumn("fertility_bp", expr("n_bpe_tokens * 10000L DIV n_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Encode every word of a (t, …) vocabulary table with a learned
+    * merge sequence → adds `toks` (ARRAY<STRING>). The kernel runs once
+    * per row, so callers pass DISTINCT words. */
+  private[graft] def bpeEncodeTable(wf: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    wf.withColumn("toks", graft.functions.Kernels.bpeEncode(merges)(col("t")))
+
+  /** Gate-side check of the three properties a correct BPE encoding
+    * guarantees by construction, over every distinct corpus word
+    * (violations `WHERE 1=0` in DuckDB terms):
+    *
+    *  - ROUNDTRIP: the tokens concatenate back to the word (encoding
+    *    never loses or invents characters);
+    *  - CANONICAL: no adjacent token pair is a learned merge — if one
+    *    remained, application stopped early (this is the property that
+    *    breaks when rank-priority application is implemented wrong);
+    *  - CLOSURE: every multi-char token is some merge's output (the
+    *    encoder can only emit source chars and learned symbols).
+    *
+    * Trains its own merge table from the same corpus (the
+    * bpeMergeReplayViolations stance: the gate recomputes what it
+    * checks against rather than trusting the operator's internals).
+    */
+  def bpeEncodeViolations(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val wf = wordFreq(s, dir).localCheckpoint(true)
+    val merges = bpeTrainFromVocab(wf, k).map { case (_, a, b, _) => (a, b) }
+    val enc = bpeEncodeTable(wf, merges)
+    // ' ' cannot occur in [a-z]+ tokens, so the joined pair key is
+    // collision-free; both literal arrays are bounded by k
+    val pairKeys =
+      if (merges.isEmpty) typedLit(Array.empty[String])
+      else array(merges.map { case (a, b) => lit(a + " " + b) }: _*)
+    val outKeys =
+      if (merges.isEmpty) typedLit(Array.empty[String])
+      else array(merges.map { case (a, b) => lit(a + b) }: _*)
+    val tokPairs = transform(
+      sequence(lit(0), size(col("toks")) - 2),
+      i => concat(col("toks").getItem(i), lit(" "), col("toks").getItem(i + 1)))
+    val badRoundtrip = array_join(col("toks"), "") =!= col("t")
+    // same size >= 2 guard as the trainer's pairCounts: sequence(0, -1)
+    // walks a negative-step range and would index toks[-1]
+    val badCanonical = when(size(col("toks")) >= 2,
+      exists(tokPairs, p => array_contains(pairKeys, p))).otherwise(lit(false))
+    val badClosure =
+      exists(col("toks"), x => length(x) > 1 && !array_contains(outKeys, x))
+    Invariants.releasing(wf)(
+      enc.select(col("t"), badRoundtrip.as("bad_roundtrip"),
+          badCanonical.as("bad_canonical"), badClosure.as("bad_closure"))
+        .where(col("bad_roundtrip") || col("bad_canonical") || col("bad_closure"))
+        .orderBy(col("t")))
+  }
+
   /** Left-to-right single-pass merge of adjacent (a, b) into ab — the
     * BPE application rule (greedy, non-overlapping: "aaa" under (a,a)
     * becomes ["aa","a"]) — as an aggregate() fold over the `syms`
@@ -411,6 +519,14 @@ object Tokenizer {
       m.toDF("step", "left", "right", "cnt")
         .select(col("step").cast("int"), col("left"), col("right"), col("cnt"))
         .orderBy(col("step"))
+    },
+
+    // C36c: corpus BPE encode — tokenizer inference (see bpeEncodeDocs
+    // scaladoc). Rows-only like the merge table it applies;
+    // inv_bpe_encode_canonical gates the encoder's correctness
+    // properties, BpeEncodeSpec pins hand-computed encodings.
+    Q.noOracle("text_bpe_encode") { (s, dir) =>
+      bpeEncodeDocs(s, dir, 10)
     },
 
     // C14b: bounded-memory heavy hitters (see scaladoc above). Rows-only
