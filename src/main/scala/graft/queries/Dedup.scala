@@ -829,6 +829,98 @@ object Dedup {
         .orderBy(col("cluster_id"))
     },
 
+    // C4c: quality-aware retention — the near-dup decision real curation
+    // pipelines actually ship: within each near-dup cluster keep the
+    // HIGHEST-quality member (C10's quality_bp, doc_id tie-break), not
+    // the arbitrary min-id canonical. Composition: C3 pair mining →
+    // C17 connected components → C10 quality → per-cluster argmax.
+    // Scale shape: quality_bp is a scan-speed per-row projection
+    // computed BEFORE the join, so the label join moves two SLIM tables
+    // ((doc_id, quality_bp) vs (id, label)) — the text column never
+    // shuffles; no broadcast hint on the label side because near-dup
+    // membership is a corpus-scale fraction, not a dimension table. The
+    // window runs over cluster members only. Oracle = the dedup_clusters
+    // recursive-CTE closure extended with the text_quality CTE and the
+    // same argmax — all integer arithmetic, hash-gated.
+    Q("dedup_keep_best",
+      """WITH RECURSIVE docs_ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM docs_ws),
+        |grams AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+        |  FROM w a
+        |  JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        |cnt AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM inter
+        |  JOIN cnt ca ON ca.doc_id = a_id
+        |  JOIN cnt cb ON cb.doc_id = b_id
+        |  WHERE i / (ca.c + cb.c - i) >= 0.8),
+        |edges AS (SELECT a_id, b_id FROM pairs
+        |          UNION SELECT b_id AS a_id, a_id AS b_id FROM pairs),
+        |nodes AS (SELECT DISTINCT a_id AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b_id AS id, reach.r FROM reach JOIN edges e ON e.a_id = reach.id),
+        |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+        |f AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','of','and','to'))) AS n_stop
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, CAST(least(n_words, 100) * 40
+        |    + (least(n_stop * 10, n_words) * 3000) // n_words
+        |    + (n_distinct * 3000) // n_words AS BIGINT) AS quality_bp
+        |  FROM f),
+        |m AS (SELECT l.id, l.label, q.quality_bp
+        |      FROM labels l JOIN q ON q.doc_id = l.id),
+        |r AS (SELECT id, label, quality_bp, row_number() OVER (
+        |        PARTITION BY label ORDER BY quality_bp DESC, id) AS rk
+        |      FROM m)
+        |SELECT label AS cluster_id, count(*) AS cluster_size,
+        |  CAST(max(CASE WHEN rk = 1 THEN id END) AS BIGINT) AS kept_id,
+        |  CAST(max(CASE WHEN rk = 1 THEN quality_bp END) AS BIGINT) AS kept_quality_bp,
+        |  string_agg(CASE WHEN rk > 1 THEN id END, ',' ORDER BY id) AS dropped_ids
+        |FROM r GROUP BY label ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+      ensureLocalCkptDir(s)
+      val pairs = ngramJaccardPairs(docs(s, dir), 4, 5)
+      val labels = connectedComponents(pairs)
+      // quality as a narrow projection at scan speed (same expressions as
+      // text_quality — keep in lockstep), BEFORE the join: only
+      // (doc_id, quality_bp) ever reaches the exchange
+      val ws = split(col("text"), " ")
+      val qual = docs(s, dir)
+        .select(col("doc_id"),
+          size(ws).as("n_words"),
+          size(array_distinct(ws)).as("n_distinct"),
+          size(filter(ws, t => t.isin("the", "a", "of", "and", "to"))).as("n_stop"))
+        .select(col("doc_id"),
+          (least(col("n_words"), lit(100)) * 40
+            + expr("(least(n_stop * 10, n_words) * 3000) div n_words")
+            + expr("(n_distinct * 3000) div n_words")).cast("long").as("quality_bp"))
+      val ranked = labels.join(qual, col("id") === col("doc_id"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("label"))
+            .orderBy(col("quality_bp").desc, col("id"))))
+      ranked.groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          max(when(col("rk") === 1, col("id"))).as("kept_id"),
+          max(when(col("rk") === 1, col("quality_bp"))).as("kept_quality_bp"),
+          concat_ws(",", sort_array(collect_list(when(col("rk") > 1, col("id"))))
+            .cast("array<string>")).as("dropped_ids"))
+        .orderBy(col("cluster_id"))
+    },
+
     // C25: corpus-wide duplicated-chunk (boilerplate) detection — the
     // CCNet/RefinedWeb paragraph-dedup step adapted to chunk-grain: a
     // 10-word chunk appearing in MORE THAN ONE document is boilerplate;
