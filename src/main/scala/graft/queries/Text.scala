@@ -561,6 +561,137 @@ object Text {
       }
     },
 
+    // C18c: the corpus DATA CARD — the per-release statistics report a
+    // dataset ships with (Datasheets-for-Datasets shape): corpus totals,
+    // per-language / per-source / per-split composition, quality-score
+    // envelope, and exact-duplication accounting, as uniform
+    // (section, metric, value:long) rows. Scale shape: ONE scan + ONE
+    // shuffle covers every sectioned composition row — the lang /
+    // source / split / corpus groupings share a single GROUPING SETS
+    // aggregation (partial-agg map-side, like q30) instead of one
+    // scan+shuffle per dimension; only the two metrics that need
+    // different keys add a pass each (global distinct words; exact-dup
+    // digest groups on the 32 B dedup_exact key). All-integer values —
+    // means are integer div — so the card hash-gates cross-engine.
+    Q("pipeline_data_card",
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    CAST(least(len(string_split(text, ' ')), 100) * 40
+        |      + (least(len(list_filter(string_split(text, ' '),
+        |           t -> t IN ('the','a','of','and','to'))) * 10,
+        |           len(string_split(text, ' '))) * 3000)
+        |        // len(string_split(text, ' '))
+        |      + (len(list_distinct(string_split(text, ' '))) * 3000)
+        |        // len(string_split(text, ' ')) AS BIGINT) AS quality_bp,
+        |    CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |         WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+        |    CAST(sum(n_words) AS BIGINT) AS words,
+        |    CAST(min(quality_bp) AS BIGINT) AS q_min,
+        |    CAST(sum(quality_bp) AS BIGINT) AS q_sum,
+        |    CAST(max(quality_bp) AS BIGINT) AS q_max
+        |  FROM base),
+        |dw AS (SELECT count(DISTINCT w) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+        |dg AS (SELECT count(*) AS c FROM documents
+        |       GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))),
+        |rows_out AS (
+        |  SELECT 'corpus' AS section, 'docs' AS metric, CAST(docs AS BIGINT) AS value FROM corpus
+        |  UNION ALL SELECT 'corpus', 'chars', chars FROM corpus
+        |  UNION ALL SELECT 'corpus', 'words', words FROM corpus
+        |  UNION ALL SELECT 'corpus', 'mean_chars', CAST(chars // docs AS BIGINT) FROM corpus
+        |  UNION ALL SELECT 'corpus', 'distinct_words', CAST(n AS BIGINT) FROM dw
+        |  UNION ALL SELECT 'quality', 'min_bp', q_min FROM corpus
+        |  UNION ALL SELECT 'quality', 'mean_bp', CAST(q_sum // docs AS BIGINT) FROM corpus
+        |  UNION ALL SELECT 'quality', 'max_bp', q_max FROM corpus
+        |  UNION ALL SELECT 'dedup', 'exact_dup_docs',
+        |    CAST(COALESCE(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT) FROM dg
+        |  UNION ALL SELECT 'dedup', 'exact_dup_groups',
+        |    CAST(COALESCE(sum(CASE WHEN c > 1 THEN 1 END), 0) AS BIGINT) FROM dg
+        |  UNION ALL SELECT 'lang:' || lang, 'docs', CAST(count(*) AS BIGINT)
+        |    FROM base GROUP BY lang
+        |  UNION ALL SELECT 'lang:' || lang, 'chars', CAST(sum(n_chars) AS BIGINT)
+        |    FROM base GROUP BY lang
+        |  UNION ALL SELECT 'source:' || source, 'docs', CAST(count(*) AS BIGINT)
+        |    FROM base GROUP BY source
+        |  UNION ALL SELECT 'split:' || split, 'docs', CAST(count(*) AS BIGINT)
+        |    FROM base GROUP BY split
+        |  UNION ALL SELECT 'split:' || split, 'chars', CAST(sum(n_chars) AS BIGINT)
+        |    FROM base GROUP BY split)
+        |SELECT section, metric, value FROM rows_out
+        |ORDER BY section, metric""".stripMargin) { (s, dir) =>
+      val base = docs(s, dir).select(
+        col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        size(words).as("n_words"),
+        size(array_distinct(words)).as("n_distinct"),
+        size(filter(words, t => t.isin("the", "a", "of", "and", "to"))).as("n_stop"),
+        when(col("doc_id") % 10 < 8, lit("train"))
+          .when(col("doc_id") % 10 === 8, lit("val"))
+          .otherwise(lit("test")).as("split"))
+        .withColumn("quality_bp",
+          (least(col("n_words"), lit(100)) * 40
+            + expr("(least(n_stop * 10, n_words) * 3000) div n_words")
+            + expr("(n_distinct * 3000) div n_words")).cast("long"))
+      // the one composition shuffle: (), (lang), (source), (split) in a
+      // single grouping-sets aggregation; grouping_id tells the rows apart
+      val gs = base.groupingSets(
+          Seq(Seq(col("lang")), Seq(col("source")), Seq(col("split")), Seq()),
+          col("lang"), col("source"), col("split"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
+          sum(col("n_words")).as("wrds"),
+          min(col("quality_bp")).as("q_min"), sum(col("quality_bp")).as("q_sum"),
+          max(col("quality_bp")).as("q_max"))
+      // melt every section from ONE pass over the aggregate: a per-gid
+      // CASE over "section|metric" → value maps, exploded once. Melting
+      // via per-section filters instead would push each filter BELOW the
+      // aggregate (spark_grouping_id is a grouping output), making the 5
+      // section subtrees structurally different — no exchange reuse, 5
+      // full corpus scans for one logical aggregation.
+      def m(pairs: (Column, Column)*): Column =
+        map(pairs.flatMap { case (k, v) => Seq(k, v.cast("long")) }: _*)
+      def key(section: Column, metric: String): Column =
+        concat(section, lit("|" + metric))
+      val kv = when(col("gid") === 7, m(
+          key(lit("corpus"), "docs") -> col("docs"),
+          key(lit("corpus"), "chars") -> col("chars"),
+          key(lit("corpus"), "words") -> col("wrds"),
+          key(lit("corpus"), "mean_chars") -> expr("chars div docs"),
+          key(lit("quality"), "min_bp") -> col("q_min"),
+          key(lit("quality"), "mean_bp") -> expr("q_sum div docs"),
+          key(lit("quality"), "max_bp") -> col("q_max")))
+        .when(col("gid") === 3, m(
+          key(concat(lit("lang:"), col("lang")), "docs") -> col("docs"),
+          key(concat(lit("lang:"), col("lang")), "chars") -> col("chars")))
+        .when(col("gid") === 5, m(
+          key(concat(lit("source:"), col("source")), "docs") -> col("docs")))
+        .otherwise(m(
+          key(concat(lit("split:"), col("split")), "docs") -> col("docs"),
+          key(concat(lit("split:"), col("split")), "chars") -> col("chars")))
+      val sectioned = gs.select(explode(kv).as(Seq("sm", "value")))
+        .select(substring_index(col("sm"), "|", 1).as("section"),
+          substring_index(col("sm"), "|", -1).as("metric"), col("value"))
+      val dw = docs(s, dir).select(explode(words).as("w"))
+        .agg(countDistinct(col("w")).as("n"))
+        .select(lit("corpus").as("section"), lit("distinct_words").as("metric"),
+          col("n").cast("long").as("value"))
+      val dg = docs(s, dir)
+        .groupBy(unhex(sha2(Dedup.normText, 256))) // SAME key as dedup_exact
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0L)).as("dup_docs"),
+          coalesce(sum(when(col("c") > 1, lit(1L))), lit(0L)).as("dup_groups"))
+        .select(explode(m(
+          lit("dedup|exact_dup_docs") -> col("dup_docs"),
+          lit("dedup|exact_dup_groups") -> col("dup_groups"))).as(Seq("sm", "value")))
+        .select(substring_index(col("sm"), "|", 1).as("section"),
+          substring_index(col("sm"), "|", -1).as("metric"), col("value"))
+      sectioned.unionAll(dw).unionAll(dg)
+        .orderBy(col("section"), col("metric"))
+    },
+
     // C19: deterministic stratified sampling — downsample over-
     // represented strata (the lang-rebalancing step of corpus curation)
     // by Knuth-hash-mod per row: pure function of the row, so the sample
