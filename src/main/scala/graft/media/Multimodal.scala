@@ -45,6 +45,8 @@ final case class MediaFeature(
     dim: Int,
     vector: Array[Float])
 
+final case class MediaHash(media_id: Long, phash: Long)
+
 /** The codec seam: everything per-item and media-specific — decode,
   * resize, feature extraction — goes through this trait, and ONLY the
   * trait. The Spark-side pipelines ([[Multimodal]]) close over a `Codec`
@@ -161,6 +163,84 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(m =>
       MediaFeature(m.media_id, m.meta.mediaType, dim, codec.features(m.payload, dim))))
+  }
+
+  /** Perceptual difference-hash (dHash) per media item — the image
+    * near-dup signature LAION-style pipelines dedup scraped images with:
+    * decode frame 0, resize to a 9×8 luma grid through the [[Codec]]
+    * seam, then 64 bits of "is this pixel brighter than its right
+    * neighbor". The thumbnail decodes DIRECTLY at 9×8 (codecs decode at
+    * a target size — libjpeg scaled decode), so the hash is a pure
+    * function of the payload BYTES alone, never of per-item metadata:
+    * identical payloads hash identically for ANY codec, which is the
+    * subset-soundness theorem the gated query rides on (decoding at
+    * native size first would let two byte-identical payloads diverge
+    * through their metadata dims — the sf0.1 gate caught exactly that).
+    * Partition-wise: decode + hash at scan speed, no shuffle.
+    */
+  def dHash(media: Dataset[MediaRow], codec: Codec = StubCodec): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val g = Frame(m.media_id, 0, 9, 8, codec.decodeFrame(m.payload, 0, 9, 8))
+      var h = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if ((g.pixels(y * 9 + x) & 0xFF) > (g.pixels(y * 9 + x + 1) & 0xFF))
+            h |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      MediaHash(m.media_id, h)
+    })
+  }
+
+  /** Exact-hash duplicate groups: (canonical = min media_id, n ≥ 2).
+    * The groupBy shuffles only (media_id, 8 B hash) — the payload
+    * column never moves.
+    */
+  def phashDupGroups(media: Dataset[MediaRow], codec: Codec = StubCodec): DataFrame = {
+    import org.apache.spark.sql.functions._
+    dHash(media, codec).toDF()
+      .groupBy(col("phash"))
+      .agg(min(col("media_id")).as("media_id"), count(lit(1)).as("n"))
+      .where(col("n") > 1)
+      .select(col("media_id"), col("n"))
+  }
+
+  /** Near-dup candidate pairs at Hamming distance ≤ `maxHamming`,
+    * banded-LSH style: the 64-bit hash splits into 4 × 16-bit bands;
+    * pairs collide if ANY band matches exactly, then verify with
+    * `bit_count(xor)` (codegen'd). By pigeonhole the recall is TOTAL
+    * for maxHamming ≤ 3 (4 bands, ≤ 3 differing bits ⇒ some band is
+    * untouched) — the same guarantee-shape as the simhash text dedup
+    * (Dedup C5). Self-join happens per band BUCKET (hash equality),
+    * never all-pairs.
+    */
+  def phashNearDupPairs(media: Dataset[MediaRow], maxHamming: Int,
+      codec: Codec = StubCodec): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banded recall is only total for maxHamming <= 3 (got $maxHamming)")
+    val h = dHash(media, codec).toDF()
+    val banded = h.select(col("media_id"), col("phash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          col("phash").bitwiseAND(lit(0xFFFFL << (16 * b))).as("bits"))
+      }: _*)).as("bb"))
+      .select(col("media_id"), col("phash"), col("bb.band"), col("bb.bits"))
+    val a = banded.select(col("band"), col("bits"),
+      col("media_id").as("a_id"), col("phash").as("a_hash"))
+    val b = banded.select(col("band"), col("bits"),
+      col("media_id").as("b_id"), col("phash").as("b_hash"))
+    a.join(b, Seq("band", "bits"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_hash"), col("b_hash"))
+      .distinct()
+      .where(bit_count(col("a_hash").bitwiseXOR(col("b_hash"))) <= maxHamming)
+      .select(col("a_id"), col("b_id"))
   }
 
   /** Synthesize a media table from `documents` (this container ships no

@@ -1,0 +1,302 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Embedding-matrix operators — SURVEY.md §2.C40/C40b/C41: the
+  * second-moment/covariance accumulation every embedding-space pipeline
+  * stage sits on (PCA whitening before SemDeDup/ANN, drift monitoring),
+  * the PCA projection built on it, and int8 scalar quantization (the
+  * storage-compression step that makes a 100 TB embedding store hold
+  * 4× the vectors).
+  *
+  * Scale shapes:
+  *   - covariance is the classic mergeable-state accumulation: the
+  *     corpus explodes to (d1, d2, m1·m2) terms that PARTIAL-AGGREGATE
+  *     map-side, so the one shuffle carries at most P·d² partial rows
+  *     (P = map partitions), never n·d² — the same n-free envelope as
+  *     Spark MLlib's RowMatrix Gramian. The d² output (2,080 rows at
+  *     d=64) is bounded and driver-collectable, which is what makes the
+  *     eigensolve a driver-side concern (below);
+  *   - PCA splits exactly like [[Cluster]]'s k-means and [[Ann]]'s IVF
+  *     trainer: the corpus-scale pass (moment accumulation, then the
+  *     final map-only projection with the eigenbasis riding along as
+  *     p·d literals) is distributed; the eigensolve runs on the BOUNDED
+  *     d×d matrix driver-side (cyclic Jacobi, deterministic) — the
+  *     RowMatrix.computePrincipalComponents pattern;
+  *   - quantization is a pure per-row fold (`transform` + `aggregate`
+  *     higher-order functions, all inside whole-stage codegen): ZERO
+  *     shuffles before the presentation sort, scan-speed at any scale.
+  *
+  * EXACT CROSS-ENGINE ARITHMETIC (the [[Ann]] emb_label_stats / kilo-
+  * quantization discipline): components become m = floor(v·1000) longs
+  * (float→double exact, ·1e3 and floor round identically in both
+  * engines), and every gated value derives from integer sums of integer
+  * products — order-independent, so the driver's hash compare is exact.
+  * emb_covariance deliberately emits the RAW sufficient statistics
+  * (sprod, sd1, sd2, n) instead of the assembled covariance: every
+  * emitted value stays far under 2⁶³ at ANY corpus size (|sprod| ≤
+  * n·10⁶ overflows Long only past ~9e12 rows), while n·sprod − sd1·sd2
+  * would overflow past n ≈ 3e6 — the consumer assembles in whatever
+  * precision its scale needs (the driver-side PCA fit uses double).
+  *
+  * The PCA projection itself is float output (eigenvectors are
+  * irrational), so `emb_pca_project` is rows-only; `inv_pca_variance`
+  * is its driver gate: the eigenbasis must be orthonormal AND the
+  * per-component variance of the ACTUAL projected corpus must equal the
+  * corresponding eigenvalue (the Rayleigh-quotient identity
+  * Var(Xv) = vᵀCv = λ) within 1e-6 relative — a distributed end-to-end
+  * check binding projection output to the gated covariance; violations
+  * gate against `WHERE 1=0`.
+  */
+object Embed {
+
+  /** Principal components kept by the gated projection (of d=64). */
+  private val P = 8
+
+  /** Kilo-quantized (vec_id, q: array<long>) view of the embeddings. */
+  def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"),
+        v => floor(v.cast("double") * 1000).cast("long")).as("q"))
+
+  /** Upper-triangle second-moment accumulation + per-dimension sums:
+    * (d1 ≤ d2, Σ m1·m2, Σ m_d1, Σ m_d2, n). The double posexplode emits
+    * n·d(d+1)/2 product terms INSIDE codegen and the groupBy partial-
+    * aggregates them map-side; the per-dim sum table (d rows) broadcasts
+    * back. 0-based dimensions (matching posexplode) — the oracle shifts
+    * DuckDB's 1-based generate_subscripts.
+    */
+  def moments(q: DataFrame): DataFrame = {
+    val terms = q
+      .select(posexplode(col("q")).as(Seq("d1", "m1")), col("q"))
+      .select(col("d1"), col("m1"), posexplode(col("q")).as(Seq("d2", "m2")))
+      .where(col("d2") >= col("d1"))
+    val mom = terms.groupBy(col("d1"), col("d2"))
+      .agg(sum(col("m1") * col("m2")).as("sprod"), count(lit(1)).as("n"))
+    val sums = q.select(posexplode(col("q")).as(Seq("d", "m")))
+      .groupBy(col("d")).agg(sum(col("m")).as("sd"))
+    mom
+      .join(broadcast(sums.select(col("d").as("d1"), col("sd").as("sd1"))), Seq("d1"))
+      .join(broadcast(sums.select(col("d").as("d2"), col("sd").as("sd2"))), Seq("d2"))
+      .select(col("d1"), col("d2"), col("sprod"), col("sd1"), col("sd2"), col("n"))
+  }
+
+  /** A fitted PCA basis: `mean(d)` and `basis(j)(d)` in original float
+    * units, `eigenvalues(j)` = Var of component j, descending.
+    */
+  final case class PcaModel(
+      mean: Array[Double],
+      basis: Array[Array[Double]],
+      eigenvalues: Array[Double])
+
+  /** Fit PCA from the distributed moment accumulation: ONE corpus-scale
+    * job, then a BOUNDED d(d+1)/2-row driver collect (2,080 rows at
+    * d=64 — the same envelope as [[Cluster]]'s k·d partials), the d×d
+    * eigensolve in-process, done. Covariance assembles in double from
+    * the raw integer statistics: C = (n·sprod − sd1·sd2) / (n²·10⁶)
+    * (population covariance in original float units).
+    */
+  def pcaFit(moment: DataFrame, p: Int): PcaModel = {
+    val rows = moment.collect()
+    require(rows.nonEmpty, "pcaFit: empty moment frame")
+    val d = rows.iterator.map(_.getInt(1)).max + 1
+    require(p >= 1 && p <= d, s"pcaFit: p=$p out of range 1..$d")
+    val n = rows.head.getLong(5).toDouble
+    val c = Array.ofDim[Double](d, d)
+    val mean = new Array[Double](d)
+    rows.foreach { r =>
+      val (d1, d2) = (r.getInt(0), r.getInt(1))
+      val cov = (n * r.getLong(2) - r.getLong(3).toDouble * r.getLong(4)) /
+        (n * n * 1e6)
+      c(d1)(d2) = cov
+      c(d2)(d1) = cov
+      if (d1 == d2) mean(d1) = r.getLong(3) / (n * 1000.0)
+    }
+    val (evals, evecs) = jacobiEigen(c)
+    // descending eigenvalue order; index tie-break keeps it total
+    val order = evals.indices.sortBy(i => (-evals(i), i)).take(p)
+    val basis = order.map { i =>
+      val v = evecs(i)
+      // deterministic sign: first component of largest magnitude positive
+      val k = v.indices.maxBy(j => (math.abs(v(j)), -j))
+      if (v(k) < 0) v.map(x => -x) else v.clone()
+    }.toArray
+    PcaModel(mean, basis, order.map(evals).toArray)
+  }
+
+  def pcaFit(s: SparkSession, dir: String, p: Int): PcaModel =
+    pcaFit(moments(quantized(s, dir)), p)
+
+  /** Map-only projection: pc_j = ⟨x, v_j⟩ − ⟨μ, v_j⟩ through the
+    * codegen'd `graft_dot` kernel, the basis riding along as p·d
+    * literals (a few KB — broadcastable at any corpus size). No shuffle
+    * before the caller's presentation sort.
+    */
+  def pcaProject(s: SparkSession, x: DataFrame, m: PcaModel): DataFrame = {
+    val xd = x.withColumn("qd",
+      transform(col("q"), v => v.cast("double") / lit(1000.0d)))
+    val cols: Seq[Column] = m.basis.zipWithIndex.map { case (v, j) =>
+      val mu = v.indices.foldLeft(0.0d)((acc, i) => acc + m.mean(i) * v(i))
+      (graft.functions.Native.dot(s, col("qd"), typedLit(v.toSeq)) - lit(mu))
+        .as(s"pc$j")
+    }.toSeq
+    xd.select(col("vec_id") +: cols: _*)
+  }
+
+  /** Cyclic Jacobi eigensolve for a symmetric d×d matrix (driver-side,
+    * bounded — d=64 here). Deterministic: fixed (p,q) sweep order, fixed
+    * convergence threshold. Returns (eigenvalues, row eigenvectors).
+    */
+  def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      for (i <- 0 until d; j <- i + 1 until d) s += a(i)(j) * a(i)(j)
+      s
+    }
+    val tol = 1e-22 * math.max(1.0, a.map(_.map(x => x * x).sum).sum)
+    var sweep = 0
+    while (off() > tol && sweep < 100) {
+      sweep += 1
+      for (p <- 0 until d; q <- p + 1 until d if math.abs(a(p)(q)) > 0) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+          case x if x == 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+          case x => x
+        }
+        val cth = 1.0 / math.sqrt(t * t + 1.0)
+        val sth = t * cth
+        for (i <- 0 until d) {
+          val aip = a(i)(p); val aiq = a(i)(q)
+          a(i)(p) = cth * aip - sth * aiq
+          a(i)(q) = sth * aip + cth * aiq
+        }
+        for (i <- 0 until d) {
+          val api = a(p)(i); val aqi = a(q)(i)
+          a(p)(i) = cth * api - sth * aqi
+          a(q)(i) = sth * api + cth * aqi
+        }
+        for (i <- 0 until d) {
+          val vip = v(i)(p); val viq = v(i)(q)
+          v(i)(p) = cth * vip - sth * viq
+          v(i)(q) = sth * vip + cth * viq
+        }
+      }
+    }
+    (Array.tabulate(d)(i => a(i)(i)), Array.tabulate(d)(i => Array.tabulate(d)(j => v(j)(i))))
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // C40: raw second-moment + mean sufficient statistics, upper
+    // triangle — the corpus-scale half of covariance/PCA/whitening,
+    // hash-gated end to end in integer space.
+    Q("emb_covariance",
+      """WITH x AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        |         CAST(floor(unnest(embedding)::DOUBLE * 1000) AS BIGINT) AS m
+        |  FROM embeddings),
+        |s AS (SELECT d, CAST(sum(m) AS BIGINT) AS sd FROM x GROUP BY d),
+        |mom AS (
+        |  SELECT a.d AS d1, b.d AS d2,
+        |         CAST(sum(a.m * b.m) AS BIGINT) AS sprod, count(*) AS n
+        |  FROM x a JOIN x b ON b.vec_id = a.vec_id AND b.d >= a.d
+        |  GROUP BY a.d, b.d)
+        |SELECT m.d1, m.d2, m.sprod, s1.sd AS sd1, s2.sd AS sd2, m.n
+        |FROM mom m JOIN s s1 ON s1.d = m.d1 JOIN s s2 ON s2.d = m.d2
+        |ORDER BY m.d1, m.d2""".stripMargin) { (s, dir) =>
+      moments(quantized(s, dir)).orderBy(col("d1"), col("d2"))
+    },
+
+    // C40b: the projection itself — float output (eigenvectors are
+    // irrational), so rows-only; inv_pca_variance is its driver gate
+    // and PcaSpec pins a hand-checkable basis.
+    Q.noOracle("emb_pca_project") { (s, dir) =>
+      val m = pcaFit(s, dir, P)
+      pcaProject(s, quantized(s, dir), m).orderBy(col("vec_id"))
+    },
+
+    // Driver gate for C40b (WHERE 1=0 oracle): (a) basis orthonormality
+    // |⟨vi,vj⟩ − δij| ≤ 1e-9 (p² driver-side dots, emitted as a local
+    // frame so the violation set is driver-checked, not spec-trusted);
+    // (b) Var(corpus · v_j) = λ_j within 1e-6 relative — the Rayleigh
+    // identity, computed by a REAL distributed pass over the projected
+    // corpus, so a wrong mean, a wrong basis row, or a projection bug
+    // all surface as violations.
+    Q("inv_pca_variance",
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS INT) AS i,
+        |  CAST(NULL AS INT) AS j FROM embeddings WHERE 1=0""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val m = pcaFit(s, dir, P)
+      val ortho = for {
+        i <- 0 until P; j <- i until P
+        dot = m.basis(i).indices.foldLeft(0.0d)((a, k) => a + m.basis(i)(k) * m.basis(j)(k))
+        want = if (i == j) 1.0 else 0.0
+        if math.abs(dot - want) > 1e-9
+      } yield ("orthonormal", i, j)
+      val orthoDf = ortho.toDF("kind", "i", "j")
+      val proj = pcaProject(s, quantized(s, dir), m)
+      val aggs = (0 until P).flatMap { j =>
+        Seq(sum(col(s"pc$j")).as(s"s$j"), sum(col(s"pc$j") * col(s"pc$j")).as(s"ss$j"))
+      } :+ count(lit(1)).as("n")
+      val varianceViolations = proj.agg(aggs.head, aggs.tail: _*)
+        .select((0 until P).map { j =>
+          ((col(s"ss$j") - col(s"s$j") * col(s"s$j") / col("n")) / col("n")).as(s"v$j")
+        }: _*)
+        .select(explode(array((0 until P).map { j =>
+          struct(lit("variance").as("kind"), lit(j).as("i"), lit(j).as("j"),
+            col(s"v$j").as("got"), lit(m.eigenvalues(j)).as("want"))
+        }: _*)).as("x"))
+        .select(col("x.*"))
+        .where(abs(col("got") - col("want")) >
+          greatest(lit(1e-9), lit(1e-6) * abs(col("want"))))
+        .select(col("kind"), col("i"), col("j"))
+      orthoDf.unionByName(varianceViolations).orderBy(col("kind"), col("i"), col("j"))
+    },
+
+    // C41: int8 scalar quantization + exact reconstruction-error
+    // accounting, all integer: code = (m+1000)·255 // 2000 ∈ [0,255],
+    // recon = code·2000 // 255 − 1000, per-vector Σ|err| / max|err| and
+    // a position-weighted code checksum binding every code byte into the
+    // hash gate. Pure per-row `transform`+`aggregate` folds — zero
+    // shuffles before the presentation sort. The floor(double-division)
+    // form is exact: numerators ≤ 510,000 are exact doubles and the
+    // quotients are rationals with denominator 2000 (resp. 255), ≥
+    // 1/2000 away from any other integer — double error ~1e-14 cannot
+    // cross a floor boundary — so it matches DuckDB's integer `//`.
+    Q("emb_quantize",
+      """WITH x AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+        |         CAST(floor(unnest(embedding)::DOUBLE * 1000) AS BIGINT) AS m
+        |  FROM embeddings),
+        |c AS (SELECT vec_id, d, m, (m + 1000) * 255 // 2000 AS code FROM x),
+        |r AS (SELECT vec_id, d, code,
+        |        abs(m - (code * 2000 // 255 - 1000)) AS err FROM c)
+        |SELECT vec_id, CAST(sum(err) AS BIGINT) AS sum_err,
+        |  CAST(max(err) AS BIGINT) AS max_err,
+        |  CAST(sum(code * d) AS BIGINT) AS code_chk
+        |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      quantizeStats(quantized(s, dir)).orderBy(col("vec_id"))
+    })
+
+  /** Int8 quantization error accounting over a kilo-quantized frame —
+    * see the `emb_quantize` entry above for the arithmetic contract.
+    */
+  def quantizeStats(q: DataFrame): DataFrame = {
+    def idiv(num: Column, den: Long): Column =
+      floor(num.cast("double") / lit(den.toDouble)).cast("long")
+    q.withColumn("codes", transform(col("q"), m => idiv((m + lit(1000L)) * lit(255L), 2000L)))
+      .withColumn("errs", zip_with(col("q"), col("codes"),
+        (m, c) => abs(m - (idiv(c * lit(2000L), 255L) - lit(1000L)))))
+      .select(col("vec_id"),
+        aggregate(col("errs"), lit(0L), (acc, e) => acc + e).as("sum_err"),
+        aggregate(col("errs"), lit(0L), (acc, e) => greatest(acc, e)).as("max_err"),
+        aggregate(zip_with(col("codes"), sequence(lit(1L), size(col("codes")).cast("long")),
+          (c, d) => c * d), lit(0L), (acc, x) => acc + x).as("code_chk"))
+  }
+}

@@ -42,10 +42,10 @@ object Events {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     // the file streaming source wants a DIRECTORY; narrow it to the
     // events table with a glob filter
-    () => s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    () => Tables.normalizeTs(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Stateful streaming ops instantiate one state store per shuffle

@@ -81,5 +81,36 @@ object Media {
         .agg(count(lit(1)).as("n_frames"),
           sum(length(col("pixels"))).as("px_bytes"))
         .orderBy(col("media_id"))
+    },
+
+    // C13d: perceptual-hash (dHash) dedup through the full decode →
+    // resize → hash path, gated PER ITEM — every media row emits its
+    // hash-group canonical (min id) and group size, so the oracle pins
+    // the entire hash PARTITION STRUCTURE, not just the duplicated
+    // sliver (which is empty at sf0.01): a spurious collision or a
+    // missed duplicate changes some row at any scale. ORACLE SOUNDNESS:
+    // decode/resize are pure functions of payload bytes, so identical
+    // payloads ALWAYS share a dHash; the converse (distinct payloads
+    // never collide) holds on this data because the stub's decode seeds
+    // a 64-bit mix from the payload — expected birthday collisions
+    // among n distinct payloads ≈ n²/2⁶⁵ (~2·10⁻¹¹ at sf0.1), and the
+    // gate data is fixed, so the equality is deterministic (verified at
+    // sf0.01/sf0.1/sf1). With a REAL codec the hash deliberately merges
+    // near-identical images — that recall path (banded buckets,
+    // Hamming ≤ 3 total recall by pigeonhole) is MediaPhashSpec's
+    // controlled-codec territory, the same division of labor as
+    // media_features' vectors. Scale shape: one window shuffle of
+    // (media_id, 8 B hash) — the payload never moves.
+    Q("media_phash_dedup",
+      """SELECT doc_id AS media_id,
+        |  min(doc_id) OVER (PARTITION BY text) AS canonical_id,
+        |  count(*) OVER (PARTITION BY text) AS n
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("phash"))
+      Multimodal.dHash(Multimodal.mediaFromDocuments(s, dir)).toDF()
+        .select(col("media_id"),
+          min(col("media_id")).over(w).as("canonical_id"),
+          count(lit(1)).over(w).as("n"))
+        .orderBy(col("media_id"))
     })
 }

@@ -109,8 +109,8 @@ class StreamingSpec extends SparkSpec {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
 
     def shape(df: org.apache.spark.sql.DataFrame) = {
-      val ts = timestamp_micros(expr("ts div 1000"))
-      df.groupBy(date_trunc("hour", ts).as("h"), col("event_type"))
+      graft.core.Tables.normalizeTs(df)
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
     }
 
