@@ -337,6 +337,85 @@ object Kernels extends Serializable {
     * bounded (30k entries ≈ 1 MB) and ships once per executor in the
     * closure, a broadcast in all but name.
     */
+  /** Viterbi segmentation of a word under a unigram piece model
+    * (piece → cost = −ln p), Kudo 2018's inference step. DP over end
+    * positions; transitions try piece lengths 1..maxLen SHORTEST FIRST
+    * with strict improvement, so exact-cost ties break to the
+    * shortest-piece path deterministically. Returns (pieces, total
+    * cost); THROWS on an unsegmentable word — under Viterbi-EM every
+    * word's own current segmentation survives the M-step, so
+    * reachability is an invariant and a gap is a bug, not data.
+    *
+    * Kernel, not expression, per this file's contract: O(len × maxLen)
+    * map probes per word, once per DISTINCT word; the model is bounded
+    * (operator contract) and ships once per executor in the closure.
+    */
+  def unigramViterbi(model: Map[String, Double], maxLen: Int): Column => Column = {
+    val f = udf { t: String =>
+      if (t == null) null
+      else {
+        val n = t.length
+        val best = Array.fill(n + 1)(Double.MaxValue)
+        val back = new Array[Int](n + 1) // piece length ending at i
+        best(0) = 0.0
+        var i = 1
+        while (i <= n) {
+          var l = 1
+          val lmax = math.min(maxLen, i)
+          while (l <= lmax) {
+            if (best(i - l) < Double.MaxValue) {
+              model.get(t.substring(i - l, i)) match {
+                case Some(c) =>
+                  val v = best(i - l) + c
+                  if (v < best(i)) { best(i) = v; back(i) = l }
+                case None =>
+              }
+            }
+            l += 1
+          }
+          i += 1
+        }
+        if (best(n) == Double.MaxValue)
+          throw new IllegalStateException(s"unigramViterbi: unsegmentable word '$t'")
+        val out = new scala.collection.mutable.ArrayBuffer[String]
+        var p = n
+        while (p > 0) { out += t.substring(p - back(p), p); p -= back(p) }
+        (out.reverseIterator.toArray.toSeq, best(n))
+      }
+    }
+    c => f(c)
+  }
+
+  /** Greedy longest-match segmentation cost under the same model — the
+    * comparison witness for the Viterbi-optimality gate. Returns the
+    * greedy path's total cost, or null when greedy dead-ends (no piece
+    * matches at some position); Viterbi's cost must be ≤ every
+    * successful greedy cost.
+    */
+  def unigramGreedyCost(model: Map[String, Double], maxLen: Int): Column => Column = {
+    val f = udf { t: String =>
+      if (t == null) null
+      else {
+        var pos = 0
+        var cost = 0.0
+        var dead = false
+        while (pos < t.length && !dead) {
+          var l = math.min(maxLen, t.length - pos)
+          var found = false
+          while (l >= 1 && !found) {
+            model.get(t.substring(pos, pos + l)) match {
+              case Some(c) => cost += c; pos += l; found = true
+              case None => l -= 1
+            }
+          }
+          if (!found) dead = true
+        }
+        if (dead) null else java.lang.Double.valueOf(cost)
+      }
+    }
+    c => f(c)
+  }
+
   def bpeEncode(merges: Seq[(String, String)]): Column => Column = {
     val ms = merges.toArray
     val rank: Map[(String, String), Int] =

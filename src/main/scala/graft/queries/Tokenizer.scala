@@ -485,6 +485,146 @@ object Tokenizer {
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  // ------------------------------------------------------- C36d unigram
+
+  /** Unigram-LM tokenizer (SentencePiece, Kudo 2018), the Viterbi-EM
+    * (hard-EM) variant, distributed in the same shape as the BPE
+    * family: the corpus is scanned ONCE into the bounded (word, freq)
+    * vocab table; seeding, every EM iteration, and the final encode run
+    * over DISTINCT words only, with the bounded model (≤ UniSeedK
+    * multi-char pieces + the charset — operator contract, like C36b's
+    * k) riding in kernel closures.
+    *
+    * Per iteration: E-step = Viterbi segmentation of each word under
+    * the current piece costs ([[graft.functions.Kernels.unigramViterbi]],
+    * JIT kernel); M-step = exact MLE over the pieces the segmentations
+    * USED (one map-side-combinable groupBy over the exploded pieces —
+    * the only shuffle, bounded by model size; unused pieces drop, which
+    * is the natural pruning step). Hard EM is alternating maximization
+    * of the joint objective J(s, θ) = Σ_w freq_w · ln p_θ(s_w), so
+    *
+    *   J_{t+1} = J(s_{t+1}, θ_{t+1}) ≥ J(s_t, θ_{t+1}) ≥ J(s_t, θ_t) = J_t
+    *
+    * — a THEOREM the driver gate checks (`inv_unigram_model`): the
+    * E-step maximizes over segmentations, the M-step's MLE maximizes
+    * over θ. J_t itself costs nothing extra: J = −Σ_p cnt_p · cost_t(p)
+    * over the same usage counts the M-step aggregates.
+    *
+    * Feasibility invariant: every word stays segmentable because its
+    * own current segmentation's pieces are, by construction, used —
+    * hence retained by the M-step. The kernel THROWS on a gap.
+    */
+  private val UniSeedK = 300
+  private val UniMaxLen = 6
+  private val UniIters = 3
+
+  /** Seed piece counts: every substring occurrence (length 1..UniMaxLen)
+    * of every distinct word, weighted by word frequency — one codegen'd
+    * explode over the vocab table, partial-aggregated.
+    */
+  private[graft] def unigramSeedCounts(wf: DataFrame): DataFrame =
+    wf.select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(0, length(t) - 1),
+           |  i -> transform(sequence(1, least($UniMaxLen, length(t) - i)),
+           |       l -> substring(t, i + 1, l))))""".stripMargin)).as("p"))
+      .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
+
+  private def mleCosts(counts: Seq[(String, Long)]): Map[String, Double] = {
+    val total = counts.iterator.map(_._2).sum.toDouble
+    counts.iterator.map { case (p, c) => p -> (math.log(total) - math.log(c.toDouble)) }.toMap
+  }
+
+  /** Train the unigram model. Returns (final piece costs, the J
+    * sequence J_0..J_ITERS — each from the usage counts of the E-step
+    * under that iteration's model). Driver collects are bounded: the
+    * top-K multi-char seed (TakeOrdered), the charset, and per
+    * iteration the ≤ model-size usage-count table.
+    */
+  private[graft] def unigramTrain(wf: DataFrame): (Map[String, Double], Seq[Double]) = {
+    val seed = unigramSeedCounts(wf).localCheckpoint(true)
+    try {
+      val multi = seed.where(length(col("p")) > 1)
+        .orderBy(col("cnt").desc, col("p")).limit(UniSeedK).collect()
+      val chars = seed.where(length(col("p")) === 1).collect()
+      var model = mleCosts((chars ++ multi).map(r => r.getString(0) -> r.getLong(1)).toSeq)
+      val js = scala.collection.mutable.ArrayBuffer.empty[Double]
+      for (_ <- 0 to UniIters) {
+        val cur = model
+        val counts = wf
+          .withColumn("vit", graft.functions.Kernels.unigramViterbi(cur, UniMaxLen)(col("t")))
+          .select(col("freq"), explode(col("vit._1")).as("p"))
+          .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+        js += -counts.iterator.map { case (p, c) => c * cur(p) }.sum
+        model = mleCosts(counts)
+      }
+      // js has ITERS+1 entries: the model after the last M-step is
+      // returned but its J (a further E-step) belongs to the next round
+      (model, js.toSeq)
+    } finally seed.unpersist(blocking = false)
+  }
+
+  /** C36d gate query: encode the corpus with the trained unigram model —
+    * per-doc word/piece counts + fertility, the same integer-bp metric
+    * shape as C36c (the two tokenizers' fertilities are directly
+    * comparable).
+    */
+  def unigramEncodeDocs(s: SparkSession, dir: String): DataFrame = {
+    // NOT unpersisted here: the returned plan still reads both frames
+    // lazily (the bpeEncodeDocs stance — releasing them belongs to the
+    // caller's lifetime, and the gate harness materializes eagerly)
+    val perDoc = docs(s, dir).select(col("doc_id"), explode(words).as("t"))
+      .where(col("t").rlike("^[a-z]+$"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val wf = perDoc.groupBy(col("t")).agg(sum(col("cnt")).as("freq"))
+      .localCheckpoint(true)
+    val (model, _) = unigramTrain(wf)
+    val enc = wf
+      .withColumn("vit", graft.functions.Kernels.unigramViterbi(model, UniMaxLen)(col("t")))
+      .select(col("t"), size(col("vit._1")).cast("long").as("n_pieces"))
+    perDoc.join(enc, "t")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_pieces")).as("n_unigram_tokens"))
+      .withColumn("fertility_bp", expr("n_unigram_tokens * 10000L DIV n_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver gate for C36d (violations `WHERE 1=0`): the hard-EM
+    * monotonicity theorem over the J sequence (1e-6 relative
+    * tolerance for float summation), and per distinct word under the
+    * FINAL model: ROUNDTRIP (pieces concatenate back to the word),
+    * CLOSURE (every piece is in the model — the model is bounded, so
+    * it rides as a literal array), and VITERBI OPTIMALITY (cost ≤ any
+    * successful greedy-longest-match cost, the independent witness
+    * kernel).
+    */
+  def unigramViolations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wf = wordFreq(s, dir).localCheckpoint(true)
+    Invariants.releasing(wf) {
+      val (model, js) = unigramTrain(wf)
+      val mono = js.sliding(2).zipWithIndex.collect {
+        case (Seq(a, b), i) if b < a - 1e-6 * math.abs(a) - 1e-9 =>
+          ("monotone", s"J$i=$a J${i + 1}=$b")
+      }.toSeq.toDF("kind", "w")
+      val enc = wf
+        .withColumn("vit", graft.functions.Kernels.unigramViterbi(model, UniMaxLen)(col("t")))
+        .withColumn("greedy",
+          graft.functions.Kernels.unigramGreedyCost(model, UniMaxLen)(col("t")))
+      val pieceLit = array(model.keys.toSeq.sorted.map(lit): _*)
+      val perWord = enc.select(col("t").as("w"),
+          when(concat_ws("", col("vit._1")) =!= col("t"), lit("roundtrip"))
+            .when(size(array_except(col("vit._1"), pieceLit)) > 0, lit("closure"))
+            .when(col("greedy").isNotNull && col("vit._2") > col("greedy") + lit(1e-9),
+              lit("optimality")).as("kind"))
+        .where(col("kind").isNotNull)
+        .select(col("kind"), col("w"))
+      mono.unionByName(perWord).orderBy(col("kind"), col("w"))
+    }
+  }
+
   def all: Seq[Q] = Seq(
 
     // C36: first BPE iteration's pair counts, oracle-gated — the
@@ -527,6 +667,21 @@ object Tokenizer {
     // properties, BpeEncodeSpec pins hand-computed encodings.
     Q.noOracle("text_bpe_encode") { (s, dir) =>
       bpeEncodeDocs(s, dir, 10)
+    },
+
+    // C36d: unigram-LM tokenizer encode (see unigramTrain scaladoc).
+    // Rows-only like its BPE sibling (iterative float Viterbi-EM isn't
+    // one SQL query); inv_unigram_model drives the hard-EM monotone
+    // theorem + the three encoder properties through the gate,
+    // UnigramSpec pins hand-computed seeds/segmentations.
+    Q.noOracle("text_unigram_encode") { (s, dir) =>
+      unigramEncodeDocs(s, dir)
+    },
+
+    Q("inv_unigram_model",
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS VARCHAR) AS w
+        |FROM documents WHERE 1=0""".stripMargin) { (s, dir) =>
+      unigramViolations(s, dir)
     },
 
     // C14b: bounded-memory heavy hitters (see scaladoc above). Rows-only
