@@ -475,6 +475,33 @@ class PlanSpec extends SparkSpec {
       s"corpus scan must be behind the localCheckpoint, not re-read per branch:\n$p")
   }
 
+  test("emb_quantize: pure per-row folds — no exchange except the presentation sort") {
+    val p = planStr("emb_quantize")
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 1,
+      s"quantization must not shuffle before the ORDER BY:\n$p")
+    assert(!p.contains("Generate"), s"no explode belongs in the per-row fold path:\n$p")
+  }
+
+  test("emb_covariance: moment agg partial-aggregates; dim-sum tables broadcast back") {
+    val p = planStr("emb_covariance")
+    val aggLines = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.exists(_.contains("partial")),
+      s"the n·d² term stream must partial-aggregate map-side:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the d-row sum tables must broadcast, not shuffle the 2080-row moment table:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join belongs here:\n$p")
+  }
+
+  test("media_phash_dedup: one hash-partition exchange of slim rows, payload never shuffles") {
+    val p = planStr("media_phash_dedup")
+    // window on phash + presentation sort — nothing else; and the rows
+    // entering the window exchange are (media_id, phash), not payloads
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 2,
+      s"expected only the window + sort exchanges:\n$p")
+    assert(!p.contains("payload"),
+      s"the binary payload column must be pruned before any exchange:\n$p")
+  }
+
   test("gramsMultiN keeps multiplicity where gramsN dedups") {
     import spark.implicits._
     val df = Seq(Tuple1(Seq("a", "b", "a", "b", "c"))).toDF("ws")
