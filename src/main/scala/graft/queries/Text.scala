@@ -122,6 +122,159 @@ object Text {
         expr("sum_pbp div n_bigrams").as("lm_bp"))
   }
 
+  // ------------------------------------------------ C18c/C18d data card
+
+  /** Per-doc card base columns (quality_bp, split, word counts). */
+  private[graft] def cardBase(d: DataFrame): DataFrame =
+    d.select(
+      col("doc_id"), col("lang"), col("source"), col("n_chars"),
+      size(words).as("n_words"),
+      size(array_distinct(words)).as("n_distinct"),
+      size(filter(words, t => t.isin("the", "a", "of", "and", "to"))).as("n_stop"),
+      when(col("doc_id") % 10 < 8, lit("train"))
+        .when(col("doc_id") % 10 === 8, lit("val"))
+        .otherwise(lit("test")).as("split"))
+      .withColumn("quality_bp",
+        (least(col("n_words"), lit(100)) * 40
+          + expr("(least(n_stop * 10, n_words) * 3000) div n_words")
+          + expr("(n_distinct * 3000) div n_words")).cast("long"))
+
+  /** The one composition shuffle: (), (lang), (source), (split) in a
+    * single grouping-sets aggregation; grouping_id tells the rows
+    * apart. This aggregate IS the card's mergeable composition state:
+    * counts/sums re-add and min/max re-combine under
+    * [[mergeCardComp]], which is what makes the incremental card exact.
+    */
+  private[graft] def cardComp(base: DataFrame): DataFrame =
+    base.groupingSets(
+        Seq(Seq(col("lang")), Seq(col("source")), Seq(col("split")), Seq()),
+        col("lang"), col("source"), col("split"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
+        sum(col("n_words")).as("wrds"),
+        min(col("quality_bp")).as("q_min"), sum(col("quality_bp")).as("q_sum"),
+        max(col("quality_bp")).as("q_max"))
+
+  /** Merge two composition states cell-by-cell (slim state rows — the
+    * shuffle moves |cells| rows, never documents).
+    */
+  private[graft] def mergeCardComp(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionAll(b)
+      .groupBy(col("gid"), col("lang"), col("source"), col("split"))
+      .agg(sum(col("docs")).as("docs"), sum(col("chars")).as("chars"),
+        sum(col("wrds")).as("wrds"),
+        min(col("q_min")).as("q_min"), sum(col("q_sum")).as("q_sum"),
+        max(col("q_max")).as("q_max"))
+
+  /** The per-digest count sidecar on the SAME key as dedup_exact —
+    * mergeable by digest-sum, so a delta doc duplicating a BASE doc is
+    * accounted correctly.
+    */
+  private[graft] def cardDigestCounts(d: DataFrame): DataFrame =
+    d.groupBy(unhex(sha2(Dedup.normText, 256)).as("h"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Assemble the final card rows from state: melt every section from
+    * ONE pass over the composition aggregate (a per-gid CASE over
+    * "section|metric" → value maps, exploded once — per-section filters
+    * would push below the aggregate and break exchange reuse into 5
+    * corpus scans), plus the distinct-word count and the dup metrics
+    * from their sidecars.
+    */
+  private[graft] def cardFromState(
+      gs: DataFrame, wordsFrame: DataFrame, digests: DataFrame): DataFrame = {
+    def m(pairs: (Column, Column)*): Column =
+      map(pairs.flatMap { case (k, v) => Seq(k, v.cast("long")) }: _*)
+    def key(section: Column, metric: String): Column =
+      concat(section, lit("|" + metric))
+    val kv = when(col("gid") === 7, m(
+        key(lit("corpus"), "docs") -> col("docs"),
+        key(lit("corpus"), "chars") -> col("chars"),
+        key(lit("corpus"), "words") -> col("wrds"),
+        key(lit("corpus"), "mean_chars") -> expr("chars div docs"),
+        key(lit("quality"), "min_bp") -> col("q_min"),
+        key(lit("quality"), "mean_bp") -> expr("q_sum div docs"),
+        key(lit("quality"), "max_bp") -> col("q_max")))
+      .when(col("gid") === 3, m(
+        key(concat(lit("lang:"), col("lang")), "docs") -> col("docs"),
+        key(concat(lit("lang:"), col("lang")), "chars") -> col("chars")))
+      .when(col("gid") === 5, m(
+        key(concat(lit("source:"), col("source")), "docs") -> col("docs")))
+      .otherwise(m(
+        key(concat(lit("split:"), col("split")), "docs") -> col("docs"),
+        key(concat(lit("split:"), col("split")), "chars") -> col("chars")))
+    val sectioned = gs.select(explode(kv).as(Seq("sm", "value")))
+      .select(substring_index(col("sm"), "|", 1).as("section"),
+        substring_index(col("sm"), "|", -1).as("metric"), col("value"))
+    val dw = wordsFrame.agg(countDistinct(col("w")).as("n"))
+      .select(lit("corpus").as("section"), lit("distinct_words").as("metric"),
+        col("n").cast("long").as("value"))
+    val dg = digests
+      .agg(coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0L)).as("dup_docs"),
+        coalesce(sum(when(col("c") > 1, lit(1L))), lit(0L)).as("dup_groups"))
+      .select(explode(m(
+        lit("dedup|exact_dup_docs") -> col("dup_docs"),
+        lit("dedup|exact_dup_groups") -> col("dup_groups"))).as(Seq("sm", "value")))
+      .select(substring_index(col("sm"), "|", 1).as("section"),
+        substring_index(col("sm"), "|", -1).as("metric"), col("value"))
+    sectioned.unionAll(dw).unionAll(dg)
+      .orderBy(col("section"), col("metric"))
+  }
+
+  /** Shared C18c/C18d oracle: the full-corpus card. The incremental
+    * query gating against THIS is the mergeability proof.
+    */
+  private[graft] val dataCardSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    CAST(least(len(string_split(text, ' ')), 100) * 40
+      |      + (least(len(list_filter(string_split(text, ' '),
+      |           t -> t IN ('the','a','of','and','to'))) * 10,
+      |           len(string_split(text, ' '))) * 3000)
+      |        // len(string_split(text, ' '))
+      |      + (len(list_distinct(string_split(text, ' '))) * 3000)
+      |        // len(string_split(text, ' ')) AS BIGINT) AS quality_bp,
+      |    CASE WHEN doc_id % 10 < 8 THEN 'train'
+      |         WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split
+      |  FROM documents),
+      |corpus AS (
+      |  SELECT count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+      |    CAST(sum(n_words) AS BIGINT) AS words,
+      |    CAST(min(quality_bp) AS BIGINT) AS q_min,
+      |    CAST(sum(quality_bp) AS BIGINT) AS q_sum,
+      |    CAST(max(quality_bp) AS BIGINT) AS q_max
+      |  FROM base),
+      |dw AS (SELECT count(DISTINCT w) AS n FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+      |dg AS (SELECT count(*) AS c FROM documents
+      |       GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))),
+      |rows_out AS (
+      |  SELECT 'corpus' AS section, 'docs' AS metric, CAST(docs AS BIGINT) AS value FROM corpus
+      |  UNION ALL SELECT 'corpus', 'chars', chars FROM corpus
+      |  UNION ALL SELECT 'corpus', 'words', words FROM corpus
+      |  UNION ALL SELECT 'corpus', 'mean_chars', CAST(chars // docs AS BIGINT) FROM corpus
+      |  UNION ALL SELECT 'corpus', 'distinct_words', CAST(n AS BIGINT) FROM dw
+      |  UNION ALL SELECT 'quality', 'min_bp', q_min FROM corpus
+      |  UNION ALL SELECT 'quality', 'mean_bp', CAST(q_sum // docs AS BIGINT) FROM corpus
+      |  UNION ALL SELECT 'quality', 'max_bp', q_max FROM corpus
+      |  UNION ALL SELECT 'dedup', 'exact_dup_docs',
+      |    CAST(COALESCE(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT) FROM dg
+      |  UNION ALL SELECT 'dedup', 'exact_dup_groups',
+      |    CAST(COALESCE(sum(CASE WHEN c > 1 THEN 1 END), 0) AS BIGINT) FROM dg
+      |  UNION ALL SELECT 'lang:' || lang, 'docs', CAST(count(*) AS BIGINT)
+      |    FROM base GROUP BY lang
+      |  UNION ALL SELECT 'lang:' || lang, 'chars', CAST(sum(n_chars) AS BIGINT)
+      |    FROM base GROUP BY lang
+      |  UNION ALL SELECT 'source:' || source, 'docs', CAST(count(*) AS BIGINT)
+      |    FROM base GROUP BY source
+      |  UNION ALL SELECT 'split:' || split, 'docs', CAST(count(*) AS BIGINT)
+      |    FROM base GROUP BY split
+      |  UNION ALL SELECT 'split:' || split, 'chars', CAST(sum(n_chars) AS BIGINT)
+      |    FROM base GROUP BY split)
+      |SELECT section, metric, value FROM rows_out
+      |ORDER BY section, metric""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // C9: n-gram/stopword-heuristic language ID — marker hits per
@@ -573,123 +726,44 @@ object Text {
     // different keys add a pass each (global distinct words; exact-dup
     // digest groups on the 32 B dedup_exact key). All-integer values —
     // means are integer div — so the card hash-gates cross-engine.
-    Q("pipeline_data_card",
-      """WITH base AS (
-        |  SELECT doc_id, lang, source, n_chars,
-        |    len(string_split(text, ' ')) AS n_words,
-        |    CAST(least(len(string_split(text, ' ')), 100) * 40
-        |      + (least(len(list_filter(string_split(text, ' '),
-        |           t -> t IN ('the','a','of','and','to'))) * 10,
-        |           len(string_split(text, ' '))) * 3000)
-        |        // len(string_split(text, ' '))
-        |      + (len(list_distinct(string_split(text, ' '))) * 3000)
-        |        // len(string_split(text, ' ')) AS BIGINT) AS quality_bp,
-        |    CASE WHEN doc_id % 10 < 8 THEN 'train'
-        |         WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split
-        |  FROM documents),
-        |corpus AS (
-        |  SELECT count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars,
-        |    CAST(sum(n_words) AS BIGINT) AS words,
-        |    CAST(min(quality_bp) AS BIGINT) AS q_min,
-        |    CAST(sum(quality_bp) AS BIGINT) AS q_sum,
-        |    CAST(max(quality_bp) AS BIGINT) AS q_max
-        |  FROM base),
-        |dw AS (SELECT count(DISTINCT w) AS n FROM (
-        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
-        |dg AS (SELECT count(*) AS c FROM documents
-        |       GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))),
-        |rows_out AS (
-        |  SELECT 'corpus' AS section, 'docs' AS metric, CAST(docs AS BIGINT) AS value FROM corpus
-        |  UNION ALL SELECT 'corpus', 'chars', chars FROM corpus
-        |  UNION ALL SELECT 'corpus', 'words', words FROM corpus
-        |  UNION ALL SELECT 'corpus', 'mean_chars', CAST(chars // docs AS BIGINT) FROM corpus
-        |  UNION ALL SELECT 'corpus', 'distinct_words', CAST(n AS BIGINT) FROM dw
-        |  UNION ALL SELECT 'quality', 'min_bp', q_min FROM corpus
-        |  UNION ALL SELECT 'quality', 'mean_bp', CAST(q_sum // docs AS BIGINT) FROM corpus
-        |  UNION ALL SELECT 'quality', 'max_bp', q_max FROM corpus
-        |  UNION ALL SELECT 'dedup', 'exact_dup_docs',
-        |    CAST(COALESCE(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT) FROM dg
-        |  UNION ALL SELECT 'dedup', 'exact_dup_groups',
-        |    CAST(COALESCE(sum(CASE WHEN c > 1 THEN 1 END), 0) AS BIGINT) FROM dg
-        |  UNION ALL SELECT 'lang:' || lang, 'docs', CAST(count(*) AS BIGINT)
-        |    FROM base GROUP BY lang
-        |  UNION ALL SELECT 'lang:' || lang, 'chars', CAST(sum(n_chars) AS BIGINT)
-        |    FROM base GROUP BY lang
-        |  UNION ALL SELECT 'source:' || source, 'docs', CAST(count(*) AS BIGINT)
-        |    FROM base GROUP BY source
-        |  UNION ALL SELECT 'split:' || split, 'docs', CAST(count(*) AS BIGINT)
-        |    FROM base GROUP BY split
-        |  UNION ALL SELECT 'split:' || split, 'chars', CAST(sum(n_chars) AS BIGINT)
-        |    FROM base GROUP BY split)
-        |SELECT section, metric, value FROM rows_out
-        |ORDER BY section, metric""".stripMargin) { (s, dir) =>
-      val base = docs(s, dir).select(
-        col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        size(words).as("n_words"),
-        size(array_distinct(words)).as("n_distinct"),
-        size(filter(words, t => t.isin("the", "a", "of", "and", "to"))).as("n_stop"),
-        when(col("doc_id") % 10 < 8, lit("train"))
-          .when(col("doc_id") % 10 === 8, lit("val"))
-          .otherwise(lit("test")).as("split"))
-        .withColumn("quality_bp",
-          (least(col("n_words"), lit(100)) * 40
-            + expr("(least(n_stop * 10, n_words) * 3000) div n_words")
-            + expr("(n_distinct * 3000) div n_words")).cast("long"))
-      // the one composition shuffle: (), (lang), (source), (split) in a
-      // single grouping-sets aggregation; grouping_id tells the rows apart
-      val gs = base.groupingSets(
-          Seq(Seq(col("lang")), Seq(col("source")), Seq(col("split")), Seq()),
-          col("lang"), col("source"), col("split"))
-        .agg(grouping_id().as("gid"),
-          count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
-          sum(col("n_words")).as("wrds"),
-          min(col("quality_bp")).as("q_min"), sum(col("quality_bp")).as("q_sum"),
-          max(col("quality_bp")).as("q_max"))
-      // melt every section from ONE pass over the aggregate: a per-gid
-      // CASE over "section|metric" → value maps, exploded once. Melting
-      // via per-section filters instead would push each filter BELOW the
-      // aggregate (spark_grouping_id is a grouping output), making the 5
-      // section subtrees structurally different — no exchange reuse, 5
-      // full corpus scans for one logical aggregation.
-      def m(pairs: (Column, Column)*): Column =
-        map(pairs.flatMap { case (k, v) => Seq(k, v.cast("long")) }: _*)
-      def key(section: Column, metric: String): Column =
-        concat(section, lit("|" + metric))
-      val kv = when(col("gid") === 7, m(
-          key(lit("corpus"), "docs") -> col("docs"),
-          key(lit("corpus"), "chars") -> col("chars"),
-          key(lit("corpus"), "words") -> col("wrds"),
-          key(lit("corpus"), "mean_chars") -> expr("chars div docs"),
-          key(lit("quality"), "min_bp") -> col("q_min"),
-          key(lit("quality"), "mean_bp") -> expr("q_sum div docs"),
-          key(lit("quality"), "max_bp") -> col("q_max")))
-        .when(col("gid") === 3, m(
-          key(concat(lit("lang:"), col("lang")), "docs") -> col("docs"),
-          key(concat(lit("lang:"), col("lang")), "chars") -> col("chars")))
-        .when(col("gid") === 5, m(
-          key(concat(lit("source:"), col("source")), "docs") -> col("docs")))
-        .otherwise(m(
-          key(concat(lit("split:"), col("split")), "docs") -> col("docs"),
-          key(concat(lit("split:"), col("split")), "chars") -> col("chars")))
-      val sectioned = gs.select(explode(kv).as(Seq("sm", "value")))
-        .select(substring_index(col("sm"), "|", 1).as("section"),
-          substring_index(col("sm"), "|", -1).as("metric"), col("value"))
-      val dw = docs(s, dir).select(explode(words).as("w"))
-        .agg(countDistinct(col("w")).as("n"))
-        .select(lit("corpus").as("section"), lit("distinct_words").as("metric"),
-          col("n").cast("long").as("value"))
-      val dg = docs(s, dir)
-        .groupBy(unhex(sha2(Dedup.normText, 256))) // SAME key as dedup_exact
-        .agg(count(lit(1)).as("c"))
-        .agg(coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0L)).as("dup_docs"),
-          coalesce(sum(when(col("c") > 1, lit(1L))), lit(0L)).as("dup_groups"))
-        .select(explode(m(
-          lit("dedup|exact_dup_docs") -> col("dup_docs"),
-          lit("dedup|exact_dup_groups") -> col("dup_groups"))).as(Seq("sm", "value")))
-        .select(substring_index(col("sm"), "|", 1).as("section"),
-          substring_index(col("sm"), "|", -1).as("metric"), col("value"))
-      sectioned.unionAll(dw).unionAll(dg)
-        .orderBy(col("section"), col("metric"))
+    Q("pipeline_data_card", dataCardSql) { (s, dir) =>
+      cardFromState(cardComp(cardBase(docs(s, dir))),
+        docs(s, dir).select(explode(words).as("w")),
+        cardDigestCounts(docs(s, dir)))
+    },
+
+    // C18d: the INCREMENTAL data card — merge a delta batch into a base
+    // release's card STATE and produce the updated card without
+    // re-scanning the base corpus. Gated against the SAME full-corpus
+    // oracle as C18c: the merged card must equal the from-scratch card
+    // row-for-row, which is exactly the mergeability theorem of the
+    // state design. The state is the mergeable sufficient statistics a
+    // release pipeline persists beside the corpus:
+    //   - the grouping-sets composition aggregate (counts/sums re-add,
+    //     min/max re-combine — |langs|+|sources|+|splits|+1 rows);
+    //   - the distinct-word sidecar (the vocab table a pipeline keeps
+    //     anyway) — merge = union-distinct;
+    //   - the per-digest count sidecar (the dedup_exact key table) —
+    //     merge = sum by digest, so a delta doc duplicating a BASE doc
+    //     is counted correctly, which no count-only summary could do.
+    // At 100 TB the delta pass touches only the delta's text; the merge
+    // moves slim state rows (map-side-combinable groupBys), never
+    // re-reading the base corpus. Here base/delta = a deterministic
+    // doc_id split of the same table so the gate can check exact
+    // equality with the full card.
+    Q("pipeline_data_card_incremental", dataCardSql) { (s, dir) =>
+      val d = docs(s, dir)
+      val dBase = d.where(col("doc_id") % 7 =!= 3)
+      val dDelta = d.where(col("doc_id") % 7 === 3)
+      val comp = mergeCardComp(
+        cardComp(cardBase(dBase)), cardComp(cardBase(dDelta)))
+      val dwords = dBase.select(explode(words).as("w")).distinct()
+        .unionAll(dDelta.select(explode(words).as("w")).distinct())
+        .distinct()
+      val digests = cardDigestCounts(dBase)
+        .unionAll(cardDigestCounts(dDelta))
+        .groupBy(col("h")).agg(sum(col("c")).as("c"))
+      cardFromState(comp, dwords, digests)
     },
 
     // C19: deterministic stratified sampling — downsample over-

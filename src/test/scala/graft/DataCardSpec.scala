@@ -49,4 +49,42 @@ class DataCardSpec extends SparkSpec {
     assert(scans == 3,
       s"expected 3 scans (grouping sets + distinct words + dup digests), got $scans:\n$p")
   }
+
+  test("C18d incremental card == full card row-for-row at sf0.001") {
+    val full = SparkEntry.queries("pipeline_data_card")(spark, sf()).collect()
+      .map(_.toSeq)
+    val incr = SparkEntry.queries("pipeline_data_card_incremental")(spark, sf())
+      .collect().map(_.toSeq)
+    assert(full.nonEmpty && incr.toSeq == full.toSeq)
+  }
+
+  test("C18d merge accounts a delta doc duplicating a BASE doc (cross-side group)") {
+    // two identical texts land on opposite sides of the doc_id % 7 == 3
+    // split (ids 1 and 3): only the digest-SUM sidecar merge can see
+    // them as one group of 2 — per-side dup metrics would read 0
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false),
+      StructField("lang", StringType, nullable = false),
+      StructField("source", StringType, nullable = false),
+      StructField("n_chars", LongType, nullable = false)))
+    val rows = Seq(
+      Row(1L, "same doc twice", "en", "web", 14L),
+      Row(3L, "same doc twice", "en", "web", 14L),
+      Row(4L, "a different doc", "en", "web", 15L))
+    val d = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val dBase = d.where(col("doc_id") % 7 =!= 3)
+    val dDelta = d.where(col("doc_id") % 7 === 3)
+    val merged = graft.queries.Text.cardDigestCounts(dBase)
+      .unionAll(graft.queries.Text.cardDigestCounts(dDelta))
+      .groupBy(col("h")).agg(sum(col("c")).as("c"))
+    val dup = merged.where(col("c") > 1).collect()
+    assert(dup.length == 1 && dup.head.getLong(1) == 2L,
+      "cross-side duplicate group must merge to c=2")
+    // and neither side alone sees it
+    assert(graft.queries.Text.cardDigestCounts(dBase).where(col("c") > 1).count() == 0)
+    assert(graft.queries.Text.cardDigestCounts(dDelta).where(col("c") > 1).count() == 0)
+  }
 }
