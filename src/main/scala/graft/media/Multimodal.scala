@@ -243,6 +243,19 @@ object Multimodal {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** The one synth mapping documents-row → MediaRow (the contract the
+    * media oracles recompute relationally) — shared by the batch table
+    * and the streaming ingest source so the two can never drift.
+    */
+  def mediaRowOf(id: Long, text: String, nChars: Long): MediaRow = {
+    val kind = (id % 3) match {
+      case 0 => "image"; case 1 => "audio"; case _ => "video"
+    }
+    MediaRow(id, text.getBytes("UTF-8"),
+      MediaMeta(kind, 16 + (id % 4).toInt * 8, 16 + (id % 3).toInt * 8,
+        1000L + (nChars % 5000L), "stub"))
+  }
+
   /** Synthesize a media table from `documents` (this container ships no
     * real media): payload = UTF-8 text bytes, typed metadata derived
     * deterministically. The real thing is the SHAPE — binary column +
@@ -252,14 +265,24 @@ object Multimodal {
     import spark.implicits._
     graft.core.Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("n_chars"), col("lang"))
-      .map { r =>
-        val id = r.getLong(0)
-        val kind = (id % 3) match {
-          case 0 => "image"; case 1 => "audio"; case _ => "video"
-        }
-        MediaRow(id, r.getString(1).getBytes("UTF-8"),
-          MediaMeta(kind, 16 + (id % 4).toInt * 8, 16 + (id % 3).toInt * 8,
-            1000L + (r.getLong(2) % 5000L), "stub"))
-      }
+      .map(r => mediaRowOf(r.getLong(0), r.getString(1), r.getLong(2)))
+  }
+
+  /** Ingest-time image dedup: a new media batch against an
+    * already-indexed corpus — C30's shape on the perceptual key. The
+    * corpus contributes only its (distinct) 8 B phash index — at scale
+    * the index persists beside the corpus; the corpus payloads are
+    * never re-read, never joined at full width. Batch-internal
+    * collisions collapse in the same map-side-combinable groupBy.
+    */
+  def phashIncremental(corpus: Dataset[MediaRow], delta: Dataset[MediaRow],
+      codec: Codec = StubCodec): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val idx = dHash(corpus, codec).toDF().select(col("phash")).distinct()
+    dHash(delta, codec).toDF()
+      .join(idx, Seq("phash"), "left_anti")
+      .groupBy(col("phash"))
+      .agg(min(col("media_id")).as("media_id"), count(lit(1)).as("n_batch_dups"))
+      .select(col("media_id"), col("n_batch_dups"))
   }
 }

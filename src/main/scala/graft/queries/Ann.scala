@@ -25,6 +25,25 @@ object Ann {
   private val K = 5
   private[graft] val NQ = 10 // vec_id < NQ are the query vectors; the rest, corpus
 
+  /** PQ re-rank pool size, scaled to the corpus: candidate selection
+    * must out-grow the PQ-RESOLUTION TIE MASS, which grows linearly
+    * with n on a crowded corpus — with a fixed pool of 50, the r7 sf1
+    * recall-floor gate measured recall@5 collapse to 0.10 at 20k
+    * vectors (0.96 at 500, 0.90 at 2k): once the near-tied candidate
+    * set outnumbers the pool, which exact-top-5 members survive PQ
+    * rounding is effectively arbitrary. n/64 keeps the pool ahead of
+    * the tie sets at every tested scale; the floor of 50 leaves the
+    * small-corpus (gate-scale) plans byte-identical. Cost is NQ·pool
+    * exact dots — still negligible next to the LUT scan.
+    */
+  private def rerankPool(n: Long): Int = math.max(50L, n / 64L).toInt
+
+  /** Corpus size from the raw table's parquet count (metadata-only —
+    * never materializes norms or codes for a scalar).
+    */
+  private def corpusCount(s: SparkSession, dir: String): Long =
+    graft.core.Tables(s, dir, "embeddings").count() - NQ
+
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("vec_id"),
@@ -158,8 +177,13 @@ object Ann {
     // recall vs ann_bruteforce; rows-only for the driver.
     Q.noOracle("ann_pq") { (s, dir) =>
       val e = withNorm(embs(s, dir))
-      val idx = pqBuild(e.where(col("vec_id") >= NQ), m = 16, k = 32)
-      pqProbe(s, idx, e.where(col("vec_id") < NQ), rerank = 50)
+      // k=256: the full one-byte code range — the operating point
+      // AnnScale established at 200k (k=32's 5-bit resolution is what
+      // collapsed recall on the crowded sf1 corpus, together with the
+      // fixed pool)
+      val idx = pqBuild(e.where(col("vec_id") >= NQ), m = 16, k = 256)
+      pqProbe(s, idx, e.where(col("vec_id") < NQ),
+        rerank = rerankPool(corpusCount(s, dir)))
     },
 
     // C8d: IVF × PQ — the at-scale composition (FAISS's IVFPQ): cell
@@ -172,8 +196,8 @@ object Ann {
       val e = withNorm(embs(s, dir))
       val corpus = e.where(col("vec_id") >= NQ)
       val queries = e.where(col("vec_id") < NQ)
-      ivfPqProbe(s, ivfPqBuild(corpus, kCells = 8, m = 16, k = 32),
-        queries, p = 4, rerank = 50)
+      ivfPqProbe(s, ivfPqBuild(corpus, kCells = 8, m = 16, k = 256),
+        queries, p = 4, rerank = rerankPool(corpusCount(s, dir)))
     },
 
     // Embedding-quality monitoring: per-label cluster statistics — the

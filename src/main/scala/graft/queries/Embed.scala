@@ -104,7 +104,11 @@ object Embed {
     require(rows.nonEmpty, "pcaFit: empty moment frame")
     val d = rows.iterator.map(_.getInt(1)).max + 1
     require(p >= 1 && p <= d, s"pcaFit: p=$p out of range 1..$d")
+    // every (d1,d2) cell must have seen every vector — a ragged-array
+    // corpus would silently skew the covariance otherwise
     val n = rows.head.getLong(5).toDouble
+    require(rows.forall(_.getLong(5).toDouble == n),
+      "pcaFit: ragged embedding arrays (per-pair counts differ)")
     val c = Array.ofDim[Double](d, d)
     val mean = new Array[Double](d)
     rows.foreach { r =>

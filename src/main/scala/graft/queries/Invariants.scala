@@ -282,5 +282,37 @@ object Invariants {
         |  CAST(NULL AS BOOLEAN) AS bad_canonical, CAST(NULL AS BOOLEAN) AS bad_closure
         |WHERE 1=0""".stripMargin) { (s, dir) =>
       Tokenizer.bpeEncodeViolations(s, dir, 10)
+    },
+
+    // Every ANN variant's recall@5 against the exact bruteforce top-5
+    // must clear its floor — the quality number the SURVEY cites,
+    // promoted from narrative to a driver-checked bound. Floors carry
+    // deliberate margin under the measured values (sf0.01: lsh 0.52 /
+    // ivf 0.72 / pq 1.00 / ivfpq 0.72; sf0.1: 0.68/0.82/0.98/0.82;
+    // sf1: pq 0.80 / ivfpq 0.96) so a driver-side data regeneration
+    // shifts recall without tripping the gate, while a real
+    // algorithmic regression cannot hide. This gate EARNED ITS KEEP at
+    // birth: its first sf1 run measured pq 0.10 / ivfpq 0.26 — the
+    // k=32 codebooks + fixed rerank-50 pool collapsing on the crowded
+    // 20k corpus — which drove the k=256 + corpus-scaled-pool fix
+    // (Ann.rerankPool). Recall is deterministic per dataset: every
+    // variant re-ranks with exact cosine and breaks ties on n_id.
+    Q("inv_ann_recall_floor",
+      """SELECT CAST(NULL AS VARCHAR) AS variant,
+        |  CAST(NULL AS BIGINT) AS recall_bp FROM embeddings WHERE 1=0""".stripMargin) { (s, dir) =>
+      val exact = run("ann_bruteforce")(s, dir).select(col("q_id"), col("n_id"))
+        .localCheckpoint(true)
+      releasing(exact) {
+        Seq("ann_lsh" -> 4000L, "ann_ivf" -> 6000L,
+            "ann_pq" -> 7000L, "ann_ivfpq" -> 6000L).map { case (v, floor) =>
+          run(v)(s, dir).select(col("q_id"), col("n_id"))
+            .join(exact, Seq("q_id", "n_id"), "left_semi")
+            .agg(count(lit(1)).as("hits"))
+            .crossJoin(exact.agg(count(lit(1)).as("n")))
+            .select(lit(v).as("variant"),
+              expr("hits * 10000 div n").as("recall_bp"))
+            .where(col("recall_bp") < floor)
+        }.reduce(_ unionByName _).orderBy(col("variant"))
+      }
     })
 }

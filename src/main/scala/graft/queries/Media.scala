@@ -18,6 +18,19 @@ import graft.media.Multimodal
   */
 object Media {
 
+  /** Shared C13e/D8 oracle: the ingest-dedup decision restated on text
+    * equality (the payload bytes) — batch and stream gate identically.
+    */
+  private val phashIncrSql: String =
+    """WITH delta AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 3),
+      |agg AS (SELECT text, min(doc_id) AS media_id, count(*) AS n_batch_dups
+      |        FROM delta GROUP BY text)
+      |SELECT media_id, n_batch_dups FROM agg
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM documents b WHERE b.doc_id % 7 != 3 AND b.text = agg.text)
+      |ORDER BY media_id""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // C13a: metadata aggregation THROUGH Dataset[MediaRow] — media type
@@ -112,5 +125,54 @@ object Media {
           min(col("media_id")).over(w).as("canonical_id"),
           count(lit(1)).over(w).as("n"))
         .orderBy(col("media_id"))
+    },
+
+    // C13e: ingest-time image dedup — a new media batch against the
+    // corpus's persisted phash index (C30's incremental shape on the
+    // perceptual key): batch items whose hash collides with the corpus
+    // drop, batch-internal collisions collapse to the min-id canonical.
+    // Oracle = the same decision on text equality (stub soundness as
+    // C13d: identical payloads always collide, spurious collisions are
+    // a ~n²/2⁶⁵ birthday event on fixed data, verified at all scales).
+    Q("media_phash_incremental", phashIncrSql) { (s, dir) =>
+      val m = Multimodal.mediaFromDocuments(s, dir)
+      Multimodal.phashIncremental(
+          m.where(pmod(col("media_id"), lit(7)) =!= 3),
+          m.where(pmod(col("media_id"), lit(7)) === 3))
+        .orderBy(col("media_id"))
+    },
+
+    // D8: the STREAMING twin — media ingest as a file stream through
+    // the same synth mapping (shared mediaRowOf, so batch and stream
+    // can never drift), dHash partition-wise on the stream, stream-
+    // static LEFT ANTI join against the corpus phash index (stateless —
+    // the static side is a probe table), one stateful groupBy
+    // collapsing batch-internal collisions (state = one row per
+    // surviving hash), AvailableNow → complete memory sink. Gated by
+    // the SAME oracle as the batch form — driver-checked batch/stream
+    // parity, the D6 discipline on the perceptual key.
+    Q("media_phash_stream", phashIncrSql) { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        import s.implicits._
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+          .where(pmod(col("doc_id"), lit(7)) === 3)
+          .select(col("doc_id"), col("text"), col("n_chars"))
+          .as[(Long, String, Long)]
+          .map { case (id, t, n) => Multimodal.mediaRowOf(id, t, n) }
+        val idx = Multimodal.dHash(
+            Multimodal.mediaFromDocuments(s, dir)
+              .where(pmod(col("media_id"), lit(7)) =!= 3))
+          .toDF().select(col("phash")).distinct()
+        val kept = Multimodal.dHash(stream).toDF()
+          .join(idx, Seq("phash"), "left_anti")
+          .groupBy(col("phash"))
+          .agg(min(col("media_id")).as("media_id"), count(lit(1)).as("n_batch_dups"))
+        Events.runToCompleteSink(s, "phash_stream_sink_", kept)
+          .select(col("media_id"), col("n_batch_dups"))
+          .orderBy(col("media_id"))
+      }
     })
 }

@@ -103,6 +103,25 @@ class MediaPhashSpec extends SparkSpec {
     }
   }
 
+  test("C13e incremental: corpus collisions drop, batch-internal dups collapse") {
+    val corpusPayload = "already indexed".getBytes("UTF-8")
+    val dupPayload = "batch dup".getBytes("UTF-8")
+    val freshPayload = "fresh item".getBytes("UTF-8")
+    def rows(xs: (Long, Array[Byte])*) = {
+      import spark.implicits._
+      xs.map { case (id, p) => MediaRow(id, p, MediaMeta("image", 16, 16, 1000L, "stub")) }
+        .toDS()
+    }
+    val corpus = rows(1L -> corpusPayload)
+    val delta = rows(
+      10L -> corpusPayload.clone(), // collides with the corpus → dropped
+      11L -> dupPayload, 12L -> dupPayload.clone(), // internal dup → one row
+      13L -> freshPayload)
+    val got = Multimodal.phashIncremental(corpus, delta)
+      .orderBy("media_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((11L, 2L), (13L, 1L)))
+  }
+
   test("gate query agrees with an independent text-grouping at sf0.001") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("media_phash_dedup")(spark, sf()).collect()
