@@ -2,14 +2,14 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Ann, Cluster, Dedup, Embed, Events, Invariants, Media, Q, Relational, SetOps, Text, Tokenizer, Views}
+import graft.queries.{Ann, Cluster, Dedup, Embed, Events, Invariants, Media, Q, Relational, SetOps, Text, Tokenizer, Train, Views}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** All gate-checked queries, one per SURVEY.md §2 inventory row. */
   def allQ: Seq[Q] =
-    Relational.all ++ Events.all ++ SetOps.all ++ Views.all ++ Dedup.all ++ Ann.all ++ Cluster.all ++ Embed.all ++ Text.all ++ Tokenizer.all ++ Media.all ++ Invariants.all
+    Relational.all ++ Events.all ++ SetOps.all ++ Views.all ++ Dedup.all ++ Ann.all ++ Cluster.all ++ Embed.all ++ Text.all ++ Tokenizer.all ++ Train.all ++ Media.all ++ Invariants.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
