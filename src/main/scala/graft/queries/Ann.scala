@@ -63,6 +63,19 @@ object Ann {
   private[graft] def embsWithNorm(s: SparkSession, dir: String): DataFrame =
     withNorm(embs(s, dir))
 
+  /** The C7b loader: [[embsWithNorm]] plus the `label` metadata column
+    * the filtered search predicates on — same cast/norm path, so exact
+    * scores can never drift between the filtered and unfiltered family.
+    */
+  private[graft] def embsWithNormLabel(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), v => v.cast("double")).as("emb"))
+    d.select(col("vec_id"), col("label"), col("emb"),
+      sqrt(graft.functions.Native.dot(
+        org.apache.spark.sql.SparkSession.active, col("emb"), col("emb"))).as("nrm"))
+  }
+
   private def cosine(s: SparkSession, a: Column, b: Column, na: Column, nb: Column): Column =
     graft.functions.Native.dot(s, a, b) / (na * nb)
 
@@ -109,6 +122,48 @@ object Ann {
         .select(col("vec_id").as("q_id"), col("emb").as("qemb"), col("nrm").as("qnrm"))
       val corpus = e.where(col("vec_id") >= NQ)
       val scored = corpus.crossJoin(broadcast(queries))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          cosine(s, col("qemb"), col("emb"), col("qnrm"), col("nrm")).as("cos"))
+      topK(scored)
+    },
+
+    // C7b: FILTERED vector search — top-k cosine restricted to corpus
+    // vectors satisfying a per-query metadata predicate (here: label
+    // equality with the query, the canonical "search within my
+    // collection/category" shape every production vector store exposes).
+    // Filter-BEFORE-distance: the predicate is the equi-join key of the
+    // broadcast query join, so non-matching corpus rows are rejected by
+    // the (cheap) hash probe and never reach the d-dimensional dot
+    // product — with |labels| categories that is a ~|labels|× cut in
+    // distance work, exactly the pre-filtering a post-filter top-k
+    // (score everything, discard non-matching) throws away. At 100 TB
+    // the corpus is additionally label-partitionable at rest, turning
+    // the predicate into partition pruning; the corpus never shuffles
+    // here either way. Exact + oracle-gated (the ANN variants' recall
+    // floors are gated against this family's exact results).
+    Q("ann_filtered",
+      s"""WITH x AS (SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+         |            generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |n AS (SELECT vec_id, any_value(label) AS label, sqrt(sum(v * v)) AS nrm
+         |      FROM x GROUP BY vec_id),
+         |d AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, sum(q.v * c.v) AS dot
+         |      FROM x q JOIN x c ON q.i = c.i AND q.label = c.label
+         |      WHERE q.vec_id < $NQ AND c.vec_id >= $NQ
+         |      GROUP BY q.vec_id, c.vec_id),
+         |scored AS (SELECT q_id, n_id, dot / (nq.nrm * nc.nrm) AS cos
+         |           FROM d JOIN n nq ON nq.vec_id = q_id JOIN n nc ON nc.vec_id = n_id),
+         |ranked AS (SELECT q_id, n_id, cos, row_number() OVER (
+         |             PARTITION BY q_id ORDER BY round(cos, 6) DESC, n_id) AS rank
+         |           FROM scored)
+         |SELECT q_id, rank, n_id, round(cos, 4) AS cos
+         |FROM ranked WHERE rank <= $K
+         |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+      val e = embsWithNormLabel(s, dir)
+      val queries = e.where(col("vec_id") < NQ)
+        .select(col("vec_id").as("q_id"), col("label"),
+          col("emb").as("qemb"), col("nrm").as("qnrm"))
+      val corpus = e.where(col("vec_id") >= NQ)
+      val scored = corpus.join(broadcast(queries), Seq("label"))
         .select(col("q_id"), col("vec_id").as("n_id"),
           cosine(s, col("qemb"), col("emb"), col("qnrm"), col("nrm")).as("cos"))
       topK(scored)

@@ -605,7 +605,7 @@ object Dedup {
     * partition before its one shuffle; the span merge is an
     * `aggregate()` fold inside Tungsten.
     */
-  private def spanCoverage(hits: DataFrame, n: Int): DataFrame =
+  private[queries] def spanCoverage(hits: DataFrame, n: Int): DataFrame =
     hits
       .groupBy(col("doc_id"))
       .agg(first(col("n_tokens")).as("nt"),

@@ -871,6 +871,54 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // C43: SPAN-level decontamination — C21 flags contaminated documents;
+    // real decontamination (The Stack / FineWeb practice) removes the
+    // contaminated SPANS and keeps the clean remainder, because dropping a
+    // whole long document for one quoted benchmark item wastes data.
+    // Composition of two proven pieces: C21's probe construction (distinct
+    // 4-grams of the benchmark split, doc_id % 20 = 0, BROADCAST — probe
+    // suites are bounded-small by construction) and C37's interval-union
+    // coverage fold over positional gram hits (overlapping [pos, pos+4)
+    // hit windows merge exactly; [[Dedup.spanCoverage]], the
+    // map-side-combinable shape). Per surviving doc: probe-hit count,
+    // removed tokens (union of hit spans), clean tokens, removed_bp.
+    // 100 TB shape: the training-side gram stream NEVER shuffles — it
+    // broadcast-joins the probe and partial-aggregates per doc; the one
+    // shuffle carries ~one record per contaminated doc per partition.
+    Q("text_decontaminate_spans",
+      """WITH docs_ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, len(ws) AS n_tokens, gs-1 AS pos,
+        |             array_to_string(ws[gs:gs+3], ' ') AS gram
+        |      FROM docs_ws, UNNEST(generate_series(1, len(ws)-3)) AS t(gs)),
+        |probe AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+        |hit AS (SELECT g.doc_id, g.n_tokens, g.pos FROM g JOIN probe USING (gram)
+        |        WHERE g.doc_id % 20 <> 0),
+        |m AS (SELECT doc_id, n_tokens, pos,
+        |        coalesce(max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_end
+        |      FROM hit),
+        |cov AS (SELECT doc_id, any_value(n_tokens) AS n_tokens,
+        |        count(*) AS probe_hits,
+        |        CAST(sum(greatest(0, pos + 4 - greatest(prev_end, pos))) AS BIGINT) AS removed
+        |        FROM m GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(probe_hits AS BIGINT) AS probe_hits, removed,
+        |       CAST(n_tokens AS BIGINT) - removed AS clean_tokens,
+        |       CAST((removed * 10000) // n_tokens AS BIGINT) AS removed_bp
+        |FROM cov ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val grams = Dedup.substringGrams(docs(s, dir), 4)
+      val probe = grams.where(col("doc_id") % 20 === 0).select(col("h")).distinct()
+      Dedup.spanCoverage(
+        grams.where(col("doc_id") % 20 =!= 0)
+          .join(broadcast(probe), Seq("h"), "left_semi"), 4)
+        .select(col("doc_id"), col("n_tokens"),
+          col("dup_gram_hits").as("probe_hits"),
+          col("covered").as("removed"),
+          (col("n_tokens") - col("covered")).as("clean_tokens"),
+          col("dup_frac_bp").as("removed_bp"))
+        .orderBy(col("doc_id"))
+    },
+
     // C22: greedy sequence packing — fill 512-token bins with documents
     // in id order, never splitting a document; the batch-construction
     // step before training. Packing is inherently sequential, so it runs
@@ -977,6 +1025,48 @@ object Text {
         .groupBy(col("lang"), col("keep_bp"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
         .orderBy(col("lang"))
+    },
+
+    // C42: temperature-scaled mixture SCHEDULE — the data-mixing plan a
+    // training run consumes (mT5/XLM-R-style T=1/2 sampling): per
+    // (source, lang) stratum, token count → temperature weight
+    // w = floor(sqrt(tokens)) (sqrt IS temperature 0.5; floor of a
+    // correctly-rounded IEEE sqrt is deterministic across engines up to
+    // 2^52 tokens/stratum ≈ 3 orders beyond a 100 TB corpus), then a
+    // fixed token budget B = total/2 allocates proportionally and
+    // rate_bp = allocated/available in basis points — >10000 means the
+    // stratum REPEATS (epochs), the low-resource upsampling temperature
+    // mixing exists to produce. All arithmetic integer-exact: the one
+    // wide product B·w runs in decimal(38,0) (Spark) / HUGEINT (DuckDB)
+    // — at 100 TB, B·w ≈ 1e13·3e6 overflows int64, the [[Fixed]] lesson.
+    // 100 TB shape: ONE map-side-combinable groupBy(source, lang) over a
+    // (source, lang, text)-pruned scan; the |strata|-row schedule then
+    // crossJoins a broadcast 1-row total — no second corpus pass.
+    Q("text_mixture_schedule",
+      """WITH c AS (
+        |  SELECT source, lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source, lang),
+        |w AS (SELECT source, lang, n_docs, n_tokens,
+        |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_sqrt
+        |      FROM c),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 2 AS budget,
+        |             CAST(sum(w_sqrt) AS BIGINT) AS wsum FROM w)
+        |SELECT w.source, w.lang, CAST(w.n_docs AS BIGINT) AS n_docs,
+        |  w.n_tokens, w.w_sqrt,
+        |  CAST((CAST(t.budget AS HUGEINT) * w.w_sqrt) // t.wsum AS BIGINT) AS alloc_tokens,
+        |  CAST((CAST((CAST(t.budget AS HUGEINT) * w.w_sqrt) // t.wsum AS HUGEINT) * 10000) // w.n_tokens AS BIGINT) AS rate_bp
+        |FROM w CROSS JOIN t ORDER BY w.source, w.lang""".stripMargin) { (s, dir) =>
+      val c = docs(s, dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(size(words).cast("long")).as("n_tokens"))
+      val w = c.withColumn("w_sqrt", floor(sqrt(col("n_tokens").cast("double"))))
+      val t = w.agg(expr("sum(n_tokens) div 2").as("budget"), sum(col("w_sqrt")).as("wsum"))
+      w.crossJoin(broadcast(t))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"), col("w_sqrt"),
+          expr("CAST((CAST(budget AS DECIMAL(38,0)) * w_sqrt) div wsum AS BIGINT)").as("alloc_tokens"),
+          expr("CAST((CAST((CAST(budget AS DECIMAL(38,0)) * w_sqrt) div wsum AS DECIMAL(38,0)) * 10000) div n_tokens AS BIGINT)").as("rate_bp"))
+        .orderBy(col("source"), col("lang"))
     },
 
     // C26: corpus n-gram LM counts — the classic wordcount shape at

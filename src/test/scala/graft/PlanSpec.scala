@@ -199,6 +199,44 @@ class PlanSpec extends SparkSpec {
       s"corpus-side gram stream must not shuffle for the probe join:\n$p")
   }
 
+  test("text_decontaminate_spans: probe broadcasts, no window count, training grams never sort-merge") {
+    val p = planStr("text_decontaminate_spans")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded probe gram set must broadcast (C21's stance):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the training-side gram stream must not shuffle for the probe join:\n$p")
+    assert(!p.contains("Window"),
+      s"coverage must fold via the map-side-combinable groupBy, not a window:\n$p")
+    val aggLines = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.exists(_.contains("partial")) || aggLines.size >= 2,
+      s"per-doc coverage must partial-aggregate before its shuffle:\n$p")
+  }
+
+  test("text_mixture_schedule: one partial-agg pass; schedule totals broadcast back") {
+    val p = planStr("text_mixture_schedule")
+    val aggLines = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.exists(_.contains("partial")) || aggLines.size >= 2,
+      s"stratum token counting must map-side combine:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the 1-row totals join must broadcast, never shuffle the schedule:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("doc_id"),
+      s"scan should read only (source, lang, text): $readSchema")
+  }
+
+  test("ann_filtered: label predicate joins by broadcast hash probe; corpus never shuffles or cross-joins") {
+    val p = planStr("ann_filtered")
+    // filter-before-distance: the label equi-join must be a (broadcast)
+    // HASH join — the predicate rejects rows before the d-dim dot product
+    // — not the unfiltered family's nested-loop cross join
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected a broadcast HASH join on label:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"filtered search must not degrade to the unfiltered cross join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for the query join:\n$p")
+  }
+
   test("text_ngram_counts: partial agg before the gram shuffle; count filter after partial agg") {
     val p = planStr("text_ngram_counts")
     val aggLines = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
