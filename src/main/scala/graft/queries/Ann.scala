@@ -169,6 +169,35 @@ object Ann {
       topK(scored)
     },
 
+    // C7c: filtered search through the IVF index — the at-scale form of
+    // C7b (an exact scan of the label class stops being free when the
+    // class is 1/|labels| of 100 TB). The cell-partitioned index carries
+    // the label BESIDE each assigned row (in deployment the persisted
+    // index stores its filter metadata — re-joining labels at probe time
+    // would shuffle the corpus), and the probe joins on (cell, label):
+    // the predicate rides the same hash probe as cell membership, so
+    // non-matching candidates die before any distance work. Filtered
+    // search needs MORE probes than unfiltered (each probed cell holds
+    // only ~1/|labels| eligible candidates): p=6 of k=8 vs C8b's 4.
+    // Gated by inv_ann_filtered_ivf (predicate holds on every row +
+    // recall floor vs the exact C7b); rows-only for the driver.
+    Q.noOracle("ann_filtered_ivf") { (s, dir) =>
+      val e = embsWithNormLabel(s, dir)
+      val corpus = e.where(col("vec_id") >= NQ)
+      val queries = e.where(col("vec_id") < NQ)
+      val idx = ivfBuild(corpus.select(col("vec_id"), col("emb"), col("nrm")), k = 8)
+      val assigned = corpus.select(col("vec_id").as("n_id"), col("label"),
+        col("emb"), col("nrm"),
+        argmaxCells(idx.cents, 1)(col("emb")).getItem(0).as("cell"))
+      val probed = queries.select(col("vec_id").as("q_id"), col("label"),
+        col("emb").as("qemb"), col("nrm").as("qnrm"),
+        explode(argmaxCells(idx.cents, 6)(col("emb"))).as("cell"))
+      val scored = assigned.join(broadcast(probed), Seq("cell", "label"))
+        .select(col("q_id"), col("n_id"),
+          cosine(s, col("qemb"), col("emb"), col("qnrm"), col("nrm")).as("cos"))
+      topK(scored)
+    },
+
     // C8: random-hyperplane LSH — L tables of b sign-bits; queries meet
     // corpus vectors only inside matching (table, signature) buckets; the
     // survivors get exact cosine + TopK. AnnSpec measures recall vs C7.

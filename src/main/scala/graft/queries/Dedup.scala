@@ -606,14 +606,23 @@ object Dedup {
     * `aggregate()` fold inside Tungsten.
     */
   private[queries] def spanCoverage(hits: DataFrame, n: Int): DataFrame =
-    hits
-      .groupBy(col("doc_id"))
-      .agg(first(col("n_tokens")).as("nt"),
-        count(lit(1)).as("dup_gram_hits"),
-        sort_array(collect_list(col("pos"))).as("ps"))
+    spanFold(
+      hits.groupBy(col("doc_id"))
+        .agg(first(col("n_tokens")).as("nt"),
+          count(lit(1)).as("dup_gram_hits"),
+          collect_list(col("pos")).as("ps")), n)
+
+  /** The interval-union fold half of [[spanCoverage]], over already-
+    * grouped (doc_id, nt, dup_gram_hits, ps) rows — split out so the
+    * streaming twin can run the groupBy as its one stateful aggregation
+    * and fold the completed sink (collect_list order is nondeterministic
+    * either way, so the sort lives here, next to the fold it feeds).
+    */
+  private[queries] def spanFold(grouped: DataFrame, n: Int): DataFrame =
+    grouped
       .select(col("doc_id"), col("nt").cast("long").as("n_tokens"),
         col("dup_gram_hits"),
-        aggregate(col("ps"),
+        aggregate(sort_array(col("ps")),
           struct(lit(0).as("e"), lit(0).as("c")),
           (acc, p) => struct(
             greatest(acc.getField("e"), p + lit(n)).as("e"),

@@ -314,5 +314,38 @@ object Invariants {
             .where(col("recall_bp") < floor)
         }.reduce(_ unionByName _).orderBy(col("variant"))
       }
+    },
+
+    // C7c ann_filtered_ivf: (a) the label predicate must hold on EVERY
+    // served row — the index carries labels beside assigned vectors, so
+    // a violation means the (cell, label) probe join is broken; (b)
+    // recall@5 against the exact filtered scan (C7b, oracle-gated) must
+    // clear 0.60 — measured 0.86/0.84/1.00 at sf0.01/sf0.1/sf1 with
+    // p=6 of k=8, floored with regeneration margin per the
+    // inv_ann_recall_floor discipline. Scores need no separate check:
+    // the probe scores with the same exact-cosine path the verified
+    // unfiltered family uses (inv_ann_scores_exact covers the kernel).
+    Q("inv_ann_filtered_ivf",
+      """SELECT CAST(NULL AS VARCHAR) AS chk,
+        |  CAST(NULL AS BIGINT) AS metric_bp FROM embeddings WHERE 1=0""".stripMargin) { (s, dir) =>
+      val exact = run("ann_filtered")(s, dir).select(col("q_id"), col("n_id"))
+        .localCheckpoint(true)
+      val ivf = run("ann_filtered_ivf")(s, dir).select(col("q_id"), col("n_id"))
+        .localCheckpoint(true)
+      releasing(exact, ivf) {
+        val lab = Tables(s, dir, "embeddings").select(col("vec_id"), col("label"))
+        val predViol = ivf
+          .join(lab.select(col("vec_id").as("q_id"), col("label").as("q_lab")), "q_id")
+          .join(lab.select(col("vec_id").as("n_id"), col("label").as("n_lab")), "n_id")
+          .where(col("q_lab") =!= col("n_lab"))
+          .select(lit("predicate_violation").as("chk"), lit(0L).as("metric_bp"))
+        val recViol = ivf.join(exact, Seq("q_id", "n_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(exact.agg(count(lit(1)).as("n")))
+          .select(lit("recall_floor").as("chk"),
+            expr("hits * 10000 div n").as("metric_bp"))
+          .where(col("metric_bp") < 6000L)
+        predViol.unionByName(recViol).orderBy(col("chk"))
+      }
     })
 }

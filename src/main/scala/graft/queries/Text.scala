@@ -31,6 +31,71 @@ object Text {
   private def keepCoin(buckets: Int): Column =
     ((col("doc_id") % 1000003L) * 131071L + 99991L) % 1000003L % buckets
 
+  /** C42's temperature-T=1/2 mixture schedule over any documents frame —
+    * ONE definition shared by the schedule (C42) and its realization
+    * (C42b `text_mixture_apply`), the C18b shared-frame discipline: plan
+    * and application can never drift. Output per (source, lang):
+    * (n_docs, n_tokens, w_sqrt, alloc_tokens, rate_bp). See the C42
+    * query scaladoc for the integer-exactness and shuffle-shape story.
+    */
+  private def mixtureSchedule(d: DataFrame): DataFrame = {
+    val c = d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(size(words).cast("long")).as("n_tokens"))
+    val w = c.withColumn("w_sqrt", floor(sqrt(col("n_tokens").cast("double"))))
+    val t = w.agg(expr("sum(n_tokens) div 2").as("budget"), sum(col("w_sqrt")).as("wsum"))
+    w.crossJoin(broadcast(t))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"), col("w_sqrt"),
+        expr("CAST((CAST(budget AS DECIMAL(38,0)) * w_sqrt) div wsum AS BIGINT)").as("alloc_tokens"),
+        expr("CAST((CAST((CAST(budget AS DECIMAL(38,0)) * w_sqrt) div wsum AS DECIMAL(38,0)) * 10000) div n_tokens AS BIGINT)").as("rate_bp"))
+  }
+
+  /** C43's DuckDB twin, shared verbatim by batch (`text_decontaminate_
+    * spans`) and stream (D9 `text_decontaminate_stream`) — one oracle
+    * gating both IS the batch/stream parity check (C30/D6 discipline).
+    */
+  private val decontamSql: String =
+    """WITH docs_ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, len(ws) AS n_tokens, gs-1 AS pos,
+      |             array_to_string(ws[gs:gs+3], ' ') AS gram
+      |      FROM docs_ws, UNNEST(generate_series(1, len(ws)-3)) AS t(gs)),
+      |probe AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+      |hit AS (SELECT g.doc_id, g.n_tokens, g.pos FROM g JOIN probe USING (gram)
+      |        WHERE g.doc_id % 20 <> 0),
+      |m AS (SELECT doc_id, n_tokens, pos,
+      |        coalesce(max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_end
+      |      FROM hit),
+      |cov AS (SELECT doc_id, any_value(n_tokens) AS n_tokens,
+      |        count(*) AS probe_hits,
+      |        CAST(sum(greatest(0, pos + 4 - greatest(prev_end, pos))) AS BIGINT) AS removed
+      |        FROM m GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(probe_hits AS BIGINT) AS probe_hits, removed,
+      |       CAST(n_tokens AS BIGINT) - removed AS clean_tokens,
+      |       CAST((removed * 10000) // n_tokens AS BIGINT) AS removed_bp
+      |FROM cov ORDER BY doc_id""".stripMargin
+
+  /** The schedule CTEs as SQL (DuckDB twin of [[mixtureSchedule]] — keep
+    * in lockstep), parameterized by the consuming tail: C42 selects the
+    * schedule itself, C42b appends the application CTE.
+    */
+  private def mixtureScheduleSql(tail: String): String =
+    """WITH c AS (
+      |  SELECT source, lang, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source, lang),
+      |w AS (SELECT source, lang, n_docs, n_tokens,
+      |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_sqrt
+      |      FROM c),
+      |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 2 AS budget,
+      |             CAST(sum(w_sqrt) AS BIGINT) AS wsum FROM w),
+      |r AS (SELECT w.source, w.lang, CAST(w.n_docs AS BIGINT) AS n_docs,
+      |  w.n_tokens, w.w_sqrt,
+      |  CAST((CAST(t.budget AS HUGEINT) * w.w_sqrt) // t.wsum AS BIGINT) AS alloc_tokens,
+      |  CAST((CAST((CAST(t.budget AS HUGEINT) * w.w_sqrt) // t.wsum AS HUGEINT) * 10000) // w.n_tokens AS BIGINT) AS rate_bp
+      |FROM w CROSS JOIN t)
+      |""".stripMargin + tail
+
   /** Marker-word lists per language for the stopword-heuristic langid.
     * (A real pipeline ships per-language function-word tables; the
     * mechanism — count marker hits per language, argmax — is identical.)
@@ -885,27 +950,7 @@ object Text {
     // 100 TB shape: the training-side gram stream NEVER shuffles — it
     // broadcast-joins the probe and partial-aggregates per doc; the one
     // shuffle carries ~one record per contaminated doc per partition.
-    Q("text_decontaminate_spans",
-      """WITH docs_ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-        |g AS (SELECT doc_id, len(ws) AS n_tokens, gs-1 AS pos,
-        |             array_to_string(ws[gs:gs+3], ' ') AS gram
-        |      FROM docs_ws, UNNEST(generate_series(1, len(ws)-3)) AS t(gs)),
-        |probe AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
-        |hit AS (SELECT g.doc_id, g.n_tokens, g.pos FROM g JOIN probe USING (gram)
-        |        WHERE g.doc_id % 20 <> 0),
-        |m AS (SELECT doc_id, n_tokens, pos,
-        |        coalesce(max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_end
-        |      FROM hit),
-        |cov AS (SELECT doc_id, any_value(n_tokens) AS n_tokens,
-        |        count(*) AS probe_hits,
-        |        CAST(sum(greatest(0, pos + 4 - greatest(prev_end, pos))) AS BIGINT) AS removed
-        |        FROM m GROUP BY doc_id)
-        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |       CAST(probe_hits AS BIGINT) AS probe_hits, removed,
-        |       CAST(n_tokens AS BIGINT) - removed AS clean_tokens,
-        |       CAST((removed * 10000) // n_tokens AS BIGINT) AS removed_bp
-        |FROM cov ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Q("text_decontaminate_spans", decontamSql) { (s, dir) =>
       val grams = Dedup.substringGrams(docs(s, dir), 4)
       val probe = grams.where(col("doc_id") % 20 === 0).select(col("h")).distinct()
       Dedup.spanCoverage(
@@ -917,6 +962,43 @@ object Text {
           (col("n_tokens") - col("covered")).as("clean_tokens"),
           col("dup_frac_bp").as("removed_bp"))
         .orderBy(col("doc_id"))
+    },
+
+    // D9: C43 at INGEST time — decontaminate documents as they land, the
+    // deployment shape (the benchmark probe set is a slowly-changing
+    // STATIC table; new crawl data streams through it). Gram explosion
+    // and the probe semi-join are stateless per-row stream work (the
+    // probe is static and broadcasts, exactly as in batch); the ONE
+    // stateful aggregation collects each contaminated doc's hit
+    // positions (state = one row per contaminated doc, bounded by its
+    // gram count); the interval-union fold and presentation run batch
+    // over the completed sink ([[Dedup.spanFold]] — the same fold the
+    // batch query uses, so stream and batch cannot drift). Gated by the
+    // SAME oracle as batch C43: driver-checked batch/stream parity, the
+    // C30/D6 discipline.
+    Q("text_decontaminate_stream", decontamSql) { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val probe = Dedup.substringGrams(
+            docs(s, dir).where(col("doc_id") % 20 === 0), 4)
+          .select(col("h")).distinct()
+        val grouped = Dedup.substringGrams(stream.where(col("doc_id") % 20 =!= 0), 4)
+          .join(broadcast(probe), Seq("h"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(first(col("n_tokens")).as("nt"),
+            count(lit(1)).as("dup_gram_hits"),
+            collect_list(col("pos")).as("ps"))
+        Dedup.spanFold(Events.runToCompleteSink(s, "decon_sink_", grouped), 4)
+          .select(col("doc_id"), col("n_tokens"),
+            col("dup_gram_hits").as("probe_hits"),
+            col("covered").as("removed"),
+            (col("n_tokens") - col("covered")).as("clean_tokens"),
+            col("dup_frac_bp").as("removed_bp"))
+          .orderBy(col("doc_id"))
+      }
     },
 
     // C22: greedy sequence packing — fill 512-token bins with documents
@@ -1042,30 +1124,44 @@ object Text {
     // 100 TB shape: ONE map-side-combinable groupBy(source, lang) over a
     // (source, lang, text)-pruned scan; the |strata|-row schedule then
     // crossJoins a broadcast 1-row total — no second corpus pass.
-    Q("text_mixture_schedule",
-      """WITH c AS (
-        |  SELECT source, lang, count(*) AS n_docs,
-        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-        |  FROM documents GROUP BY source, lang),
-        |w AS (SELECT source, lang, n_docs, n_tokens,
-        |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_sqrt
-        |      FROM c),
-        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 2 AS budget,
-        |             CAST(sum(w_sqrt) AS BIGINT) AS wsum FROM w)
-        |SELECT w.source, w.lang, CAST(w.n_docs AS BIGINT) AS n_docs,
-        |  w.n_tokens, w.w_sqrt,
-        |  CAST((CAST(t.budget AS HUGEINT) * w.w_sqrt) // t.wsum AS BIGINT) AS alloc_tokens,
-        |  CAST((CAST((CAST(t.budget AS HUGEINT) * w.w_sqrt) // t.wsum AS HUGEINT) * 10000) // w.n_tokens AS BIGINT) AS rate_bp
-        |FROM w CROSS JOIN t ORDER BY w.source, w.lang""".stripMargin) { (s, dir) =>
-      val c = docs(s, dir)
-        .groupBy(col("source"), col("lang"))
-        .agg(count(lit(1)).as("n_docs"), sum(size(words).cast("long")).as("n_tokens"))
-      val w = c.withColumn("w_sqrt", floor(sqrt(col("n_tokens").cast("double"))))
-      val t = w.agg(expr("sum(n_tokens) div 2").as("budget"), sum(col("w_sqrt")).as("wsum"))
-      w.crossJoin(broadcast(t))
-        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"), col("w_sqrt"),
-          expr("CAST((CAST(budget AS DECIMAL(38,0)) * w_sqrt) div wsum AS BIGINT)").as("alloc_tokens"),
-          expr("CAST((CAST((CAST(budget AS DECIMAL(38,0)) * w_sqrt) div wsum AS DECIMAL(38,0)) * 10000) div n_tokens AS BIGINT)").as("rate_bp"))
+    Q("text_mixture_schedule", mixtureScheduleSql(
+      """SELECT source, lang, n_docs, n_tokens, w_sqrt, alloc_tokens, rate_bp
+        |FROM r ORDER BY source, lang""".stripMargin)) { (s, dir) =>
+      mixtureSchedule(docs(s, dir)).orderBy(col("source"), col("lang"))
+    },
+
+    // C42b: APPLY the mixture schedule — materialize C42's plan into the
+    // realized sample: each doc draws `rate_bp div 10000` whole copies
+    // (upsampling epochs) plus one more iff the deterministic coin lands
+    // under the fractional remainder — the reproducible, reshuffle-stable
+    // realization of the temperature mixture (same coin as C19/C24/C29,
+    // so the sample survives reruns and engines). The gate reports the
+    // per-stratum realized totals; the per-doc `copies` column is what a
+    // pipeline would explode into the training corpus. ONE shared
+    // schedule definition with C42 ([[mixtureSchedule]]), so plan and
+    // realization can never drift. Two corpus passes by construction
+    // (count, then apply) — at 100 TB the |strata|-row schedule persists
+    // beside the corpus and the apply pass joins it by broadcast; the
+    // corpus never shuffles.
+    Q("text_mixture_apply", mixtureScheduleSql(
+      """, a AS (SELECT d.source, d.lang, r.rate_bp,
+        |    r.rate_bp // 10000 + CASE WHEN ((d.doc_id % 1000003) * 131071 + 99991) % 1000003 % 10000 < r.rate_bp % 10000 THEN 1 ELSE 0 END AS copies,
+        |    len(string_split(d.text, ' ')) AS tokens
+        |  FROM documents d JOIN r ON r.source = d.source AND r.lang = d.lang)
+        |SELECT source, lang, rate_bp, CAST(sum(copies) AS BIGINT) AS n_copies,
+        |  CAST(sum(copies * tokens) AS BIGINT) AS tokens_sampled
+        |FROM a GROUP BY source, lang, rate_bp
+        |ORDER BY source, lang""".stripMargin)) { (s, dir) =>
+      val sched = mixtureSchedule(docs(s, dir))
+        .select(col("source"), col("lang"), col("rate_bp"))
+      docs(s, dir).join(broadcast(sched), Seq("source", "lang"))
+        .select(col("source"), col("lang"), col("rate_bp"),
+          (expr("rate_bp div 10000") +
+            when(keepCoin(10000) < col("rate_bp") % 10000, 1L).otherwise(0L)).as("copies"),
+          size(words).cast("long").as("tokens"))
+        .groupBy(col("source"), col("lang"), col("rate_bp"))
+        .agg(sum(col("copies")).as("n_copies"),
+          sum(col("copies") * col("tokens")).as("tokens_sampled"))
         .orderBy(col("source"), col("lang"))
     },
 

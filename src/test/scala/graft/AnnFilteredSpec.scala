@@ -46,6 +46,19 @@ class AnnFilteredSpec extends SparkSpec {
     assert(out.values.map(_.size).sum > 0, "filtered search returned nothing at all")
   }
 
+  test("C7c IVF-filtered: predicate holds on every row, scores exact (recall is inv-gated at sf0.01+)") {
+    val out = SparkEntry.queries("ann_filtered_ivf")(spark, sf()).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (ql, qv) = emb(r.getLong(0))
+      val (nl, nv) = emb(r.getLong(2))
+      assert(ql == nl, s"IVF-filtered served cross-label pair (${r.getLong(0)}, ${r.getLong(2)})")
+      val rounded = BigDecimal(cos(qv, nv)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - rounded) <= 1e-9,
+        "IVF-filtered must score with the exact cosine path")
+    }
+  }
+
   test("C7b filtered results are a subset-ordering of nothing weaker: scores match unfiltered exact scoring") {
     // any (q, n) pair's reported cosine must equal the exact cosine of the
     // raw vectors to the reported rounding (4 decimals)

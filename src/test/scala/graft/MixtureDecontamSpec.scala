@@ -13,9 +13,20 @@ class MixtureDecontamSpec extends SparkSpec {
   private def corpus(name: String, rows: Seq[(Long, String, String, String)]): String = {
     import spark.implicits._
     val dir = s"target/tmp/mixdecon-$name"
+    // the driver's testdata ships documents.parquet as a FLAT FILE, and
+    // the streaming twins' pathGlobFilter matches leaf file names — so
+    // flatten Spark's part-file directory into the same layout
     rows.map { case (id, t, lang, src) => (id, t, lang, src, t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_docs_tmp")
+    val tmp = new java.io.File(s"$dir/_docs_tmp")
+    val part = tmp.listFiles().find(f => f.getName.startsWith("part-") &&
+      f.getName.endsWith(".parquet")).get
+    val flat = new java.io.File(s"$dir/documents.parquet")
+    if (flat.isDirectory) { flat.listFiles().foreach(_.delete()); flat.delete() }
+    java.nio.file.Files.copy(part.toPath, flat.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    tmp.listFiles().foreach(_.delete()); tmp.delete()
     dir
   }
 
@@ -70,6 +81,41 @@ class MixtureDecontamSpec extends SparkSpec {
     assert(allocSum <= budget, "floor-division allocation can never exceed the budget")
     assert(budget < allocSum + rows.length,
       "each stratum drops < 1 token to floor division")
+  }
+
+  test("C42b apply realizes the schedule: whole-epoch copies + deterministic fractional coin") {
+    // the upsample corpus: stratum A (36 tokens, 1 doc id=1) gets
+    // rate_bp 45833 -> 4 whole copies + coin extra. doc 1's coin =
+    // ((1 % 1000003)*131071 + 99991) % 1000003 % 10000 = 231062 % 10000
+    // = 1062 < 5833 -> 5 copies, 5*36 = 180 tokens sampled.
+    val dir = corpus("apply", Seq(
+      (1L, words("a", 36).mkString(" "), "is", "web")) ++
+      (2L to 37L).map(i => (i, words(s"b$i-", 100).mkString(" "), "en", "web")))
+    val out = SparkEntry.queries("text_mixture_apply")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val a = out("web" -> "is")
+    assert(a.getLong(2) == 45833L, "rate_bp carried through")
+    assert(a.getLong(3) == 5L, "4 whole epochs + the fractional coin hit")
+    assert(a.getLong(4) == 180L, "tokens_sampled = copies * tokens")
+    // downsampled stratum: 0 whole copies, kept subset only
+    val b = out("web" -> "en")
+    assert(b.getLong(3) > 0L && b.getLong(3) < 36L,
+      "fractional-rate stratum keeps a strict subset")
+    assert(b.getLong(4) == b.getLong(3) * 100L, "every b-doc is 100 tokens")
+  }
+
+  test("D9 stream decontamination equals batch on a planted corpus") {
+    val x = words("x", 6)
+    val dir = corpus("stream", Seq(
+      (0L, (words("p", 4) ++ x ++ words("q", 4)).mkString(" "), "en", "bench"),
+      (1L, (words("u", 5) ++ x ++ words("v", 19)).mkString(" "), "en", "web"),
+      (2L, words("z", 30).mkString(" "), "en", "web")))
+    val batch = SparkEntry.queries("text_decontaminate_spans")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val stream = SparkEntry.queries("text_decontaminate_stream")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch, s"stream $stream != batch $batch")
+    assert(batch.nonEmpty)
   }
 
   // ---- C43 ----------------------------------------------------------

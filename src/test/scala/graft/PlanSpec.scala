@@ -237,6 +237,26 @@ class PlanSpec extends SparkSpec {
       s"the corpus must never shuffle for the query join:\n$p")
   }
 
+  test("ann_filtered_ivf: probe joins the labeled index by broadcast hash; corpus never sort-merges") {
+    val p = planStr("ann_filtered_ivf")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (cell, label) probe must be a broadcast hash join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the assigned corpus must only be hash-probed, never shuffled or cross-joined:\n$p")
+  }
+
+  test("text_mixture_apply: the schedule joins back by broadcast; apply pass partial-aggregates") {
+    val p = planStr("text_mixture_apply")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |strata|-row schedule must broadcast into the apply pass:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for the schedule join:\n$p")
+    val aggLines = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.exists(_.contains("partial")) || aggLines.size >= 2,
+      s"realized-sample accounting must map-side combine:\n$p")
+  }
+
   test("text_ngram_counts: partial agg before the gram shuffle; count filter after partial agg") {
     val p = planStr("text_ngram_counts")
     val aggLines = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
