@@ -153,29 +153,79 @@ object Text {
     * score and the pipeline's cutoff can never drift. See the C38 Q
     * below for the plan-shape reasoning (single bgc exchange, reuse).
     */
-  private[graft] def lmScores(s: SparkSession, dir: String): DataFrame = {
+  /** The shared per-doc bigram-count frame (doc_id, w1, w2, nd) — THE
+    * one corpus-scale aggregation both LM scorers (C38 add-free MLE,
+    * C38b Kneser-Ney) derive everything from, so the tokenize+explode
+    * runs once per query and the two scorers cannot diverge on
+    * tokenization. The trailing filter drops nothing (split() yields no
+    * null tokens; doc_id is a parquet key) — it exists so joins above
+    * infer NO per-consumer isnotnull filters: inferred filters differ
+    * per consumer subtree (w1-only on the cp path, w1+w2 on the probe
+    * path, doc_id only on subtree joined by callers like
+    * pipeline_curate_lm), which makes the bgc subtrees structurally
+    * different and defeats ReuseExchange — i.e. the corpus would
+    * tokenize again per consumer.
+    */
+  private def bigramCounts(s: SparkSession, dir: String): DataFrame = {
     val ws = split(col("text"), " ")
-    val pairs = docs(s, dir).where(size(ws) >= 2)
+    docs(s, dir).where(size(ws) >= 2)
       .select(col("doc_id"),
         explode(zip_with(
           slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      // none of these columns is ever null (split() yields no null
-      // tokens; doc_id is a parquet key), so this filter drops nothing
-      // — it exists so joins above infer NO per-consumer isnotnull
-      // filters: inferred filters differ per consumer subtree (w1-only
-      // on the cp path, w1+w2 on the probe path, and doc_id on the
-      // probe path only when a caller like pipeline_curate_lm joins the
-      // scores on doc_id — the c2 path has no doc_id output to infer
-      // on), which makes the bgc subtrees structurally different and
-      // defeats ReuseExchange — i.e. the corpus would tokenize again
-      // per consumer
       .where(col("doc_id").isNotNull && col("w1").isNotNull && col("w2").isNotNull)
-    // the ONE corpus-scale aggregation — every downstream frame
-    // derives from here, so the tokenize+explode above runs once
-    val bgc = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("nd"))
+  }
+
+  /** C38b's scoring frame — interpolated Kneser-Ney with discount
+    * d = 3/4 over the same bigram counts as C38, integer-exact. For an
+    * OBSERVED bigram (the only kind a self-scored corpus contains, so
+    * the max(c-d, 0) clamp is vacuous — 4·c2 − 3 ≥ 1):
+    *   P_KN(w2|w1) = (c2 − d)/cp + d·N1+(w1,•)/cp · N1+(•,w2)/N1+(••)
+    * in basis points with per-term truncating division (documented
+    * contract; both engines floor non-negative integers identically):
+    *   p_bp = ((4·c2 − 3)·10⁴) div (4·cp)
+    *        + (3·n1f·n1r·10⁴) div (4·cp·ntypes)
+    * The second term's products overflow BIGINT at corpus scale (n1f,
+    * n1r are distinct-successor/-predecessor counts — ~1e9 each on a
+    * 100 TB web corpus; cp·ntypes reaches ~1e24), so they compute in
+    * decimal(38,0)/HUGEINT and divide once — both engines emit the
+    * identical integer. Same derivation tree as C38: bgc → c2 → (cp,
+    * n1f) / n1r / ntypes, every consumer above the one bgc exchange.
+    */
+  private[graft] def knScores(s: SparkSession, dir: String): DataFrame = {
+    val bgc = bigramCounts(s, dir)
+    val c2 = bgc.groupBy(col("w1"), col("w2")).agg(sum(col("nd")).as("c2"))
+    val cp = c2.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("cp"), count(lit(1)).as("n1f"))
+    // count(c2), NOT count(*): a type count that doesn't reference c2's
+    // aggregate output lets RemoveRedundantAggregates collapse the whole
+    // sum(nd) aggregate into a distinct over the RAW pair stream — a
+    // structurally different subtree that defeats bgc's exchange reuse
+    // and re-scans the corpus. c2 is never null (every group is
+    // non-empty), so count(c2) == count(*) — but the reference anchors
+    // the derivation to the shared exchange. PlanSpec pins the one-scan
+    // contract.
+    val rv = c2.groupBy(col("w2")).agg(count(col("c2")).as("n1r"))
+    val nt = c2.agg(count(col("c2")).as("ntypes"))
+    bgc.join(c2, Seq("w1", "w2")).join(cp, Seq("w1")).join(rv, Seq("w2"))
+      .crossJoin(broadcast(nt))
+      .select(col("doc_id"), col("nd"),
+        (expr("((4 * c2 - 3) * 10000) div (4 * cp)")
+          + expr("""CAST((CAST(3 * n1f AS DECIMAL(38,0)) * n1r * 10000)
+                   |     div (CAST(4 * cp AS DECIMAL(38,0)) * ntypes)
+                   |     AS BIGINT)""".stripMargin)).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nd")).as("n_bigrams"),
+        sum(col("nd") * col("p")).as("sum_pbp"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_pbp"),
+        expr("sum_pbp div n_bigrams").as("kn_bp"))
+  }
+
+  private[graft] def lmScores(s: SparkSession, dir: String): DataFrame = {
+    val bgc = bigramCounts(s, dir)
     val c2 = bgc.groupBy(col("w1"), col("w2")).agg(sum(col("nd")).as("c2"))
     val cp = c2.groupBy(col("w1")).agg(sum(col("c2")).as("cp"))
     bgc.join(c2, Seq("w1", "w2")).join(cp, Seq("w1"))
@@ -509,7 +559,18 @@ object Text {
       val w = docs(s, dir).select(col("doc_id"), explode(words).as("t"))
         .where(col("t") =!= "")
       val tf = w.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-      val dfT = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      // count(when(tf > 0, 1)), NOT count(*): a df that doesn't
+      // reference tf's aggregate output lets RemoveRedundantAggregates
+      // collapse the tf aggregate into a distinct over the RAW token
+      // stream — a structurally different subtree that defeats tf's
+      // exchange reuse and re-tokenizes the corpus (the r7 lm_kn
+      // lesson). A bare count(tf) doesn't survive either: count's
+      // output is non-nullable, so count(tf) rewrites to count(*) and
+      // prunes anyway. tf > 0 always holds (counts of non-empty
+      // groups), but the optimizer can't prove it — the predicate
+      // anchors the df derivation to the ONE tokenize+aggregate pass.
+      val dfT = tf.groupBy(col("t"))
+        .agg(count(when(col("tf") > 0, lit(1))).as("df"))
       // N stays IN the plan (1-row broadcast, like the oracle's CTE) — an
       // eager .count() here would full-scan documents once per builder
       // call, outside the timed job
@@ -520,6 +581,92 @@ object Text {
         .crossJoin(broadcast(nDf))
         .select(col("t"), col("doc_id"),
           (col("tf") * expr("(n * 1000) div df")).cast("long").as("score"))
+      scored.withColumn("rank",
+          org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("t")).orderBy(col("score").desc, col("doc_id"))))
+        .where(col("rank") <= 5)
+        .select(col("t").as("term"), col("rank"), col("doc_id"), col("score"))
+        .orderBy(col("term"), col("rank"))
+    },
+
+    // C35b: BM25 retrieval over the SAME probe set as C35 — the scoring
+    // function production search actually ships (Robertson/Sparck Jones;
+    // Lucene/Elasticsearch default), with document-length normalization
+    // C35's raw tf*idf lacks: long documents stop winning on tf alone.
+    // INTEGER-EXACT rational form, k1 = 6/5, b = 3/4:
+    //   tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))
+    //     = 22*tf*avgdl / (10*avgdl*tf + 3*avgdl + 9*dl)
+    // (both sides scaled by 10*avgdl; avgdl = total_tokens div n_docs,
+    // an integer by contract). score_milli = C35's milli-idf times that
+    // ratio, multiplied in decimal(38,0)/HUGEINT — at 100 TB idf_milli
+    // alone reaches ~1e15 and the product would overflow BIGINT — then
+    // one integer div, so both engines emit the identical integer.
+    // SCALE SHAPE: the probe set (20 driver-bounded rare terms)
+    // broadcasts into tf, and the resulting posting sliver — bounded by
+    // the probes' document frequency, tiny BY CONSTRUCTION (probes are
+    // the df-ascending rarest terms) — broadcasts into the corpus-wide
+    // doc-length table, so dl never shuffles. dl itself is a per-row
+    // PROJECTION (each doc's tokens live in one row — size(filter(..)),
+    // never an aggregation of the exploded stream), so the whole query
+    // is the tf/df index build plus one scan-speed dl pass with
+    // broadcast joins — no join in the plan ever sort-merges
+    // (Bm25Spec pins this). A probe set of FREQUENT terms would outgrow
+    // the postings broadcast — drop the hint and let the
+    // (doc_id)-keyed shuffle join carry it.
+    Q("text_search_bm25",
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM w WHERE t <> '' GROUP BY doc_id, t),
+        |dl AS (SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+        |       FROM documents),
+        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |ad AS (SELECT CAST(sum(dl) AS BIGINT) // count(*) AS avgdl FROM dl),
+        |probe AS (SELECT t, df FROM df WHERE df >= 3 ORDER BY df ASC, t ASC LIMIT 20),
+        |scored AS (
+        |  SELECT tf.t, tf.doc_id,
+        |         CAST((CAST((n.n * 1000) // probe.df AS HUGEINT)
+        |               * (22 * tf.tf * ad.avgdl))
+        |              // (10 * ad.avgdl * tf.tf + 3 * ad.avgdl + 9 * dl.dl)
+        |              AS BIGINT) AS score
+        |  FROM tf JOIN probe ON probe.t = tf.t
+        |          JOIN dl ON dl.doc_id = tf.doc_id
+        |          CROSS JOIN n CROSS JOIN ad),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY t ORDER BY score DESC, doc_id) AS rnk
+        |       FROM scored)
+        |SELECT t AS term, rnk AS rank, doc_id, score FROM rk WHERE rnk <= 5
+        |ORDER BY term, rank""".stripMargin) { (s, dir) =>
+      // the doc_id isNotNull guard drops nothing (parquet key) — it
+      // exists so the dl join's inferred isnotnull(doc_id) constraint
+      // doesn't make the postings-side tf subtree structurally different
+      // from the df-side one and defeat tf's exchange reuse (the
+      // bigramCounts lesson)
+      val w = docs(s, dir).select(col("doc_id"), explode(words).as("t"))
+        .where(col("t") =!= "" && col("doc_id").isNotNull)
+      val tf = w.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      // doc length is a per-row PROJECTION (each doc's tokens live in one
+      // row) — never an aggregation of the exploded stream: zero shuffle
+      val dl = docs(s, dir).select(col("doc_id"),
+        size(filter(words, t => t =!= "")).cast("long").as("dl"))
+      // count(when(tf > 0, 1)) anchors df to tf's exchange (C35
+      // comment): the corpus tokenizes ONCE for the whole index build —
+      // Bm25Spec pins it
+      val dfT = tf.groupBy(col("t"))
+        .agg(count(when(col("tf") > 0, lit(1))).as("df"))
+      val nDf = docs(s, dir).agg(count(lit(1)).as("n"))
+      val adDf = dl.agg(expr("CAST(sum(dl) AS BIGINT) div count(*)").as("avgdl"))
+      val probe = dfT.where(col("df") >= 3)
+        .orderBy(col("df").asc, col("t").asc).limit(20)
+      val postings = tf.join(broadcast(probe), Seq("t"))
+      val scored = broadcast(postings)
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(nDf)).crossJoin(broadcast(adDf))
+        .select(col("t"), col("doc_id"),
+          expr("""CAST((CAST((n * 1000) div df AS DECIMAL(38,0))
+                 |      * (22 * tf * avgdl))
+                 |     div (10 * avgdl * tf + 3 * avgdl + 9 * dl)
+                 |     AS BIGINT)""".stripMargin).as("score"))
       scored.withColumn("rank",
           org.apache.spark.sql.functions.row_number().over(
             org.apache.spark.sql.expressions.Window
@@ -553,8 +700,16 @@ object Text {
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val w = docs(s, dir).select(col("doc_id"), explode(words).as("word"))
       val tf = w.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
-      val dl = w.groupBy(col("doc_id")).agg(count(lit(1)).as("n_words"))
-      val df = w.groupBy(col("word")).agg(countDistinct(col("doc_id")).as("dfreq"))
+      // dl and df both derive FROM tf (sum of per-term counts = doc
+      // length; rows per word = distinct-doc frequency), each anchored
+      // to tf's aggregate output so all three tables ride ONE
+      // tokenize+aggregate pass (the r7 lm_kn lesson) — the raw stream
+      // previously aggregated three separate times. sum(cnt) anchors by
+      // itself (nullable aggregate); the count needs the unfoldable
+      // predicate (see the C35 comment).
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("cnt")).as("n_words"))
+      val df = tf.groupBy(col("word"))
+        .agg(count(when(col("cnt") > 0, lit(1))).as("dfreq"))
       val nDocs = docs(s, dir).count() // tiny driver scalar; broadcast as literal
       // df is the full vocabulary — far beyond broadcast limits on a web
       // corpus; `word` keys are uniform enough for a plain shuffle join.
@@ -1214,7 +1369,14 @@ object Text {
         |FROM r WHERE rk <= 3 ORDER BY doc_id, score DESC, term""".stripMargin) { (s, dir) =>
       val w = docs(s, dir).select(col("doc_id"), explode(words).as("term"))
       val tf = w.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dft = w.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // derive df FROM tf (one row per distinct (doc, term), so rows per
+      // term == distinct-doc count), with a tf-referencing predicate the
+      // optimizer can't fold, so the derivation rides tf's exchange
+      // instead of re-tokenizing the corpus through a separate distinct
+      // (the r7 lm_kn lesson; see the C35 comment for why a bare
+      // count(tf) is not enough)
+      val dft = tf.groupBy(col("term"))
+        .agg(count(when(col("tf") > 0, lit(1))).as("df"))
       val n = docs(s, dir).agg(count(lit(1)).as("n"))
       val sc = tf.join(dft, "term").crossJoin(n)
         .select(col("doc_id"), col("term"), col("tf"),
@@ -1271,6 +1433,45 @@ object Text {
         |       CAST(CAST(sum(p) AS BIGINT) // count(*) AS BIGINT) AS lm_bp
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       lmScores(s, dir).orderBy(col("doc_id"))
+    },
+
+    // C38b: Kneser-Ney-smoothed LM scoring — the smoothing the actual
+    // CCNet/KenLM filter models ship (raw MLE conditionals like C38's
+    // overweight frequent continuations; KN discounts each observed
+    // bigram by d and redistributes the held-out mass by CONTINUATION
+    // counts — "how many distinct contexts precede w2" — the
+    // distributional-novelty correction). Same integer-exact stance and
+    // the same single-bgc plan shape as C38 (see [[knScores]] for the
+    // arithmetic and the decimal(38,0) overflow story); the extra
+    // quantities (n1f, n1r, ntypes) are one more groupBy over the c2
+    // TYPE table — vocabulary-bounded, never corpus-bounded — plus a
+    // 1-row broadcast. Low kn_bp = unpredictable-under-smoothing docs,
+    // the CCNet "tail" bucket.
+    Q("text_lm_kn",
+      """WITH docs_ws AS (
+        |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
+        |  WHERE len(string_split(text,' ')) >= 2),
+        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM docs_ws),
+        |bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |       FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+        |bgc AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS nd FROM bg GROUP BY 1, 2, 3),
+        |c2 AS (SELECT w1, w2, CAST(sum(nd) AS BIGINT) AS c2 FROM bgc GROUP BY 1, 2),
+        |cp AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS cp,
+        |              CAST(count(*) AS BIGINT) AS n1f FROM c2 GROUP BY 1),
+        |rv AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM c2 GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS ntypes FROM c2),
+        |p AS (SELECT bgc.doc_id, bgc.nd,
+        |        ((4 * c2.c2 - 3) * 10000) // (4 * cp.cp)
+        |        + CAST((CAST(3 * cp.n1f AS HUGEINT) * rv.n1r * 10000)
+        |               // (CAST(4 * cp.cp AS HUGEINT) * nt.ntypes) AS BIGINT) AS p_bp
+        |      FROM bgc JOIN c2 USING (w1, w2) JOIN cp USING (w1)
+        |               JOIN rv USING (w2) CROSS JOIN nt),
+        |agg AS (SELECT doc_id, CAST(sum(nd) AS BIGINT) AS n_bigrams,
+        |               CAST(sum(nd * p_bp) AS BIGINT) AS sum_pbp
+        |        FROM p GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, sum_pbp, sum_pbp // n_bigrams AS kn_bp
+        |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      knScores(s, dir).orderBy(col("doc_id"))
     },
 
     // C28: PII redaction — ordered regex scrub (email, IPv4, phone,

@@ -37,6 +37,41 @@ class LmScoreSpec extends SparkSpec {
     assert(out.length.toLong == eligible, "one score row per eligible document")
   }
 
+  test("C38b hand-computed Kneser-Ney: discount + continuation term, per-term truncation") {
+    // corpus: "a b a b" and "a c"
+    //   c2: (a,b)=2 (b,a)=1 (a,c)=1; cp: a=3 (n1f=2), b=1 (n1f=1)
+    //   n1r: a=1, b=1, c=1; ntypes=3; d = 3/4
+    //   p(a,b) = ((8-3)*1e4) div 12 + (3*2*1*1e4) div 36 = 4166 + 1666 = 5832
+    //   p(b,a) = ((4-3)*1e4) div 4  + (3*1*1*1e4) div 12 = 2500 + 2500 = 5000
+    //   p(a,c) = ((4-3)*1e4) div 12 + (3*2*1*1e4) div 36 =  833 + 1666 = 2499
+    // doc0 = (2*5832 + 1*5000) div 3 = 16664 div 3 = 5554; doc1 = 2499
+    val out = SparkEntry.queries("text_lm_kn")(spark, corpus("kn", Seq("a b a b", "a c")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == ((3L, 16664L, 5554L)))
+    assert(out(1L) == ((1L, 2499L, 2499L)))
+  }
+
+  test("C38b kn_bp bounded to [0, 10000], same doc coverage as C38, and discounts sure things") {
+    val dir = sf("sf0.001")
+    val kn = SparkEntry.queries("text_lm_kn")(spark, dir).collect()
+    // P_KN is a proper distribution (the discounted mass re-enters via
+    // the continuation term scaled by n1r/ntypes <= 1), so each observed
+    // bigram's probability stays <= 1 and the truncating div keeps bp
+    // inside [0, 10000]
+    assert(kn.nonEmpty)
+    assert(kn.forall(r => r.getLong(3) >= 0L && r.getLong(3) <= 10000L))
+    val mle = SparkEntry.queries("text_lm_score")(spark, dir).collect()
+    assert(kn.length == mle.length, "KN scores exactly the docs C38 scores")
+    // a deterministic continuation (MLE p = 1) must lose mass under KN:
+    // the discount strictly lowers every observed bigram's first term
+    // and the continuation term returns at most d*n1f/cp of it
+    val knDup = SparkEntry.queries("text_lm_kn")(spark,
+        corpus("kndup", Seq("p q r s t", "p q r s t", "u v u w")))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(knDup(0L) < 10000L && knDup(0L) > 5000L,
+      "duplicated doc: high predictability, but discounted below certainty")
+  }
+
   test("C38 a doc duplicated verbatim scores 10000 when its bigrams appear nowhere else") {
     // every bigram in the duplicated doc is deterministic given its
     // prefix (all prefix occurrences continue identically), so every

@@ -305,6 +305,26 @@ class PlanSpec extends SparkSpec {
       "count-table joins must stay un-hinted — stats decide per scale")
   }
 
+  test("text_lm_kn: ONE corpus scan, bgc/c2 reuse fires, only the 1-row ntypes broadcast is hinted") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    // same derivation contract as text_lm_score: the KN extras (cp+n1f,
+    // n1r, ntypes) are all groupBys over the c2 TYPE table, so they must
+    // ride the same bgc exchange — a second documents scan means a
+    // consumer re-tokenized the corpus
+    val df = SparkEntry.queries("text_lm_kn")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents")) == 1,
+      s"bigram source must scan documents exactly once:\n$p")
+    assert(p.linesIterator.count(_.contains("ReusedExchange")) >= 2,
+      s"bgc/c2 exchange reuse did not fire — a consumer re-derives the corpus:\n$p")
+    // exactly ONE hint: the 1-row ntypes aggregate (always broadcastable);
+    // the open-vocabulary c2/cp/n1r joins stay un-hinted — stats decide
+    assert(df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size == 1,
+      "only the 1-row ntypes broadcast may be hinted")
+  }
+
   test("pipeline_curate_lm: two documents scans (lm stage + curate stage), bgc/c2 reuse still fires") {
     // the composed pipeline may touch the corpus once per stage — the
     // lm model derivation and the curate feature pass — but no more:
@@ -464,6 +484,16 @@ class PlanSpec extends SparkSpec {
       s"probe retrieval must broadcast the bounded probe set:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"a sort-merge join here would shuffle the whole tf table per probe batch:\n$p")
+    // df derives FROM tf (count(tf) anchors it), so the index build
+    // tokenizes the corpus exactly once (r7: was twice — the df path
+    // collapsed into a raw-stream distinct and lost the shared
+    // exchange). Reuse fires at AQE stage materialization — execute,
+    // then read the FINAL plan.
+    val df = SparkEntry.queries("text_search_topk")(spark, sf())
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(fin.linesIterator.count(_.contains("Generate explode")) == 1,
+      s"tf + df must share ONE tokenize pass:\n$fin")
   }
 
   test("emb_label_stats: the (label, dim) sum table broadcasts back — no corpus-size sort-merge join") {
