@@ -969,6 +969,90 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
 
+    // C25b: boilerplate REMOVAL — C25 detects documents carrying
+    // duplicated chunks; this REWRITES them without the boilerplate
+    // (the CCNet/RefinedWeb action on the C25 signal: drop the repeated
+    // header/footer/nav chunks, keep the unique prose). Per affected
+    // doc: full-chunk count, removed count, and the clean text — kept
+    // chunks plus the always-kept <10-token tail, reassembled in
+    // original order.
+    // 100 TB shape: detection runs on a SLIM (doc_id, digest) stream
+    // (text never enters the chunk-frequency shuffle, which partial-
+    // aggregates 32 B digests); the duplicated-digest sliver and the
+    // affected-doc id set broadcast back (the C37 stance — when
+    // boilerplate incidence outgrows broadcast, the same semi-joins run
+    // shuffle-side co-bucketed with the corpus), so the text-carrying
+    // pass is map-side narrow for every UNaffected document; the one
+    // text-bearing exchange is the per-doc reassembly and carries only
+    // AFFECTED docs' chunks — the decontaminate_spans "one record per
+    // contaminated doc" shape. collect_list order is repaired by
+    // array_sort on the chunk index (struct sorts by leading field),
+    // so the rewrite is deterministic under any partitioning. A tail
+    // (<10 tokens) can never string-equal a full 10-token chunk, so the
+    // flag join needs no is_full guard.
+    Q("text_remove_boilerplate",
+      """WITH docs_ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+        |                 WHERE len(string_split(text,' ')) >= 10),
+        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM docs_ws),
+        |c AS (SELECT doc_id, (i-1)//10 AS ci, string_agg(w, ' ' ORDER BY i) AS chunk, count(*) AS n
+        |      FROM w GROUP BY doc_id, (i-1)//10),
+        |fc AS (SELECT doc_id, ci, chunk FROM c WHERE n = 10),
+        |dup AS (SELECT chunk FROM fc GROUP BY chunk HAVING count(DISTINCT doc_id) > 1),
+        |flag AS (SELECT fc.doc_id, fc.ci, fc.chunk,
+        |         CASE WHEN dup.chunk IS NULL THEN 0 ELSE 1 END AS d
+        |         FROM fc LEFT JOIN dup ON dup.chunk = fc.chunk),
+        |tails AS (SELECT doc_id, len(ws)//10 AS ci,
+        |          array_to_string(ws[(len(ws)//10)*10+1:], ' ') AS chunk
+        |          FROM docs_ws WHERE len(ws) % 10 > 0),
+        |keep AS (SELECT doc_id, ci, chunk, d FROM flag
+        |         UNION ALL SELECT doc_id, ci, chunk, 0 FROM tails),
+        |a1 AS (SELECT doc_id, count(*) AS n_chunks, sum(d) AS n_removed
+        |       FROM flag GROUP BY doc_id),
+        |a2 AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY ci) AS clean_text
+        |       FROM keep WHERE d = 0 GROUP BY doc_id)
+        |SELECT a1.doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+        |       CAST(n_removed AS BIGINT) AS n_removed,
+        |       coalesce(a2.clean_text, '') AS clean_text
+        |FROM a1 LEFT JOIN a2 USING (doc_id)
+        |WHERE n_removed > 0 ORDER BY a1.doc_id""".stripMargin) { (s, dir) =>
+      val ws = split(col("text"), " ")
+      val base = docs(s, dir).where(size(ws) >= 10)
+        .select(col("doc_id"), ws.as("ws"))
+      // slim detection stream: (doc_id, 32 B digest) per full chunk
+      val hashes = base.select(col("doc_id"),
+        explode(transform(sequence(lit(0), (size(col("ws")) / 10).cast("int") - 1),
+          k => unhex(sha2(concat_ws(" ", slice(col("ws"), k * 10 + 1, lit(10))), 256)))).as("h"))
+      val dupH = hashes.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("docs"))
+        .where(col("docs") > 1).select(col("h"))
+        .localCheckpoint(true) // sliver — consumed by two broadcasts below
+      val affected = hashes.join(broadcast(dupH), Seq("h"), "left_semi")
+        .select(col("doc_id")).distinct()
+      // text-carrying pass: chunks + tail as (ci, chunk, is_full) structs,
+      // map-side restricted to affected docs
+      val exploded = base.join(broadcast(affected), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), explode(expr(
+          """transform(
+            |  sequence(0L, (size(ws) div 10) - (CASE WHEN size(ws) % 10 = 0 THEN 1 ELSE 0 END)),
+            |  i -> struct(i AS ci,
+            |    concat_ws(' ', slice(ws, CAST(i*10+1 AS INT),
+            |      CAST(CASE WHEN i < size(ws) div 10 THEN 10 ELSE size(ws) % 10 END AS INT))) AS chunk,
+            |    i < size(ws) div 10 AS is_full))""".stripMargin)).as("c"))
+        .select(col("doc_id"), col("c.ci").as("ci"), col("c.chunk").as("chunk"),
+          col("c.is_full").as("is_full"))
+      exploded
+        .join(broadcast(dupH), unhex(sha2(col("chunk"), 256)) === col("h"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("is_full"), lit(1L)).otherwise(lit(0L))).as("n_chunks"),
+          sum(when(col("h").isNotNull, lit(1L)).otherwise(lit(0L))).as("n_removed"),
+          array_join(transform(array_sort(collect_list(
+              when(col("h").isNull, struct(col("ci"), col("chunk"))))),
+            x => x.getField("chunk")), " ").as("clean_text"))
+        .where(col("n_removed") > 0)
+        .select(col("doc_id"), col("n_chunks"), col("n_removed"), col("clean_text"))
+        .orderBy(col("doc_id"))
+    },
+
     // C37: exact duplicated-SUBSTRING coverage — the signal C25's
     // DISJOINT chunks structurally miss: a passage repeated across
     // documents but straddling a chunk boundary never matches any

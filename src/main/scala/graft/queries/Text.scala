@@ -75,6 +75,55 @@ object Text {
       |       CAST((removed * 10000) // n_tokens AS BIGINT) AS removed_bp
       |FROM cov ORDER BY doc_id""".stripMargin
 
+  /** C45's manifest core over any (doc_id, h, tokens) frame — the
+    * two-level distributed weighted prefix sum (see the C45 Q scaladoc
+    * for the shape reasoning). ONE definition shared by
+    * `text_shard_manifest` (whole corpus) and `pipeline_curate_shard`
+    * (curate survivors), the C18b shared-frame discipline: the shard
+    * assignment rule cannot drift between the standalone operator and
+    * the pipeline composition.
+    */
+  private def shardManifest(base: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val b = base.withColumn("b", substring(col("h"), 1, 2))
+    val off = b.groupBy(col("b")).agg(sum(col("tokens")).as("bt"))
+      .select(col("b"), coalesce(
+        sum(col("bt")).over(
+          W.orderBy(col("b")).rowsBetween(W.unboundedPreceding, -1)),
+        lit(0L)).as("boff"))
+    b.join(broadcast(off), Seq("b"))
+      .withColumn("pre", col("boff") + coalesce(
+        sum(col("tokens")).over(
+          W.partitionBy(col("b")).orderBy(col("h"), col("doc_id"))
+            .rowsBetween(W.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(expr("pre div 4096").as("shard"), col("tokens"), col("h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("tokens"),
+        min(col("h")).as("first_h"), max(col("h")).as("last_h"))
+      .orderBy(col("shard"))
+  }
+
+  /** C38's DuckDB twin, shared verbatim by batch (`text_lm_score`) and
+    * stream (D10 `text_lm_score_stream`) — one oracle gating both IS the
+    * batch/stream parity check (the C30/D6/D9 discipline).
+    */
+  private val lmScoreSql: String =
+    """WITH docs_ws AS (
+      |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
+      |  WHERE len(string_split(text,' ')) >= 2),
+      |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM docs_ws),
+      |bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+      |       FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+      |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+      |cp AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS cp FROM c2 GROUP BY 1),
+      |s AS (SELECT bg.doc_id, (c2.c2 * 10000) // cp.cp AS p
+      |      FROM bg JOIN c2 USING (w1, w2) JOIN cp USING (w1))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |       CAST(sum(p) AS BIGINT) AS sum_pbp,
+      |       CAST(CAST(sum(p) AS BIGINT) // count(*) AS BIGINT) AS lm_bp
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** The schedule CTEs as SQL (DuckDB twin of [[mixtureSchedule]] — keep
     * in lockstep), parameterized by the consuming tail: C42 selects the
     * schedule itself, C42b appends the application CTE.
@@ -166,17 +215,28 @@ object Text {
     * different and defeats ReuseExchange — i.e. the corpus would
     * tokenize again per consumer.
     */
-  private def bigramCounts(s: SparkSession, dir: String): DataFrame = {
+  private def bigramCounts(s: SparkSession, dir: String): DataFrame =
+    bigramPairs(docs(s, dir))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("nd"))
+
+  /** The bigram OCCURRENCE stream (doc_id, w1, w2), one row per adjacent
+    * token pair — the pre-aggregation stage of [[bigramCounts]], factored
+    * out because D10 (`text_lm_score_stream`) must consume it UNaggregated:
+    * a stream supports only one stateful aggregation, so the occurrence
+    * stream joins the static model stateless-ly and the single stateful
+    * groupBy(doc_id) folds the per-doc sums. Batch and stream share this
+    * one tokenization, so they cannot drift.
+    */
+  private def bigramPairs(d: DataFrame): DataFrame = {
     val ws = split(col("text"), " ")
-    docs(s, dir).where(size(ws) >= 2)
+    d.where(size(ws) >= 2)
       .select(col("doc_id"),
         explode(zip_with(
           slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .where(col("doc_id").isNotNull && col("w1").isNotNull && col("w2").isNotNull)
-      .groupBy(col("doc_id"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("nd"))
   }
 
   /** C38b's scoring frame — interpolated Kneser-Ney with discount
@@ -870,6 +930,67 @@ object Text {
         .orderBy(col("split"), col("lang"))
     },
 
+    // C18e: curate → shuffle → SHARD, the end of the make-training-data
+    // story: pipeline_curate decides WHAT survives; this materializes
+    // the decision into the artifact a training run actually mounts —
+    // the shard manifest over the surviving train split, in the same
+    // deterministic md5 order as C23, with C45's two-level distributed
+    // prefix sum (shared `shardManifest` core, so the standalone
+    // operator and the pipeline composition cannot drift on the
+    // assignment rule). Stages restate curate's CTEs verbatim (the
+    // C18b pattern); only slim (doc_id, h, tokens) rows enter the
+    // manifest — the text column dies at the quality/dedup stages.
+    // Shuffle budget: curate's digest window + the manifest's bucket
+    // exchange (+ the bounded 256-row cumsum) — the whole pipeline
+    // never globally sorts.
+    Q("pipeline_curate_shard",
+      """WITH f AS (
+        |  SELECT doc_id, lang, n_chars, text,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the','a','of','and','to'))) AS n_stop
+        |  FROM documents),
+        |q AS (
+        |  SELECT *, CAST(least(n_words, 100) * 40
+        |    + (least(n_stop * 10, n_words) * 3000) // n_words
+        |    + (n_distinct * 3000) // n_words AS BIGINT) AS quality_bp
+        |  FROM f),
+        |kept AS (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn
+        |  FROM q WHERE quality_bp >= 5000),
+        |train AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |                 n_words AS tokens
+        |          FROM kept WHERE rn = 1 AND doc_id % 10 < 8),
+        |p AS (SELECT doc_id, h, tokens,
+        |  coalesce(sum(tokens) OVER (ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre FROM train)
+        |SELECT CAST(pre // 4096 AS BIGINT) AS shard, count(*) AS n_docs,
+        |  CAST(sum(tokens) AS BIGINT) AS tokens, min(h) AS first_h, max(h) AS last_h
+        |FROM p GROUP BY 1 ORDER BY shard""".stripMargin) { (s, dir) =>
+      val f = docs(s, dir).select(col("doc_id"), col("text"),
+        size(words).as("n_words"),
+        size(array_distinct(words)).as("n_distinct"),
+        size(filter(words, w => w.isin("the", "a", "of", "and", "to"))).as("n_stop"))
+      val q = f.withColumn("quality_bp",
+        (least(col("n_words"), lit(100)) * 40
+          + expr("(least(n_stop * 10, n_words) * 3000) div n_words")
+          + expr("(n_distinct * 3000) div n_words")).cast("long"))
+        .where(col("quality_bp") >= 5000)
+      val kept = q.withColumn("rn",
+          org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(unhex(sha2(Dedup.normText, 256))) // SAME key as dedup_exact
+              .orderBy(col("doc_id"))))
+        .where(col("rn") === 1)
+      shardManifest(kept.where(col("doc_id") % 10 < 8)
+        .select(col("doc_id"),
+          md5(col("doc_id").cast("string").cast("binary")).as("h"),
+          col("n_words").cast("long").as("tokens")))
+    },
+
     // C18-stream: the SAME curation pipeline run at INGEST time — the
     // shape a production pipeline actually wants (curate as data lands,
     // not as a nightly batch over the accumulated pile). Quality
@@ -1417,21 +1538,7 @@ object Text {
     // (self-scoring, the dedup-adjacent "how predictable is this doc
     // given the corpus" signal); pointing `docs` at a reference corpus
     // gives CCNet's exact train-on-Wikipedia shape.
-    Q("text_lm_score",
-      """WITH docs_ws AS (
-        |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
-        |  WHERE len(string_split(text,' ')) >= 2),
-        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM docs_ws),
-        |bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
-        |       FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
-        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
-        |cp AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS cp FROM c2 GROUP BY 1),
-        |s AS (SELECT bg.doc_id, (c2.c2 * 10000) // cp.cp AS p
-        |      FROM bg JOIN c2 USING (w1, w2) JOIN cp USING (w1))
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |       CAST(sum(p) AS BIGINT) AS sum_pbp,
-        |       CAST(CAST(sum(p) AS BIGINT) // count(*) AS BIGINT) AS lm_bp
-        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Q("text_lm_score", lmScoreSql) { (s, dir) =>
       lmScores(s, dir).orderBy(col("doc_id"))
     },
 
@@ -1472,6 +1579,144 @@ object Text {
         |SELECT doc_id, n_bigrams, sum_pbp, sum_pbp // n_bigrams AS kn_bp
         |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
       knScores(s, dir).orderBy(col("doc_id"))
+    },
+
+    // D10: C38 at INGEST time — LM-score documents as they land, the
+    // CCNet deployment shape (the model is trained batch-side on a
+    // reference corpus; new crawl data streams through it and the score
+    // gates admission). The bigram explosion is stateless per-row stream
+    // work; the model join is a stream-static equi-join on (w1, w2) —
+    // stateless, and deliberately UN-hinted (the model is
+    // vocabulary-bounded but a 100 TB corpus's vocabulary outgrows any
+    // driver broadcast: the text_tfidf stance; the local planner may
+    // still choose broadcast at gate scale); the ONE stateful
+    // aggregation folds per-doc (count, sum_p) — state = one slim row
+    // per doc in the batch. Presentation (the exact integer div + sort)
+    // runs batch over the completed sink. The stream consumes the
+    // OCCURRENCE form of the same [[bigramPairs]] the batch scorer
+    // aggregates — chained stateful aggregations are unsupported, so
+    // occurrences join the model and the per-doc fold sums nd·p as
+    // count/sum over occurrence rows, which is algebraically identical.
+    // Gated by the SAME oracle as batch C38: driver-checked batch/stream
+    // parity, the C30/D6/D9 discipline. Self-scoring here (stream ==
+    // training corpus) so every stream bigram is observed in the model
+    // and the inner join drops nothing; pointing the static side at a
+    // reference corpus gives CCNet's train-on-Wikipedia shape, where the
+    // inner join also implements its drop-unmodeled-bigrams choice.
+    Q("text_lm_score_stream", lmScoreSql) { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val bgc = bigramCounts(s, dir)
+        val c2 = bgc.groupBy(col("w1"), col("w2")).agg(sum(col("nd")).as("c2"))
+        val cp = c2.groupBy(col("w1")).agg(sum(col("c2")).as("cp"))
+        val model = c2.join(cp, Seq("w1"))
+          .select(col("w1"), col("w2"), expr("(c2 * 10000) div cp").as("p"))
+        val scored = bigramPairs(stream)
+          .join(model, Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("sum_pbp"))
+        Events.runToCompleteSink(s, "lmscore_sink_", scored)
+          .select(col("doc_id"), col("n_bigrams"), col("sum_pbp"),
+            expr("sum_pbp div n_bigrams").as("lm_bp"))
+          .orderBy(col("doc_id"))
+      }
+    },
+
+    // C44: windowed co-occurrence + integer PMI — the word-association
+    // statistic under GloVe/word2vec-style corpus analysis and
+    // collocation mining. Pairs are tokens within distance <= 2,
+    // canonicalized unordered (least/greatest) and counted once per
+    // occurrence (j > i); the association score is the PMI RATIO in
+    // basis points — p(x,y)/(p(x)p(y)) ∝ (cxy·N) / (cx·cy) — kept
+    // rational instead of log-PMI so the whole statistic stays inside
+    // the cross-engine integer gate (the C38 stance: log-space hands the
+    // gate to libm). The wide product cxy·N·10⁴ reaches ~1e29 on a
+    // 100 TB corpus (N ~ 1e13), so it multiplies in decimal(38,0)/
+    // HUGEINT and divides once — the [[Fixed]] lesson.
+    // 100 TB shape: the pair stream is built MAP-SIDE by zipping each
+    // token array against its k-shifted self (no positional self-join —
+    // that shuffle carries one row per token position, C37's flagged
+    // failure shape) and partial-aggregates into the pair TYPE table;
+    // unigram counts partial-aggregate the same scan. Both type-table
+    // joins are deliberately un-hinted (vocabulary outgrows driver
+    // broadcast: the text_tfidf stance); the 1-row total broadcasts; the
+    // cxy >= 5 support filter runs BEFORE the joins so only associated
+    // pairs join at all; top-50 is TakeOrdered, never a global sort.
+    Q("text_cooccurrence_pmi",
+      """WITH dws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |u AS (SELECT w, count(*) AS c FROM dws, UNNEST(ws) AS t(w) GROUP BY w),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM u),
+        |p AS (
+        |  SELECT least(ws[i], ws[i+k]) AS wa, greatest(ws[i], ws[i+k]) AS wb,
+        |         count(*) AS cxy
+        |  FROM dws, UNNEST([1, 2]) AS o(k),
+        |       UNNEST(generate_series(1, len(ws)-k)) AS t(i)
+        |  GROUP BY 1, 2)
+        |SELECT p.wa, p.wb, CAST(p.cxy AS BIGINT) AS cxy,
+        |  CAST(cx.c AS BIGINT) AS cx, CAST(cy.c AS BIGINT) AS cy,
+        |  CAST((CAST(p.cxy AS HUGEINT) * n.n * 10000)
+        |       // (CAST(cx.c AS HUGEINT) * cy.c) AS BIGINT) AS pmi_bp
+        |FROM p JOIN u cx ON cx.w = p.wa JOIN u cy ON cy.w = p.wb CROSS JOIN n
+        |WHERE p.cxy >= 5
+        |ORDER BY pmi_bp DESC, wa, wb LIMIT 50""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val pair = d.select(explode(flatten(array(Seq(1, 2).map { k =>
+          zip_with(
+            slice(col("ws"), lit(1), greatest(size(col("ws")) - k, lit(0))),
+            slice(col("ws"), lit(k + 1), greatest(size(col("ws")) - k, lit(0))),
+            (a, b) => struct(least(a, b).as("wa"), greatest(a, b).as("wb")))
+        }: _*))).as("pr"))
+        .select(col("pr.wa").as("wa"), col("pr.wb").as("wb"))
+        .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("cxy"))
+        .where(col("cxy") >= 5)
+      val uni = d.select(explode(col("ws")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = uni.agg(sum(col("c")).as("n"))
+      pair
+        .join(uni.select(col("w").as("wa"), col("c").as("cx")), Seq("wa"))
+        .join(uni.select(col("w").as("wb"), col("c").as("cy")), Seq("wb"))
+        .crossJoin(broadcast(tot))
+        .select(col("wa"), col("wb"), col("cxy"), col("cx"), col("cy"),
+          expr("""CAST((CAST(cxy AS DECIMAL(38,0)) * n * 10000)
+                 |     div (CAST(cx AS DECIMAL(38,0)) * cy) AS BIGINT)""".stripMargin)
+            .as("pmi_bp"))
+        .orderBy(col("pmi_bp").desc, col("wa"), col("wb"))
+        .limit(50)
+    },
+
+    // C45: training-shard manifest via a DISTRIBUTED weighted prefix
+    // sum — the shard-writer's assignment step: the deterministically
+    // shuffled corpus (C23's md5 order) packs into fixed-token-budget
+    // shards in order, each doc assigned by its EXCLUSIVE token prefix
+    // (a doc straddling a boundary belongs to the shard where it
+    // starts). The naive form is a global-order window cumsum — a
+    // single-partition sort of the corpus, the canonical scale failure.
+    // Here the prefix decomposes two-level, the classic parallel
+    // prefix-scan: the first two hex chars of the order key split the
+    // ORDER into 256 lexicographic buckets; bucket token sums aggregate
+    // partial (256 slim rows), the unpartitioned cumsum window runs over
+    // those 256 rows ONLY (scale-independent — at 100 TB widen to 3-4
+    // hex chars), offsets broadcast-join back, and the corpus-side
+    // window is PARTITIONED by bucket, so its one exchange hash-
+    // partitions slim (doc_id, h, tokens) rows with no global sort
+    // anywhere. Budget 4096 tokens at gate scale (manifest rows =
+    // corpus_tokens/budget; a production 100M-token budget keeps the
+    // manifest driver-small at any corpus size).
+    Q("text_shard_manifest",
+      """WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |                  len(string_split(text,' ')) AS tokens FROM documents),
+        |p AS (SELECT doc_id, h, tokens,
+        |  coalesce(sum(tokens) OVER (ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre FROM t)
+        |SELECT CAST(pre // 4096 AS BIGINT) AS shard, count(*) AS n_docs,
+        |  CAST(sum(tokens) AS BIGINT) AS tokens, min(h) AS first_h, max(h) AS last_h
+        |FROM p GROUP BY 1 ORDER BY shard""".stripMargin) { (s, dir) =>
+      shardManifest(docs(s, dir).select(col("doc_id"),
+        md5(col("doc_id").cast("string").cast("binary")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("tokens")))
     },
 
     // C28: PII redaction — ordered regex scrub (email, IPv4, phone,

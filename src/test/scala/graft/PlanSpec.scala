@@ -590,6 +590,73 @@ class PlanSpec extends SparkSpec {
       s"the binary payload column must be pruned before any exchange:\n$p")
   }
 
+  test("text_cooccurrence_pmi: map-side pair build, un-hinted vocab joins, TopK") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+    val qe = SparkEntry.queries("text_cooccurrence_pmi")(spark, sf()).queryExecution
+    // the only broadcast hint wraps the 1-row grand-total aggregate —
+    // never a vocabulary table (text_tfidf stance: a 100 TB vocabulary
+    // outgrows any driver broadcast)
+    val hints = qe.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.size == 1, s"expected exactly the 1-row total hint, got ${hints.size}")
+    val hinted = hints.head.child.collect {
+      case a: Aggregate if a.groupingExpressions.isEmpty => a
+    }
+    assert(hinted.nonEmpty, s"the hint must wrap the ungrouped total:\n${hints.head.child}")
+    val p = qe.executedPlan.toString
+    // pairs come from zipping each token array against its own shifts —
+    // a positional self-JOIN would shuffle one row per token position
+    assert(p.linesIterator.filter(_.contains("HashAggregate"))
+      .exists(_.contains("partial")), s"pair counts must partial-aggregate:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must be TopK, not a global sort:\n$p")
+  }
+
+  test("text_shard_manifest: corpus window is bucket-partitioned; only the 256-row offset cumsum is single-partition") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = SparkEntry.queries("text_shard_manifest")(spark, sf()).queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.size == 2, s"expected the bucket cumsum + the offset cumsum:\n$lp")
+    val (unpart, part) = wins.partition(_.partitionSpec.isEmpty)
+    assert(part.size == 1 && unpart.size == 1,
+      s"exactly one window may be unpartitioned (the bounded offset table):\n$lp")
+    // the single-partition window must sit ABOVE the bucket aggregate —
+    // its input is |buckets| slim rows, never the corpus
+    assert(unpart.head.child.collect {
+      case a: Aggregate if a.groupingExpressions.nonEmpty => a
+    }.nonEmpty, s"the unpartitioned cumsum must consume the bucket aggregate:\n$lp")
+    val p = SparkEntry.queries("text_shard_manifest")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast back, not shuffle the corpus:\n$p")
+  }
+
+  test("text_remove_boilerplate: detection is slim-digest partial agg; rewrite joins all broadcast") {
+    val p = planStr("text_remove_boilerplate")
+    // dup sliver + affected-id set + flag join all broadcast — the
+    // text-carrying pass must stay map-side narrow for unaffected docs
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast semi/flag joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-side shuffle join belongs in the rewrite:\n$p")
+    assert(p.linesIterator.filter(_.contains("HashAggregate"))
+      .exists(_.contains("partial")),
+      s"chunk-frequency counts must partial-aggregate map-side:\n$p")
+  }
+
+  test("pipeline_curate_shard: the composition keeps C45's window contract") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = SparkEntry.queries("pipeline_curate_shard")(spark, sf()).queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    // dedup rn window (digest-partitioned, one LOGICAL copy per consumer
+    // branch — physical ReuseExchange dedups it) + bucket cumsum
+    // (partitioned) + offset cumsum (unpartitioned, bounded)
+    val (unpart, part) = wins.partition(_.partitionSpec.isEmpty)
+    assert(part.size >= 2 && unpart.size == 1,
+      s"only the bounded offset cumsum may be single-partition:\n$lp")
+    assert(unpart.head.child.collect {
+      case a: Aggregate if a.groupingExpressions.nonEmpty => a
+    }.nonEmpty, s"the unpartitioned cumsum must consume the bucket aggregate:\n$lp")
+  }
+
   test("gramsMultiN keeps multiplicity where gramsN dedups") {
     import spark.implicits._
     val df = Seq(Tuple1(Seq("a", "b", "a", "b", "c"))).toDF("ws")
