@@ -69,11 +69,12 @@ object Cluster {
     * returned plan is one scan + one projection — nothing in it depends
     * on executor cache state).
     *
-    * @return (assignment frame, total vector count) — the count comes
-    *         free from the last iteration's collected partials, not an
-    *         extra job.
+    * @return (assignment frame, total vector count, final centroids) —
+    *         the count comes free from the last iteration's collected
+    *         partials, not an extra job; the centroids are the k·dim
+    *         trained model D11's ingest-time assigner broadcasts.
     */
-  private def fit(s: SparkSession, dir: String): (DataFrame, Long) = {
+  private def fit(s: SparkSession, dir: String): (DataFrame, Long, Array[Array[Long]]) = {
     val x = Tables(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"),
@@ -117,7 +118,7 @@ object Cluster {
       }
       val out = assigned(s, withDerived(s, x), cents)
         .select(col("vec_id"), col("cluster"), col("dist"))
-      (out, total)
+      (out, total, cents)
     } finally xd.unpersist(blocking = false)
   }
 
@@ -218,6 +219,37 @@ object Cluster {
     // dense scrape region from dominating a training mix; quota comes
     // from the fit's own collected totals (no extra count job), and the
     // selection is one window over the assignment.
+    // D11: ingest-time cluster ASSIGNMENT — the fitted k-means model
+    // applied to vectors as they land (the deployment shape of C39:
+    // train nightly, assign at ingest for routing/balancing/semantic
+    // pruning decisions). The k·dim centroid model is DRIVER-BOUNDED by
+    // construction (k = 8 here; any practical k·dim fits a closure
+    // literal — the legitimate broadcast, unlike vocab tables), so
+    // assignment is a PURE stateless per-row projection on the stream
+    // through the SAME `assigned` kernel as the batch fit — zero
+    // stream state, append-mode sink, presentation sort batch-side.
+    // Gated by the SAME chained-CTE oracle as emb_kmeans: driver-checked
+    // batch/stream parity on (vec_id, cluster, dist), the D6 discipline.
+    Q("emb_assign_stream",
+      s"""$kmeansCtes
+         |SELECT vec_id, cluster, dist FROM aF WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        val cents = fit(s, dir)._3
+        val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet")
+          .parquet(dir)
+        val x = stream.select(col("vec_id"),
+          transform(col("embedding"),
+            v => floor((v.cast("double") + 1.0d) * 1000).cast("long")).as("q"))
+        val asg = assigned(s, withDerived(s, x), cents)
+          .select(col("vec_id"), col("cluster"), col("dist"))
+        Events.runToAppendSink(s, "assign_sink_", asg)
+          .orderBy(col("vec_id"))
+      }
+    },
+
     Q("emb_kmeans_balance",
       s"""$kmeansCtes,
          |bal AS (SELECT vec_id, cluster, dist FROM aF WHERE rn = 1),
@@ -228,7 +260,7 @@ object Cluster {
          |SELECT cluster, rk AS rank, vec_id, dist FROM r
          |WHERE rk <= (SELECT (count(*) + ${K - 1}) // $K FROM bal)
          |ORDER BY cluster, rank""".stripMargin) { (s, dir) =>
-      val (asg, total) = fit(s, dir)
+      val (asg, total, _) = fit(s, dir)
       val quota = (total + K - 1) / K
       asg.withColumn("rk", row_number().over(
           Window.partitionBy(col("cluster"))

@@ -86,6 +86,24 @@ object Events {
     out
   }
 
+  /** Append-mode twin of [[runToCompleteSink]] for STATELESS stream
+    * transforms (per-row scoring/assignment): no aggregation, so
+    * complete mode is unavailable and every input row appends once.
+    */
+  private[queries] def runToAppendSink(
+      s: org.apache.spark.sql.SparkSession, sinkPrefix: String,
+      streamed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sink = sinkPrefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = streamed.writeStream.format("memory").queryName(sink)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = s.table(sink).localCheckpoint(true)
+    s.catalog.dropTempView(sink)
+    out
+  }
+
   private def streamEventsToCompleteSink(
       s: org.apache.spark.sql.SparkSession, dir: String, sinkPrefix: String)(
       build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = withStreamPartitions(s) {

@@ -108,7 +108,7 @@ object Text {
     * stream (D10 `text_lm_score_stream`) — one oracle gating both IS the
     * batch/stream parity check (the C30/D6/D9 discipline).
     */
-  private val lmScoreSql: String =
+  private val lmCtes: String =
     """WITH docs_ws AS (
       |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
       |  WHERE len(string_split(text,' ')) >= 2),
@@ -118,11 +118,14 @@ object Text {
       |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
       |cp AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS cp FROM c2 GROUP BY 1),
       |s AS (SELECT bg.doc_id, (c2.c2 * 10000) // cp.cp AS p
-      |      FROM bg JOIN c2 USING (w1, w2) JOIN cp USING (w1))
-      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-      |       CAST(sum(p) AS BIGINT) AS sum_pbp,
-      |       CAST(CAST(sum(p) AS BIGINT) // count(*) AS BIGINT) AS lm_bp
-      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |      FROM bg JOIN c2 USING (w1, w2) JOIN cp USING (w1))""".stripMargin
+
+  private val lmScoreSql: String =
+    s"""$lmCtes
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |       CAST(sum(p) AS BIGINT) AS sum_pbp,
+       |       CAST(CAST(sum(p) AS BIGINT) // count(*) AS BIGINT) AS lm_bp
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** The schedule CTEs as SQL (DuckDB twin of [[mixtureSchedule]] — keep
     * in lockstep), parameterized by the consuming tail: C42 selects the
@@ -1625,6 +1628,46 @@ object Text {
       }
     },
 
+    // C38c: LM percentile BUCKETS — CCNet's actual output artifact: the
+    // corpus split into head/middle/tail thirds per language by LM
+    // score (the paper trains per-bucket models and samples
+    // head-heavy). Tertiles are ntile(3) over (lang) ordered by
+    // (lm_bp DESC, doc_id) — the SQL-standard ntile both engines define
+    // identically (leading groups take the remainder rows), made
+    // deterministic by the doc_id tie-break, so the bucket BOUNDARIES
+    // are gate-exact, not just the counts. Shares the [[lmScores]]
+    // frame with C38/C18b (score and bucketing cannot drift) and the
+    // lmCtes oracle prefix. 100 TB shape: the ntile window shuffles
+    // slim (doc_id, lang, n_bigrams, lm_bp) rows hash-partitioned by
+    // lang; the lang join prunes documents to (doc_id, lang) — text
+    // never re-reads; per-(lang, bucket) presentation is a bounded agg.
+    Q("text_lm_buckets",
+      s"""$lmCtes,
+         |lm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       CAST(CAST(sum(p) AS BIGINT) // count(*) AS BIGINT) AS lm_bp
+         |       FROM s GROUP BY doc_id),
+         |j AS (SELECT d.lang, lm.doc_id, lm.n_bigrams, lm.lm_bp,
+         |      ntile(3) OVER (PARTITION BY d.lang ORDER BY lm.lm_bp DESC, lm.doc_id) AS nt
+         |      FROM lm JOIN documents d ON d.doc_id = lm.doc_id)
+         |SELECT lang, CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+         |  count(*) AS n_docs, CAST(sum(n_bigrams) AS BIGINT) AS bigrams,
+         |  CAST(min(lm_bp) AS BIGINT) AS min_bp, CAST(max(lm_bp) AS BIGINT) AS max_bp
+         |FROM j GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin) { (s, dir) =>
+      val nt = ntile(3).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("lm_bp").desc, col("doc_id")))
+      lmScores(s, dir)
+        .join(docs(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("nt", nt)
+        .groupBy(col("lang"),
+          when(col("nt") === 1, lit("head"))
+            .when(col("nt") === 2, lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("bigrams"),
+          min(col("lm_bp")).as("min_bp"), max(col("lm_bp")).as("max_bp"))
+        .orderBy(col("lang"), col("bucket"))
+    },
+
     // C44: windowed co-occurrence + integer PMI — the word-association
     // statistic under GloVe/word2vec-style corpus analysis and
     // collocation mining. Pairs are tokens within distance <= 2,
@@ -1639,12 +1682,16 @@ object Text {
     // 100 TB shape: the pair stream is built MAP-SIDE by zipping each
     // token array against its k-shifted self (no positional self-join —
     // that shuffle carries one row per token position, C37's flagged
-    // failure shape) and partial-aggregates into the pair TYPE table;
-    // unigram counts partial-aggregate the same scan. Both type-table
-    // joins are deliberately un-hinted (vocabulary outgrows driver
-    // broadcast: the text_tfidf stance); the 1-row total broadcasts; the
-    // cxy >= 5 support filter runs BEFORE the joins so only associated
-    // pairs join at all; top-50 is TakeOrdered, never a global sort.
+    // failure shape), and unigrams ride the SAME item stream as
+    // null-partner rows, so pair counts, both unigram join sides, and
+    // the grand total all derive from ONE eagerly-checkpointed (wa, wb)
+    // aggregate — the corpus tokenizes exactly once (the session-4
+    // single-tokenize discipline, PlanSpec-pinned). Both type-table
+    // joins are
+    // deliberately un-hinted (vocabulary outgrows driver broadcast: the
+    // text_tfidf stance); the 1-row total broadcasts; the cxy >= 5
+    // support filter runs BEFORE the joins so only associated pairs
+    // join at all; top-50 is TakeOrdered, never a global sort.
     Q("text_cooccurrence_pmi",
       """WITH dws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
         |u AS (SELECT w, count(*) AS c FROM dws, UNNEST(ws) AS t(w) GROUP BY w),
@@ -1662,22 +1709,41 @@ object Text {
         |FROM p JOIN u cx ON cx.w = p.wa JOIN u cy ON cy.w = p.wb CROSS JOIN n
         |WHERE p.cxy >= 5
         |ORDER BY pmi_bp DESC, wa, wb LIMIT 50""".stripMargin) { (s, dir) =>
-      val d = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("ws"))
-      val pair = d.select(explode(flatten(array(Seq(1, 2).map { k =>
-          zip_with(
-            slice(col("ws"), lit(1), greatest(size(col("ws")) - k, lit(0))),
-            slice(col("ws"), lit(k + 1), greatest(size(col("ws")) - k, lit(0))),
-            (a, b) => struct(least(a, b).as("wa"), greatest(a, b).as("wb")))
-        }: _*))).as("pr"))
-        .select(col("pr.wa").as("wa"), col("pr.wb").as("wb"))
-        .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("cxy"))
-        .where(col("cxy") >= 5)
-      val uni = d.select(explode(col("ws")).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      val tot = uni.agg(sum(col("c")).as("n"))
+      // ONE item stream carries unigrams (wb NULL) and both pair shifts,
+      // so the scan+explode runs once and every downstream table — pair
+      // counts, both unigram sides, the grand total — derives from the
+      // SAME (wa, wb) aggregate, whose exchange ReuseExchange collapses
+      // (the C38/session-4 single-tokenize discipline; PlanSpec pins
+      // one documents scan)
+      val items = docs(s, dir).select(split(col("text"), " ").as("ws"))
+        .select(explode(concat(
+          transform(col("ws"),
+            w => struct(w.as("wa"), lit(null).cast("string").as("wb"))) +:
+          Seq(1, 2).map { k =>
+            zip_with(
+              slice(col("ws"), lit(1), greatest(size(col("ws")) - k, lit(0))),
+              slice(col("ws"), lit(k + 1), greatest(size(col("ws")) - k, lit(0))),
+              (a, b) => struct(least(a, b).as("wa"), greatest(a, b).as("wb")))
+          }: _*)).as("it"))
+        .select(col("it.wa").as("wa"), col("it.wb").as("wb"))
+      // eager checkpoint: the four consumers filter the aggregate on its
+      // grouping column (wb null vs not), and predicate pushdown drives
+      // those differing filters BELOW the aggregate — structurally
+      // different subtrees that defeat ReuseExchange and re-tokenize the
+      // corpus per consumer (measured: 3 scans). The checkpointed TYPE
+      // table is vocabulary-bounded (the thing you'd materialize anyway
+      // at 100 TB) and every consumer reads it, so the scan+explode
+      // provably runs once — the dedup_clusters mining-once pattern.
+      val counts = items.groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val pair = counts.where(col("wb").isNotNull && col("c") >= 5)
+        .select(col("wa"), col("wb"), col("c").as("cxy"))
+      def uni(as: String) = counts.where(col("wb").isNull)
+        .select(col("wa").as(as), col("c"))
+      val tot = counts.where(col("wb").isNull).agg(sum(col("c")).as("n"))
       pair
-        .join(uni.select(col("w").as("wa"), col("c").as("cx")), Seq("wa"))
-        .join(uni.select(col("w").as("wb"), col("c").as("cy")), Seq("wb"))
+        .join(uni("ua").select(col("ua").as("wa"), col("c").as("cx")), Seq("wa"))
+        .join(uni("ub").select(col("ub").as("wb"), col("c").as("cy")), Seq("wb"))
         .crossJoin(broadcast(tot))
         .select(col("wa"), col("wb"), col("cxy"), col("cx"), col("cy"),
           expr("""CAST((CAST(cxy AS DECIMAL(38,0)) * n * 10000)

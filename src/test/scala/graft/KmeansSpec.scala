@@ -93,6 +93,13 @@ class KmeansSpec extends SparkSpec {
     assert(byCluster.keySet == asg.map(_._2).toSet)
   }
 
+  test("D11 emb_assign_stream ≡ emb_kmeans row-for-row (same model, stream inference)") {
+    val dir = sf("sf0.001")
+    val batch = SparkEntry.queries("emb_kmeans")(spark, dir).collect().toSeq
+    val stream = SparkEntry.queries("emb_assign_stream")(spark, dir).collect().toSeq
+    assert(stream.nonEmpty && stream == batch)
+  }
+
   test("emb_kmeans plan: one embeddings scan, assignment never shuffles the corpus") {
     val p = SparkEntry.queries("emb_kmeans")(spark, sf())
       .queryExecution.executedPlan.toString

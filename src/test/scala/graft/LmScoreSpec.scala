@@ -82,4 +82,26 @@ class LmScoreSpec extends SparkSpec {
     assert(out(0L) == 10000L && out(1L) == 10000L)
     assert(out(2L) < 10000L, "mixed-continuation prefixes score below 1")
   }
+
+  test("C38c buckets: per-lang tertiles balance to ±1 and score ranges stack head ≥ middle ≥ tail") {
+    val dir = sf("sf0.001")
+    val rows = SparkEntry.queries("text_lm_buckets")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_._1)
+    byLang.foreach { case (lang, bs) =>
+      assert(bs.map(_._2).toSet == Set("head", "middle", "tail"), s"$lang missing a bucket")
+      val ns = bs.map(_._3)
+      assert(ns.max - ns.min <= 1, s"$lang tertiles unbalanced: ${ns.toSeq}")
+      val m = bs.map(b => b._2 -> b).toMap
+      // head scores at or above middle, middle at or above tail — the
+      // ntile boundaries may share a bp value but can never invert
+      assert(m("head")._5 >= m("middle")._6, s"$lang head/middle ranges invert")
+      assert(m("middle")._5 >= m("tail")._6, s"$lang middle/tail ranges invert")
+    }
+    // bucket doc counts cover every scored (>= 2 token) document
+    val scored = SparkEntry.queries("text_lm_score")(spark, dir).count()
+    assert(rows.map(_._3).sum == scored)
+  }
 }

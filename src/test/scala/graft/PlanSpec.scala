@@ -602,11 +602,14 @@ class PlanSpec extends SparkSpec {
       case a: Aggregate if a.groupingExpressions.isEmpty => a
     }
     assert(hinted.nonEmpty, s"the hint must wrap the ungrouped total:\n${hints.head.child}")
+    // unigrams ride the pair item stream as null-partner rows and every
+    // table derives from ONE eagerly-checkpointed (wa, wb) aggregate —
+    // the final plan must read the checkpoint, never the corpus (the
+    // dedup_clusters mining-once pin: differing consumer filters push
+    // below the aggregate and would otherwise re-tokenize per consumer)
     val p = qe.executedPlan.toString
-    // pairs come from zipping each token array against its own shifts —
-    // a positional self-JOIN would shuffle one row per token position
-    assert(p.linesIterator.filter(_.contains("HashAggregate"))
-      .exists(_.contains("partial")), s"pair counts must partial-aggregate:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"corpus scan must be behind the localCheckpoint, not re-read per consumer:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-50 must be TopK, not a global sort:\n$p")
   }
