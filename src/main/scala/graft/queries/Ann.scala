@@ -406,10 +406,20 @@ object Ann {
       cents = Array.tabulate(k)(j =>
         if (counts(j) == 0) cents(j) else unit(sums(j).map(_ / counts(j))))
     }
-    val assigned = corpus.select(col("vec_id").as("n_id"), col("emb"),
-      col("nrm"), argmaxCells(cents, 1)(col("emb")).getItem(0).as("cell"))
-    IvfIndex(cents, assigned)
+    IvfIndex(cents, ivfAssign(cents, corpus))
   }
+
+  /** Cell assignment as a pure per-row projection against FROZEN
+    * centroids — the ivfBuild tail factored out so incremental
+    * maintenance (C8e) appends delta batches to an existing index with
+    * provably the same rule the full build used: merged(base + delta)
+    * and a one-pass full assignment are the same function over the same
+    * rows, which `inv_ann_ivf_incremental` drives through the gate.
+    * `corpus` must be (vec_id, emb, nrm).
+    */
+  def ivfAssign(cents: Array[Array[Double]], corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id").as("n_id"), col("emb"),
+      col("nrm"), argmaxCells(cents, 1)(col("emb")).getItem(0).as("cell"))
 
   /** Probe a built index: each query scores only its `p` nearest cells
     * (exact cosine + TopK inside the probed cells); the query batch

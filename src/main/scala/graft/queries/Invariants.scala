@@ -152,6 +152,50 @@ object Invariants {
         .orderBy(col("q_id"), col("n_id"))
     },
 
+    // C8e: INCREMENTAL IVF index maintenance — the vector-ingest
+    // deployment shape: the coarse quantizer FREEZES between
+    // retrainings, new vectors assign map-side to the existing cells
+    // (the same pure [[Ann.ivfAssign]] projection the build used) and
+    // APPEND to the cell-partitioned index — no rebuild, no shuffle of
+    // the base index. The gate drives three failure classes to zero:
+    // (a) topk parity — the merged (base + delta) index must serve every
+    // probe IDENTICALLY to a one-pass assignment of the whole corpus
+    // with the same centroids (catches wrong-cell appends and
+    // split-bookkeeping errors); (b) lost vectors — every corpus id
+    // present in the merged index; (c) duplicated vectors — no id
+    // assigned twice by the base/delta split. Violations WHERE 1=0.
+    Q("inv_ann_ivf_incremental",
+      """SELECT CAST(NULL AS VARCHAR) AS side, CAST(NULL AS BIGINT) AS q_id,
+        |  CAST(NULL AS BIGINT) AS n_id WHERE 1=0""".stripMargin) { (s, dir) =>
+      val e = Ann.embsWithNorm(s, dir)
+      val corpus = e.where(col("vec_id") >= Ann.NQ)
+      val base = corpus.where(pmod(col("vec_id"), lit(5)) =!= 0)
+      val delta = corpus.where(pmod(col("vec_id"), lit(5)) === 0)
+      val idxBase = Ann.ivfBuild(base, k = 8)
+      val mergedAssigned = idxBase.assigned
+        .unionAll(Ann.ivfAssign(idxBase.cents, delta))
+        .localCheckpoint(true) // consumed by the probe AND both audits
+      val queries = e.where(col("vec_id") < Ann.NQ)
+      def probe(a: org.apache.spark.sql.DataFrame) =
+        Ann.ivfProbe(s, Ann.IvfIndex(idxBase.cents, a), queries, p = 4)
+          .select(col("q_id"), col("n_id"))
+      val pm = probe(mergedAssigned)
+      val pf = probe(Ann.ivfAssign(idxBase.cents, corpus))
+      val topkViol = pm.except(pf)
+        .select(lit("merged_only").as("side"), col("q_id"), col("n_id"))
+        .unionByName(pf.except(pm)
+          .select(lit("full_only").as("side"), col("q_id"), col("n_id")))
+      val dupViol = mergedAssigned.groupBy(col("n_id"))
+        .agg(count(lit(1)).as("c")).where(col("c") =!= 1)
+        .select(lit("duplicated").as("side"),
+          lit(null).cast("long").as("q_id"), col("n_id"))
+      val lostViol = corpus.select(col("vec_id").as("n_id"))
+        .join(mergedAssigned.select(col("n_id")), Seq("n_id"), "left_anti")
+        .select(lit("lost").as("side"), lit(null).cast("long").as("q_id"), col("n_id"))
+      topkViol.unionByName(dupViol).unionByName(lostViol)
+        .orderBy(col("side"), col("q_id"), col("n_id"))
+    },
+
     // dedup_incremental_minhash FULL-RESULT replay: the same drop rule
     // (batch docs near-dup of any corpus doc drop; survivors CC among
     // themselves; keep min-id per cluster) computed from the EXACT
