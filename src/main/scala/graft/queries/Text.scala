@@ -75,6 +75,36 @@ object Text {
       |       CAST((removed * 10000) // n_tokens AS BIGINT) AS removed_bp
       |FROM cov ORDER BY doc_id""".stripMargin
 
+  /** C31b's DuckDB twin, shared verbatim by batch
+    * (`text_quality_classifier_weights`) and stream (D12
+    * `text_quality_classifier_stream`) — one oracle gating both IS the
+    * batch/stream parity check (the C30/D6/D10 discipline).
+    */
+  private val classifierWeightsSql: String =
+    """WITH w AS (
+      |  SELECT range AS bucket,
+      |         ((range * 2654435761) % 2003) - 1001 AS weight
+      |  FROM range(1048576) WHERE range % 7 = 0),
+      |toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS j
+      |  FROM documents),
+      |chars AS (
+      |  SELECT doc_id, j, ascii(unnest(string_split(tok, ''))) AS a,
+      |         generate_subscripts(string_split(tok, ''), 1) AS i
+      |  FROM toks WHERE len(tok) > 0),
+      |th AS (
+      |  SELECT doc_id, j, (sum(a * (1 + (131 * i) % 997)) % 1048576) AS hh
+      |  FROM chars GROUP BY doc_id, j),
+      |sc AS (
+      |  SELECT th.doc_id, count(*) AS n_tokens,
+      |         sum(coalesce(w.weight, 0)) AS score
+      |  FROM th LEFT JOIN w ON th.hh = w.bucket GROUP BY th.doc_id)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(score AS BIGINT) AS score,
+      |  CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   /** C45's manifest core over any (doc_id, h, tokens) frame — the
     * two-level distributed weighted prefix sum (see the C45 Q scaladoc
     * for the shape reasoning). ONE definition shared by
@@ -1584,6 +1614,104 @@ object Text {
       knScores(s, dir).orderBy(col("doc_id"))
     },
 
+    // C38d: interpolated TRIGRAM LM scoring — the n>2 generalization of
+    // C38 (production KenLM filters are 4-5-gram; trigram is where the
+    // order-mixing machinery appears): score = fixed-weight interpolation
+    // (3·p3 + 2·p2 + p1) div 6 of trigram/bigram/unigram conditionals,
+    // each an integer-exact truncating div in basis points (per-term
+    // truncation is the documented contract; c·10⁴ ≤ ~1e16 at 100 TB —
+    // inside BIGINT on both engines).
+    // 100 TB shape — how the marginals avoid extra corpus passes: the
+    // per-doc trigram count `tgc` is THE corpus-scale aggregation
+    // (probe + c3 both sit above its exchange, the C38 reuse pattern),
+    // and the bigram/unigram model tables derive from the trigram TYPE
+    // table by marginalization: trigram-start pairs cover positions
+    // 1..n-2, so adding each doc's three BOUNDARY items — the tail
+    // bigram (w_{n-1}, w_n) and tail unigrams w_{n-1}, w_n — makes the
+    // identity exact (c2 = Σ_w3 c3 ⊕ tail pairs; c1 = Σ_w2w3 c3 ⊕ tail
+    // tokens). The boundary stream is 3 rows/doc on a second scan-speed
+    // pass (the C37 scans-are-cheap trade, chosen over checkpointing a
+    // corpus-scale mixed-arity stream), and its type table is a
+    // vocabulary-bounded sliver, eagerly checkpointed because its two
+    // consumers filter on arity (the C44 pushdown lesson). The ORACLE
+    // computes c2/c1 directly from full position streams — a hash
+    // mismatch would catch any error in the marginalization identity.
+    Q("text_lm_trigram",
+      """WITH docs_ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+        |                 WHERE len(string_split(text,' ')) >= 3),
+        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM docs_ws),
+        |tg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2, c.w AS w3
+        |       FROM w a JOIN w b ON b.doc_id=a.doc_id AND b.i=a.i+1
+        |                JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+        |c3 AS (SELECT w1,w2,w3, CAST(count(*) AS BIGINT) AS c3 FROM tg GROUP BY 1,2,3),
+        |cp3 AS (SELECT w1,w2, CAST(sum(c3) AS BIGINT) AS cp3 FROM c3 GROUP BY 1,2),
+        |bgp AS (SELECT a.doc_id, a.w AS x, b.w AS y FROM w a JOIN w b ON b.doc_id=a.doc_id AND b.i=a.i+1),
+        |c2 AS (SELECT x,y, CAST(count(*) AS BIGINT) AS c2 FROM bgp GROUP BY 1,2),
+        |cp2 AS (SELECT x, CAST(sum(c2) AS BIGINT) AS cp2 FROM c2 GROUP BY 1),
+        |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM w GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w),
+        |sp AS (SELECT tg.doc_id,
+        |         (3*((c3.c3*10000)//cp3.cp3) + 2*((c2.c2*10000)//cp2.cp2) + ((c1.c1*10000)//n.n)) // 6 AS p
+        |       FROM tg JOIN c3 USING (w1,w2,w3) JOIN cp3 USING (w1,w2)
+        |               JOIN c2 ON c2.x = tg.w2 AND c2.y = tg.w3
+        |               JOIN cp2 ON cp2.x = tg.w2
+        |               JOIN c1 ON c1.w = tg.w3 CROSS JOIN n)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, CAST(sum(p) AS BIGINT) AS sum_pbp,
+        |       CAST(CAST(sum(p) AS BIGINT) // count(*) AS BIGINT) AS lm3_bp
+        |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ws = split(col("text"), " ")
+      val base = docs(s, dir).where(size(ws) >= 3)
+      val tgc = base
+        .select(col("doc_id"), explode(zip_with(
+          zip_with(
+            slice(ws, lit(1), size(ws) - 2), slice(ws, lit(2), size(ws) - 2),
+            (a, b) => struct(a.as("w1"), b.as("w2"))),
+          slice(ws, lit(3), size(ws) - 2),
+          (p, c) => struct(p.getField("w1").as("w1"),
+            p.getField("w2").as("w2"), c.as("w3")))).as("tg"))
+        .select(col("doc_id"), col("tg.w1").as("w1"),
+          col("tg.w2").as("w2"), col("tg.w3").as("w3"))
+        .where(col("doc_id").isNotNull && col("w1").isNotNull &&
+          col("w2").isNotNull && col("w3").isNotNull)
+        .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
+        .agg(count(lit(1)).as("nd"))
+      val c3 = tgc.groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(sum(col("nd")).as("c3"))
+      val cp3 = c3.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("cp3"))
+      val tails = base.select(explode(array(
+          struct(element_at(ws, -2).as("wa"), element_at(ws, -1).as("wb")),
+          struct(element_at(ws, -2).as("wa"), lit(null).cast("string").as("wb")),
+          struct(element_at(ws, -1).as("wa"), lit(null).cast("string").as("wb")))).as("t"))
+        .select(col("t.wa").as("wa"), col("t.wb").as("wb"))
+        .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("tc"))
+        .localCheckpoint(true) // vocab-bounded sliver; two arity-filtered consumers
+      val c2 = cp3.select(col("w1").as("wa"), col("w2").as("wb"), col("cp3").as("c"))
+        .unionAll(tails.where(col("wb").isNotNull)
+          .select(col("wa"), col("wb"), col("tc").as("c")))
+        .groupBy(col("wa"), col("wb")).agg(sum(col("c")).as("c2"))
+      val cp2 = c2.groupBy(col("wa")).agg(sum(col("c2")).as("cp2"))
+      val c1 = cp3.groupBy(col("w1")).agg(sum(col("cp3")).as("c"))
+        .select(col("w1").as("wa"), col("c"))
+        .unionAll(tails.where(col("wb").isNull).select(col("wa"), col("tc").as("c")))
+        .groupBy(col("wa")).agg(sum(col("c")).as("c1"))
+      val nTot = c1.agg(sum(col("c1")).as("n"))
+      tgc.join(c3, Seq("w1", "w2", "w3")).join(cp3, Seq("w1", "w2"))
+        .join(c2.select(col("wa").as("w2"), col("wb").as("w3"), col("c2")), Seq("w2", "w3"))
+        .join(cp2.select(col("wa").as("w2"), col("cp2")), Seq("w2"))
+        .join(c1.select(col("wa").as("w3"), col("c1")), Seq("w3"))
+        .crossJoin(broadcast(nTot))
+        .select(col("doc_id"), col("nd"),
+          expr("""(3 * ((c3 * 10000) div cp3)
+                 | + 2 * ((c2 * 10000) div cp2)
+                 | + ((c1 * 10000) div n)) div 6""".stripMargin).as("p"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("nd")).as("n_trigrams"),
+          sum(col("nd") * col("p")).as("sum_pbp"))
+        .select(col("doc_id"), col("n_trigrams"), col("sum_pbp"),
+          expr("sum_pbp div n_trigrams").as("lm3_bp"))
+        .orderBy(col("doc_id"))
+    },
+
     // D10: C38 at INGEST time — LM-score documents as they land, the
     // CCNet deployment shape (the model is trained batch-side on a
     // reference corpus; new crawl data streams through it and the score
@@ -1905,32 +2033,31 @@ object Text {
     // is hash-gated — C31 gates the hashing-trick scorer, this gates
     // the model-lookup plumbing a trained fastText-style table drops
     // into (Text.demoWeights is a DataFrame substitution away).
-    Q("text_quality_classifier_weights",
-      """WITH w AS (
-        |  SELECT range AS bucket,
-        |         ((range * 2654435761) % 2003) - 1001 AS weight
-        |  FROM range(1048576) WHERE range % 7 = 0),
-        |toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-        |         generate_subscripts(string_split(text, ' '), 1) AS j
-        |  FROM documents),
-        |chars AS (
-        |  SELECT doc_id, j, ascii(unnest(string_split(tok, ''))) AS a,
-        |         generate_subscripts(string_split(tok, ''), 1) AS i
-        |  FROM toks WHERE len(tok) > 0),
-        |th AS (
-        |  SELECT doc_id, j, (sum(a * (1 + (131 * i) % 997)) % 1048576) AS hh
-        |  FROM chars GROUP BY doc_id, j),
-        |sc AS (
-        |  SELECT th.doc_id, count(*) AS n_tokens,
-        |         sum(coalesce(w.weight, 0)) AS score
-        |  FROM th LEFT JOIN w ON th.hh = w.bucket GROUP BY th.doc_id)
-        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  CAST(score AS BIGINT) AS score,
-        |  CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
-        |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Q("text_quality_classifier_weights", classifierWeightsSql) { (s, dir) =>
       qualityClassifierWeighted(docs(s, dir), demoWeights(s))
         .orderBy(col("doc_id"))
+    },
+
+    // D12: C31b at INGEST time — trained-classifier scoring as documents
+    // land, the fastText-filter deployment shape (the weights table is a
+    // slowly-changing model; new crawl data streams through it). The
+    // token→bucket explosion and the broadcast weights join are
+    // stateless stream work; the ONE stateful aggregation is the
+    // per-doc (count, score) fold; the keep decision and presentation
+    // sort run batch over the completed sink. The stream consumes the
+    // ENTIRE [[qualityClassifierWeighted]] operator body — batch and
+    // stream share one definition and one oracle (the C30/D6/D10
+    // discipline), so the scoring rule provably cannot drift.
+    Q("text_quality_classifier_stream", classifierWeightsSql) { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        Events.runToCompleteSink(s, "clfw_sink_",
+            qualityClassifierWeighted(stream, demoWeights(s)))
+          .orderBy(col("doc_id"))
+      }
     },
 
     // C12: polynomial position-weighted fingerprint over characters —

@@ -101,4 +101,11 @@ class ClassifierTrainSpec extends SparkSpec {
   test("inv_classifier_distill_accuracy: zero violations at sf0.001") {
     assert(SparkEntry.queries("inv_classifier_distill_accuracy")(spark, sf()).count() == 0)
   }
+
+  test("D12 classifier-at-ingest ≡ batch C31b row-for-row (shared operator body)") {
+    val dir = sf("sf0.001")
+    val batch = SparkEntry.queries("text_quality_classifier_weights")(spark, dir).collect().toSeq
+    val stream = SparkEntry.queries("text_quality_classifier_stream")(spark, dir).collect().toSeq
+    assert(stream.nonEmpty && stream == batch)
+  }
 }

@@ -83,6 +83,33 @@ class LmScoreSpec extends SparkSpec {
     assert(out(2L) < 10000L, "mixed-continuation prefixes score below 1")
   }
 
+  test("C38d hand-computed interpolated trigram: (3·p3 + 2·p2 + p1) div 6, per-term truncation") {
+    // corpus: "a b a b a" and "a b c"
+    //   c3: (a,b,a)=2 (b,a,b)=1 (a,b,c)=1; cp3: (a,b)=3 (b,a)=1
+    //   c2: (a,b)=3 (b,a)=2 (b,c)=1; cp2: a=3 b=3
+    //   c1: a=4 b=3 c=1; N=8
+    //   (a,b,a): (3·(20000 div 3) + 2·(20000 div 3) + 40000 div 8) div 6
+    //          = (19998 + 13332 + 5000) div 6 = 6388
+    //   (b,a,b): (30000 + 20000 + 3750) div 6 = 8958
+    //   (a,b,c): (9999 + 6666 + 1250) div 6 = 2985
+    // doc0 = (2·6388 + 8958) div 3 = 21734 div 3 = 7244; doc1 = 2985
+    val out = SparkEntry.queries("text_lm_trigram")(spark,
+        corpus("tri", Seq("a b a b a", "a b c")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == ((3L, 21734L, 7244L)))
+    assert(out(1L) == ((1L, 2985L, 2985L)))
+  }
+
+  test("C38d lm3_bp bounded to [0, 10000], one row per >=3-token doc on real data") {
+    val dir = sf("sf0.001")
+    val out = SparkEntry.queries("text_lm_trigram")(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(3) >= 0L && r.getLong(3) <= 10000L))
+    val eligible = graft.core.Tables(spark, dir, "documents")
+      .where(org.apache.spark.sql.functions.expr("size(split(text, ' ')) >= 3")).count()
+    assert(out.length.toLong == eligible)
+  }
+
   test("C38c buckets: per-lang tertiles balance to ±1 and score ranges stack head ≥ middle ≥ tail") {
     val dir = sf("sf0.001")
     val rows = SparkEntry.queries("text_lm_buckets")(spark, dir).collect()
