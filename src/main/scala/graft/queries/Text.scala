@@ -330,6 +330,28 @@ object Text {
         expr("sum_pbp div n_bigrams").as("lm_bp"))
   }
 
+  /** C38c's per-doc bucketed frame — (doc_id, lang, tokens, n_bigrams,
+    * lm_bp, bucket) for every >=2-token document, bucket = the per-lang
+    * LM-score tertile ('head'/'middle'/'tail', ntile(3) ordered by
+    * lm_bp DESC with doc_id tie-break). ONE definition shared by
+    * `text_lm_buckets` (the bucket report) and `text_mixture_lm` (the
+    * head-heavy allocator), the C18b shared-frame discipline: bucket
+    * boundaries and the sampling plan built on them can never drift.
+    */
+  private def lmBucketed(s: SparkSession, dir: String): DataFrame = {
+    val nt = ntile(3).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        .orderBy(col("lm_bp").desc, col("doc_id")))
+    lmScores(s, dir)
+      .join(docs(s, dir).select(col("doc_id"), col("lang"),
+        size(words).cast("long").as("tokens")), Seq("doc_id"))
+      .withColumn("nt", nt)
+      .withColumn("bucket",
+        when(col("nt") === 1, lit("head"))
+          .when(col("nt") === 2, lit("middle"))
+          .otherwise(lit("tail")))
+  }
+
   // ------------------------------------------------ C18c/C18d data card
 
   /** Per-doc card base columns (quality_bp, split, word counts). */
@@ -1781,18 +1803,67 @@ object Text {
          |  count(*) AS n_docs, CAST(sum(n_bigrams) AS BIGINT) AS bigrams,
          |  CAST(min(lm_bp) AS BIGINT) AS min_bp, CAST(max(lm_bp) AS BIGINT) AS max_bp
          |FROM j GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin) { (s, dir) =>
-      val nt = ntile(3).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
-          .orderBy(col("lm_bp").desc, col("doc_id")))
-      lmScores(s, dir)
-        .join(docs(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
-        .withColumn("nt", nt)
-        .groupBy(col("lang"),
-          when(col("nt") === 1, lit("head"))
-            .when(col("nt") === 2, lit("middle"))
-            .otherwise(lit("tail")).as("bucket"))
+      lmBucketed(s, dir)
+        .groupBy(col("lang"), col("bucket"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("bigrams"),
           min(col("lm_bp")).as("min_bp"), max(col("lm_bp")).as("max_bp"))
+        .orderBy(col("lang"), col("bucket"))
+    },
+
+    // C42c: head-heavy LM-bucket MIXTURE — the CCNet sampling story
+    // completed end-to-end: C38's LM scores → C38c's per-lang tertiles
+    // → C42's integer allocation arithmetic, with the temperature
+    // weight scaled by a 3/2/1 head/middle/tail multiplier (CCNet
+    // samples predictable text hardest). One shared [[lmBucketed]]
+    // frame with C38c (bucket boundaries and allocation can never
+    // drift) and the same decimal(38,0)/HUGEINT wide-product stance as
+    // C42 (B·w overflows int64 at corpus scale — the Fixed lesson).
+    // rate_bp > 10000 = the stratum repeats (upsampling epochs).
+    // 100 TB shape: the per-stratum table is |langs|·3 rows; the one
+    // corpus-scale work is the shared lm scoring + the slim ntile
+    // window C38c already pays; allocation is arithmetic over the
+    // bounded strata crossJoined with a broadcast 1-row total.
+    Q("text_mixture_lm",
+      s"""$lmCtes,
+         |lm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       CAST(CAST(sum(p) AS BIGINT) // count(*) AS BIGINT) AS lm_bp
+         |       FROM s GROUP BY doc_id),
+         |j AS (SELECT d.lang, lm.doc_id,
+         |      len(string_split(d.text, ' ')) AS tokens,
+         |      ntile(3) OVER (PARTITION BY d.lang ORDER BY lm.lm_bp DESC, lm.doc_id) AS nt
+         |      FROM lm JOIN documents d ON d.doc_id = lm.doc_id),
+         |strata AS (SELECT lang,
+         |      CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+         |      CASE nt WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 1 END AS m,
+         |      count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS n_tokens
+         |      FROM j GROUP BY 1, 2, 3),
+         |ww AS (SELECT *, m * CAST(floor(sqrt(n_tokens::DOUBLE)) AS BIGINT) AS w_m FROM strata),
+         |t AS (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS budget,
+         |             CAST(sum(w_m) AS BIGINT) AS wsum FROM ww)
+         |SELECT lang, bucket, CAST(n_docs AS BIGINT) AS n_docs, n_tokens, w_m,
+         |  CAST((CAST(budget AS HUGEINT) * w_m) // wsum AS BIGINT) AS alloc_tokens,
+         |  CAST((CAST((CAST(budget AS HUGEINT) * w_m) // wsum AS HUGEINT) * 10000) // n_tokens AS BIGINT) AS rate_bp
+         |FROM ww CROSS JOIN t ORDER BY lang, bucket""".stripMargin) { (s, dir) =>
+      // eager checkpoint: strata is |langs|·3 rows consumed by BOTH the
+      // totals aggregate and the final allocation join — without the
+      // barrier each consumer re-runs the whole LM-scoring chain above
+      // the fork (measured 3×: 4.4 s vs 1.5 s)
+      val strata = lmBucketed(s, dir)
+        .groupBy(col("lang"), col("bucket"),
+          when(col("bucket") === "head", lit(3L))
+            .when(col("bucket") === "middle", lit(2L))
+            .otherwise(lit(1L)).as("m"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"))
+        .localCheckpoint(true)
+      val ww = strata.withColumn("w_m",
+        col("m") * floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      val t = ww.agg(expr("sum(n_tokens) div 2").as("budget"),
+        sum(col("w_m")).as("wsum"))
+      ww.crossJoin(broadcast(t))
+        .select(col("lang"), col("bucket"), col("n_docs"), col("n_tokens"), col("w_m"),
+          expr("CAST((CAST(budget AS DECIMAL(38,0)) * w_m) div wsum AS BIGINT)").as("alloc_tokens"),
+          expr("""CAST((CAST((CAST(budget AS DECIMAL(38,0)) * w_m) div wsum AS DECIMAL(38,0)) * 10000)
+                 |     div n_tokens AS BIGINT)""".stripMargin).as("rate_bp"))
         .orderBy(col("lang"), col("bucket"))
     },
 

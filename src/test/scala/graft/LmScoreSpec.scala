@@ -131,4 +131,32 @@ class LmScoreSpec extends SparkSpec {
     val scored = SparkEntry.queries("text_lm_score")(spark, dir).count()
     assert(rows.map(_._3).sum == scored)
   }
+
+  test("C42c head-heavy mixture: conservation, arithmetic replay, shared-frame bucket parity") {
+    val dir = sf("sf0.001")
+    val mix = SparkEntry.queries("text_mixture_lm")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(mix.nonEmpty)
+    val budget = mix.map(_._4).sum / 2
+    // every stratum's weight and rate replay from its own row; floors
+    // lose at most 1 token per stratum against the budget
+    mix.foreach { case (lang, bucket, _, nTokens, wm, alloc, rateBp) =>
+      val m = bucket match { case "head" => 3L; case "middle" => 2L; case _ => 1L }
+      assert(wm == m * math.sqrt(nTokens.toDouble).toLong, s"$lang/$bucket weight")
+      assert(rateBp == alloc * 10000L / nTokens, s"$lang/$bucket rate")
+    }
+    val wsum = mix.map(_._5).sum
+    mix.foreach { case (lang, bucket, _, _, wm, alloc, _) =>
+      assert(alloc == budget * wm / wsum, s"$lang/$bucket allocation")
+    }
+    assert(mix.map(_._6).sum <= budget && mix.map(_._6).sum >= budget - mix.length)
+    // the shared lmBucketed frame: per-(lang, bucket) doc counts agree
+    // with text_lm_buckets exactly
+    val buckets = SparkEntry.queries("text_lm_buckets")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    mix.foreach { case (lang, bucket, nDocs, _, _, _, _) =>
+      assert(buckets((lang, bucket)) == nDocs, s"$lang/$bucket doc-count drift")
+    }
+  }
 }
