@@ -499,11 +499,21 @@ object Ann {
         None, knownCount)
     }
     val codebooks = trainCodebooks(sample, m, k)
-    val enc = PqKernels.encode(codebooks, None)
-    PqIndex(codebooks,
-      corpus.select(col("vec_id").as("n_id"),
-        enc(col("emb"), col("nrm"), lit(0)).as("codes")),
+    PqIndex(codebooks, pqEncode(codebooks, corpus),
       corpus.select(col("vec_id").as("n_id"), col("emb"), col("nrm")))
+  }
+
+  /** Corpus encoding as a pure per-row projection against FROZEN
+    * codebooks — the pqBuild tail factored out (the [[ivfAssign]]
+    * discipline applied to PQ): incremental maintenance appends delta
+    * batches encoded by provably the same rule the full build used,
+    * which `inv_ann_pq_incremental` drives through the gate.
+    * `corpus` must be (vec_id, emb, nrm).
+    */
+  def pqEncode(codebooks: Array[Array[Array[Double]]], corpus: DataFrame): DataFrame = {
+    val enc = PqKernels.encode(codebooks, None)
+    corpus.select(col("vec_id").as("n_id"),
+      enc(col("emb"), col("nrm"), lit(0)).as("codes"))
   }
 
   /** Bounded deterministic driver-side sample of UNIT vectors from an

@@ -196,6 +196,49 @@ object Invariants {
         .orderBy(col("side"), col("q_id"), col("n_id"))
     },
 
+    // C8f: INCREMENTAL PQ index maintenance — C8e's append discipline on
+    // the CODE side: codebooks freeze between retrainings, delta vectors
+    // encode through the same pure [[Ann.pqEncode]] projection the full
+    // build used and append to the encoded table; the raw-corpus re-rank
+    // side needs no maintenance at all (it IS the corpus). Same
+    // three-class gate as C8e: probe parity vs a one-pass full encode
+    // (catches stale/mis-trained codebook appends and split
+    // bookkeeping), lost codes, duplicated codes. Violations WHERE 1=0.
+    Q("inv_ann_pq_incremental",
+      """SELECT CAST(NULL AS VARCHAR) AS side, CAST(NULL AS BIGINT) AS q_id,
+        |  CAST(NULL AS BIGINT) AS n_id WHERE 1=0""".stripMargin) { (s, dir) =>
+      val e = Ann.embsWithNorm(s, dir)
+      val corpus = e.where(col("vec_id") >= Ann.NQ)
+      val base = corpus.where(pmod(col("vec_id"), lit(5)) =!= 0)
+      val delta = corpus.where(pmod(col("vec_id"), lit(5)) === 0)
+      val idxBase = Ann.pqBuild(base, m = 16, k = 256)
+      val mergedEnc = idxBase.encoded
+        .unionAll(Ann.pqEncode(idxBase.codebooks, delta))
+        .localCheckpoint(true) // consumed by the probe AND both audits
+      val queries = e.where(col("vec_id") < Ann.NQ)
+      val pool = math.max(50L, (Tables(s, dir, "embeddings").count() - Ann.NQ) / 64L).toInt
+      def probe(enc: org.apache.spark.sql.DataFrame) =
+        Ann.pqProbe(s, Ann.PqIndex(idxBase.codebooks, enc,
+            corpus.select(col("vec_id").as("n_id"), col("emb"), col("nrm"))),
+          queries, rerank = pool)
+          .select(col("q_id"), col("n_id"))
+      val pm = probe(mergedEnc)
+      val pf = probe(Ann.pqEncode(idxBase.codebooks, corpus))
+      val topkViol = pm.except(pf)
+        .select(lit("merged_only").as("side"), col("q_id"), col("n_id"))
+        .unionByName(pf.except(pm)
+          .select(lit("full_only").as("side"), col("q_id"), col("n_id")))
+      val dupViol = mergedEnc.groupBy(col("n_id"))
+        .agg(count(lit(1)).as("c")).where(col("c") =!= 1)
+        .select(lit("duplicated").as("side"),
+          lit(null).cast("long").as("q_id"), col("n_id"))
+      val lostViol = corpus.select(col("vec_id").as("n_id"))
+        .join(mergedEnc.select(col("n_id")), Seq("n_id"), "left_anti")
+        .select(lit("lost").as("side"), lit(null).cast("long").as("q_id"), col("n_id"))
+      topkViol.unionByName(dupViol).unionByName(lostViol)
+        .orderBy(col("side"), col("q_id"), col("n_id"))
+    },
+
     // dedup_incremental_minhash FULL-RESULT replay: the same drop rule
     // (batch docs near-dup of any corpus doc drop; survivors CC among
     // themselves; keep min-id per cluster) computed from the EXACT

@@ -37,6 +37,28 @@ class IncrementalIvfSpec extends SparkSpec {
     assert(probe(bad).collect().toSet != full, "wrong-cell append must be visible to the probe")
   }
 
+  test("C8f: a delta encoded with RETRAINED codebooks is visible to the PQ probe") {
+    // the freeze contract: append must reuse the base codebooks — a
+    // delta encoded by codebooks trained on the delta itself produces
+    // codes the base LUTs mis-score
+    val dir = sf("sf0.001")
+    val (e, corpus, base, delta) = parts(dir)
+    val idx = Ann.pqBuild(base, m = 16, k = 16)
+    val queries = e.where(col("vec_id") < Ann.NQ)
+    def probe(enc: org.apache.spark.sql.DataFrame) =
+      Ann.pqProbe(spark, Ann.PqIndex(idx.codebooks, enc,
+          corpus.select(col("vec_id").as("n_id"), col("emb"), col("nrm"))),
+        queries, rerank = 5)
+        .select(col("q_id"), col("n_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val good = probe(idx.encoded.unionAll(Ann.pqEncode(idx.codebooks, delta)))
+    val full = probe(Ann.pqEncode(idx.codebooks, corpus))
+    assert(good == full, "frozen-codebook append must probe identically")
+    val retrained = Ann.pqBuild(delta, m = 16, k = 16)
+    val bad = probe(idx.encoded.unionAll(retrained.encoded))
+    assert(bad != full, "a retrained-codebook append must be visible to the probe")
+  }
+
   test("dropped and duplicated delta rows are caught by the coverage audits") {
     val dir = sf("sf0.001")
     val (_, corpus, base, delta) = parts(dir)
