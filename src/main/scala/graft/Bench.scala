@@ -12,7 +12,8 @@ object Bench {
     Set("q20s_stream_window", "q21s_stream_sessions", "q17s_stream_distinct",
       "q28s_stream_join", "dedup_incremental_stream", "pipeline_curate_stream",
       "media_phash_stream", "text_decontaminate_stream", "text_lm_score_stream",
-      "emb_assign_stream", "text_quality_classifier_stream")
+      "emb_assign_stream", "text_quality_classifier_stream",
+      "text_mixture_apply_stream")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

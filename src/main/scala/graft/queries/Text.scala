@@ -75,6 +75,38 @@ object Text {
       |       CAST((removed * 10000) // n_tokens AS BIGINT) AS removed_bp
       |FROM cov ORDER BY doc_id""".stripMargin
 
+  /** C42b's realization body over any documents frame (batch or stream)
+    * and a schedule frame — ONE definition shared by
+    * `text_mixture_apply` and D13 `text_mixture_apply_stream`: each doc
+    * draws rate_bp div 10000 whole epoch copies plus one more iff the
+    * deterministic coin lands under the fractional remainder, then the
+    * per-stratum realized totals fold in one aggregation.
+    */
+  private def mixtureApplied(d: DataFrame, schedule: DataFrame): DataFrame =
+    d.join(broadcast(schedule.select(col("source"), col("lang"), col("rate_bp"))),
+        Seq("source", "lang"))
+      .select(col("source"), col("lang"), col("rate_bp"),
+        (expr("rate_bp div 10000") +
+          when(keepCoin(10000) < col("rate_bp") % 10000, 1L).otherwise(0L)).as("copies"),
+        size(words).cast("long").as("tokens"))
+      .groupBy(col("source"), col("lang"), col("rate_bp"))
+      .agg(sum(col("copies")).as("n_copies"),
+        sum(col("copies") * col("tokens")).as("tokens_sampled"))
+
+  /** C42b's DuckDB twin, shared verbatim by batch (`text_mixture_apply`)
+    * and stream (D13) — one oracle gating both IS the batch/stream
+    * parity check.
+    */
+  private def mixtureApplySql: String = mixtureScheduleSql(
+    """, a AS (SELECT d.source, d.lang, r.rate_bp,
+      |    r.rate_bp // 10000 + CASE WHEN ((d.doc_id % 1000003) * 131071 + 99991) % 1000003 % 10000 < r.rate_bp % 10000 THEN 1 ELSE 0 END AS copies,
+      |    len(string_split(d.text, ' ')) AS tokens
+      |  FROM documents d JOIN r ON r.source = d.source AND r.lang = d.lang)
+      |SELECT source, lang, rate_bp, CAST(sum(copies) AS BIGINT) AS n_copies,
+      |  CAST(sum(copies * tokens) AS BIGINT) AS tokens_sampled
+      |FROM a GROUP BY source, lang, rate_bp
+      |ORDER BY source, lang""".stripMargin)
+
   /** C31b's DuckDB twin, shared verbatim by batch
     * (`text_quality_classifier_weights`) and stream (D12
     * `text_quality_classifier_stream`) — one oracle gating both IS the
@@ -1474,26 +1506,30 @@ object Text {
     // (count, then apply) — at 100 TB the |strata|-row schedule persists
     // beside the corpus and the apply pass joins it by broadcast; the
     // corpus never shuffles.
-    Q("text_mixture_apply", mixtureScheduleSql(
-      """, a AS (SELECT d.source, d.lang, r.rate_bp,
-        |    r.rate_bp // 10000 + CASE WHEN ((d.doc_id % 1000003) * 131071 + 99991) % 1000003 % 10000 < r.rate_bp % 10000 THEN 1 ELSE 0 END AS copies,
-        |    len(string_split(d.text, ' ')) AS tokens
-        |  FROM documents d JOIN r ON r.source = d.source AND r.lang = d.lang)
-        |SELECT source, lang, rate_bp, CAST(sum(copies) AS BIGINT) AS n_copies,
-        |  CAST(sum(copies * tokens) AS BIGINT) AS tokens_sampled
-        |FROM a GROUP BY source, lang, rate_bp
-        |ORDER BY source, lang""".stripMargin)) { (s, dir) =>
-      val sched = mixtureSchedule(docs(s, dir))
-        .select(col("source"), col("lang"), col("rate_bp"))
-      docs(s, dir).join(broadcast(sched), Seq("source", "lang"))
-        .select(col("source"), col("lang"), col("rate_bp"),
-          (expr("rate_bp div 10000") +
-            when(keepCoin(10000) < col("rate_bp") % 10000, 1L).otherwise(0L)).as("copies"),
-          size(words).cast("long").as("tokens"))
-        .groupBy(col("source"), col("lang"), col("rate_bp"))
-        .agg(sum(col("copies")).as("n_copies"),
-          sum(col("copies") * col("tokens")).as("tokens_sampled"))
+    Q("text_mixture_apply", mixtureApplySql) { (s, dir) =>
+      mixtureApplied(docs(s, dir), mixtureSchedule(docs(s, dir)))
         .orderBy(col("source"), col("lang"))
+    },
+
+    // D13: C42b at INGEST time — the mixture realized as data lands:
+    // the schedule is a slowly-changing STATIC plan (|strata| rows,
+    // the legitimate broadcast); each arriving doc draws its epoch
+    // copies + the deterministic fractional coin statelessly, and the
+    // ONE stateful aggregation folds per-stratum realized totals.
+    // Batch and stream consume the ENTIRE shared [[mixtureApplied]]
+    // body and the same oracle (the C30/D6/D10/D12 discipline) — the
+    // realization rule provably cannot drift between the nightly batch
+    // and the ingest path.
+    Q("text_mixture_apply_stream", mixtureApplySql) { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        Events.runToCompleteSink(s, "mixa_sink_",
+            mixtureApplied(stream, mixtureSchedule(docs(s, dir))))
+          .orderBy(col("source"), col("lang"))
+      }
     },
 
     // C26: corpus n-gram LM counts — the classic wordcount shape at

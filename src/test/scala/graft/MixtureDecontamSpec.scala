@@ -118,6 +118,13 @@ class MixtureDecontamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("D13 stream mixture apply ≡ batch C42b row-for-row (shared body, real data)") {
+    val dir = sf("sf0.001")
+    val batch = SparkEntry.queries("text_mixture_apply")(spark, dir).collect().toSeq
+    val stream = SparkEntry.queries("text_mixture_apply_stream")(spark, dir).collect().toSeq
+    assert(stream.nonEmpty && stream == batch)
+  }
+
   // ---- C43 ----------------------------------------------------------
 
   private def decontam(dir: String): Map[Long, Row] =
