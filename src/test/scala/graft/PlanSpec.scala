@@ -633,6 +633,22 @@ class PlanSpec extends SparkSpec {
       s"bucket offsets must broadcast back, not shuffle the corpus:\n$p")
   }
 
+  test("text_lm_trigram: ONE corpus scan — tgc exchange reused, tails behind the checkpoint") {
+    // the per-doc trigram count is THE corpus-scale aggregation; c3 and
+    // the scoring probe both sit above its exchange, and the boundary
+    // items live behind the eager checkpoint — a second documents scan
+    // in the final plan means a consumer re-tokenized the corpus (the
+    // C38b RemoveRedundantAggregates / inferred-filter failure class)
+    val df = SparkEntry.queries("text_lm_trigram")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents")) == 1,
+      s"trigram source must scan documents exactly once:\n$p")
+    assert(p.linesIterator.count(_.contains("ReusedExchange")) >= 2,
+      s"tgc/type-table exchange reuse did not fire:\n$p")
+  }
+
   test("text_remove_boilerplate: detection is slim-digest partial agg; rewrite joins all broadcast") {
     val p = planStr("text_remove_boilerplate")
     // dup sliver + affected-id set + flag join all broadcast — the
