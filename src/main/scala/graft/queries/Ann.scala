@@ -36,7 +36,7 @@ object Ann {
     * small-corpus (gate-scale) plans byte-identical. Cost is NQ·pool
     * exact dots — still negligible next to the LUT scan.
     */
-  private def rerankPool(n: Long): Int = math.max(50L, n / 64L).toInt
+  private[queries] def rerankPool(n: Long): Int = math.max(50L, n / 64L).toInt
 
   /** Corpus size from the raw table's parquet count (metadata-only —
     * never materializes norms or codes for a scalar).

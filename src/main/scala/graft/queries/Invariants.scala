@@ -216,7 +216,9 @@ object Invariants {
         .unionAll(Ann.pqEncode(idxBase.codebooks, delta))
         .localCheckpoint(true) // consumed by the probe AND both audits
       val queries = e.where(col("vec_id") < Ann.NQ)
-      val pool = math.max(50L, (Tables(s, dir, "embeddings").count() - Ann.NQ) / 64L).toInt
+      // the SAME corpus-scaled pool rule ann_pq serves with — one
+      // definition, so a pool-rule change cannot drift the parity gate
+      val pool = Ann.rerankPool(Tables(s, dir, "embeddings").count() - Ann.NQ)
       def probe(enc: org.apache.spark.sql.DataFrame) =
         Ann.pqProbe(s, Ann.PqIndex(idxBase.codebooks, enc,
             corpus.select(col("vec_id").as("n_id"), col("emb"), col("nrm"))),

@@ -1966,9 +1966,10 @@ object Text {
       // those differing filters BELOW the aggregate — structurally
       // different subtrees that defeat ReuseExchange and re-tokenize the
       // corpus per consumer (measured: 3 scans). The checkpointed TYPE
-      // table is vocabulary-bounded (the thing you'd materialize anyway
-      // at 100 TB) and every consumer reads it, so the scan+explode
-      // provably runs once — the dedup_clusters mining-once pattern.
+      // table is pair-TYPE-bounded (≤ distinct pairs observed — the
+      // table a co-occurrence analysis materializes anyway) and every
+      // consumer reads it, so the scan+explode provably runs once — the
+      // dedup_clusters mining-once pattern.
       val counts = items.groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("c"))
         .localCheckpoint(true)
       val pair = counts.where(col("wb").isNotNull && col("c") >= 5)
