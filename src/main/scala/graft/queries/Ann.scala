@@ -41,7 +41,7 @@ object Ann {
   /** Corpus size from the raw table's parquet count (metadata-only —
     * never materializes norms or codes for a scalar).
     */
-  private def corpusCount(s: SparkSession, dir: String): Long =
+  private[queries] def corpusCount(s: SparkSession, dir: String): Long =
     graft.core.Tables(s, dir, "embeddings").count() - NQ
 
   private def embs(s: SparkSession, dir: String): DataFrame =

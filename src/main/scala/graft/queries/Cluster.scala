@@ -213,12 +213,6 @@ object Cluster {
       fit(s, dir)._1.orderBy(col("vec_id"))
     },
 
-    // C39b: cluster-balanced subset — cap every cluster at
-    // quota = ceil(n/k) members, keeping the most central (lowest
-    // distance, vec_id tie-break). The balancing step that keeps a
-    // dense scrape region from dominating a training mix; quota comes
-    // from the fit's own collected totals (no extra count job), and the
-    // selection is one window over the assignment.
     // D11: ingest-time cluster ASSIGNMENT — the fitted k-means model
     // applied to vectors as they land (the deployment shape of C39:
     // train nightly, assign at ingest for routing/balancing/semantic
@@ -250,6 +244,12 @@ object Cluster {
       }
     },
 
+    // C39b: cluster-balanced subset — cap every cluster at
+    // quota = ceil(n/k) members, keeping the most central (lowest
+    // distance, vec_id tie-break). The balancing step that keeps a
+    // dense scrape region from dominating a training mix; quota comes
+    // from the fit's own collected totals (no extra count job), and the
+    // selection is one window over the assignment.
     Q("emb_kmeans_balance",
       s"""$kmeansCtes,
          |bal AS (SELECT vec_id, cluster, dist FROM aF WHERE rn = 1),

@@ -1020,7 +1020,7 @@ object Dedup {
         .select(col("doc_id"), ws.as("ws"))
       // slim detection stream: (doc_id, 32 B digest) per full chunk
       val hashes = base.select(col("doc_id"),
-        explode(transform(sequence(lit(0), (size(col("ws")) / 10).cast("int") - 1),
+        explode(transform(sequence(lit(0), expr("size(ws) div 10").cast("int") - 1),
           k => unhex(sha2(concat_ws(" ", slice(col("ws"), k * 10 + 1, lit(10))), 256)))).as("h"))
       val dupH = hashes.groupBy(col("h"))
         .agg(countDistinct(col("doc_id")).as("docs"))

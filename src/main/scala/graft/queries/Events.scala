@@ -67,17 +67,20 @@ object Events {
   }
 
   /** Run an already-built streaming DataFrame to completion into a
-    * complete-mode memory sink and return the result DETACHED with the
-    * sink dropped — the generic core every complete-mode gate (events
-    * aggregations here, the documents dedup gate in [[Dedup]]) must go
-    * through, so the detach/drop invariant can't be half-copied.
+    * memory sink in the given output mode and return the result DETACHED
+    * (localCheckpoint) with the sink dropped — memory tables otherwise
+    * pin their result in the driver for the session's lifetime. The ONE
+    * implementation of the sink/UUID/detach/drop plumbing; both public
+    * mode-specific names are thin wrappers so the invariant can't drift
+    * between copies.
     */
-  private[queries] def runToCompleteSink(
+  private def runToSink(
       s: org.apache.spark.sql.SparkSession, sinkPrefix: String,
-      streamed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      streamed: org.apache.spark.sql.DataFrame,
+      mode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.DataFrame = {
     val sink = sinkPrefix + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = streamed.writeStream.format("memory").queryName(sink)
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -86,23 +89,23 @@ object Events {
     out
   }
 
+  /** Complete-mode [[runToSink]] — the generic core every complete-mode
+    * gate (events aggregations here, the documents dedup gate in
+    * [[Dedup]]) must go through.
+    */
+  private[queries] def runToCompleteSink(
+      s: org.apache.spark.sql.SparkSession, sinkPrefix: String,
+      streamed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    runToSink(s, sinkPrefix, streamed, org.apache.spark.sql.streaming.OutputMode.Complete)
+
   /** Append-mode twin of [[runToCompleteSink]] for STATELESS stream
     * transforms (per-row scoring/assignment): no aggregation, so
     * complete mode is unavailable and every input row appends once.
     */
   private[queries] def runToAppendSink(
       s: org.apache.spark.sql.SparkSession, sinkPrefix: String,
-      streamed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val sink = sinkPrefix + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = streamed.writeStream.format("memory").queryName(sink)
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val out = s.table(sink).localCheckpoint(true)
-    s.catalog.dropTempView(sink)
-    out
-  }
+      streamed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    runToSink(s, sinkPrefix, streamed, org.apache.spark.sql.streaming.OutputMode.Append)
 
   private def streamEventsToCompleteSink(
       s: org.apache.spark.sql.SparkSession, dir: String, sinkPrefix: String)(

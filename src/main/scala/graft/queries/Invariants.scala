@@ -218,7 +218,7 @@ object Invariants {
       val queries = e.where(col("vec_id") < Ann.NQ)
       // the SAME corpus-scaled pool rule ann_pq serves with — one
       // definition, so a pool-rule change cannot drift the parity gate
-      val pool = Ann.rerankPool(Tables(s, dir, "embeddings").count() - Ann.NQ)
+      val pool = Ann.rerankPool(Ann.corpusCount(s, dir))
       def probe(enc: org.apache.spark.sql.DataFrame) =
         Ann.pqProbe(s, Ann.PqIndex(idxBase.codebooks, enc,
             corpus.select(col("vec_id").as("n_id"), col("emb"), col("nrm"))),
