@@ -1770,6 +1770,134 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // C38e: 4-gram STUPID-BACKOFF LM scoring — the order production
+    // KenLM filter models actually run (4-5-gram; SURVEY C38d says so
+    // itself) with the smoothing large-scale n-gram serving shipped
+    // (Brants et al. 2007, "Large Language Models in Machine
+    // Translation": score by the highest-order OBSERVED conditional,
+    // backing off one order at a time with a fixed α multiplier —
+    // no discount mass bookkeeping, which is what made it the web-scale
+    // choice). Backoff triggers on PRUNED orders: a 4-gram/trigram/
+    // bigram whose count is 1 is treated as unobserved (KenLM-style
+    // singleton pruning — self-scoring would otherwise never back off,
+    // since every probe gram trivially appears once), so
+    //   S = (c4·10⁴) div cp4                       if c4 ≥ 2
+    //       (2·S3) div 5                           else (α = 2/5)
+    // nested down to the always-kept unigram S1 = (c1·10⁴) div N —
+    // integer-exact per-term truncation at every level, the C38
+    // contract, so the whole 4-level recursion stays inside the
+    // cross-engine hash gate.
+    // 100 TB shape — the C38d marginalization identity one level
+    // deeper: the per-doc 4-gram count `fgc` is THE corpus-scale
+    // aggregation (c4 and the probe both sit above its exchange), and
+    // every lower-order table derives by marginalizing the 4-gram TYPE
+    // table ⊕ per-doc BOUNDARY rows: 4-gram starts cover trigram
+    // positions 1..n-3, so c3 = cp4 ⊕ tail trigram; trigram starts
+    // cover bigrams 1..n-2, so c2 = cp3 ⊕ tail bigram; c1 = cp2 ⊕ tail
+    // unigram; N = Σc1. The boundary stream is 3 rows/doc on a second
+    // scan-speed pass (the C37 scans-are-cheap trade), its type table a
+    // vocab-bounded checkpointed sliver with arity-filtered consumers
+    // (the C44 pushdown lesson). The ORACLE recomputes c3/c2/c1 from
+    // FULL position streams, so a hash mismatch catches any error in
+    // the three chained marginalization identities.
+    Q("text_lm_backoff",
+      """WITH docs_ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+        |                 WHERE len(string_split(text,' ')) >= 4),
+        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM docs_ws),
+        |fg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2, c.w AS w3, d.w AS w4
+        |       FROM w a JOIN w b ON b.doc_id=a.doc_id AND b.i=a.i+1
+        |                JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2
+        |                JOIN w d ON d.doc_id=a.doc_id AND d.i=a.i+3),
+        |c4 AS (SELECT w1,w2,w3,w4, CAST(count(*) AS BIGINT) AS c4 FROM fg GROUP BY 1,2,3,4),
+        |cp4 AS (SELECT w1,w2,w3, CAST(sum(c4) AS BIGINT) AS cp4 FROM c4 GROUP BY 1,2,3),
+        |tg AS (SELECT a.w AS x1, b.w AS x2, c.w AS x3
+        |       FROM w a JOIN w b ON b.doc_id=a.doc_id AND b.i=a.i+1
+        |                JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+        |c3 AS (SELECT x1,x2,x3, CAST(count(*) AS BIGINT) AS c3 FROM tg GROUP BY 1,2,3),
+        |cp3 AS (SELECT x1,x2, CAST(sum(c3) AS BIGINT) AS cp3 FROM c3 GROUP BY 1,2),
+        |bgp AS (SELECT a.w AS y1, b.w AS y2
+        |        FROM w a JOIN w b ON b.doc_id=a.doc_id AND b.i=a.i+1),
+        |c2 AS (SELECT y1,y2, CAST(count(*) AS BIGINT) AS c2 FROM bgp GROUP BY 1,2),
+        |cp2 AS (SELECT y1, CAST(sum(c2) AS BIGINT) AS cp2 FROM c2 GROUP BY 1),
+        |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM w GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w),
+        |sp AS (SELECT fg.doc_id,
+        |         CASE WHEN c4.c4 >= 2 THEN (c4.c4*10000)//cp4.cp4
+        |              WHEN c3.c3 >= 2 THEN (2*((c3.c3*10000)//cp3.cp3))//5
+        |              WHEN c2.c2 >= 2 THEN (2*((2*((c2.c2*10000)//cp2.cp2))//5))//5
+        |              ELSE (2*((2*((2*((c1.c1*10000)//n.n))//5))//5))//5 END AS p
+        |       FROM fg JOIN c4 USING (w1,w2,w3,w4) JOIN cp4 USING (w1,w2,w3)
+        |               JOIN c3 ON c3.x1=fg.w2 AND c3.x2=fg.w3 AND c3.x3=fg.w4
+        |               JOIN cp3 ON cp3.x1=fg.w2 AND cp3.x2=fg.w3
+        |               JOIN c2 ON c2.y1=fg.w3 AND c2.y2=fg.w4
+        |               JOIN cp2 ON cp2.y1=fg.w3
+        |               JOIN c1 ON c1.w=fg.w4 CROSS JOIN n)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_4grams, CAST(sum(p) AS BIGINT) AS sum_sbp,
+        |       CAST(CAST(sum(p) AS BIGINT) // count(*) AS BIGINT) AS sbo_bp
+        |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ws = split(col("text"), " ")
+      val base = docs(s, dir).where(size(ws) >= 4)
+      val fgc = base.select(col("doc_id"), ws.as("ws"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(ws) - 4),
+            |  i -> named_struct('w1', ws[i], 'w2', ws[i+1],
+            |                    'w3', ws[i+2], 'w4', ws[i+3]))""".stripMargin)).as("g"))
+        .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
+          col("g.w3").as("w3"), col("g.w4").as("w4"))
+        .where(col("doc_id").isNotNull && col("w1").isNotNull &&
+          col("w2").isNotNull && col("w3").isNotNull && col("w4").isNotNull)
+        .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"), col("w4"))
+        .agg(count(lit(1)).as("nd"))
+      val c4 = fgc.groupBy(col("w1"), col("w2"), col("w3"), col("w4"))
+        .agg(sum(col("nd")).as("c4"))
+      val cp4 = c4.groupBy(col("w1"), col("w2"), col("w3")).agg(sum(col("c4")).as("cp4"))
+      // per-doc boundary rows: tail trigram, tail bigram, tail unigram
+      val tails = base.select(explode(array(
+          struct(element_at(ws, -3).as("ta"), element_at(ws, -2).as("tb"),
+            element_at(ws, -1).as("tc")),
+          struct(element_at(ws, -2).as("ta"), element_at(ws, -1).as("tb"),
+            lit(null).cast("string").as("tc")),
+          struct(element_at(ws, -1).as("ta"), lit(null).cast("string").as("tb"),
+            lit(null).cast("string").as("tc")))).as("t"))
+        .select(col("t.ta").as("ta"), col("t.tb").as("tb"), col("t.tc").as("tc"))
+        .groupBy(col("ta"), col("tb"), col("tc")).agg(count(lit(1)).as("tn"))
+        .localCheckpoint(true) // vocab-bounded sliver; three arity-filtered consumers
+      val c3 = cp4.select(col("w1").as("ta"), col("w2").as("tb"),
+          col("w3").as("tc"), col("cp4").as("c"))
+        .unionAll(tails.where(col("tc").isNotNull)
+          .select(col("ta"), col("tb"), col("tc"), col("tn").as("c")))
+        .groupBy(col("ta"), col("tb"), col("tc")).agg(sum(col("c")).as("c3"))
+      val cp3 = c3.groupBy(col("ta"), col("tb")).agg(sum(col("c3")).as("cp3"))
+      val c2 = cp3.select(col("ta"), col("tb"), col("cp3").as("c"))
+        .unionAll(tails.where(col("tc").isNull && col("tb").isNotNull)
+          .select(col("ta"), col("tb"), col("tn").as("c")))
+        .groupBy(col("ta"), col("tb")).agg(sum(col("c")).as("c2"))
+      val cp2 = c2.groupBy(col("ta")).agg(sum(col("c2")).as("cp2"))
+      val c1 = cp2.select(col("ta"), col("cp2").as("c"))
+        .unionAll(tails.where(col("tb").isNull).select(col("ta"), col("tn").as("c")))
+        .groupBy(col("ta")).agg(sum(col("c")).as("c1"))
+      val nTot = c1.agg(sum(col("c1")).as("n"))
+      fgc.join(c4, Seq("w1", "w2", "w3", "w4")).join(cp4, Seq("w1", "w2", "w3"))
+        .join(c3.select(col("ta").as("w2"), col("tb").as("w3"),
+          col("tc").as("w4"), col("c3")), Seq("w2", "w3", "w4"))
+        .join(cp3.select(col("ta").as("w2"), col("tb").as("w3"), col("cp3")), Seq("w2", "w3"))
+        .join(c2.select(col("ta").as("w3"), col("tb").as("w4"), col("c2")), Seq("w3", "w4"))
+        .join(cp2.select(col("ta").as("w3"), col("cp2")), Seq("w3"))
+        .join(c1.select(col("ta").as("w4"), col("c1")), Seq("w4"))
+        .crossJoin(broadcast(nTot))
+        .select(col("doc_id"), col("nd"), expr(
+          """CASE WHEN c4 >= 2 THEN (c4 * 10000) div cp4
+            |     WHEN c3 >= 2 THEN (2 * ((c3 * 10000) div cp3)) div 5
+            |     WHEN c2 >= 2 THEN (2 * ((2 * ((c2 * 10000) div cp2)) div 5)) div 5
+            |     ELSE (2 * ((2 * ((2 * ((c1 * 10000) div n)) div 5)) div 5)) div 5
+            |END""".stripMargin).as("p"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("nd")).as("n_4grams"), sum(col("nd") * col("p")).as("sum_sbp"))
+        .select(col("doc_id"), col("n_4grams"), col("sum_sbp"),
+          expr("sum_sbp div n_4grams").as("sbo_bp"))
+        .orderBy(col("doc_id"))
+    },
+
     // D10: C38 at INGEST time — LM-score documents as they land, the
     // CCNet deployment shape (the model is trained batch-side on a
     // reference corpus; new crawl data streams through it and the score

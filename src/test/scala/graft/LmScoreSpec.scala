@@ -100,6 +100,46 @@ class LmScoreSpec extends SparkSpec {
     assert(out(1L) == ((1L, 2985L, 2985L)))
   }
 
+  test("C38e hand-computed stupid backoff: all four branches, α=2/5 nested truncation") {
+    // corpus: "a b c d" x2, "x b c d e", "p d e q"
+    //   c4: (a,b,c,d)=2 (x,b,c,d)=1 (b,c,d,e)=1 (p,d,e,q)=1
+    //   cp4: (a,b,c)=2 (x,b,c)=1 (b,c,d)=1 (p,d,e)=1
+    //   c3: (a,b,c)=2 (b,c,d)=3 (x,b,c)=1 (c,d,e)=1 (p,d,e)=1 (d,e,q)=1
+    //   cp3: (a,b)=2 (b,c)=3 (x,b)=1 (c,d)=1 (p,d)=1 (d,e)=1
+    //   c2: (a,b)=2 (b,c)=3 (c,d)=3 (x,b)=1 (d,e)=2 (p,d)=1 (e,q)=1
+    //   cp2: a=2 b=3 c=3 x=1 d=2 p=1 e=1;  c1: q=1 ...; N=17
+    // branch 1 (a,b,c,d): c4>=2 -> 20000 div 2 = 10000
+    // branch 2 (x,b,c,d): c3(b,c,d)=3>=2 -> S3 = 30000 div 3 = 10000;
+    //                     (2*10000) div 5 = 4000
+    // branch 3 (b,c,d,e): c2(d,e)=2>=2 -> S2 = 20000 div 2 = 10000;
+    //                     (2*((2*10000) div 5)) div 5 = 1600
+    // branch 4 (p,d,e,q): S1 = 10000 div 17 = 588;
+    //                     588 -> 1176 div 5 = 235 -> 470 div 5 = 94
+    //                         -> 188 div 5 = 37
+    val out = SparkEntry.queries("text_lm_backoff")(spark,
+        corpus("sbo", Seq("a b c d", "a b c d", "x b c d e", "p d e q")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == ((1L, 10000L, 10000L)))
+    assert(out(1L) == ((1L, 10000L, 10000L)))
+    assert(out(2L) == ((2L, 4000L + 1600L, 2800L)))
+    assert(out(3L) == ((1L, 37L, 37L)))
+  }
+
+  test("C38e sbo_bp bounded to [0, 10000], one row per >=4-token doc on real data") {
+    val dir = sf("sf0.001")
+    val out = SparkEntry.queries("text_lm_backoff")(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(3) >= 0L && r.getLong(3) <= 10000L))
+    val eligible = graft.core.Tables(spark, dir, "documents")
+      .where(org.apache.spark.sql.functions.expr("size(split(text, ' ')) >= 4")).count()
+    assert(out.length.toLong == eligible)
+    // self-scoring with singleton pruning: backoff must actually fire
+    // somewhere (scores strictly below the observed-4-gram floor of
+    // (1*10000) div max_cp4 exist), or the threshold is dead code
+    assert(out.exists(r => r.getLong(3) < 2000L),
+      "no document ever backed off - the pruning threshold is dead code")
+  }
+
   test("C38d lm3_bp bounded to [0, 10000], one row per >=3-token doc on real data") {
     val dir = sf("sf0.001")
     val out = SparkEntry.queries("text_lm_trigram")(spark, dir).collect()

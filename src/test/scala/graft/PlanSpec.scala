@@ -649,6 +649,23 @@ class PlanSpec extends SparkSpec {
       s"tgc/type-table exchange reuse did not fire:\n$p")
   }
 
+  test("text_lm_backoff: ONE corpus scan — fgc exchange reused, boundary tails behind the checkpoint") {
+    // the per-doc 4-gram count is THE corpus-scale aggregation; c4 and
+    // the scoring probe both sit above its exchange, and the three
+    // boundary items live behind the eager checkpoint — a second
+    // documents scan in the final plan means a lower-order model table
+    // re-tokenized the corpus instead of marginalizing the 4-gram type
+    // table (the C38d identity, one level deeper)
+    val df = SparkEntry.queries("text_lm_backoff")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents")) == 1,
+      s"backoff source must scan documents exactly once:\n$p")
+    assert(p.linesIterator.count(_.contains("ReusedExchange")) >= 2,
+      s"fgc/type-table exchange reuse did not fire:\n$p")
+  }
+
   test("text_remove_boilerplate: detection is slim-digest partial agg; rewrite joins all broadcast") {
     val p = planStr("text_remove_boilerplate")
     // dup sliver + affected-id set + flag join all broadcast — the
