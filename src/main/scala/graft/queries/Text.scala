@@ -2216,6 +2216,107 @@ object Text {
         .orderBy(col("source"))
     },
 
+    // C46: DSIR-style IMPORTANCE RESAMPLING (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling") — the
+    // target-corpus-matching selection step the mixture family lacked:
+    // pick raw-corpus documents whose hashed-ngram distribution looks
+    // like a TARGET corpus (in production: Wikipedia/books; here a
+    // deterministic 10% self-split stands in — same coin family as
+    // C19/C24/C29, so the split is reproducible across engines and
+    // reruns). Faithful to the published construction: features are
+    // BIGRAMS HASHED into B = 4096 buckets (the char-polynomial hash
+    // C12/C31 already gate cross-engine, mod B), and both bag-of-bucket
+    // models are add-one smoothed over the SAME B-bucket space:
+    //   r(b)_bp = ((ct+1)·(totq+B)·10⁴) div ((cq+1)·(tott+B))
+    // The paper's log-likelihood-ratio weight becomes the MEAN bucket
+    // ratio in basis points (the C38 stance: replace the float log-sum
+    // with an integer-exact rational so the whole path stays inside the
+    // cross-engine hash gate); keep = deterministic coin <
+    // min(10⁴, w_bp), the C29 resampling rule. Wide products run
+    // decimal(38,0)/HUGEINT — (ct+1)·(totq+B)·10⁴ reaches ~1e30 at
+    // 100 TB, the Fixed/C44 lesson.
+    // 100 TB shape: the per-doc bucket count `fbc` is THE corpus-scale
+    // aggregation (bucket computed INSIDE codegen during the explode —
+    // no vocabulary table, no gram strings shuffled); BOTH models fold
+    // out of one aggregate above fbc's exchange (a conditional sum per
+    // side — a filtered target subtree would push the doc_id predicate
+    // into a second corpus scan); the B-row model table BROADCASTS into
+    // the probe, the 2-value total broadcasts, and the per-doc fold is
+    // map-side combinable. One corpus scan, one corpus exchange, no
+    // vocab-sized join — selection is a map over slim bucket rows.
+    Q("text_importance_resample",
+      """WITH docs_ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+        |                 WHERE len(string_split(text,' ')) >= 2),
+        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM docs_ws),
+        |bgp AS (SELECT a.doc_id, a.i AS j, a.w || ' ' || b.w AS g
+        |        FROM w a JOIN w b ON b.doc_id=a.doc_id AND b.i=a.i+1),
+        |ch AS (SELECT doc_id, j, ascii(unnest(string_split(g,''))) AS a,
+        |              generate_subscripts(string_split(g,''),1) AS p FROM bgp),
+        |fb AS (SELECT doc_id, j, (sum(a * (1 + (131 * p) % 997)) % 4096) AS b
+        |       FROM ch GROUP BY doc_id, j),
+        |fbc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS nd FROM fb GROUP BY 1,2),
+        |model AS (SELECT b, CAST(sum(nd) AS BIGINT) AS cq,
+        |            CAST(sum(CASE WHEN ((doc_id % 1000003) * 131071 + 99991) % 1000003 % 10 = 0
+        |                          THEN nd ELSE 0 END) AS BIGINT) AS ct
+        |          FROM fbc GROUP BY b),
+        |tot AS (SELECT CAST(sum(cq) AS BIGINT) AS totq,
+        |               CAST(sum(ct) AS BIGINT) AS tott FROM model),
+        |r AS (SELECT fbc.doc_id, fbc.nd,
+        |        CAST((CAST(model.ct + 1 AS HUGEINT) * (tot.totq + 4096) * 10000)
+        |             // (CAST(model.cq + 1 AS HUGEINT) * (tot.tott + 4096)) AS BIGINT) AS r_bp
+        |      FROM fbc JOIN model USING (b) CROSS JOIN tot),
+        |agg AS (SELECT doc_id, CAST(sum(nd) AS BIGINT) AS n_feats,
+        |               CAST(sum(nd * r_bp) AS BIGINT) AS sum_rbp FROM r GROUP BY doc_id)
+        |SELECT doc_id, n_feats, sum_rbp, sum_rbp // n_feats AS w_bp,
+        |  CAST(CASE WHEN ((doc_id % 1000003) * 131071 + 99991) % 1000003 % 10000
+        |            < least(10000, sum_rbp // n_feats) THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ws = split(col("text"), " ")
+      val base = docs(s, dir).where(size(ws) >= 2)
+      val fbc = base.select(col("doc_id"), ws.as("ws"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(ws) - 2),
+            |  i -> aggregate(
+            |         zip_with(split(concat(ws[i], ' ', ws[i+1]), ''),
+            |                  sequence(1, length(ws[i]) + length(ws[i+1]) + 1),
+            |                  (c, p) -> CAST(ascii(c) * (1 + (131 * p) % 997) AS BIGINT)),
+            |         0L, (acc, x) -> acc + x) % 4096)""".stripMargin)).as("b"))
+        // the null-guard lives INSIDE fbc, not as the probe join's
+        // inferred constraint: the model's totals window blocks filter
+        // pushdown on its side, and two canonically different fbc
+        // subtrees defeat the exchange reuse (the C38b failure class)
+        .where(col("b").isNotNull)
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("nd"))
+      val isTgt =
+        ((col("doc_id") % 1000003L) * 131071L + 99991L) % 1000003L % 10 === 0
+      // BOTH models out of one aggregate above fbc's exchange: a
+      // where(isTgt) subtree would push the doc_id predicate into a
+      // second documents scan (the C38b reuse-defeat failure class)
+      // totals ride the model via an unpartitioned window — over the
+      // B-row model table that is a ≤4096-row single partition (the C45
+      // bounded-window argument), and it keeps the totals INSIDE the one
+      // model subtree: a separate model.agg() total was observed to
+      // re-plan its own fbc subtree (AQE stage reuse missed it),
+      // re-scanning the corpus for two numbers
+      val model = fbc.groupBy(col("b")).agg(
+          sum(col("nd")).as("cq"),
+          sum(when(isTgt, col("nd")).otherwise(0L)).as("ct"))
+        .select(col("b"), col("cq"), col("ct"),
+          sum(col("cq")).over(org.apache.spark.sql.expressions.Window.partitionBy()).as("totq"),
+          sum(col("ct")).over(org.apache.spark.sql.expressions.Window.partitionBy()).as("tott"))
+      fbc.join(broadcast(model), Seq("b"))
+        .select(col("doc_id"), col("nd"), expr(
+          """CAST((CAST(ct + 1 AS DECIMAL(38,0)) * (totq + 4096) * 10000)
+            |     div (CAST(cq + 1 AS DECIMAL(38,0)) * (tott + 4096)) AS BIGINT)""".stripMargin).as("r_bp"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("nd")).as("n_feats"), sum(col("nd") * col("r_bp")).as("sum_rbp"))
+        .select(col("doc_id"), col("n_feats"), col("sum_rbp"),
+          expr("sum_rbp div n_feats").as("w_bp"),
+          when(keepCoin(10000) < least(lit(10000L), expr("sum_rbp div n_feats")),
+            lit(1L)).otherwise(lit(0L)).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // C31: hashing-trick quality CLASSIFIER — the fastText-style linear
     // scorer every curation stack runs after the heuristic filters: each
     // token hashes into a 2^20 feature bucket (no vocabulary table, no

@@ -666,6 +666,28 @@ class PlanSpec extends SparkSpec {
       s"fgc/type-table exchange reuse did not fire:\n$p")
   }
 
+  test("text_importance_resample: one corpus scan, broadcast model, partial agg") {
+    // fbc (per-doc bucket counts) is the one corpus-scale aggregation;
+    // both models fold out of a single conditional aggregate ABOVE its
+    // exchange (a where(isTgt) subtree would push the doc_id predicate
+    // into a second documents scan), the B-row model broadcasts into
+    // the probe, and the bucket hash runs inside codegen — no gram
+    // strings and no vocabulary table anywhere in the plan
+    val df = SparkEntry.queries("text_importance_resample")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents")) == 1,
+      s"resample must scan documents exactly once:\n$p")
+    assert(p.linesIterator.count(_.contains("ReusedExchange")) >= 1,
+      s"model must reuse fbc's exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the B-bounded model must broadcast into the probe:\n$p")
+    assert(p.linesIterator.filter(_.contains("HashAggregate"))
+      .exists(_.contains("partial")),
+      s"bucket counts must partial-aggregate map-side:\n$p")
+  }
+
   test("text_remove_boilerplate: detection is slim-digest partial agg; rewrite joins all broadcast") {
     val p = planStr("text_remove_boilerplate")
     // dup sliver + affected-id set + flag join all broadcast — the
