@@ -223,6 +223,27 @@ object Text {
   private def hits(lang: String): Column =
     size(filter(words, w => w.isin(markers.toMap.apply(lang): _*)))
 
+  /** The C9 langid decision frame — (doc_id, pred_lang, *_hits). ONE
+    * definition shared by the `text_langid` gate query and the C47
+    * multi-class distillation teacher ([[Train.langidTeacher]]), the
+    * C18b shared-frame discipline: the rule a model imitates cannot
+    * drift from the rule the gate checks.
+    */
+  private[queries] def langidFrame(d: DataFrame): DataFrame = {
+    val h = d.select(col("doc_id"),
+      hits("en").as("en_hits"), hits("fr").as("fr_hits"),
+      hits("de").as("de_hits"), hits("es").as("es_hits"))
+    h.select(col("doc_id"),
+      when(col("en_hits") === 0 && col("fr_hits") === 0 &&
+        col("de_hits") === 0 && col("es_hits") === 0, lit("und"))
+        .when(col("en_hits") >= col("fr_hits") && col("en_hits") >= col("de_hits") &&
+          col("en_hits") >= col("es_hits"), lit("en"))
+        .when(col("fr_hits") >= col("de_hits") && col("fr_hits") >= col("es_hits"), lit("fr"))
+        .when(col("de_hits") >= col("es_hits"), lit("de"))
+        .otherwise(lit("es")).as("pred_lang"),
+      col("en_hits"), col("fr_hits"), col("de_hits"), col("es_hits"))
+  }
+
   /** C31's classifier with a STORED weights table `(bucket: long,
     * weight: long)` — the loadable-model form (r5 verdict #7): tokens
     * bucket with the same hash as the hashing-trick kernel
@@ -559,19 +580,7 @@ object Text {
          |  en_hits, fr_hits, de_hits, es_hits
          |FROM h ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
-      val h = docs(s, dir).select(col("doc_id"),
-        hits("en").as("en_hits"), hits("fr").as("fr_hits"),
-        hits("de").as("de_hits"), hits("es").as("es_hits"))
-      h.select(col("doc_id"),
-        when(col("en_hits") === 0 && col("fr_hits") === 0 &&
-          col("de_hits") === 0 && col("es_hits") === 0, lit("und"))
-          .when(col("en_hits") >= col("fr_hits") && col("en_hits") >= col("de_hits") &&
-            col("en_hits") >= col("es_hits"), lit("en"))
-          .when(col("fr_hits") >= col("de_hits") && col("fr_hits") >= col("es_hits"), lit("fr"))
-          .when(col("de_hits") >= col("es_hits"), lit("de"))
-          .otherwise(lit("es")).as("pred_lang"),
-        col("en_hits"), col("fr_hits"), col("de_hits"), col("es_hits"))
-        .orderBy(col("doc_id"))
+      langidFrame(docs(s, dir)).orderBy(col("doc_id"))
     },
 
     // C10: quality score — length, word-length, stopword ratio, repetition

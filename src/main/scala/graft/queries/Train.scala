@@ -1,49 +1,62 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 
-/** Distributed classifier TRAINING — SURVEY.md §2.C31c: the missing
+/** Distributed classifier TRAINING — SURVEY.md §2.C31c/C47: the missing
   * third of the classifier story (C31 scores with in-kernel weights,
-  * C31b serves a stored weights table — C31c PRODUCES one). The task is
+  * C31b serves a stored weights table — these PRODUCE one). The task is
   * heuristic DISTILLATION, a real curation-pipeline pattern (CCNet
   * trains wiki-vs-crawl; production pipelines routinely distill an
-  * expensive rule stack into a cheap linear model): learn to imitate
-  * C10's rule-based quality filter (label = quality_bp ≥ 5000, the
-  * pipeline_curate cutoff) from hashed bag-of-words features alone.
+  * expensive rule stack into a cheap linear model):
   *
-  * Optimizer: full-batch gradient descent on logistic loss over
-  * Z-SCORED count features — the classic aggregated-gradient shape
-  * ([[Cluster]]'s k-means / [[Embed]]'s PCA split, applied to a model):
+  *  - C31c learns to imitate C10's rule-based quality filter
+  *    (label = quality_bp ≥ 5000, the pipeline_curate cutoff) with
+  *    binary logistic GD;
+  *  - C47 generalizes the loop to SOFTMAX over the C9 langid rule
+  *    (5 classes) — the per-language router real pipelines train.
+  *
+  * Optimizer: full-batch gradient descent over Z-SCORED count features
+  * — the classic aggregated-gradient shape ([[Cluster]]'s k-means /
+  * [[Embed]]'s PCA split, applied to a model):
   *   - ONE corpus scan builds the persisted (doc_id, bucket, c) count
   *     table and per-doc labels; feature moments (mean/std per bucket)
   *     come from one pass over it;
   *   - per iteration, scoring is a broadcast join of the bounded
   *     weights table (≤ occupied buckets ≤ vocabulary — the C31b
   *     broadcastability argument) + one map-side-combinable per-doc
-  *     aggregation; the gradient is one groupBy(bucket) over the
-  *     residual-joined counts — the shuffle carries ≤ occupied-bucket
-  *     partial rows, never documents;
-  *   - the driver folds the exact dense gradient from the sparse
-  *     aggregates: z-scoring makes absent features contribute
-  *     −μ_b/σ_b·Σr, a rank-one term recovered from the global residual
-  *     sum, so sparsity never biases the math.
+  *     aggregation; the gradient is one groupBy(bucket[, class]) over
+  *     the residual-joined counts — the shuffle carries ≤
+  *     occupied-bucket(×class) partial rows, never documents;
+  *   - (r7 verdict #6) the WEIGHTS STAY DISTRIBUTED across iterations:
+  *     the per-bucket gradient folds into the params DataFrame by a
+  *     bucket join, so the per-iteration driver traffic is a constant
+  *     handful of scalars (loss, residual sums, the K constants) — the
+  *     previous shape collected the full occupied-bucket gradient to
+  *     the driver EVERY iteration (~1 M rows × 20 round-trips at full
+  *     bucket occupancy). The model materializes on the driver exactly
+  *     ONCE, at the end — it is the artifact, and must fit there
+  *     regardless. ClassifierTrainSpec measures the per-iteration
+  *     driver result bytes.
+  *   - the z-score fold stays exact under sparsity: absent features
+  *     contribute −μ_b/σ_b·Σr, a rank-one term recovered from the
+  *     per-class residual sum.
   *
   * Float iterates aren't hash-gateable (the [[Tokenizer]] unigram
-  * stance): the encode query is rows-only and
-  * `inv_classifier_distill_accuracy` drives the training-accuracy
-  * floor through the driver gate; ClassifierTrainSpec replays the
-  * whole optimization densely on the driver and pins weight-level
-  * agreement.
+  * stance): the encode queries are rows-only and the
+  * `inv_*_distill_accuracy` gates drive training-accuracy floors
+  * through the driver gate; ClassifierTrainSpec replays both
+  * optimizations densely on the driver and pins weight-level agreement.
   */
 object Train {
 
   private val Iters = 20
   private val Lr = 2.0
-  /** Driver-gate floor for distillation accuracy (measured 0.948 at
-    * sf0.01, 0.922 at sf0.1 — margin absorbs data regeneration).
+  /** Driver-gate floor for binary distillation accuracy (measured 0.948
+    * at sf0.01, 0.922 at sf0.1 — margin absorbs data regeneration).
     */
   private val AccFloorBp = 8500L
 
@@ -78,30 +91,49 @@ object Train {
       sd: Map[Long, Double],
       losses: Seq[Double])
 
+  /** Per-bucket z-score moments as COLUMNS — the one definition of the
+    * mean/std fold, shared by both trainers.
+    */
+  private def momentParams(cnts: DataFrame, n: Double): DataFrame =
+    cnts.groupBy(col("bucket"))
+      .agg(sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"))
+      .select(col("bucket"), (col("s1") / n).as("mu"),
+        ((col("s2") / n) - (col("s1") / n) * (col("s1") / n)).as("v"))
+      .select(col("bucket"), col("mu"),
+        when(col("v") > 0, sqrt(col("v"))).otherwise(lit(1.0d)).as("sd"))
+
   /** Full-batch logistic GD. `cnts` = (doc_id, bucket, c) PERSISTED by
     * the caller (it is read 2·iters + 2 times); `labels` = (doc_id, y).
-    * Driver state is bounded by occupied buckets; every corpus-sized
-    * pass is one aggregation.
+    * The params table (bucket, w, mu, sd) stays distributed across
+    * iterations (checkpointed per step — the BPE lineage lesson);
+    * driver traffic per iteration is three scalars.
     */
-  def logisticTrain(cnts: DataFrame, labels: DataFrame,
+  def logisticTrain(cnts0: DataFrame, labels: DataFrame,
       iters: Int = Iters, lr: Double = Lr): LinearModel = {
     val n = labels.count().toDouble
     require(n > 0, "logisticTrain: empty corpus")
-    val momRows = cnts.groupBy(col("bucket"))
-      .agg(sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"))
-      .collect()
-    val mu = momRows.map(r => r.getLong(0) -> r.getDouble(1) / n).toMap
-    val sd = momRows.map { r =>
-      val m = r.getDouble(1) / n
-      val v = r.getDouble(2) / n - m * m
-      r.getLong(0) -> (if (v > 0) math.sqrt(v) else 1.0)
-    }.toMap
-    val s = cnts.sparkSession
-    var w = mu.keys.map(_ -> 0.0).toMap
+    // co-partition the count table by bucket ONCE: every iteration's
+    // scoring join is then co-partitioned shuffle-hash — the params
+    // table never transits the driver (a per-iteration broadcast
+    // collects the full weights table to the driver each step, the
+    // exact traffic shape this trainer exists to avoid; measured in
+    // ClassifierTrainSpec's 16x-vocabulary scale-response test)
+    val cnts = cnts0.repartition(col("bucket")).localCheckpoint(true)
+    var params = momentParams(cnts, n)
+      .select(col("bucket"), lit(0.0d).as("w"), col("mu"), col("sd"))
+      .localCheckpoint(true)
     var bias = 0.0
     val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (_ <- 1 to iters) {
-      val resid = residuals(s, cnts, labels, w, bias, mu, sd)
+      // K = Σ_b w_b·μ_b/σ_b — one scalar collect. Deliberately DRIVER-
+      // side, not folded into the resid plan: a second in-plan
+      // reference to the params leaf makes localCheckpoint's carried
+      // origin-stats MULTIPLY per iteration (sizeInBytes digit count
+      // doubles each step — by iteration 40 the optimizer ground
+      // minutes per multiply in BigInteger; observed, not theoretical)
+      val k = params.agg(sum(col("w") * col("mu") / col("sd"))).head.getDouble(0)
+      val resid = residualsFromParams(cnts, labels, params, bias - k,
+          viaBroadcast = false)
         .localCheckpoint(true)
       try {
         val g = resid.agg(sum(col("r")).as("sr"), sum(col("loss")).as("sl")).head
@@ -109,36 +141,63 @@ object Train {
         losses += sl / n
         val grad = cnts.join(resid.select(col("doc_id"), col("r")), Seq("doc_id"))
           .groupBy(col("bucket")).agg(sum(col("c") * col("r")).as("g"))
-          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-        w = w.map { case (b, wb) =>
-          val gz = (grad.getOrElse(b, 0.0) - mu(b) * sr) / (sd(b) * n)
-          b -> (wb - lr * gz)
-        }
+        val next = params.join(grad, Seq("bucket"), "left")
+          .select(col("bucket"),
+            (col("w") - lit(lr) * (coalesce(col("g"), lit(0.0d)) - col("mu") * sr)
+              / (col("sd") * n)).as("w"),
+            col("mu"), col("sd"))
+          .localCheckpoint(true) // eager: a lazy checkpoint + parent unpersist recomputes the chain
+        params.unpersist()
+        params = next
         bias -= lr * sr / n
       } finally resid.unpersist(blocking = false)
     }
-    LinearModel(w, bias, mu, sd, losses.toSeq)
+    // the ONE driver materialization: the model artifact itself
+    val rows = params.collect()
+    params.unpersist()
+    cnts.unpersist()
+    LinearModel(
+      rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap, bias,
+      rows.map(r => r.getLong(0) -> r.getDouble(2)).toMap,
+      rows.map(r => r.getLong(0) -> r.getDouble(3)).toMap,
+      losses.toSeq)
   }
 
-  /** Per-doc (doc_id, y, p, r, loss) under the given parameters. The
+  /** Per-doc (doc_id, y, p, r, loss) under a params DataFrame. The
     * z-space score decomposes sparsely: Σ_b w_b·z_db =
     * Σ_{b∈doc} (w_b/σ_b)·c_db − Σ_b w_b·μ_b/σ_b (the constant K).
+    */
+  private def residualsFromParams(cnts: DataFrame, labels: DataFrame,
+      params: DataFrame, biasMinusK: Double,
+      viaBroadcast: Boolean = true): DataFrame = {
+    val wsd = params.select(col("bucket"), (col("w") / col("sd")).as("wsd"))
+    // broadcast for one-off scoring from a driver-built model; the
+    // training loop joins co-partitioned shuffle-hash instead so the
+    // weights never transit the driver per iteration. The params leaf
+    // appears EXACTLY ONCE in this plan — see the K comment in
+    // logisticTrain for why a second reference is forbidden
+    val model = if (viaBroadcast) broadcast(wsd) else wsd.hint("shuffle_hash")
+    cnts.join(model, Seq("bucket"))
+      .groupBy(col("doc_id")).agg(sum(col("c") * col("wsd")).as("raw"))
+      .join(labels, Seq("doc_id"))
+      .select(col("doc_id"), col("y"),
+        (lit(1.0d) / (lit(1.0d) + exp(-(col("raw") + lit(biasMinusK))))).as("p"))
+      .select(col("doc_id"), col("y"), col("p"),
+        (col("p") - col("y")).as("r"),
+        (-(col("y") * log(col("p") + lit(1e-12))
+          + (lit(1.0d) - col("y")) * log(lit(1.0d) - col("p") + lit(1e-12)))).as("loss"))
+  }
+
+  /** The map-based residual view used by [[predict]] — builds a params
+    * frame from the trained model and reuses the ONE implementation.
     */
   private def residuals(s: SparkSession, cnts: DataFrame, labels: DataFrame,
       w: Map[Long, Double], bias: Double,
       mu: Map[Long, Double], sd: Map[Long, Double]): DataFrame = {
     val k = w.iterator.map { case (b, wb) => wb * mu(b) / sd(b) }.sum
-    val wsd = w.toSeq.map { case (b, wb) => (b, wb / sd(b)) }
-    val wdf = s.createDataFrame(wsd).toDF("bucket", "wsd")
-    cnts.join(broadcast(wdf), Seq("bucket"))
-      .groupBy(col("doc_id")).agg(sum(col("c") * col("wsd")).as("raw"))
-      .join(labels, Seq("doc_id"))
-      .select(col("doc_id"), col("y"),
-        (lit(1.0d) / (lit(1.0d) + exp(-(col("raw") + lit(bias - k))))).as("p"))
-      .select(col("doc_id"), col("y"), col("p"),
-        (col("p") - col("y")).as("r"),
-        (-(col("y") * log(col("p") + lit(1e-12))
-          + (lit(1.0d) - col("y")) * log(lit(1.0d) - col("p") + lit(1e-12)))).as("loss"))
+    val rows = w.toSeq.map { case (b, wb) => (b, wb, mu(b), sd(b)) }
+    val pdf = s.createDataFrame(rows).toDF("bucket", "w", "mu", "sd")
+    residualsFromParams(cnts, labels, pdf, bias - k)
   }
 
   /** Score a corpus with a trained model → (doc_id, label, pred). */
@@ -155,6 +214,201 @@ object Train {
     val cnts = bucketCounts(d).localCheckpoint(true)
     val labels = distillLabels(d).localCheckpoint(true)
     predict(s, cnts, labels, logisticTrain(cnts, labels))
+  }
+
+  // ------------------------------------------------------- C47 softmax
+
+  /** The language classes, fixed by the C9 rule's output alphabet;
+    * index = position. A fixed alphabet (not a data-driven distinct)
+    * keeps class indices stable across corpora and engines.
+    */
+  private[graft] val LangClasses: Seq[String] = Seq("de", "en", "es", "fr", "und")
+
+  /** C47 teacher labels: (doc_id, y) with y = the C9 langid class
+    * index — the SAME decision frame the `text_langid` gate checks
+    * ([[Text.langidFrame]]), so teacher and gate cannot drift.
+    */
+  private[graft] def langidTeacher(d: DataFrame): DataFrame = {
+    val idx = LangClasses.zipWithIndex
+      .foldLeft(lit(-1L)) { case (acc, (l, i)) =>
+        when(col("pred_lang") === l, lit(i.toLong)).otherwise(acc)
+      }
+    Text.langidFrame(d).select(col("doc_id"), idx.as("y"))
+  }
+
+  /** A trained softmax model: weights per (bucket, class). */
+  final case class SoftmaxModel(
+      weights: Map[(Long, Long), Double],
+      biases: Map[Long, Double],
+      mu: Map[Long, Double],
+      sd: Map[Long, Double],
+      losses: Seq[Double])
+
+  /** Per-(doc, class) softmax residual frame under a params DataFrame
+    * (bucket, cls, w, mu, sd) + per-class (cls, bias, k) adjustments:
+    * raw_dc = Σ_{b∈doc} (w_bc/σ_b)·c_db + bias_c − K_c, softmax within
+    * the doc via a doc-partitioned window (|classes| rows per doc —
+    * bounded frames, never a global sort), r = a·(p − 1[y=c]) with the
+    * doc's CLASS-BALANCE weight `a` (1.0 when the labels frame carries
+    * none — the predict path), and the doc's loss a·(−log p_y) rides
+    * its true-class row.
+    */
+  private def softmaxResiduals(cnts: DataFrame, labels: DataFrame,
+      params: DataFrame, adj: DataFrame,
+      viaBroadcast: Boolean = true): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val wsd = params.select(col("bucket"), col("cls"),
+      (col("w") / col("sd")).as("wsd"))
+    // params appears EXACTLY ONCE in this plan — see logisticTrain's K
+    // comment (a second reference compounds checkpoint origin-stats)
+    val model = if (viaBroadcast) broadcast(wsd) else wsd.hint("shuffle_hash")
+    cnts.join(model, Seq("bucket"))
+      .groupBy(col("doc_id"), col("cls")).agg(sum(col("c") * col("wsd")).as("raw0"))
+      .join(broadcast(adj), Seq("cls"))
+      .select(col("doc_id"), col("cls"),
+        (col("raw0") + col("bias") - col("k")).as("raw"))
+      .select(col("doc_id"), col("cls"),
+        exp(col("raw") - max(col("raw")).over(byDoc)).as("e"))
+      .select(col("doc_id"), col("cls"),
+        (col("e") / sum(col("e")).over(byDoc)).as("p"))
+      .join(labels, Seq("doc_id"))
+      .withColumn("a", if (labels.columns.contains("a")) col("a") else lit(1.0d))
+      .select(col("doc_id"), col("cls"), col("y"), col("p"),
+        (col("a") * (col("p")
+          - when(col("cls") === col("y"), lit(1.0d)).otherwise(lit(0.0d)))).as("r"),
+        when(col("cls") === col("y"), -col("a") * log(col("p") + lit(1e-12)))
+          .otherwise(lit(0.0d)).as("loss"))
+  }
+
+  /** Full-batch softmax GD — [[logisticTrain]]'s loop generalized to
+    * |classes| coupled weight vectors. Same distributed-params shape:
+    * per iteration the driver sees |classes| K-constants, |classes|
+    * residual sums, and one loss scalar; the (bucket × class) gradient
+    * folds into the params table by join, never a driver round-trip.
+    */
+  def softmaxTrain(cnts0: DataFrame, labels: DataFrame, numClasses: Int,
+      iters: Int = Iters, lr: Double = Lr): SoftmaxModel = {
+    val s = cnts0.sparkSession
+    import s.implicits._
+    val n = labels.count().toDouble
+    require(n > 0, "softmaxTrain: empty corpus")
+    // same co-partitioning stance as logisticTrain: the (bucket x
+    // class) weights table never transits the driver mid-training
+    val cnts = cnts0.repartition(col("bucket")).localCheckpoint(true)
+    // CLASS-BALANCED cross-entropy: weight each doc by
+    // n / (|observed classes| · n_y) — inverse teacher-class frequency.
+    // Unweighted full-batch GD collapses the minority class at scale
+    // (the 'und' teacher class, whose signal is marker-word ABSENCE,
+    // trained to 0.94-1.0 recall at sf0.001 but 0.07 at sf0.1 — caught
+    // by inv_langid_distill_accuracy's recall floor); balancing makes
+    // the minority gradient iteration-1-strong regardless of corpus
+    // composition, so convergence does not degrade as the corpus
+    // grows. Class counts are a |classes|-row collect.
+    val clsCounts = labels.groupBy(col("y")).agg(count(lit(1)).as("ny")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aExpr = clsCounts.foldLeft(lit(1.0d)) { case (acc, (c, ny)) =>
+      when(col("y") === c, lit(n / (clsCounts.size * ny.toDouble))).otherwise(acc)
+    }
+    val wLabels = labels.select(col("doc_id"), col("y"), aExpr.as("a"))
+      .localCheckpoint(true)
+    val clsDf = (0L until numClasses.toLong).toDF("cls")
+    var params = momentParams(cnts, n)
+      .crossJoin(broadcast(clsDf))
+      .select(col("bucket"), col("cls"), lit(0.0d).as("w"), col("mu"), col("sd"))
+      .localCheckpoint(true)
+    var biases = (0L until numClasses.toLong).map(_ -> 0.0d).toMap
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 1 to iters) {
+      // per-class K constants: a |classes|-row driver collect (bounded;
+      // deliberately NOT folded into the resid plan — the K comment in
+      // logisticTrain)
+      val ks = params.groupBy(col("cls"))
+        .agg(sum(col("w") * col("mu") / col("sd")).as("k"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val adj = (0L until numClasses.toLong)
+        .map(c => (c, biases(c), ks.getOrElse(c, 0.0d)))
+        .toDF("cls", "bias", "k")
+      val resid = softmaxResiduals(cnts, wLabels, params, adj,
+          viaBroadcast = false)
+        .localCheckpoint(true)
+      try {
+        val sums = resid.groupBy(col("cls"))
+          .agg(sum(col("r")).as("sr"), sum(col("loss")).as("sl"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        val sr = sums.map(t => t._1 -> t._2).toMap
+        losses += sums.map(_._3).sum / n
+        val srDf = sums.map(t => (t._1, t._2)).toSeq.toDF("cls", "sr")
+        val grad = cnts.join(resid.select(col("doc_id"), col("cls"), col("r")),
+            Seq("doc_id"))
+          .groupBy(col("bucket"), col("cls")).agg(sum(col("c") * col("r")).as("g"))
+        val next = params.join(grad, Seq("bucket", "cls"), "left")
+          .join(broadcast(srDf), Seq("cls"))
+          .select(col("bucket"), col("cls"),
+            (col("w") - lit(lr) * (coalesce(col("g"), lit(0.0d)) - col("mu") * col("sr"))
+              / (col("sd") * n)).as("w"),
+            col("mu"), col("sd"))
+          .localCheckpoint(true) // eager: a lazy checkpoint + parent unpersist recomputes the chain
+        params.unpersist()
+        params = next
+        biases = biases.map { case (c, b) => c -> (b - lr * sr.getOrElse(c, 0.0d) / n) }
+      } finally resid.unpersist(blocking = false)
+    }
+    val rows = params.collect()
+    params.unpersist()
+    cnts.unpersist()
+    wLabels.unpersist()
+    SoftmaxModel(
+      rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap,
+      biases,
+      rows.collect { case r if r.getLong(1) == 0L => r.getLong(0) -> r.getDouble(3) }.toMap,
+      rows.collect { case r if r.getLong(1) == 0L => r.getLong(0) -> r.getDouble(4) }.toMap,
+      losses.toSeq)
+  }
+
+  /** Score a corpus with a trained softmax model → (doc_id, label,
+    * pred): pred = argmax_c p_dc, ties to the LOWEST class index
+    * (deterministic, matching the dense replay).
+    */
+  def softmaxPredict(s: SparkSession, cnts: DataFrame, labels: DataFrame,
+      m: SoftmaxModel): DataFrame = {
+    val numClasses = m.biases.size
+    val prows = m.weights.toSeq.map { case ((b, c), w) => (b, c, w, m.mu(b), m.sd(b)) }
+    val pdf = s.createDataFrame(prows).toDF("bucket", "cls", "w", "mu", "sd")
+    val ks = (0L until numClasses.toLong).map { c =>
+      (c, m.biases(c),
+        m.weights.iterator.collect { case ((b, cc), w) if cc == c =>
+          w * m.mu(b) / m.sd(b) }.sum)
+    }
+    val adj = s.createDataFrame(ks).toDF("cls", "bias", "k")
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("p").desc, col("cls"))
+    softmaxResiduals(cnts, labels, pdf, adj)
+      .select(col("doc_id"), col("y"), col("cls"), col("p"),
+        row_number().over(byDoc).as("rk"))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("y").as("label"), col("cls").as("pred"))
+  }
+
+  /** Gate floor for the langid distillation (measured before arming:
+    * acc 0.996 at sf0.001, 0.908 at sf0.01 with per-class recalls
+    * 0.90-1.0; margin absorbs data regeneration).
+    */
+  private val LangAccFloorBp = 8000L
+  /** The softmax loop needs more steps than the binary one: the
+    * minority 'und' class (docs with NO marker words — the signal is
+    * feature ABSENCE) collapses to majority predictions at
+    * 20 iterations (recall 0.02-0.18, measured); 40 iterations at
+    * lr 8 recover it to 0.94-1.0.
+    */
+  private val LangIters = 40
+  private val LangLr = 8.0
+
+  private def langTrained(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val cnts = bucketCounts(d).localCheckpoint(true)
+    val labels = langidTeacher(d).localCheckpoint(true)
+    softmaxPredict(s, cnts, labels,
+      softmaxTrain(cnts, labels, LangClasses.size, LangIters, LangLr))
   }
 
   val all: Seq[Q] = Seq(
@@ -176,5 +430,36 @@ object Train {
           count(lit(1)).as("n"))
         .select(expr("h div n").as("acc_bp"))
         .where(col("acc_bp") < AccFloorBp)
+    },
+
+    // C47: multi-class langid distillation — the per-language router.
+    // Rows-only like C31c; inv_langid_distill_accuracy floors overall
+    // accuracy AND per-class recall for every class the teacher
+    // actually emits (a majority-class collapse passes an overall floor
+    // but fails recall), ClassifierTrainSpec pins dense-replay weight
+    // agreement for the softmax loop.
+    Q.noOracle("text_langid_classifier_train") { (s, dir) =>
+      langTrained(s, dir).orderBy(col("doc_id"))
+    },
+
+    Q("inv_langid_distill_accuracy",
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS cls,
+        |  CAST(NULL AS BIGINT) AS bp FROM documents WHERE 1=0""".stripMargin) { (s, dir) =>
+      val p = langTrained(s, dir).localCheckpoint(true)
+      val overall = p
+        .agg((sum(when(col("label") === col("pred"), 1L).otherwise(0L)) * 10000L).as("h"),
+          count(lit(1)).as("n"))
+        .select(lit("overall").as("kind"), lit(-1L).as("cls"),
+          expr("h div n").as("bp"))
+        .where(col("bp") < LangAccFloorBp)
+      // per-class recall floor: classes with >= 20 teacher docs must
+      // each be recovered at >= 50% — the anti-collapse witness
+      val recall = p.groupBy(col("label"))
+        .agg((sum(when(col("label") === col("pred"), 1L).otherwise(0L)) * 10000L).as("h"),
+          count(lit(1)).as("n"))
+        .where(col("n") >= 20 && expr("h div n") < 5000)
+        .select(lit("recall").as("kind"), col("label").as("cls"),
+          expr("h div n").as("bp"))
+      Invariants.releasing(p)(overall.unionByName(recall).orderBy(col("kind"), col("cls")))
     })
 }

@@ -102,6 +102,125 @@ class ClassifierTrainSpec extends SparkSpec {
     assert(SparkEntry.queries("inv_classifier_distill_accuracy")(spark, sf()).count() == 0)
   }
 
+  // ---- r8: distributed params + softmax ------------------------------
+
+  /** r7 verdict #6: training must not collect the per-bucket gradient
+    * to the driver every iteration. Absolute bytes are dominated by
+    * per-task metric bookkeeping, so the MEASURED contract is scale
+    * response: growing the occupied-bucket count 16x (same docs, same
+    * partitioning, same job structure) must leave the marginal
+    * per-iteration driver result bytes ~flat — the old shape moved
+    * |occupied buckets| rows per iteration and would grow by
+    * ~15k rows x ~25 B here (~384 KB+), far past the slack.
+    */
+  test("per-iteration driver traffic stays flat under 16x vocabulary growth") {
+    def synthCnts(buckets: Int): org.apache.spark.sql.DataFrame = {
+      var x = 5L
+      def nxt(m: Int): Int = { x = x * 6364136223846793005L + 1442695040888963407L; (((x >>> 33) % m) + m).toInt % m }
+      cntsFrame((0 until 500).flatMap { d0 =>
+        (0 until 30).map(_ => (d0.toLong, nxt(buckets).toLong, 1.0 + nxt(3)))
+      }.distinct).localCheckpoint(true)
+    }
+    val labels = labelsFrame((0 until 500).map(i => i.toLong -> (if (i % 3 == 0) 1.0 else 0.0)))
+      .localCheckpoint(true)
+    val small = synthCnts(1000)
+    val big = synthCnts(16000)
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) bytes.addAndGet(t.taskMetrics.resultSize)
+    }
+    def drain(): Unit =
+      try {
+        val bus = spark.sparkContext.getClass.getMethod("listenerBus").invoke(spark.sparkContext)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: Throwable => Thread.sleep(2000) }
+    def measure(f: => Unit): Long = { drain(); bytes.set(0L); f; drain(); bytes.get() }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def perIter(cnts: org.apache.spark.sql.DataFrame): Long = {
+        val one = measure { Train.logisticTrain(cnts, labels, iters = 1) }
+        val nine = measure { Train.logisticTrain(cnts, labels, iters = 9) }
+        (nine - one) / 8
+      }
+      val smallIter = perIter(small)
+      val bigIter = perIter(big)
+      info(s"marginal driver bytes/iteration: $smallIter @1k buckets, $bigIter @16k buckets")
+      assert(bigIter < smallIter + 128 * 1024,
+        s"per-iteration driver traffic grew with vocabulary: $smallIter -> $bigIter " +
+          "(the old gradient-collect shape would add ~25 B per occupied bucket)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    Seq(small, big, labels).foreach(_.unpersist())
+  }
+
+  test("C47 softmax trainer == dense driver replay (weights 1e-6, predictions exact)") {
+    val d = graft.core.Tables(spark, sf(), "documents")
+    val cnts = Train.bucketCounts(d).localCheckpoint(true)
+    val labels = Train.langidTeacher(d).localCheckpoint(true)
+    val numC = Train.LangClasses.size
+    val iters = 12
+    val lr = 4.0
+    val m = Train.softmaxTrain(cnts, labels, numC, iters, lr)
+
+    val crows = cnts.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val lrows = labels.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val docs = lrows.map(_._1)
+    val docIdx = docs.zipWithIndex.toMap
+    val buckets = crows.map(_._2).distinct.sorted
+    val bIdx = buckets.zipWithIndex.toMap
+    val n = docs.length
+    val mat = Array.ofDim[Double](n, buckets.length)
+    crows.foreach { case (d0, b, c) => mat(docIdx(d0))(bIdx(b)) = c }
+    val y = lrows.map(_._2.toInt)
+    val mu = buckets.indices.map(j => docs.indices.map(i => mat(i)(j)).sum / n).toArray
+    val sd = buckets.indices.map { j =>
+      val v = docs.indices.map(i => math.pow(mat(i)(j) - mu(j), 2)).sum / n
+      if (v > 0) math.sqrt(v) else 1.0
+    }.toArray
+    val z = Array.tabulate(n, buckets.length)((i, j) => (mat(i)(j) - mu(j)) / sd(j))
+    // class-balance weights: n / (|observed| · n_y), the trainer's rule
+    val clsCounts = y.groupBy(identity).map { case (c, v) => c -> v.size }
+    val a = y.map(c => n.toDouble / (clsCounts.size * clsCounts(c)))
+    val w = Array.ofDim[Double](numC, buckets.length)
+    val bias = new Array[Double](numC)
+    for (_ <- 1 to iters) {
+      val p = docs.indices.map { i =>
+        val raw = (0 until numC).map(c =>
+          buckets.indices.foldLeft(bias(c))((acc, j) => acc + w(c)(j) * z(i)(j)))
+        val mx = raw.max
+        val e = raw.map(v => math.exp(v - mx))
+        val s0 = e.sum
+        e.map(_ / s0)
+      }
+      val r = Array.tabulate(n, numC)((i, c) =>
+        a(i) * (p(i)(c) - (if (y(i) == c) 1.0 else 0.0)))
+      for (c <- 0 until numC) {
+        for (j <- buckets.indices)
+          w(c)(j) -= lr * docs.indices.map(i => r(i)(c) * z(i)(j)).sum / n
+        bias(c) -= lr * docs.indices.map(i => r(i)(c)).sum / n
+      }
+    }
+    for (c <- 0 until numC; (b, j) <- buckets.zipWithIndex)
+      assert(math.abs(m.weights((b, c.toLong)) - w(c)(j)) < 1e-6,
+        s"bucket $b class $c: distributed ${m.weights((b, c.toLong))} vs replay ${w(c)(j)}")
+    for (c <- 0 until numC)
+      assert(math.abs(m.biases(c.toLong) - bias(c)) < 1e-6)
+    val got = Train.softmaxPredict(spark, cnts, labels, m)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val want = docs.indices.map { i =>
+      val raw = (0 until numC).map(c =>
+        buckets.indices.foldLeft(bias(c))((acc, j) => acc + w(c)(j) * z(i)(j)))
+      // argmax with ties to the lowest class — the operator's rule
+      (docs(i), raw.zipWithIndex.maxBy { case (v, c) => (v, -c) }._2.toLong)
+    }
+    assert(got.toSeq == want.toSeq)
+    cnts.unpersist(); labels.unpersist()
+  }
+
+  test("inv_langid_distill_accuracy: zero violations at sf0.001") {
+    assert(SparkEntry.queries("inv_langid_distill_accuracy")(spark, sf()).count() == 0)
+  }
+
   test("D12 classifier-at-ingest ≡ batch C31b row-for-row (shared operator body)") {
     val dir = sf("sf0.001")
     val batch = SparkEntry.queries("text_quality_classifier_weights")(spark, dir).collect().toSeq
