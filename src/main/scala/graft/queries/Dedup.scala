@@ -646,6 +646,34 @@ object Dedup {
     spanCoverage(grams.join(broadcast(dup), Seq("h"), "left_semi"), n)
   }
 
+  /** C37b char-grain gram stream: the 50-char form of
+    * [[substringGrams]] — one 32 B digest per CHARACTER position,
+    * hashed inside the generate+project (the 50-byte gram string lives
+    * only within codegen, never shuffles). Positions are 0-based char
+    * offsets; `n_tokens` carries length(text) so the shared
+    * [[spanCoverage]]/[[spanFold]] pipeline applies unchanged (the
+    * query renames it n_chars at the edge).
+    */
+  private[graft] def substringCharGrams(d: DataFrame, n: Int): DataFrame =
+    d.where(length(col("text")) >= n)
+      .select(col("doc_id"), length(col("text")).as("n_tokens"),
+        posexplode(expr(
+          s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, CAST(i AS INT), $n))"))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("n_tokens"), col("pos"),
+        unhex(sha2(col("gram"), 256)).as("h"))
+
+  /** C37b `dedup_substring_chars` core — [[substringSpans]]'s
+    * sliver/broadcast-semi/interval-union shape on CHARACTER k-grams.
+    */
+  private[graft] def substringCharSpans(d: DataFrame, n: Int): DataFrame = {
+    val grams = substringCharGrams(d, n)
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1).select(col("h"))
+    spanCoverage(grams.join(broadcast(dup), Seq("h"), "left_semi"), n)
+      .withColumnRenamed("n_tokens", "n_chars")
+  }
+
   /** The pre-r7 window-count form of C37 — shuffles one row per corpus
     * token position (a window count cannot map-side combine). Kept ONLY
     * as SubstringShuffleSpec's measured comparator and equality
@@ -1107,6 +1135,47 @@ object Dedup {
         |       CAST((covered * 10000) // n_tokens AS BIGINT) AS dup_frac_bp
         |FROM cov ORDER BY doc_id""".stripMargin) { (s, dir) =>
       substringSpans(docs(s, dir), 10).orderBy(col("doc_id"))
+    },
+
+    // C37b: CHAR-grain exact-substring dedup — the published form (Lee
+    // et al. 2022, "Deduplicating Training Data Makes Language Models
+    // Better": ExactSubstr dedups at 50-CHARACTER grain). C37's word
+    // 10-grams miss duplicate runs that word tokenization splits
+    // differently (markup, punctuation shifts, unsegmented/CJK-ish
+    // text, docs with fewer than 10 tokens); character k-grams see
+    // byte-level repetition directly. Same scale shape as C37 —
+    // map-side-combinable digest groupBy → duplicated-digest sliver →
+    // broadcast semi back onto the gram stream → per-doc interval-union
+    // fold (shared spanCoverage/spanFold code, so the coverage rule
+    // cannot drift between grains): the 50-char gram string exists only
+    // inside the generate+project (one 32 B digest per char position is
+    // what shuffles — and only for the partial-agg; the probe side
+    // never shuffles). The paper's suffix-array machinery is the
+    // single-node form; the banded-hash restatement is the
+    // shuffle-shaped equivalent for a cluster. Gram-material blowup
+    // (50x the corpus bytes through codegen, zero of it shuffled) is
+    // the deliberate C37 scans-are-cheap trade. Oracle =
+    // gaps-and-islands SQL over the same duplicated-gram hit stream.
+    Q("dedup_substring_chars",
+      """WITH g AS (SELECT doc_id, length(text) AS n_chars, i-1 AS pos,
+        |             substring(text, CAST(i AS INT), 50) AS gram
+        |      FROM documents, UNNEST(generate_series(1, length(text)-49)) AS t(i)
+        |      WHERE length(text) >= 50),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+        |hit AS (SELECT g.doc_id, g.n_chars, g.pos FROM g JOIN dup USING (gram)),
+        |m AS (SELECT doc_id, n_chars, pos,
+        |        coalesce(max(pos + 50) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_end
+        |      FROM hit),
+        |cov AS (SELECT doc_id, any_value(n_chars) AS n_chars,
+        |        count(*) AS dup_gram_hits,
+        |        CAST(sum(greatest(0, pos + 50 - greatest(prev_end, pos))) AS BIGINT) AS covered
+        |        FROM m GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |       CAST(dup_gram_hits AS BIGINT) AS dup_gram_hits, covered,
+        |       CAST((covered * 10000) // n_chars AS BIGINT) AS dup_frac_bp
+        |FROM cov ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      substringCharSpans(docs(s, dir), 50).orderBy(col("doc_id"))
     },
 
     // C30: INCREMENTAL dedup — a new batch against an already-deduped

@@ -87,4 +87,47 @@ class SubstringSpanSpec extends SparkSpec {
     val out = run(corpus("full", Seq(t, t)))
     assert(out.values.forall(r => r.getLong(3) == 20L && r.getLong(4) == 10000L))
   }
+
+  // ---- C37b char grain ------------------------------------------------
+
+  private def runChars(dir: String): Map[Long, Row] =
+    SparkEntry.queries("dedup_substring_chars")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  /** The case the published 50-char form exists for: a duplicated run
+    * that word tokenization cannot see. Both docs embed the same
+    * 60-char unsegmented blob (markup/CJK-ish: no spaces), but each doc
+    * has far fewer than 10 word tokens — the word 10-gram operator
+    * cannot emit a single gram for them, while the char grain reports
+    * the full 60-char duplicated span.
+    */
+  test("C37b char-grain fires where word-grain structurally cannot") {
+    val blob = (0 until 6).map(i => s"<tag$i-attr=v$i/>").mkString // 60+ chars, no spaces
+    assert(!blob.contains(" ") && blob.length >= 60)
+    val d0 = s"alpha $blob omega"   // 3 word tokens
+    val d1 = s"beta gamma $blob"    // 3 word tokens
+    val dir = corpus("charblob", Seq(d0, d1))
+    val word = run(dir)
+    assert(word.isEmpty, s"word 10-grams must not fire on <10-token docs: $word")
+    val ch = runChars(dir)
+    assert(ch.keySet == Set(0L, 1L), s"char grain must flag both docs: ${ch.keySet}")
+    // the duplicated run is the blob plus its shared flanking spaces —
+    // coverage must span at least the blob itself and stay inside the doc
+    val l = blob.length.toLong
+    for (id <- Seq(0L, 1L)) {
+      val covered = ch(id).getLong(3)
+      assert(covered >= l && covered <= ch(id).getLong(1),
+        s"doc $id: covered=$covered must include the $l-char blob: ${ch(id)}")
+      assert(ch(id).getLong(4) < 10000L, s"doc $id is not fully duplicated: ${ch(id)}")
+    }
+  }
+
+  test("C37b hand-computed coverage: identical docs cover fully, singletons report nothing") {
+    val t = ('a' to 'z').mkString * 3 // 78 chars
+    val out = runChars(corpus("charfull", Seq(t, t, "short unique text")))
+    assert(out.keySet == Set(0L, 1L), "the short unique doc reports nothing")
+    out.values.foreach { r =>
+      assert(r.getLong(1) == 78L && r.getLong(3) == 78L && r.getLong(4) == 10000L, r.toString)
+    }
+  }
 }
