@@ -86,6 +86,73 @@ object Ann {
   private def bucketKeys(emb: Column, l: Int, bits: Int): Column =
     graft.functions.Kernels.hyperplaneSigs(emb, lit(l), lit(bits))
 
+  // ------------------------------------------------ C8g persisted probes
+
+  /** Artifact key for the persisted-index probe queries: fingerprints
+    * the SOURCE table (row count from parquet metadata + total file
+    * bytes) so a regenerated corpus under the same path can never serve
+    * a stale index; build params live in the artifact subdir name. The
+    * parity gate additionally proves the loaded index serves exactly
+    * what a fresh build would.
+    */
+  private def artifactKey(s: SparkSession, dir: String): String = {
+    val f = new java.io.File(s"$dir/embeddings.parquet")
+    val len =
+      if (f.isDirectory) f.listFiles().filter(_.isFile).map(_.length()).sum
+      else f.length()
+    val n = graft.core.Tables(s, dir, "embeddings").count()
+    s"v1_n${n}_b$len"
+  }
+
+  /** Ensure the persisted IVF index exists for this corpus and return
+    * (centroids, assigned-parquet path). The assigned table is written
+    * CELL-PARTITIONED — the layout that makes probe-time partition
+    * pruning real I/O pruning (only probed cells' files are listed and
+    * scanned). The centroid file is written AFTER the parquet commit,
+    * so it doubles as the artifact's commit marker.
+    */
+  private def ivfArtifact(s: SparkSession, dir: String): (Array[Array[Double]], String) = {
+    val root = s"target/ann_index/${artifactKey(s, dir)}/ivf_k8"
+    val centsPath = java.nio.file.Paths.get(s"$root/cents.txt")
+    val dataPath = s"$root/assigned.parquet"
+    if (!java.nio.file.Files.exists(centsPath)) {
+      val e = embsWithNorm(s, dir)
+      val idx = ivfBuild(e.where(col("vec_id") >= NQ), k = 8)
+      idx.assigned.write.mode("overwrite").partitionBy("cell").parquet(dataPath)
+      java.nio.file.Files.createDirectories(centsPath.getParent)
+      java.nio.file.Files.writeString(centsPath,
+        idx.cents.map(_.mkString(",")).mkString("\n"))
+    }
+    val cents = java.nio.file.Files.readString(centsPath)
+      .split("\n").map(_.split(",").map(_.toDouble))
+    (cents, dataPath)
+  }
+
+  /** Ensure the persisted PQ index (encoded codes + codebooks) exists
+    * and return (codebooks, encoded-parquet path). Raw vectors for the
+    * exact re-rank stay in the SOURCE table — the artifact stores only
+    * the 16-byte codes (the 16× compression is the point of PQ storage).
+    */
+  private def pqArtifact(s: SparkSession, dir: String): (Array[Array[Array[Double]]], String) = {
+    val root = s"target/ann_index/${artifactKey(s, dir)}/pq_m16k256"
+    val cbPath = java.nio.file.Paths.get(s"$root/codebooks.txt")
+    val dataPath = s"$root/encoded.parquet"
+    if (!java.nio.file.Files.exists(cbPath)) {
+      val e = embsWithNorm(s, dir)
+      val idx = pqBuild(e.where(col("vec_id") >= NQ), m = 16, k = 256)
+      idx.encoded.write.mode("overwrite").parquet(dataPath)
+      java.nio.file.Files.createDirectories(cbPath.getParent)
+      // m*k lines of dsub comma-separated doubles, subspace-major
+      java.nio.file.Files.writeString(cbPath,
+        idx.codebooks.flatMap(_.map(_.mkString(","))).mkString("\n"))
+    }
+    val lines = java.nio.file.Files.readString(cbPath).split("\n")
+    val k = lines.length / 16
+    val codebooks = Array.tabulate(16)(j =>
+      lines.slice(j * k, (j + 1) * k).map(_.split(",").map(_.toDouble)))
+    (codebooks, dataPath)
+  }
+
   /** Exact top-K per query: scored candidates → row_number window. */
   private def topK(scored: DataFrame): DataFrame =
     scored
@@ -282,6 +349,65 @@ object Ann {
       val queries = e.where(col("vec_id") < NQ)
       ivfPqProbe(s, ivfPqBuild(corpus, kCells = 8, m = 16, k = 256),
         queries, p = 4, rerank = rerankPool(corpusCount(s, dir)))
+    },
+
+    // C8g: probe a PERSISTED IVF index — the deployment read path
+    // (r7 verdict #8: AnnScale and the build queries measure index
+    // BUILDS; the number a serving pipeline lives on is probing an
+    // index built last night). First run materializes the artifact
+    // (cell-partitioned parquet + centroid file, fingerprint-keyed to
+    // the source table); every later run LOADS it — Bench's
+    // median-of-3 therefore reports the load+probe path. The probed
+    // cells prune the read before it happens (ivfProbeCells → a
+    // partition filter over the cell-partitioned layout): IVF's
+    // p-of-k saving lands as file-listing I/O, not just row filtering.
+    Q.noOracle("ann_ivf_probe") { (s, dir) =>
+      val (cents, path) = ivfArtifact(s, dir)
+      val queries = embsWithNorm(s, dir).where(col("vec_id") < NQ)
+      val cells = ivfProbeCells(IvfIndex(cents, null), queries, p = 4)
+      val assigned = s.read.parquet(path)
+        .where(col("cell").isInCollection(cells))
+      ivfProbe(s, IvfIndex(cents, assigned), queries, p = 4)
+    },
+
+    // C8g (PQ side): probe a persisted PQ index — loads the 16-byte
+    // codes + codebooks; only the re-rank candidates touch the raw
+    // source table (the artifact never stores raw vectors).
+    Q.noOracle("ann_pq_probe") { (s, dir) =>
+      val (codebooks, path) = pqArtifact(s, dir)
+      val e = embsWithNorm(s, dir)
+      val queries = e.where(col("vec_id") < NQ)
+      val corpus = e.where(col("vec_id") >= NQ)
+        .select(col("vec_id").as("n_id"), col("emb"), col("nrm"))
+      pqProbe(s, PqIndex(codebooks, s.read.parquet(path), corpus),
+        queries, rerank = rerankPool(corpusCount(s, dir)))
+    },
+
+    // The persisted-probe parity gate: serving from the loaded artifact
+    // must emit EXACTLY what serving from a fresh in-memory build emits
+    // — (q_id, rank, n_id, cos) row sets identical both directions, for
+    // both index families. Catches stale artifacts (the fingerprint
+    // key missing a regeneration), lossy persistence (schema/precision
+    // drift through parquet), and pruning bugs (a probed cell the
+    // pruned read no longer contains). Violations WHERE 1=0. All four
+    // probe results are deterministic (rounded-cos + n_id tie-break),
+    // so an empty symmetric difference is exact, not probabilistic.
+    Q("inv_ann_probe_parity",
+      """SELECT CAST(NULL AS VARCHAR) AS side, CAST(NULL AS BIGINT) AS q_id,
+        |  CAST(NULL AS BIGINT) AS n_id FROM documents WHERE 1=0""".stripMargin) { (s, dir) =>
+      def viol(name: String, fromDisk: DataFrame, fresh: DataFrame) =
+        fromDisk.except(fresh)
+          .select(lit(name + "_disk_only").as("side"), col("q_id"), col("n_id"))
+          .unionByName(fresh.except(fromDisk)
+            .select(lit(name + "_fresh_only").as("side"), col("q_id"), col("n_id")))
+      def run(name: String) = graft.SparkEntry.queries(name)(s, dir)
+      val ivfDisk = run("ann_ivf_probe")
+      val ivfFresh = run("ann_ivf")
+      val pqDisk = run("ann_pq_probe")
+      val pqFresh = run("ann_pq")
+      viol("ivf", ivfDisk, ivfFresh)
+        .unionByName(viol("pq", pqDisk, pqFresh))
+        .orderBy(col("side"), col("q_id"), col("n_id"))
     },
 
     // Embedding-quality monitoring: per-label cluster statistics — the

@@ -100,4 +100,23 @@ class AnnBuildScanSpec extends SparkSpec {
     assert(a.value == 1L * parts,
       s"deployment ivfpq build: ${a.value} partition scans, expected $parts")
   }
+
+  /** C8g: the persisted-probe read path must PRUNE the cell-partitioned
+    * index at file-listing time — the probed-cell filter has to land in
+    * the scan's PartitionFilters (storage-level p-of-k pruning), not as
+    * a post-read row filter. First call builds the artifact; the plan
+    * under test is the loaded-index probe.
+    */
+  test("ann_ivf_probe prunes the cell-partitioned index read") {
+    val dir = sf("sf0.001")
+    val df = SparkEntry.queries("ann_ivf_probe")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator
+      .find(l => l.contains("Scan parquet") && l.contains("ann_index"))
+    assert(scanLine.isDefined, s"expected a persisted-index scan:\n$p")
+    assert(scanLine.get.contains("PartitionFilters: [") &&
+      !scanLine.get.replaceAll(".*PartitionFilters: \\[", "").startsWith("]"),
+      s"probed cells must prune partitions at the index scan:\n${scanLine.get}")
+  }
 }
