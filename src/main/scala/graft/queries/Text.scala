@@ -558,6 +558,84 @@ object Text {
       |SELECT section, metric, value FROM rows_out
       |ORDER BY section, metric""".stripMargin
 
+  /** C46/D14 shared pieces — the DSIR bucket stream, the smoothed
+    * two-sided bucket model, the integer likelihood-ratio, and the
+    * finish projection. ONE definition each (the C18b shared-frame
+    * discipline): batch and ingest scoring cannot drift.
+    */
+  private def dsirBuckets(d: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    d.where(size(ws) >= 2).select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(ws) - 2),
+          |  i -> aggregate(
+          |         zip_with(split(concat(ws[i], ' ', ws[i+1]), ''),
+          |                  sequence(1, length(ws[i]) + length(ws[i+1]) + 1),
+          |                  (c, p) -> CAST(ascii(c) * (1 + (131 * p) % 997) AS BIGINT)),
+          |         0L, (acc, x) -> acc + x) % 4096)""".stripMargin)).as("b"))
+      // the null-guard lives HERE, not as the probe join's inferred
+      // constraint: the model's totals window blocks filter pushdown on
+      // its side, and two canonically different subtrees defeat the
+      // exchange reuse (the C38b failure class)
+      .where(col("b").isNotNull)
+  }
+
+  /** Both bucket models out of ONE aggregate above fbc's exchange (a
+    * where(isTgt) subtree would push the doc_id predicate into a second
+    * documents scan); totals ride the model via an unpartitioned window
+    * over the ≤4096-row model table (the C45 bounded-window argument —
+    * a separate model.agg() total subtree was observed to re-plan its
+    * own fbc and re-scan the corpus for two numbers).
+    */
+  private def dsirModel(fbc: DataFrame): DataFrame = {
+    val isTgt =
+      ((col("doc_id") % 1000003L) * 131071L + 99991L) % 1000003L % 10 === 0
+    fbc.groupBy(col("b")).agg(
+        sum(col("nd")).as("cq"),
+        sum(when(isTgt, col("nd")).otherwise(0L)).as("ct"))
+      .select(col("b"), col("cq"), col("ct"),
+        sum(col("cq")).over(org.apache.spark.sql.expressions.Window.partitionBy()).as("totq"),
+        sum(col("ct")).over(org.apache.spark.sql.expressions.Window.partitionBy()).as("tott"))
+  }
+
+  private def dsirRatio: Column = expr(
+    """CAST((CAST(ct + 1 AS DECIMAL(38,0)) * (totq + 4096) * 10000)
+      |     div (CAST(cq + 1 AS DECIMAL(38,0)) * (tott + 4096)) AS BIGINT)""".stripMargin)
+
+  private def dsirFinish(grouped: DataFrame): DataFrame =
+    grouped.select(col("doc_id"), col("n_feats"), col("sum_rbp"),
+      expr("sum_rbp div n_feats").as("w_bp"),
+      when(keepCoin(10000) < least(lit(10000L), expr("sum_rbp div n_feats")),
+        lit(1L)).otherwise(lit(0L)).as("keep"))
+
+  private val dsirOracleSql: String =
+    """WITH docs_ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+        |                 WHERE len(string_split(text,' ')) >= 2),
+        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM docs_ws),
+        |bgp AS (SELECT a.doc_id, a.i AS j, a.w || ' ' || b.w AS g
+        |        FROM w a JOIN w b ON b.doc_id=a.doc_id AND b.i=a.i+1),
+        |ch AS (SELECT doc_id, j, ascii(unnest(string_split(g,''))) AS a,
+        |              generate_subscripts(string_split(g,''),1) AS p FROM bgp),
+        |fb AS (SELECT doc_id, j, (sum(a * (1 + (131 * p) % 997)) % 4096) AS b
+        |       FROM ch GROUP BY doc_id, j),
+        |fbc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS nd FROM fb GROUP BY 1,2),
+        |model AS (SELECT b, CAST(sum(nd) AS BIGINT) AS cq,
+        |            CAST(sum(CASE WHEN ((doc_id % 1000003) * 131071 + 99991) % 1000003 % 10 = 0
+        |                          THEN nd ELSE 0 END) AS BIGINT) AS ct
+        |          FROM fbc GROUP BY b),
+        |tot AS (SELECT CAST(sum(cq) AS BIGINT) AS totq,
+        |               CAST(sum(ct) AS BIGINT) AS tott FROM model),
+        |r AS (SELECT fbc.doc_id, fbc.nd,
+        |        CAST((CAST(model.ct + 1 AS HUGEINT) * (tot.totq + 4096) * 10000)
+        |             // (CAST(model.cq + 1 AS HUGEINT) * (tot.tott + 4096)) AS BIGINT) AS r_bp
+        |      FROM fbc JOIN model USING (b) CROSS JOIN tot),
+        |agg AS (SELECT doc_id, CAST(sum(nd) AS BIGINT) AS n_feats,
+        |               CAST(sum(nd * r_bp) AS BIGINT) AS sum_rbp FROM r GROUP BY doc_id)
+        |SELECT doc_id, n_feats, sum_rbp, sum_rbp // n_feats AS w_bp,
+        |  CAST(CASE WHEN ((doc_id % 1000003) * 131071 + 99991) % 1000003 % 10000
+        |            < least(10000, sum_rbp // n_feats) THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // C9: n-gram/stopword-heuristic language ID — marker hits per
@@ -2253,77 +2331,48 @@ object Text {
     // the probe, the 2-value total broadcasts, and the per-doc fold is
     // map-side combinable. One corpus scan, one corpus exchange, no
     // vocab-sized join — selection is a map over slim bucket rows.
-    Q("text_importance_resample",
-      """WITH docs_ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
-        |                 WHERE len(string_split(text,' ')) >= 2),
-        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM docs_ws),
-        |bgp AS (SELECT a.doc_id, a.i AS j, a.w || ' ' || b.w AS g
-        |        FROM w a JOIN w b ON b.doc_id=a.doc_id AND b.i=a.i+1),
-        |ch AS (SELECT doc_id, j, ascii(unnest(string_split(g,''))) AS a,
-        |              generate_subscripts(string_split(g,''),1) AS p FROM bgp),
-        |fb AS (SELECT doc_id, j, (sum(a * (1 + (131 * p) % 997)) % 4096) AS b
-        |       FROM ch GROUP BY doc_id, j),
-        |fbc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS nd FROM fb GROUP BY 1,2),
-        |model AS (SELECT b, CAST(sum(nd) AS BIGINT) AS cq,
-        |            CAST(sum(CASE WHEN ((doc_id % 1000003) * 131071 + 99991) % 1000003 % 10 = 0
-        |                          THEN nd ELSE 0 END) AS BIGINT) AS ct
-        |          FROM fbc GROUP BY b),
-        |tot AS (SELECT CAST(sum(cq) AS BIGINT) AS totq,
-        |               CAST(sum(ct) AS BIGINT) AS tott FROM model),
-        |r AS (SELECT fbc.doc_id, fbc.nd,
-        |        CAST((CAST(model.ct + 1 AS HUGEINT) * (tot.totq + 4096) * 10000)
-        |             // (CAST(model.cq + 1 AS HUGEINT) * (tot.tott + 4096)) AS BIGINT) AS r_bp
-        |      FROM fbc JOIN model USING (b) CROSS JOIN tot),
-        |agg AS (SELECT doc_id, CAST(sum(nd) AS BIGINT) AS n_feats,
-        |               CAST(sum(nd * r_bp) AS BIGINT) AS sum_rbp FROM r GROUP BY doc_id)
-        |SELECT doc_id, n_feats, sum_rbp, sum_rbp // n_feats AS w_bp,
-        |  CAST(CASE WHEN ((doc_id % 1000003) * 131071 + 99991) % 1000003 % 10000
-        |            < least(10000, sum_rbp // n_feats) THEN 1 ELSE 0 END AS BIGINT) AS keep
-        |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val ws = split(col("text"), " ")
-      val base = docs(s, dir).where(size(ws) >= 2)
-      val fbc = base.select(col("doc_id"), ws.as("ws"))
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(0, size(ws) - 2),
-            |  i -> aggregate(
-            |         zip_with(split(concat(ws[i], ' ', ws[i+1]), ''),
-            |                  sequence(1, length(ws[i]) + length(ws[i+1]) + 1),
-            |                  (c, p) -> CAST(ascii(c) * (1 + (131 * p) % 997) AS BIGINT)),
-            |         0L, (acc, x) -> acc + x) % 4096)""".stripMargin)).as("b"))
-        // the null-guard lives INSIDE fbc, not as the probe join's
-        // inferred constraint: the model's totals window blocks filter
-        // pushdown on its side, and two canonically different fbc
-        // subtrees defeat the exchange reuse (the C38b failure class)
-        .where(col("b").isNotNull)
+    Q("text_importance_resample", dsirOracleSql) { (s, dir) =>
+      val fbc = dsirBuckets(docs(s, dir))
         .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("nd"))
-      val isTgt =
-        ((col("doc_id") % 1000003L) * 131071L + 99991L) % 1000003L % 10 === 0
-      // BOTH models out of one aggregate above fbc's exchange: a
-      // where(isTgt) subtree would push the doc_id predicate into a
-      // second documents scan (the C38b reuse-defeat failure class)
-      // totals ride the model via an unpartitioned window — over the
-      // B-row model table that is a ≤4096-row single partition (the C45
-      // bounded-window argument), and it keeps the totals INSIDE the one
-      // model subtree: a separate model.agg() total was observed to
-      // re-plan its own fbc subtree (AQE stage reuse missed it),
-      // re-scanning the corpus for two numbers
-      val model = fbc.groupBy(col("b")).agg(
-          sum(col("nd")).as("cq"),
-          sum(when(isTgt, col("nd")).otherwise(0L)).as("ct"))
-        .select(col("b"), col("cq"), col("ct"),
-          sum(col("cq")).over(org.apache.spark.sql.expressions.Window.partitionBy()).as("totq"),
-          sum(col("ct")).over(org.apache.spark.sql.expressions.Window.partitionBy()).as("tott"))
-      fbc.join(broadcast(model), Seq("b"))
-        .select(col("doc_id"), col("nd"), expr(
-          """CAST((CAST(ct + 1 AS DECIMAL(38,0)) * (totq + 4096) * 10000)
-            |     div (CAST(cq + 1 AS DECIMAL(38,0)) * (tott + 4096)) AS BIGINT)""".stripMargin).as("r_bp"))
+      val grouped = fbc.join(broadcast(dsirModel(fbc)), Seq("b"))
+        .select(col("doc_id"), col("nd"), dsirRatio.as("r_bp"))
         .groupBy(col("doc_id"))
         .agg(sum(col("nd")).as("n_feats"), sum(col("nd") * col("r_bp")).as("sum_rbp"))
-        .select(col("doc_id"), col("n_feats"), col("sum_rbp"),
-          expr("sum_rbp div n_feats").as("w_bp"),
-          when(keepCoin(10000) < least(lit(10000L), expr("sum_rbp div n_feats")),
-            lit(1L)).otherwise(lit(0L)).as("keep"))
-        .orderBy(col("doc_id"))
+      dsirFinish(grouped).orderBy(col("doc_id"))
+    },
+
+    // D14: C46 at INGEST time — DSIR importance resampling as documents
+    // land, the deployment shape (the target/corpus bucket models are a
+    // slowly-changing trained artifact; new crawl data streams through
+    // them and the keep-coin gates admission — the C42b/D13 realization
+    // discipline applied to importance weights). The bucket explosion
+    // is stateless per-row stream work (the hash runs inside codegen);
+    // the model join is stream-static against the B-row broadcast; the
+    // ONE stateful aggregation folds per-doc (n_feats, sum_rbp) over
+    // OCCURRENCE rows — chained stateful aggregations are unsupported,
+    // so the stream consumes the occurrence form of the same
+    // [[dsirBuckets]] stream the batch pre-aggregates, which is
+    // algebraically identical (r_bp depends only on the bucket).
+    // Presentation (w_bp, keep, sort) runs batch over the completed
+    // sink. Gated by the SAME oracle as batch C46 — driver-checked
+    // batch/stream parity, the C30/D6/D10 discipline.
+    Q("text_importance_resample_stream", dsirOracleSql) { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val model = dsirModel(
+          dsirBuckets(docs(s, dir))
+            .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("nd")))
+        val grouped = dsirBuckets(stream)
+          .join(broadcast(model), Seq("b"))
+          .select(col("doc_id"), dsirRatio.as("r_bp"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_feats"), sum(col("r_bp")).as("sum_rbp"))
+        dsirFinish(Events.runToCompleteSink(s, "dsir_sink_", grouped))
+          .orderBy(col("doc_id"))
+      }
     },
 
     // C31: hashing-trick quality CLASSIFIER — the fastText-style linear

@@ -124,4 +124,14 @@ class DsirSpec extends SparkSpec {
     assert(out.exists(_.getLong(4) == 1L) && out.exists(_.getLong(4) == 0L),
       "keep must be non-degenerate on real data")
   }
+
+  test("D14 resample-at-ingest ≡ batch C46 row-for-row (shared operator body)") {
+    val dir = sf("sf0.001")
+    val batch = SparkEntry.queries("text_importance_resample")(spark, dir)
+      .collect().toSeq
+    val stream = SparkEntry.queries("text_importance_resample_stream")(spark, dir)
+      .collect().toSeq
+    assert(stream.nonEmpty && stream == batch,
+      s"stream (${stream.size}) must equal batch (${batch.size}) exactly")
+  }
 }
