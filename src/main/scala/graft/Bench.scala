@@ -130,7 +130,12 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"BENCH FAIL ${q.name}: ${e.getMessage}")
             None
-        }
+        } finally
+          // the count above was this plan's one materialization; each
+          // repeat rebuilds the plan fresh, so draining the pinned
+          // checkpoints between repeats is safe (Pinned contract) and
+          // keeps one query's sliver blocks out of the next's timing
+          queries.Pinned.drain()
       }
       (times, times.size)
     }

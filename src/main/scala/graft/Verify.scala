@@ -47,9 +47,14 @@ object Verify {
         s"""{"filtered": true, "only": ${want.toSeq.sorted.map(n => "\"" + n + "\"").mkString("[", ",", "]")}}""")
     }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // release any checkpointed slivers the query pinned — the write
+        // above is this plan's one materialization (Pinned contract)
+        queries.Pinned.drain()
+      } catch { case e: Throwable =>
+        queries.Pinned.drain()
         val msg = Option(e.getMessage).filter(_.nonEmpty).getOrElse(e.toString)
         System.err.println(s"[verify] $name failed: ${msg.linesIterator.take(3).mkString(" | ")}")
         // a stale result from a previous run must not survive a failure —

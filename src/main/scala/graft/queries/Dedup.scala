@@ -292,8 +292,10 @@ object Dedup {
       rounds += 1
     }
     // detach the result from the per-run checkpoint files before they
-    // are deleted; the labels table is |nodes| × 2 longs — small
-    labels.localCheckpoint(true)
+    // are deleted; the labels table is |nodes| × 2 longs — small.
+    // Tracked: the caller's returned plan reads it lazily, the
+    // consumer's Pinned.drain releases it after materialization
+    Pinned.track(labels.localCheckpoint(true))
     }
     } finally cleanup()
   }
@@ -632,18 +634,58 @@ object Dedup {
       .select(col("doc_id"), col("n_tokens"), col("dup_gram_hits"), col("covered"),
         expr("(covered * 10000) div n_tokens").as("dup_frac_bp"))
 
+  /** Row budget above which a duplicated-digest/affected-doc sliver no
+    * longer broadcasts (r8 verdict #1: on a raw crawl the "sliver" is
+    * corpus-scale — duplication runs tens of percent — and a forced
+    * broadcast is a driver OOM). Sliver records are fixed-width ≤48 B
+    * (a 32 B digest or a long id plus agg bookkeeping), so rows are the
+    * honest budget unit: the 2M default is ~64 MB on the driver —
+    * comfortably inside a 1 GB driver, far under executor broadcast
+    * limits. Conf-tunable so the parity gate and SubstringShuffleSpec
+    * can force the shuffle path at test scale.
+    */
+  private[graft] val SliverBroadcastMaxRowsKey = "graft.sliver.broadcastMaxRows"
+
+  /** Size-adaptive build side for sliver joins: eagerly materialize the
+    * sliver once (localCheckpoint, released by the consumer's
+    * [[Pinned]] drain), COUNT it — a metadata read over the cached
+    * blocks — and pick the join strategy from the measured size:
+    *
+    *   - under the budget → `broadcast()`: the probe stream (one row
+    *     per token/char position) never shuffles at all;
+    *   - over the budget → `hint("shuffle_hash")`: a co-partitioned
+    *     shuffle-hash join — both sides hash-partition on the uniform
+    *     digest key (no skew by construction), the build side stays the
+    *     narrow digest sliver, and nothing is forced through the
+    *     driver. The probe stream pays its one narrow-record shuffle —
+    *     the floor for exact matching once duplication is corpus-scale —
+    *     but digests+ints move, never gram text.
+    *
+    * The checkpoint doubles as exchange-reuse: the sliver's groupBy
+    * runs once, feeding both the count and every downstream join.
+    */
+  private[graft] def adaptiveBuild(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val budget = s.conf.getOption(SliverBroadcastMaxRowsKey)
+      .map(_.toLong).getOrElse(2000000L)
+    val slv = Pinned.track(df.localCheckpoint(true))
+    if (slv.count() <= budget) broadcast(slv) else slv.hint("shuffle_hash")
+  }
+
   /** C37 `dedup_substring_spans` core over any (doc_id, text) frame —
     * see the query's scaladoc for the shuffle-shape reasoning. The
     * duplicated-digest sliver comes from a map-side-combinable
-    * groupBy(h) and broadcasts back as a semi join: the probe-side gram
-    * stream never shuffles, at the price of generating grams twice
-    * (two scan-speed passes).
+    * groupBy(h) and joins back as a size-adaptive semi join
+    * ([[adaptiveBuild]]): broadcast while the sliver fits (probe-side
+    * gram stream never shuffles, at the price of generating grams twice
+    * — two scan-speed passes), co-bucketed shuffle-hash once it
+    * doesn't.
     */
   private[graft] def substringSpans(d: DataFrame, n: Int): DataFrame = {
     val grams = substringGrams(d, n)
     val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > 1).select(col("h"))
-    spanCoverage(grams.join(broadcast(dup), Seq("h"), "left_semi"), n)
+    spanCoverage(grams.join(adaptiveBuild(dup), Seq("h"), "left_semi"), n)
   }
 
   /** C37b char-grain gram stream: the 50-char form of
@@ -664,13 +706,13 @@ object Dedup {
         unhex(sha2(col("gram"), 256)).as("h"))
 
   /** C37b `dedup_substring_chars` core — [[substringSpans]]'s
-    * sliver/broadcast-semi/interval-union shape on CHARACTER k-grams.
+    * sliver/adaptive-semi/interval-union shape on CHARACTER k-grams.
     */
   private[graft] def substringCharSpans(d: DataFrame, n: Int): DataFrame = {
     val grams = substringCharGrams(d, n)
     val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > 1).select(col("h"))
-    spanCoverage(grams.join(broadcast(dup), Seq("h"), "left_semi"), n)
+    spanCoverage(grams.join(adaptiveBuild(dup), Seq("h"), "left_semi"), n)
       .withColumnRenamed("n_tokens", "n_chars")
   }
 
@@ -1007,10 +1049,11 @@ object Dedup {
     // 100 TB shape: detection runs on a SLIM (doc_id, digest) stream
     // (text never enters the chunk-frequency shuffle, which partial-
     // aggregates 32 B digests); the duplicated-digest sliver and the
-    // affected-doc id set broadcast back (the C37 stance — when
-    // boilerplate incidence outgrows broadcast, the same semi-joins run
-    // shuffle-side co-bucketed with the corpus), so the text-carrying
-    // pass is map-side narrow for every UNaffected document; the one
+    // affected-doc id set join back SIZE-ADAPTIVELY (adaptiveBuild:
+    // broadcast while they fit, co-bucketed shuffle-hash once
+    // boilerplate incidence makes them corpus-scale — the r8 verdict's
+    // forced-broadcast fix), so the text-carrying pass is map-side
+    // narrow for every UNaffected document on the broadcast path; the one
     // text-bearing exchange is the per-doc reassembly and carries only
     // AFFECTED docs' chunks — the decontaminate_spans "one record per
     // contaminated doc" shape. collect_list order is repaired by
@@ -1050,15 +1093,19 @@ object Dedup {
       val hashes = base.select(col("doc_id"),
         explode(transform(sequence(lit(0), expr("size(ws) div 10").cast("int") - 1),
           k => unhex(sha2(concat_ws(" ", slice(col("ws"), k * 10 + 1, lit(10))), 256)))).as("h"))
-      val dupH = hashes.groupBy(col("h"))
+      // sliver — materialized once (adaptiveBuild checkpoints+counts),
+      // consumed by the affected-doc probe AND the chunk-flag join below
+      val dupH = adaptiveBuild(hashes.groupBy(col("h"))
         .agg(countDistinct(col("doc_id")).as("docs"))
-        .where(col("docs") > 1).select(col("h"))
-        .localCheckpoint(true) // sliver — consumed by two broadcasts below
-      val affected = hashes.join(broadcast(dupH), Seq("h"), "left_semi")
-        .select(col("doc_id")).distinct()
+        .where(col("docs") > 1).select(col("h")))
+      // the affected-doc id set has the same corpus-scale failure mode
+      // as the digest sliver (boilerplate incidence can be most of a
+      // crawl), so it goes through the same size-adaptive build
+      val affected = adaptiveBuild(hashes.join(dupH, Seq("h"), "left_semi")
+        .select(col("doc_id")).distinct())
       // text-carrying pass: chunks + tail as (ci, chunk, is_full) structs,
       // map-side restricted to affected docs
-      val exploded = base.join(broadcast(affected), Seq("doc_id"), "left_semi")
+      val exploded = base.join(affected, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), explode(expr(
           """transform(
             |  sequence(0L, (size(ws) div 10) - (CASE WHEN size(ws) % 10 = 0 THEN 1 ELSE 0 END)),
@@ -1069,7 +1116,7 @@ object Dedup {
         .select(col("doc_id"), col("c.ci").as("ci"), col("c.chunk").as("chunk"),
           col("c.is_full").as("is_full"))
       exploded
-        .join(broadcast(dupH), unhex(sha2(col("chunk"), 256)) === col("h"), "left_outer")
+        .join(dupH, unhex(sha2(col("chunk"), 256)) === col("h"), "left_outer")
         .groupBy(col("doc_id"))
         .agg(sum(when(col("is_full"), lit(1L)).otherwise(lit(0L))).as("n_chunks"),
           sum(when(col("h").isNotNull, lit(1L)).otherwise(lit(0L))).as("n_removed"),
@@ -1110,11 +1157,15 @@ object Dedup {
     // whose partials combine to ~one record per doc per partition.
     // Cost: the gram generation runs twice (two scan-speed passes, no
     // exchange-reuse dependency) — scans are the cheap resource at
-    // scale, token-position-sized shuffles the expensive one. If a
-    // corpus's duplicated-digest sliver ever outgrows broadcast (~10s
-    // of MB), swap the semi join to a shuffle join: it still moves
-    // narrow digest records, never the window's full position stream.
-    // SubstringShuffleSpec MEASURES both forms' shuffle records.
+    // scale, token-position-sized shuffles the expensive one. The
+    // broadcast is SIZE-ADAPTIVE (adaptiveBuild): when a corpus's
+    // duplicated-digest sliver outgrows the broadcast budget (raw
+    // crawls — duplication runs tens of percent) the semi join switches
+    // to a co-bucketed shuffle-hash join on the measured count; it
+    // still builds on narrow digest records, never forces the sliver
+    // through the driver. SubstringShuffleSpec MEASURES both forms'
+    // shuffle records and pins both paths' row-for-row agreement;
+    // inv_sliver_join_parity re-proves it at every gate scale.
     Q("dedup_substring_spans",
       """WITH docs_ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
         |g AS (SELECT doc_id, len(ws) AS n_tokens, gs-1 AS pos,

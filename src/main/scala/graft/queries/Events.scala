@@ -84,7 +84,9 @@ object Events {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val out = s.table(sink).localCheckpoint(true)
+    // tracked: the returned frame IS the checkpoint; the consumer's
+    // Pinned.drain releases its blocks after materialization
+    val out = Pinned.track(s.table(sink).localCheckpoint(true))
     s.catalog.dropTempView(sink)
     out
   }
@@ -377,6 +379,7 @@ object Events {
         .groupBy(col("p_id").as("event_id"))
         .agg(count(lit(1)).as("n_clicks"))
         .localCheckpoint(true)
+        .transform(Pinned.track)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       rolled
       }

@@ -436,5 +436,35 @@ object Invariants {
           .where(col("metric_bp") < 6000L)
         predViol.unionByName(recViol).orderBy(col("chk"))
       }
+    },
+
+    // r9: the size-adaptive sliver join (Dedup.adaptiveBuild) must be a
+    // pure strategy choice — the co-bucketed shuffle-hash path forced
+    // on (budget=0) must reproduce the broadcast path row-for-row for
+    // every operator that uses it, at every gate scale. A divergence
+    // here means the shuffle-hash join changed semantics (null keys,
+    // outer-join marker columns), not just shape.
+    Q("inv_sliver_join_parity",
+      """SELECT CAST(NULL AS VARCHAR) AS q, CAST(NULL AS BIGINT) AS doc_id
+        |FROM documents WHERE 1=0""".stripMargin) { (s, dir) =>
+      def forcedShuffle[T](body: => T): T = {
+        val prev = s.conf.getOption(Dedup.SliverBroadcastMaxRowsKey)
+        s.conf.set(Dedup.SliverBroadcastMaxRowsKey, "0")
+        try body finally prev match {
+          case Some(v) => s.conf.set(Dedup.SliverBroadcastMaxRowsKey, v)
+          case None => s.conf.unset(Dedup.SliverBroadcastMaxRowsKey)
+        }
+      }
+      Seq("dedup_substring_spans", "dedup_substring_chars",
+          "text_remove_boilerplate").map { nm =>
+        // the join strategy is fixed at CONSTRUCTION time (adaptiveBuild
+        // checkpoints+counts eagerly), so wrapping the run() call is
+        // enough — the lazy remainder of the plan is conf-independent
+        val a = run(nm)(s, dir).localCheckpoint(true)
+        val b = forcedShuffle(run(nm)(s, dir)).localCheckpoint(true)
+        releasing(a, b)(
+          a.except(b).unionAll(b.except(a))
+            .select(lit(nm).as("q"), col("doc_id")).distinct())
+      }.reduce(_ unionByName _).orderBy(col("q"), col("doc_id"))
     })
 }

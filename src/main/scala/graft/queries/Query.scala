@@ -27,6 +27,41 @@ object Q {
     Q(name, run, None)
 }
 
+/** Session-lifetime checkpoint-leak guard (r8 advice): queries that
+  * localCheckpoint an intermediate sliver and return a plan that reads
+  * it lazily cannot unpersist it themselves — the blocks would vanish
+  * before the consumer runs. They register the pinned frame here
+  * instead, and every CONSUMER (Verify after each query's write, Bench
+  * after each timed repeat, SparkSpec between suites) calls [[drain]]
+  * once its action has materialized — so checkpoint storage lives
+  * exactly one query run, not the rest of the session.
+  *
+  * Contract: after drain() the DataFrames that embedded a tracked
+  * checkpoint must not be re-executed (localCheckpoint truncates
+  * lineage; the blocks are gone). Verify runs each query once and
+  * Bench re-builds the plan fresh per repeat, so both are safe by
+  * construction. Trainers that fully consume their checkpoints inside
+  * the query body keep unpersisting inline — this registry is only for
+  * slivers the RETURNED plan still references.
+  */
+private[graft] object Pinned {
+  private val reg = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  /** Register an (eagerly) checkpointed frame for release at the next
+    * consumer drain; returns it unchanged for inline use.
+    */
+  def track(df: DataFrame): DataFrame = { reg.add(df); df }
+
+  /** Unpersist every tracked frame. Safe to call repeatedly. */
+  def drain(): Unit = {
+    var d = reg.poll()
+    while (d != null) {
+      try d.unpersist(blocking = false) catch { case _: Throwable => }
+      d = reg.poll()
+    }
+  }
+}
+
 /** Exact fixed-point arithmetic for money/quantity aggregates — the
   * scale-proof form of the "round to 4 decimals" discipline. The sf1
   * sweep (10x gate scale) caught `round(sum(double), 4)` flipping a

@@ -1830,6 +1830,7 @@ object Text {
         .select(col("t.wa").as("wa"), col("t.wb").as("wb"))
         .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("tc"))
         .localCheckpoint(true) // vocab-bounded sliver; two arity-filtered consumers
+        .transform(Pinned.track) // released by the consumer's drain (r8 advice)
       val c2 = cp3.select(col("w1").as("wa"), col("w2").as("wb"), col("cp3").as("c"))
         .unionAll(tails.where(col("wb").isNotNull)
           .select(col("wa"), col("wb"), col("tc").as("c")))
@@ -1949,6 +1950,7 @@ object Text {
         .select(col("t.ta").as("ta"), col("t.tb").as("tb"), col("t.tc").as("tc"))
         .groupBy(col("ta"), col("tb"), col("tc")).agg(count(lit(1)).as("tn"))
         .localCheckpoint(true) // vocab-bounded sliver; three arity-filtered consumers
+        .transform(Pinned.track) // released by the consumer's drain (r8 advice)
       val c3 = cp4.select(col("w1").as("ta"), col("w2").as("tb"),
           col("w3").as("tc"), col("cp4").as("c"))
         .unionAll(tails.where(col("tc").isNotNull)
@@ -2106,6 +2108,7 @@ object Text {
             .otherwise(lit(1L)).as("m"))
         .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"))
         .localCheckpoint(true)
+        .transform(Pinned.track)
       val ww = strata.withColumn("w_m",
         col("m") * floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
       val t = ww.agg(expr("sum(n_tokens) div 2").as("budget"),
@@ -2185,8 +2188,9 @@ object Text {
       // table a co-occurrence analysis materializes anyway) and every
       // consumer reads it, so the scan+explode provably runs once — the
       // dedup_clusters mining-once pattern.
-      val counts = items.groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(true)
+      val counts = Pinned.track(
+        items.groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("c"))
+          .localCheckpoint(true))
       val pair = counts.where(col("wb").isNotNull && col("c") >= 5)
         .select(col("wa"), col("wb"), col("c").as("cxy"))
       def uni(as: String) = counts.where(col("wb").isNull)

@@ -207,12 +207,121 @@ object Train {
       .select(col("doc_id"), col("y").cast("long").as("label"),
         when(col("p") >= 0.5, lit(1L)).otherwise(lit(0L)).as("pred"))
 
+  /** Training-sample budget (docs). Production distillation trains on
+    * a bounded sample and scores the corpus with the result (the r8
+    * verdict's C31c/C47 finding: full-corpus epochs × iters is not a
+    * 100 TB shape — per-iteration cost must be independent of corpus
+    * size). 1500 docs holds hundreds of examples of every teacher
+    * class at this data's mix; the `inv_*_distill_accuracy` gates still
+    * floor accuracy over the FULL corpus, so a sample too small to
+    * generalize becomes a driver failure, not a silent quality drop.
+    */
+  private[graft] val TrainSampleTargetDocs = 1500L
+
+  /** Deterministic bounded training sample — the ivfBuild hash-mod
+    * discipline (Ann.scala): every executor selects the same docs from
+    * the same corpus, no RNG state, no sampling shuffle. Degrades to
+    * the full corpus when it already fits the budget.
+    */
+  private[graft] def trainSample(d: DataFrame, target: Long = TrainSampleTargetDocs): DataFrame = {
+    val mod = math.max(1L, d.count() / target)
+    if (mod <= 1L) d
+    else d.where(pmod(xxhash64(col("doc_id")), lit(mod)) === 0)
+  }
+
+  /** Collected bounded-sample training set: (per-doc sparse counts,
+    * per-doc labels), both sorted by doc_id so driver float-summation
+    * order is deterministic run to run. The collect is bounded by
+    * construction — ≤ target docs × per-doc distinct buckets (≤ doc
+    * tokens), the same budget class as ivfBuild's sample collect.
+    */
+  private[graft] def collectSample(cnts: DataFrame, labels: DataFrame)
+      : (Array[(Long, Array[(Long, Double)])], Array[(Long, Double)]) = {
+    val byDoc = cnts.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toArray.sortBy(_._1)
+    val ls = labels.select(col("doc_id"), col("y").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    (byDoc, ls)
+  }
+
+  /** Driver-side logistic GD over the collected bounded sample — the
+    * SAME arithmetic as [[logisticTrain]] (z-scored features, rank-one
+    * absent-feature term, identical update), run as tight loops instead
+    * of 2·iters Spark jobs. At a fixed sample budget the optimization
+    * is O(sample) driver compute — milliseconds — while the distributed
+    * trainer pays per-iteration job scheduling regardless of how small
+    * the sample is (measured: 40-iteration softmax on a 1.7k-doc sample
+    * still cost ~20 s in jobs). ClassifierTrainSpec pins weight-level
+    * agreement (1e-6) between the two trainers on the same input.
+    */
+  private[graft] def logisticTrainDriver(
+      docs: Array[(Long, Array[(Long, Double)])], labels: Array[(Long, Double)],
+      iters: Int = Iters, lr: Double = Lr): LinearModel = {
+    val n = labels.length.toDouble
+    require(n > 0, "logisticTrainDriver: empty sample")
+    val y = labels.toMap
+    val buckets = docs.flatMap(_._2.map(_._1)).distinct.sorted
+    // absent (doc, bucket) entries contribute 0 to both moment sums, so
+    // one pass over the sparse pairs suffices (doc order is sorted —
+    // deterministic float accumulation)
+    val s1 = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+    val s2 = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+    docs.foreach(_._2.foreach { case (b, c) => s1(b) += c; s2(b) += c * c })
+    val mu = buckets.map(b => b -> s1(b) / n).toMap
+    val sd = buckets.map { b =>
+      val m = s1(b) / n; val v = s2(b) / n - m * m
+      b -> (if (v > 0) math.sqrt(v) else 1.0)
+    }.toMap
+    val w = scala.collection.mutable.Map.empty[Long, Double]
+      .withDefaultValue(0.0)
+    var bias = 0.0
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 1 to iters) {
+      val k = buckets.iterator.map(b => w(b) * mu(b) / sd(b)).sum
+      var sr = 0.0; var sl = 0.0
+      val g = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      val rs = docs.map { case (d, cs) =>
+        val raw = cs.iterator.map { case (b, c) => c * w(b) / sd(b) }.sum
+        val p = 1.0 / (1.0 + math.exp(-(raw + bias - k)))
+        val yd = y(d)
+        val r = p - yd
+        sr += r
+        sl += -(yd * math.log(p + 1e-12) + (1.0 - yd) * math.log(1.0 - p + 1e-12))
+        (cs, r)
+      }
+      losses += sl / n
+      rs.foreach { case (cs, r) => cs.foreach { case (b, c) => g(b) += c * r } }
+      buckets.foreach { b => w(b) -= lr * (g(b) - mu(b) * sr) / (sd(b) * n) }
+      bias -= lr * sr / n
+    }
+    LinearModel(buckets.map(b => b -> w(b)).toMap, bias, mu, sd, losses.toSeq)
+  }
+
+  /** C31c flagship path: hash-mod sample → bounded driver collect →
+    * driver GD ([[logisticTrainDriver]]) → distributed full-corpus
+    * scoring. The full-corpus count/label frames appear exactly once in
+    * the returned scoring plan, so they stay lazy — one corpus scan at
+    * materialization, nothing pinned. The `inv_classifier_distill_
+    * accuracy` floor runs over the FULL corpus, so a sample too small
+    * to generalize is a driver failure.
+    */
   private def trained(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
-    // NOT unpersisted: the returned plan reads it lazily (the
-    // bpeEncodeDocs stance); the inv gate wraps with releasing()
-    val cnts = bucketCounts(d).localCheckpoint(true)
-    val labels = distillLabels(d).localCheckpoint(true)
+    val dS = trainSample(d)
+    val (docsS, labelsS) = collectSample(bucketCounts(dS), distillLabels(dS))
+    val model = logisticTrainDriver(docsS, labelsS)
+    predict(s, bucketCounts(d), distillLabels(d), model)
+  }
+
+  /** The full-batch comparator (pre-r9 flagship): kept for
+    * ClassifierTrainSpec's sampled-vs-full accuracy comparison.
+    */
+  private[graft] def trainedFullBatch(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val cnts = Pinned.track(bucketCounts(d).localCheckpoint(true))
+    val labels = Pinned.track(distillLabels(d).localCheckpoint(true))
     predict(s, cnts, labels, logisticTrain(cnts, labels))
   }
 
@@ -403,12 +512,85 @@ object Train {
   private val LangIters = 40
   private val LangLr = 8.0
 
+  /** Driver-side class-balanced softmax GD over the collected bounded
+    * sample — [[softmaxTrain]]'s arithmetic (balance weights from the
+    * sample's teacher mix, per-doc max-subtracted softmax, identical
+    * updates) as tight loops; the [[logisticTrainDriver]] rationale.
+    */
+  private[graft] def softmaxTrainDriver(
+      docs: Array[(Long, Array[(Long, Double)])], labels: Array[(Long, Double)],
+      numClasses: Int, iters: Int = Iters, lr: Double = Lr): SoftmaxModel = {
+    val n = labels.length.toDouble
+    require(n > 0, "softmaxTrainDriver: empty sample")
+    val y = labels.toMap
+    val buckets = docs.flatMap(_._2.map(_._1)).distinct.sorted
+    val s1 = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+    val s2 = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+    docs.foreach(_._2.foreach { case (b, c) => s1(b) += c; s2(b) += c * c })
+    val mu = buckets.map(b => b -> s1(b) / n).toMap
+    val sd = buckets.map { b =>
+      val m = s1(b) / n; val v = s2(b) / n - m * m
+      b -> (if (v > 0) math.sqrt(v) else 1.0)
+    }.toMap
+    // class-balanced weights from the SAMPLE's teacher mix (the
+    // softmaxTrain formula: a_d = n / (|observed classes| · n_y))
+    val clsCounts = labels.groupBy(_._2.toLong).view.mapValues(_.length.toLong).toMap
+    val a = labels.map { case (d, yd) =>
+      d -> n / (clsCounts.size * clsCounts(yd.toLong).toDouble)
+    }.toMap
+    val cls = 0L until numClasses.toLong
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Double].withDefaultValue(0.0)
+    val biases = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 1 to iters) {
+      val k = cls.map(c => c -> buckets.iterator.map(b => w((b, c)) * mu(b) / sd(b)).sum).toMap
+      val sr = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      val g = scala.collection.mutable.Map.empty[(Long, Long), Double].withDefaultValue(0.0)
+      var sl = 0.0
+      docs.foreach { case (d, cs) =>
+        val raw = cls.map { c =>
+          cs.iterator.map { case (b, cc) => cc * w((b, c)) / sd(b) }.sum +
+            biases(c) - k(c)
+        }
+        val mx = raw.max
+        val es = raw.map(r => math.exp(r - mx))
+        val tot = es.sum
+        val yd = y(d).toLong
+        val ad = a(d)
+        cls.foreach { c =>
+          val p = es(c.toInt) / tot
+          val r = ad * (p - (if (c == yd) 1.0 else 0.0))
+          sr(c) += r
+          if (c == yd) sl += -ad * math.log(p + 1e-12)
+          cs.foreach { case (b, cc) => g((b, c)) += cc * r }
+        }
+      }
+      losses += sl / n
+      cls.foreach { c =>
+        buckets.foreach { b =>
+          w((b, c)) -= lr * (g((b, c)) - mu(b) * sr(c)) / (sd(b) * n)
+        }
+        biases(c) -= lr * sr(c) / n
+      }
+    }
+    SoftmaxModel(
+      (for (b <- buckets; c <- cls) yield (b, c) -> w((b, c))).toMap,
+      cls.map(c => c -> biases(c)).toMap, mu, sd, losses.toSeq)
+  }
+
+  /** C47 flagship path — [[trained]]'s sampled-training stance for the
+    * softmax router: hash-mod sample → bounded driver collect → driver
+    * GD → distributed full-corpus scoring through a lazy single-scan
+    * plan. The per-class recall floor in `inv_langid_distill_accuracy`
+    * runs over the FULL corpus, so a sample that under-represents a
+    * teacher class fails the gate.
+    */
   private def langTrained(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
-    val cnts = bucketCounts(d).localCheckpoint(true)
-    val labels = langidTeacher(d).localCheckpoint(true)
-    softmaxPredict(s, cnts, labels,
-      softmaxTrain(cnts, labels, LangClasses.size, LangIters, LangLr))
+    val dS = trainSample(d)
+    val (docsS, labelsS) = collectSample(bucketCounts(dS), langidTeacher(dS))
+    val model = softmaxTrainDriver(docsS, labelsS, LangClasses.size, LangIters, LangLr)
+    softmaxPredict(s, bucketCounts(d), langidTeacher(d), model)
   }
 
   val all: Seq[Q] = Seq(

@@ -48,6 +48,58 @@ class ClassifierTrainSpec extends SparkSpec {
     assert(m.losses.last < m.losses.head, s"loss did not improve: ${m.losses}")
   }
 
+  test("sampled trainer generalizes: sample-trained model scores the full corpus within 3pp of full-batch accuracy") {
+    val d = graft.core.Tables(spark, sf(), "documents")
+    // force a real sample at this 500-doc scale (the shipped budget
+    // only bites at sf1+): ~1/4 of the corpus
+    val dS = Train.trainSample(d, target = 125L)
+    val nS = dS.count()
+    assert(nS > 50 && nS < 250, s"hash-mod sample out of range: $nS of 500")
+    def acc(preds: org.apache.spark.sql.DataFrame): Double = {
+      val rows = preds.collect().map(r => (r.getLong(1), r.getLong(2)))
+      rows.count { case (y, p) => y == p }.toDouble / rows.length
+    }
+    val (docsS, labelsSeq) = Train.collectSample(
+      Train.bucketCounts(dS), Train.distillLabels(dS))
+    val mS = Train.logisticTrainDriver(docsS, labelsSeq)
+    val cnts = Train.bucketCounts(d).localCheckpoint(true)
+    val labels = Train.distillLabels(d).localCheckpoint(true)
+    val mF = Train.logisticTrain(cnts, labels)
+    val accS = acc(Train.predict(spark, cnts, labels, mS))
+    val accF = acc(Train.predict(spark, cnts, labels, mF))
+    Seq(cnts, labels).foreach(_.unpersist())
+    assert(accS >= accF - 0.03,
+      s"sample-trained full-corpus accuracy $accS fell >3pp below full-batch $accF")
+  }
+
+  test("driver-loop trainers == distributed trainers on the same input (weights 1e-6)") {
+    val d = graft.core.Tables(spark, sf(), "documents")
+    val cnts = Train.bucketCounts(d).localCheckpoint(true)
+    val labels = Train.distillLabels(d).localCheckpoint(true)
+    val mDist = Train.logisticTrain(cnts, labels, iters = 10)
+    val (docsA, lsA) = Train.collectSample(cnts, labels)
+    val mDrv = Train.logisticTrainDriver(docsA, lsA, iters = 10)
+    assert(mDist.weights.keySet == mDrv.weights.keySet)
+    mDist.weights.foreach { case (b, w) =>
+      assert(math.abs(w - mDrv.weights(b)) < 1e-6, s"logistic bucket $b: $w vs ${mDrv.weights(b)}")
+    }
+    assert(math.abs(mDist.bias - mDrv.bias) < 1e-6)
+
+    val lang = Train.langidTeacher(d).localCheckpoint(true)
+    val nC = Train.LangClasses.size
+    val sDist = Train.softmaxTrain(cnts, lang, nC, iters = 8)
+    val (docsB, lsB) = Train.collectSample(cnts, lang)
+    val sDrv = Train.softmaxTrainDriver(docsB, lsB, nC, iters = 8)
+    assert(sDist.weights.keySet == sDrv.weights.keySet)
+    sDist.weights.foreach { case (bc, w) =>
+      assert(math.abs(w - sDrv.weights(bc)) < 1e-6, s"softmax $bc: $w vs ${sDrv.weights(bc)}")
+    }
+    sDist.biases.foreach { case (c, b) =>
+      assert(math.abs(b - sDrv.biases(c)) < 1e-6, s"softmax bias $c")
+    }
+    Seq(cnts, labels, lang).foreach(_.unpersist())
+  }
+
   test("distributed trainer == dense driver replay (weights 1e-6, predictions exact)") {
     val d = graft.core.Tables(spark, sf(), "documents")
     val cnts = Train.bucketCounts(d).localCheckpoint(true)

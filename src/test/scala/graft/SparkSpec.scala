@@ -10,6 +10,13 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
+
+  // the session is JVM-wide: release any checkpointed slivers queries
+  // pinned during this suite so they don't accumulate across suites
+  override def afterAll(): Unit = {
+    graft.queries.Pinned.drain()
+    super.afterAll()
+  }
 }
 
 object SparkSpec {

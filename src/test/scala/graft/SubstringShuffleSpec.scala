@@ -83,6 +83,43 @@ class SubstringShuffleSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("C37 adaptive sliver: forced co-bucketed shuffle-hash path agrees row-for-row and never broadcasts") {
+    val d = corpus()
+    // every gram here is duplicated — the sliver IS corpus-scale, the
+    // exact regime the r8 verdict flagged; budget 0 forces the path the
+    // default budget would pick on a raw crawl
+    val prev = spark.conf.getOption(queries.Dedup.SliverBroadcastMaxRowsKey)
+    spark.conf.set(queries.Dedup.SliverBroadcastMaxRowsKey, "0")
+    try {
+      val forced = queries.Dedup.substringSpans(d, 10)
+      val plan = forced.queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"),
+        s"forced path must plan a shuffled hash join, got:\n$plan")
+      assert(!plan.contains("BroadcastExchange"),
+        s"forced path must not broadcast the sliver, got:\n$plan")
+      spark.sparkContext.addSparkListener(listener)
+      val (rows, shuffled) = try {
+        var r: Array[org.apache.spark.sql.Row] = null
+        val n = measure { r = forced.orderBy(col("doc_id")).collect() }
+        (r, n)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      // the probe gram stream now pays its one narrow-record shuffle —
+      // the documented cost of the corpus-scale regime (vs. the driver
+      // OOM a forced broadcast risks)
+      assert(shuffled >= positions,
+        s"shuffle-hash path shuffled $shuffled records, expected the $positions-row probe stream")
+      val broadcastPath = {
+        spark.conf.unset(queries.Dedup.SliverBroadcastMaxRowsKey)
+        queries.Dedup.substringSpans(d, 10).orderBy(col("doc_id")).collect()
+      }
+      assert(rows.toSeq == broadcastPath.toSeq,
+        "shuffle-hash and broadcast paths diverged")
+    } finally prev match {
+      case Some(v) => spark.conf.set(queries.Dedup.SliverBroadcastMaxRowsKey, v)
+      case None => spark.conf.unset(queries.Dedup.SliverBroadcastMaxRowsKey)
+    }
+  }
+
   test("C37 refactor witness: shipped and window forms agree row-for-row") {
     val d = corpus()
     val a = Dedup.substringSpans(d, 10).orderBy(col("doc_id")).collect()
