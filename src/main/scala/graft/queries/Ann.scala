@@ -95,37 +95,30 @@ object Ann {
     * parity gate additionally proves the loaded index serves exactly
     * what a fresh build would.
     */
-  private def artifactKey(s: SparkSession, dir: String): String = {
-    val f = new java.io.File(s"$dir/embeddings.parquet")
-    val len =
-      if (f.isDirectory) f.listFiles().filter(_.isFile).map(_.length()).sum
-      else f.length()
-    val n = graft.core.Tables(s, dir, "embeddings").count()
-    s"v1_n${n}_b$len"
-  }
+  private def artifactKey(s: SparkSession, dir: String): String =
+    Artifact.corpusKey(s, dir, "embeddings")
 
   /** Ensure the persisted IVF index exists for this corpus and return
     * (centroids, assigned-parquet path). The assigned table is written
     * CELL-PARTITIONED — the layout that makes probe-time partition
     * pruning real I/O pruning (only probed cells' files are listed and
-    * scanned). The centroid file is written AFTER the parquet commit,
-    * so it doubles as the artifact's commit marker.
+    * scanned). The whole artifact directory publishes by atomic rename
+    * (Artifact.publish), so readers see a complete index or none.
     */
   private def ivfArtifact(s: SparkSession, dir: String): (Array[Array[Double]], String) = {
-    val root = s"target/ann_index/${artifactKey(s, dir)}/ivf_k8"
-    val centsPath = java.nio.file.Paths.get(s"$root/cents.txt")
-    val dataPath = s"$root/assigned.parquet"
-    if (!java.nio.file.Files.exists(centsPath)) {
+    val root = java.nio.file.Paths.get(
+      s"target/ann_index/${artifactKey(s, dir)}/ivf_k8")
+    Artifact.publish(root) { tmp =>
       val e = embsWithNorm(s, dir)
       val idx = ivfBuild(e.where(col("vec_id") >= NQ), k = 8)
-      idx.assigned.write.mode("overwrite").partitionBy("cell").parquet(dataPath)
-      java.nio.file.Files.createDirectories(centsPath.getParent)
-      java.nio.file.Files.writeString(centsPath,
+      idx.assigned.write.mode("overwrite").partitionBy("cell")
+        .parquet(tmp.resolve("assigned.parquet").toString)
+      java.nio.file.Files.writeString(tmp.resolve("cents.txt"),
         idx.cents.map(_.mkString(",")).mkString("\n"))
     }
-    val cents = java.nio.file.Files.readString(centsPath)
+    val cents = java.nio.file.Files.readString(root.resolve("cents.txt"))
       .split("\n").map(_.split(",").map(_.toDouble))
-    (cents, dataPath)
+    (cents, root.resolve("assigned.parquet").toString)
   }
 
   /** Ensure the persisted PQ index (encoded codes + codebooks) exists
@@ -134,23 +127,22 @@ object Ann {
     * the 16-byte codes (the 16× compression is the point of PQ storage).
     */
   private def pqArtifact(s: SparkSession, dir: String): (Array[Array[Array[Double]]], String) = {
-    val root = s"target/ann_index/${artifactKey(s, dir)}/pq_m16k256"
-    val cbPath = java.nio.file.Paths.get(s"$root/codebooks.txt")
-    val dataPath = s"$root/encoded.parquet"
-    if (!java.nio.file.Files.exists(cbPath)) {
+    val root = java.nio.file.Paths.get(
+      s"target/ann_index/${artifactKey(s, dir)}/pq_m16k256")
+    Artifact.publish(root) { tmp =>
       val e = embsWithNorm(s, dir)
       val idx = pqBuild(e.where(col("vec_id") >= NQ), m = 16, k = 256)
-      idx.encoded.write.mode("overwrite").parquet(dataPath)
-      java.nio.file.Files.createDirectories(cbPath.getParent)
+      idx.encoded.write.mode("overwrite")
+        .parquet(tmp.resolve("encoded.parquet").toString)
       // m*k lines of dsub comma-separated doubles, subspace-major
-      java.nio.file.Files.writeString(cbPath,
+      java.nio.file.Files.writeString(tmp.resolve("codebooks.txt"),
         idx.codebooks.flatMap(_.map(_.mkString(","))).mkString("\n"))
     }
-    val lines = java.nio.file.Files.readString(cbPath).split("\n")
+    val lines = java.nio.file.Files.readString(root.resolve("codebooks.txt")).split("\n")
     val k = lines.length / 16
     val codebooks = Array.tabulate(16)(j =>
       lines.slice(j * k, (j + 1) * k).map(_.split(",").map(_.toDouble)))
-    (codebooks, dataPath)
+    (codebooks, root.resolve("encoded.parquet").toString)
   }
 
   /** Exact top-K per query: scored candidates → row_number window. */

@@ -305,15 +305,35 @@ object Tokenizer {
             s"(syms[i] = ${sqlLit(c.a)} AND syms[i+1] = ${sqlLit(c.b)})")
             .mkString(" OR ")})""".stripMargin
 
+  /** UTF-8 binary `<` — Spark's UTF8String ordering for ANY symbol
+    * alphabet (r8 advice: Java String compares UTF-16 code units, which
+    * diverges from UTF-8 byte order for supplementary characters, so a
+    * non-ASCII vocabulary could make the driver argmax disagree with
+    * the cluster-side TakeOrdered without any guard).
+    */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
   /** Driver-side argmax under the trainer's deterministic order
-    * (cnt desc, a asc, b asc — ASCII-only symbols, so String ordering
-    * matches Spark's UTF8String binary ordering).
+    * (cnt desc, a asc, b asc in UTF-8 BYTE order — [[utf8Lt]] — so the
+    * replay provably matches Spark's UTF8String TakeOrdered on any
+    * alphabet, not just ASCII).
     */
   private def pairMax(cands: Iterator[(String, String, Long)]): Option[(String, String, Long)] =
     cands.reduceOption { (x, y) =>
       if (x._3 != y._3) { if (x._3 > y._3) x else y }
-      else if (x._1 != y._1) { if (x._1 < y._1) x else y }
-      else if (x._2 <= y._2) x else y
+      else if (x._1 != y._1) { if (utf8Lt(x._1, y._1)) x else y }
+      else if (!utf8Lt(y._2, x._2)) x else y
     }
 
   /** Extend a forced chain prefix with ranked candidates that are
@@ -653,19 +673,37 @@ object Tokenizer {
     * encodings + kernel ≡ sequential-mergePair-replay equality.
     *
     * The returned frame derives LAZILY from the two pinned
-    * localCheckpoints; they release only when this JVM's session ends
-    * (the incrementalExactBloomIndexed contract — materialize the
-    * result, then the pins are dead weight a long-lived session can
-    * `unpersist` via `spark.sharedState.cacheManager` if needed).
+    * localCheckpoints; they register with [[Pinned]] and release at the
+    * consumer's drain (r8 advice — they used to leak for the session).
     */
   def bpeEncodeDocs(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val perDoc = docs(s, dir).select(col("doc_id"), explode(words).as("t"))
-      .where(col("t").rlike("^[a-z]+$"))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
-    val wf = perDoc.groupBy(col("t")).agg(sum(col("cnt")).as("freq"))
-      .localCheckpoint(true)
+    val (perDoc, wf) = perDocVocab(s, dir)
     val merges = bpeTrainFromVocabBatched(wf, k).map { case (_, a, b, _) => (a, b) }
+    bpeEncodeFinish(perDoc, wf, merges)
+  }
+
+  /** The shared perDoc/vocab scaffold of the encode queries: one corpus
+    * scan into per-doc word counts, the global vocabulary folded from
+    * it. Both checkpointed (multiple consumers) and Pinned-tracked.
+    */
+  private def perDocVocab(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val perDoc = Pinned.track(
+      docs(s, dir).select(col("doc_id"), explode(words).as("t"))
+        .where(col("t").rlike("^[a-z]+$"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true))
+    val wf = Pinned.track(
+      perDoc.groupBy(col("t")).agg(sum(col("cnt")).as("freq"))
+        .localCheckpoint(true))
+    (perDoc, wf)
+  }
+
+  /** The encode+rollup half of C36c, from an explicit merge sequence —
+    * shared by the fresh-train and loaded-artifact paths so the parity
+    * gate compares the SAME downstream plan under two merge sources.
+    */
+  private def bpeEncodeFinish(perDoc: DataFrame, wf: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
     val enc = bpeEncodeTable(wf, merges)
       .select(col("t"), size(col("toks")).cast("long").as("n_toks"))
     perDoc.join(enc, "t")
@@ -674,6 +712,78 @@ object Tokenizer {
         sum(col("cnt") * col("n_toks")).as("n_bpe_tokens"))
       .withColumn("fertility_bp", expr("n_bpe_tokens * 10000L DIV n_words"))
       .orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------- r9 persisted artifacts
+
+  /** Tokenizer artifact root for this corpus — fingerprint-keyed like
+    * the ANN index artifacts (a regenerated corpus can never serve a
+    * stale tokenizer).
+    */
+  private def tokRoot(s: SparkSession, dir: String): String =
+    s"target/tokenizer/${Artifact.corpusKey(s, dir, "documents")}"
+
+  /** Persisted BPE merge table — the deployment shape the C8g probe
+    * path gave the ANN family: train ONCE per corpus, serialize the
+    * merges, and every subsequent encode (the step that touches all
+    * 100 TB) loads the bounded artifact instead of re-running the
+    * k-iteration trainer. First call publishes atomically
+    * (Artifact.publish); the TSV is line-per-merge `step a b cnt` —
+    * symbols contain no whitespace (wordFreq admits [a-z]+ only; the
+    * trainer only concatenates).
+    */
+  private[graft] def bpeMergesArtifact(s: SparkSession, dir: String,
+      k: Int): Seq[(Int, String, String, Long)] = {
+    val root = java.nio.file.Paths.get(s"${tokRoot(s, dir)}/bpe_k$k")
+    Artifact.publish(root) { tmp =>
+      val m = bpeTrain(s, dir, k)
+      java.nio.file.Files.writeString(tmp.resolve("merges.tsv"),
+        m.map { case (i, a, b, c) => s"$i\t$a\t$b\t$c" }.mkString("\n"))
+    }
+    val txt = java.nio.file.Files.readString(root.resolve("merges.tsv"))
+    if (txt.isEmpty) Seq.empty
+    else txt.split("\n").toSeq.map { ln =>
+      val Array(i, a, b, c) = ln.split("\t", -1)
+      (i.toInt, a, b, c.toLong)
+    }
+  }
+
+  /** Persisted unigram model — pieces + float costs. Doubles serialize
+    * via toString (shortest round-trip representation: parseDouble
+    * recovers the exact bits), so the loaded model is bit-identical to
+    * the trained one and the parity gate can demand EXACT agreement.
+    */
+  private[graft] def unigramModelArtifact(s: SparkSession, dir: String): Map[String, Double] = {
+    val root = java.nio.file.Paths.get(s"${tokRoot(s, dir)}/unigram")
+    Artifact.publish(root) { tmp =>
+      val wf = wordFreq(s, dir).localCheckpoint(true)
+      val (model, _) =
+        try unigramTrain(wf) finally wf.unpersist(blocking = false)
+      java.nio.file.Files.writeString(tmp.resolve("model.tsv"),
+        model.toSeq.sortBy(_._1)
+          .map { case (p, c) => s"$p\t$c" }.mkString("\n"))
+    }
+    java.nio.file.Files.readString(root.resolve("model.tsv")).split("\n")
+      .map { ln => val Array(p, c) = ln.split("\t", -1); p -> c.toDouble }
+      .toMap
+  }
+
+  /** C36c probe path: encode the corpus from the LOADED merge artifact
+    * — the per-batch cost a serving pipeline pays (no trainer
+    * iterations, no argmax jobs; one corpus scan + the bounded encode
+    * kernel over distinct words).
+    */
+  def bpeEncodeDocsFromArtifact(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val merges = bpeMergesArtifact(s, dir, k).map { case (_, a, b, _) => (a, b) }
+    val (perDoc, wf) = perDocVocab(s, dir)
+    bpeEncodeFinish(perDoc, wf, merges)
+  }
+
+  /** C36d probe path: encode from the loaded unigram model artifact. */
+  def unigramEncodeDocsFromArtifact(s: SparkSession, dir: String): DataFrame = {
+    val model = unigramModelArtifact(s, dir)
+    val (perDoc, wf) = perDocVocab(s, dir)
+    unigramEncodeFinish(perDoc, wf, model)
   }
 
   /** Encode every word of a (t, …) vocabulary table with a learned
@@ -847,16 +957,16 @@ object Tokenizer {
     * comparable).
     */
   def unigramEncodeDocs(s: SparkSession, dir: String): DataFrame = {
-    // NOT unpersisted here: the returned plan still reads both frames
-    // lazily (the bpeEncodeDocs stance — releasing them belongs to the
-    // caller's lifetime, and the gate harness materializes eagerly)
-    val perDoc = docs(s, dir).select(col("doc_id"), explode(words).as("t"))
-      .where(col("t").rlike("^[a-z]+$"))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
-    val wf = perDoc.groupBy(col("t")).agg(sum(col("cnt")).as("freq"))
-      .localCheckpoint(true)
+    val (perDoc, wf) = perDocVocab(s, dir)
     val (model, _) = unigramTrain(wf)
+    unigramEncodeFinish(perDoc, wf, model)
+  }
+
+  /** The encode+rollup half of C36d from an explicit model —
+    * [[bpeEncodeFinish]]'s stance for the unigram family.
+    */
+  private def unigramEncodeFinish(perDoc: DataFrame, wf: DataFrame,
+      model: Map[String, Double]): DataFrame = {
     val enc = wf
       .withColumn("vit", graft.functions.Kernels.unigramViterbi(model, UniMaxLen)(col("t")))
       .select(col("t"), size(col("vit._1")).cast("long").as("n_pieces"))
@@ -967,5 +1077,42 @@ object Tokenizer {
     // through the gate against exact counts.
     Q.noOracle("text_vocab_topk_approx") { (s, dir) =>
       approxVocabTopK(s, dir, 20)
+    },
+
+    // C36e (r9): encode from the PERSISTED tokenizer artifact — the
+    // C8g probe stance for the tokenizer family (train once per corpus,
+    // serialize merges/model, tokenize 100 TB from the loaded
+    // artifact). First call publishes the artifact atomically;
+    // steady-state cost is one corpus scan + the bounded encode kernel,
+    // no trainer jobs. Rows-only like their fresh-train twins;
+    // inv_tokenizer_artifact_parity pins loaded ≡ fresh exactly.
+    Q.noOracle("text_bpe_encode_probe") { (s, dir) =>
+      bpeEncodeDocsFromArtifact(s, dir, 10)
+    },
+
+    Q.noOracle("text_unigram_encode_probe") { (s, dir) =>
+      unigramEncodeDocsFromArtifact(s, dir)
+    },
+
+    // The artifact must serve EXACTLY what a fresh train would (both
+    // trainers are deterministic and doubles round-trip through the
+    // TSV bit-exactly, so the demand is equality, not tolerance):
+    // symmetric difference of the loaded-path and fresh-path encodes,
+    // both families — a stale artifact, a lossy serialization, or a
+    // fingerprint collision all land here.
+    Q("inv_tokenizer_artifact_parity",
+      """SELECT CAST(NULL AS VARCHAR) AS tok, CAST(NULL AS BIGINT) AS doc_id
+        |FROM documents WHERE 1=0""".stripMargin) { (s, dir) =>
+      def diff(tok: String, fresh: DataFrame, loaded: DataFrame): DataFrame = {
+        val a = fresh.localCheckpoint(true)
+        val b = loaded.localCheckpoint(true)
+        Invariants.releasing(a, b)(
+          a.except(b).unionAll(b.except(a))
+            .select(lit(tok).as("tok"), col("doc_id")).distinct())
+      }
+      diff("bpe", bpeEncodeDocs(s, dir, 10), bpeEncodeDocsFromArtifact(s, dir, 10))
+        .unionByName(
+          diff("unigram", unigramEncodeDocs(s, dir), unigramEncodeDocsFromArtifact(s, dir)))
+        .orderBy(col("tok"), col("doc_id"))
     })
 }
