@@ -416,11 +416,55 @@ object Text {
       size(filter(words, t => t.isin("the", "a", "of", "and", "to"))).as("n_stop"),
       when(col("doc_id") % 10 < 8, lit("train"))
         .when(col("doc_id") % 10 === 8, lit("val"))
-        .otherwise(lit("test")).as("split"))
+        .otherwise(lit("test")).as("split"),
+      domainCol.as("domain"))
       .withColumn("quality_bp",
         (least(col("n_words"), lit(100)) * 40
           + expr("(least(n_stop * 10, n_words) * 3000) div n_words")
           + expr("(n_distinct * 3000) div n_words")).cast("long"))
+
+  // ------------------------------------------------ r9 URL/domain layer
+
+  /** The synthetic but DETERMINISTIC document URL: the driver's tables
+    * carry no url column, so the corpus's URL is a pure function of
+    * (source, doc_id) — identical in both engines, which keeps every
+    * domain operator fully hash-gateable. The distribution is skewed
+    * like a crawl's (60% .com / 20% .org / 10% .net / 10% .io over 20
+    * sources → 80 domains of very different sizes).
+    */
+  private[graft] def urlCol: Column =
+    concat(lit("https://"), col("source"), lit("."),
+      when(col("doc_id") % 10 < 6, lit("com"))
+        .when(col("doc_id") % 10 < 8, lit("org"))
+        .when(col("doc_id") % 10 < 9, lit("net"))
+        .otherwise(lit("io")),
+      lit("/doc/"), col("doc_id").cast("string"))
+
+  /** Registrable domain parsed back out of the URL — the real
+    * operator's shape (host extraction), not a shortcut around it.
+    */
+  private[graft] def domainCol: Column =
+    regexp_extract(urlCol, "https?://([^/]+)/", 1)
+
+  /** SQL twins of [[urlCol]]/[[domainCol]], spliced into every domain
+    * oracle so the derivation can never drift between engines.
+    */
+  private[graft] val urlSql: String =
+    "'https://' || source || '.' || " +
+      "(CASE WHEN doc_id % 10 < 6 THEN 'com' WHEN doc_id % 10 < 8 THEN 'org' " +
+      "WHEN doc_id % 10 < 9 THEN 'net' ELSE 'io' END) || " +
+      "'/doc/' || CAST(doc_id AS VARCHAR)"
+  private[graft] val domainSql: String =
+    s"regexp_extract(($urlSql), 'https?://([^/]+)/', 1)"
+
+  /** The curated blocklist (stands in for the list a pipeline reads
+    * from a table; joins as a broadcast anti join, never a giant IN).
+    */
+  private[graft] val BlockedDomains: Seq[String] =
+    Seq("src7.com", "src13.org", "src2.io", "src5.net", "src11.com", "src0.org")
+
+  /** Per-domain contribution cap for text_domain_filter. */
+  private[graft] val DomainCap = 8
 
   /** The one composition shuffle: (), (lang), (source), (split) in a
     * single grouping-sets aggregation; grouping_id tells the rows
@@ -430,8 +474,9 @@ object Text {
     */
   private[graft] def cardComp(base: DataFrame): DataFrame =
     base.groupingSets(
-        Seq(Seq(col("lang")), Seq(col("source")), Seq(col("split")), Seq()),
-        col("lang"), col("source"), col("split"))
+        Seq(Seq(col("lang")), Seq(col("source")), Seq(col("split")),
+          Seq(col("domain")), Seq()),
+        col("lang"), col("source"), col("split"), col("domain"))
       .agg(grouping_id().as("gid"),
         count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
         sum(col("n_words")).as("wrds"),
@@ -443,7 +488,7 @@ object Text {
     */
   private[graft] def mergeCardComp(a: DataFrame, b: DataFrame): DataFrame =
     a.unionAll(b)
-      .groupBy(col("gid"), col("lang"), col("source"), col("split"))
+      .groupBy(col("gid"), col("lang"), col("source"), col("split"), col("domain"))
       .agg(sum(col("docs")).as("docs"), sum(col("chars")).as("chars"),
         sum(col("wrds")).as("wrds"),
         min(col("q_min")).as("q_min"), sum(col("q_sum")).as("q_sum"),
@@ -470,7 +515,7 @@ object Text {
       map(pairs.flatMap { case (k, v) => Seq(k, v.cast("long")) }: _*)
     def key(section: Column, metric: String): Column =
       concat(section, lit("|" + metric))
-    val kv = when(col("gid") === 7, m(
+    val kv = when(col("gid") === 15, m(
         key(lit("corpus"), "docs") -> col("docs"),
         key(lit("corpus"), "chars") -> col("chars"),
         key(lit("corpus"), "words") -> col("wrds"),
@@ -478,14 +523,17 @@ object Text {
         key(lit("quality"), "min_bp") -> col("q_min"),
         key(lit("quality"), "mean_bp") -> expr("q_sum div docs"),
         key(lit("quality"), "max_bp") -> col("q_max")))
-      .when(col("gid") === 3, m(
+      .when(col("gid") === 7, m(
         key(concat(lit("lang:"), col("lang")), "docs") -> col("docs"),
         key(concat(lit("lang:"), col("lang")), "chars") -> col("chars")))
-      .when(col("gid") === 5, m(
+      .when(col("gid") === 11, m(
         key(concat(lit("source:"), col("source")), "docs") -> col("docs")))
-      .otherwise(m(
+      .when(col("gid") === 13, m(
         key(concat(lit("split:"), col("split")), "docs") -> col("docs"),
         key(concat(lit("split:"), col("split")), "chars") -> col("chars")))
+      .otherwise(m(
+        key(concat(lit("domain:"), col("domain")), "docs") -> col("docs"),
+        key(concat(lit("domain:"), col("domain")), "chars") -> col("chars")))
     val sectioned = gs.select(explode(kv).as(Seq("sm", "value")))
       .select(substring_index(col("sm"), "|", 1).as("section"),
         substring_index(col("sm"), "|", -1).as("metric"), col("value"))
@@ -519,7 +567,8 @@ object Text {
       |      + (len(list_distinct(string_split(text, ' '))) * 3000)
       |        // len(string_split(text, ' ')) AS BIGINT) AS quality_bp,
       |    CASE WHEN doc_id % 10 < 8 THEN 'train'
-      |         WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split
+      |         WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+      |    """.stripMargin + domainSql + """ AS domain
       |  FROM documents),
       |corpus AS (
       |  SELECT count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars,
@@ -554,7 +603,11 @@ object Text {
       |  UNION ALL SELECT 'split:' || split, 'docs', CAST(count(*) AS BIGINT)
       |    FROM base GROUP BY split
       |  UNION ALL SELECT 'split:' || split, 'chars', CAST(sum(n_chars) AS BIGINT)
-      |    FROM base GROUP BY split)
+      |    FROM base GROUP BY split
+      |  UNION ALL SELECT 'domain:' || domain, 'docs', CAST(count(*) AS BIGINT)
+      |    FROM base GROUP BY domain
+      |  UNION ALL SELECT 'domain:' || domain, 'chars', CAST(sum(n_chars) AS BIGINT)
+      |    FROM base GROUP BY domain)
       |SELECT section, metric, value FROM rows_out
       |ORDER BY section, metric""".stripMargin
 
@@ -1279,6 +1332,50 @@ object Text {
         .unionAll(cardDigestCounts(dDelta))
         .groupBy(col("h")).agg(sum(col("c")).as("c"))
       cardFromState(comp, dwords, digests)
+    },
+
+    // C48 (r9): URL/domain-level curation — the FIRST stage of every
+    // web-corpus pipeline (C4/RefinedWeb run it before any content
+    // filter): parse the registrable domain out of each document's URL,
+    // drop blocklisted domains, and cap any single domain's
+    // contribution (first DomainCap docs by id — deterministic).
+    //
+    // 100 TB shape: the blocklist is a BROADCAST ANTI join (a curated
+    // list is millions of rows at most — broadcastable by construction;
+    // never a giant IN). The cap does NOT window the corpus: a
+    // row_number over every domain would shuffle all 100 TB into
+    // per-domain sort groups. Instead the per-domain count partial-
+    // aggregates (slim (domain, n) rows), the OVER-CAP domain sliver
+    // joins back size-adaptively (Dedup.adaptiveBuild — the r9 sliver
+    // discipline), and ONLY over-cap domains' rows enter the ranking
+    // window; under-cap domains — the long tail, most of a crawl —
+    // pass through map-side with zero shuffle.
+    Q("text_domain_filter",
+      s"""WITH d AS (SELECT doc_id, $domainSql AS domain FROM documents),
+         |f AS (SELECT doc_id, domain FROM d
+         |      WHERE domain NOT IN (${BlockedDomains.map("'" + _ + "'").mkString(",")})),
+         |r AS (SELECT doc_id, domain,
+         |        row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+         |      FROM f)
+         |SELECT doc_id, domain FROM r WHERE rk <= $DomainCap
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sess = s
+      import sess.implicits._
+      val d = docs(s, dir).select(col("doc_id"), domainCol.as("domain"))
+      val block = BlockedDomains.toDF("domain")
+      val f = d.join(broadcast(block), Seq("domain"), "left_anti")
+      val overCap = f.groupBy(col("domain")).agg(count(lit(1)).as("n"))
+        .where(col("n") > DomainCap).select(col("domain"))
+      val overB = Dedup.adaptiveBuild(overCap)
+      val under = f.join(overB, Seq("domain"), "left_anti")
+      val capped = f.join(overB, Seq("domain"), "left_semi")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("domain")).orderBy(col("doc_id"))))
+        .where(col("rk") <= DomainCap).drop("rk")
+      under.unionAll(capped)
+        .select(col("doc_id"), col("domain"))
+        .orderBy(col("doc_id"))
     },
 
     // C19: deterministic stratified sampling — downsample over-

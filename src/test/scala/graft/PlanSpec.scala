@@ -715,6 +715,33 @@ class PlanSpec extends SparkSpec {
     }.nonEmpty, s"the unpartitioned cumsum must consume the bucket aggregate:\n$lp")
   }
 
+  test("text_domain_filter: blocklist anti-joins by broadcast; domain count partial-aggregates; no corpus-wide window") {
+    val p = planStr("text_domain_filter")
+    assert(p.contains("BroadcastHashJoin"), s"blocklist must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"blocklist/sliver joins must not sort-merge the corpus:\n$p")
+    // the per-domain count runs inside the adaptiveBuild checkpoint job
+    // (not visible in the final plan) — assert its partiality on the
+    // standalone count subplan the query builds it from
+    val cnt = graft.core.Tables(spark, sf(), "documents")
+      .groupBy(graft.queries.Text.domainCol.as("domain"))
+      .agg(count(lit(1)).as("n")).where(col("n") > 8)
+      .queryExecution.executedPlan.toString
+    val aggLines = cnt.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.exists(_.contains("partial")) || aggLines.size >= 2,
+      s"per-domain count must partial-aggregate:\n$cnt")
+    // the ranking window exists, but ONLY on the over-cap semi-joined
+    // branch — the under-cap branch (the crawl's long tail) has none
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Union}
+    val lp = SparkEntry.queries("text_domain_filter")(spark, sf()).queryExecution.optimizedPlan
+    val union = lp.collect { case u: Union => u }
+    assert(union.nonEmpty, s"expected under-cap ∪ capped union:\n$lp")
+    val children = union.head.children
+    val windowed = children.count(_.collect { case w: LWindow => w }.nonEmpty)
+    assert(windowed == 1,
+      s"exactly one union branch (the over-cap sliver) may carry the window, got $windowed:\n$lp")
+  }
+
   test("gramsMultiN keeps multiplicity where gramsN dedups") {
     import spark.implicits._
     val df = Seq(Tuple1(Seq("a", "b", "a", "b", "c"))).toDF("ws")
