@@ -438,6 +438,64 @@ object Invariants {
       }
     },
 
+    // r9: COMPLETENESS floors for the approximate near-dup family — the
+    // inv_ann_recall_floor discipline applied to dedup (the r8 verdict's
+    // missing-gap #4). The subset gates prove soundness (no false
+    // pairs); these prove the miners don't silently MISS at gate scale:
+    //  - minhash/embedding-LSH recall vs their exact miners (C3/C6
+    //    oracles are hash-gated ground truth) floored in basis points —
+    //    a banding or bit-budget collapse at scale becomes a driver
+    //    failure instead of a quiet quality drop;
+    //  - simhash checked for full completeness against an INDEPENDENT
+    //    8×8-bit pigeonhole recount (complete for hamming ≤ 7 ⊇ the
+    //    operator's ≤ 3, and a different blocking than the operator's
+    //    4×16) — the two exact computations must agree pair-for-pair.
+    // Floors carry regeneration margin: measured recall 1.00/1.00 for
+    // minhash (sf0.01/sf0.1), 1.00 for embedding-LSH.
+    Q("inv_dedup_recall_floor",
+      """SELECT CAST(NULL AS VARCHAR) AS chk,
+        |  CAST(NULL AS BIGINT) AS bp FROM documents WHERE 1=0""".stripMargin) { (s, dir) =>
+      def pairs(nm: String): DataFrame =
+        run(nm)(s, dir).select(col("a_id"), col("b_id"))
+      def recallViol(name: String, got: DataFrame, want: DataFrame,
+          floor: Long): DataFrame =
+        got.join(want, Seq("a_id", "b_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(want.agg(count(lit(1)).as("n")))
+          .select(lit(name).as("chk"),
+            when(col("n") === 0, lit(10000L))
+              .otherwise(expr("hits * 10000 div n")).as("bp"))
+          .where(col("bp") < floor)
+      val exactNgram = pairs("dedup_ngram_jaccard").localCheckpoint(true)
+      val exactEmb = pairs("dedup_embedding").localCheckpoint(true)
+      // independent simhash ground truth: 8-bit blocks, same verify
+      val sigs = Dedup.simhashSignatures(Tables(s, dir, "documents"))
+        .localCheckpoint(true)
+      val blocked8 = sigs.selectExpr("doc_id", "sh",
+        """explode(transform(sequence(0,7),
+          |  b -> struct(b AS blk, shiftright(sh, CAST(b*8 AS INT)) & 255 AS bval))) AS x"""
+          .stripMargin)
+        .select(col("doc_id"), col("sh"), col("x.blk").as("blk"), col("x.bval").as("bval"))
+      val truth8 = blocked8.as("a").join(blocked8.as("b"),
+          col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          expr("bit_count(a.sh ^ b.sh)").as("hamming"))
+        .where(col("hamming") <= 3)
+        .select(col("a_id"), col("b_id")).distinct()
+      val simGot = pairs("dedup_simhash")
+      val simDiff = truth8.except(simGot).unionAll(simGot.except(truth8))
+        .agg(count(lit(1)).as("m"))
+        .select(lit("simhash_complete").as("chk"), col("m").as("bp"))
+        .where(col("bp") > 0)
+      releasing(exactNgram, exactEmb, sigs)(
+        recallViol("minhash_recall", pairs("dedup_minhash_lsh"), exactNgram, 9000L)
+          .unionByName(recallViol("embedding_lsh_recall",
+            pairs("dedup_embedding_lsh"), exactEmb, 6000L))
+          .unionByName(simDiff)
+          .orderBy(col("chk")))
+    },
+
     // r9: the size-adaptive sliver join (Dedup.adaptiveBuild) must be a
     // pure strategy choice — the co-bucketed shuffle-hash path forced
     // on (budget=0) must reproduce the broadcast path row-for-row for
