@@ -466,6 +466,68 @@ object Text {
   /** Per-domain contribution cap for text_domain_filter. */
   private[graft] val DomainCap = 8
 
+  // ------------------------------------------- r9 fuzzy decontamination
+
+  /** C49 core over any (doc_id, text) frame — benchmark split =
+    * doc_id % 20 == 0 (the C21/C43 convention). See the query scaladoc
+    * for the decision semantics; 100 TB shape: every bench-derived
+    * table is bounded (benchmark suites are small by construction) and
+    * broadcasts; the train gram stream never shuffles before the
+    * per-candidate-pair aggregation, which carries only gram-SHARING
+    * (train, bench) pairs.
+    */
+  private[graft] def fuzzyDecontam(d0: DataFrame): DataFrame = {
+    val d = d0.where(size(split(col("text"), " ")) >= 3)
+    val isBench = col("doc_id") % 20 === 0
+    val grams = Dedup.substringGrams(d, 3) // (doc_id, n_tokens, pos, h)
+    val bench = grams.where(isBench)
+    val train = grams.where(!isBench)
+    // bounded: |bench docs| × ~60 gram digests — four consumers
+    val benchSets = Pinned.track(
+      bench.select(col("doc_id").as("bench_id"), col("h")).distinct()
+        .localCheckpoint(true))
+    val benchCnt = benchSets.groupBy(col("bench_id")).agg(count(lit(1)).as("cb"))
+    val trainSets = train.select(col("doc_id"), col("h")).distinct()
+    val cntTrain = trainSets.groupBy(col("doc_id")).agg(count(lit(1)).as("ct"))
+    // candidate stage: minhash bands for the near-dup decision (32
+    // broadcast keys per bench item) ∪ gram probe for containment
+    val benchKeys = Dedup.bandedMinhashKeys(d.where(isBench))
+      .select(col("doc_id").as("bench_id"), col("bk"))
+    val candsBand = Dedup.bandedMinhashKeys(d.where(!isBench))
+      .join(broadcast(benchKeys), "bk")
+      .select(col("doc_id"), col("bench_id"))
+    val candsGram = trainSets.join(broadcast(benchSets), "h")
+      .select(col("doc_id"), col("bench_id"))
+    val cands = candsBand.unionAll(candsGram).distinct()
+    val inter = trainSets.join(broadcast(benchSets), "h")
+      .groupBy(col("doc_id"), col("bench_id")).agg(count(lit(1)).as("ni"))
+    // EXACT integer verification of every candidate pair (band-bucket
+    // coincidences without shared grams die at the inner join)
+    val v = Pinned.track(cands.join(inter, Seq("doc_id", "bench_id"))
+      .join(cntTrain, "doc_id").join(broadcast(benchCnt), "bench_id")
+      .select(col("doc_id"), col("bench_id"),
+        expr("(ni * 10000) div (ct + cb - ni)").as("jacc_bp"),
+        expr("(ni * 10000) div cb").as("cont_bp"))
+      .where(col("jacc_bp") >= 7000 || col("cont_bp") >= 2000)
+      .localCheckpoint(true)) // flagged sliver — two consumers below
+    val agg = v.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_bench_matches"),
+      max(col("jacc_bp")).as("max_jacc_bp"),
+      max(col("cont_bp")).as("max_cont_bp"))
+    // C43's span composition, per matched pair: remove what matched
+    // THIS doc's flagged bench items, keep the rest
+    val hits = train.join(broadcast(benchSets), "h")
+      .join(v.select(col("doc_id"), col("bench_id")),
+        Seq("doc_id", "bench_id"), "left_semi")
+      .select(col("doc_id"), col("n_tokens"), col("pos")).distinct()
+    val cov = Dedup.spanCoverage(hits, 3)
+      .select(col("doc_id"), col("n_tokens"), col("covered").as("removed"))
+    agg.join(cov, "doc_id")
+      .select(col("doc_id"), col("n_bench_matches"), col("max_jacc_bp"),
+        col("max_cont_bp"), col("n_tokens"), col("removed"),
+        (col("n_tokens") - col("removed")).as("clean_tokens"))
+  }
+
   /** The one composition shuffle: (), (lang), (source), (split) in a
     * single grouping-sets aggregation; grouping_id tells the rows
     * apart. This aggregate IS the card's mergeable composition state:
@@ -1546,6 +1608,66 @@ object Text {
             col("dup_frac_bp").as("removed_bp"))
           .orderBy(col("doc_id"))
       }
+    },
+
+    // C49 (r9): FUZZY decontamination — C21/C43 are exact n-gram
+    // matchers, but current practice ALSO runs near-dup matching
+    // against benchmark suites: a lightly-edited benchmark copy can
+    // carry ZERO exact 4-grams (edit every 4th word — every 4-window
+    // holds an edit) and still be contamination. Composition of proven
+    // pieces: C4's banded-minhash probe (bench band keys broadcast —
+    // 32 keys per item, the cheapest candidate source for the NEAR-DUP
+    // decision) ∪ the gram-probe (the CONTAINMENT candidate source,
+    // C21's shape), then EXACT 3-gram verification per candidate pair
+    // — two integer decisions: whole-doc Jaccard ≥ 0.70 (near-copy of
+    // a benchmark item) or benchmark-side containment ≥ 0.20 (enough
+    // of the item survives the paraphrase; 0.20 is exactly the 3-gram
+    // survival floor of the every-4th-word edit that zeroes 4-grams).
+    // Flagged docs then get C43's span output against THEIR matched
+    // bench items' grams (remove what matched, keep the rest).
+    // FuzzyDecontamSpec plants that paraphrase and proves exact-4-gram
+    // overlap is 0 while this operator flags it. All arithmetic is
+    // integer; the oracle replays the full decision exactly.
+    Q("text_decontaminate_fuzzy",
+      """WITH docs_ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+        |                 WHERE len(string_split(text,' ')) >= 3),
+        |pg AS (SELECT doc_id, len(ws) AS n_tokens, gs-1 AS pos,
+        |              array_to_string(ws[gs:gs+2], ' ') AS g
+        |       FROM docs_ws, UNNEST(generate_series(1, len(ws)-2)) AS t(gs)),
+        |g2 AS (SELECT DISTINCT doc_id, g FROM pg),
+        |cnt AS (SELECT doc_id, count(*) AS c FROM g2 GROUP BY doc_id),
+        |inter AS (SELECT t.doc_id AS doc_id, p.doc_id AS bench_id, count(*) AS ni
+        |          FROM g2 t JOIN g2 p ON t.g = p.g
+        |          WHERE t.doc_id % 20 <> 0 AND p.doc_id % 20 = 0
+        |          GROUP BY t.doc_id, p.doc_id),
+        |v AS (SELECT i.doc_id, i.bench_id,
+        |        (ni * 10000) // (ct.c + cb.c - ni) AS jacc_bp,
+        |        (ni * 10000) // cb.c AS cont_bp
+        |      FROM inter i
+        |      JOIN cnt ct ON ct.doc_id = i.doc_id
+        |      JOIN cnt cb ON cb.doc_id = i.bench_id
+        |      WHERE (ni * 10000) // (ct.c + cb.c - ni) >= 7000
+        |         OR (ni * 10000) // cb.c >= 2000),
+        |agg AS (SELECT doc_id, count(*) AS n_bench_matches,
+        |          CAST(max(jacc_bp) AS BIGINT) AS max_jacc_bp,
+        |          CAST(max(cont_bp) AS BIGINT) AS max_cont_bp
+        |        FROM v GROUP BY doc_id),
+        |hit AS (SELECT DISTINCT pg.doc_id, pg.n_tokens, pg.pos
+        |        FROM pg JOIN v ON v.doc_id = pg.doc_id
+        |        JOIN g2 b ON b.doc_id = v.bench_id AND b.g = pg.g),
+        |m AS (SELECT doc_id, n_tokens, pos,
+        |        coalesce(max(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_end
+        |      FROM hit),
+        |cov AS (SELECT doc_id, any_value(n_tokens) AS n_tokens,
+        |          CAST(sum(greatest(0, pos + 3 - greatest(prev_end, pos))) AS BIGINT) AS removed
+        |        FROM m GROUP BY doc_id)
+        |SELECT a.doc_id, a.n_bench_matches, a.max_jacc_bp, a.max_cont_bp,
+        |       CAST(cov.n_tokens AS BIGINT) AS n_tokens, cov.removed,
+        |       CAST(cov.n_tokens - cov.removed AS BIGINT) AS clean_tokens
+        |FROM agg a JOIN cov ON cov.doc_id = a.doc_id
+        |ORDER BY a.doc_id""".stripMargin) { (s, dir) =>
+      fuzzyDecontam(docs(s, dir)).orderBy(col("doc_id"))
     },
 
     // C22: greedy sequence packing — fill 512-token bins with documents
