@@ -13,7 +13,8 @@ object Bench {
       "q28s_stream_join", "dedup_incremental_stream", "pipeline_curate_stream",
       "media_phash_stream", "text_decontaminate_stream", "text_lm_score_stream",
       "emb_assign_stream", "text_quality_classifier_stream",
-      "text_mixture_apply_stream", "text_importance_resample_stream")
+      "text_mixture_apply_stream", "text_importance_resample_stream",
+      "text_domain_filter_stream")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -100,6 +100,16 @@ object Events {
       streamed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     runToSink(s, sinkPrefix, streamed, org.apache.spark.sql.streaming.OutputMode.Complete)
 
+  /** Update-mode [[runToSink]] for custom-state operators
+    * (mapGroupsWithState emits one updated row per touched group per
+    * micro-batch; the sink accumulates updates and the caller's
+    * presentation pass reduces to final values).
+    */
+  private[queries] def runToUpdateSink(
+      s: org.apache.spark.sql.SparkSession, sinkPrefix: String,
+      streamed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    runToSink(s, sinkPrefix, streamed, org.apache.spark.sql.streaming.OutputMode.Update)
+
   /** Append-mode twin of [[runToCompleteSink]] for STATELESS stream
     * transforms (per-row scoring/assignment): no aggregation, so
     * complete mode is unavailable and every input row appends once.

@@ -466,6 +466,21 @@ object Text {
   /** Per-domain contribution cap for text_domain_filter. */
   private[graft] val DomainCap = 8
 
+  /** Shared C48/D15 oracle: blocklist + per-domain cap. The batch and
+    * ingest-time forms gate against the SAME SQL (the batch/stream
+    * parity discipline) — both emit the min(n, cap) smallest doc_ids
+    * of every non-blocked domain.
+    */
+  private[graft] lazy val domainFilterSql: String =
+    s"""WITH d AS (SELECT doc_id, $domainSql AS domain FROM documents),
+       |f AS (SELECT doc_id, domain FROM d
+       |      WHERE domain NOT IN (${BlockedDomains.map("'" + _ + "'").mkString(",")})),
+       |r AS (SELECT doc_id, domain,
+       |        row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+       |      FROM f)
+       |SELECT doc_id, domain FROM r WHERE rk <= $DomainCap
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------- r9 fuzzy decontamination
 
   /** C49 core over any (doc_id, text) frame — benchmark split =
@@ -1412,15 +1427,7 @@ object Text {
     // discipline), and ONLY over-cap domains' rows enter the ranking
     // window; under-cap domains — the long tail, most of a crawl —
     // pass through map-side with zero shuffle.
-    Q("text_domain_filter",
-      s"""WITH d AS (SELECT doc_id, $domainSql AS domain FROM documents),
-         |f AS (SELECT doc_id, domain FROM d
-         |      WHERE domain NOT IN (${BlockedDomains.map("'" + _ + "'").mkString(",")})),
-         |r AS (SELECT doc_id, domain,
-         |        row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
-         |      FROM f)
-         |SELECT doc_id, domain FROM r WHERE rk <= $DomainCap
-         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Q("text_domain_filter", domainFilterSql) { (s, dir) =>
       val sess = s
       import sess.implicits._
       val d = docs(s, dir).select(col("doc_id"), domainCol.as("domain"))
@@ -1438,6 +1445,54 @@ object Text {
       under.unionAll(capped)
         .select(col("doc_id"), col("domain"))
         .orderBy(col("doc_id"))
+    },
+
+    // D15 (r9): C48 at INGEST time — domain capping as crawl data
+    // lands, the deployment shape (admit a domain's documents until its
+    // budget fills). The blocklist anti join is stateless per-row
+    // stream work (broadcast, as in batch); the cap is a GENUINELY
+    // BOUNDED custom state per domain — mapGroupsWithState keeping only
+    // the cap-many smallest doc_ids seen so far (≤ 8 longs per domain,
+    // no matter how hot the domain: the state a collect_list agg could
+    // not bound). Each update emits the group's current keep-list;
+    // across micro-batches the union of emitted lists ⊇ the final one,
+    // and its cap-smallest ids ARE the global cap-smallest (lists only
+    // ever evict upward), so the batch-side presentation just takes
+    // the smallest cap ids per domain from the sink. Gated by the SAME
+    // oracle as batch C48 — driver-checked batch/stream parity.
+    Q("text_domain_filter_stream", domainFilterSql) { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        val sess = s
+        import sess.implicits._
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val block = BlockedDomains.toDF("domain")
+        val d = stream.select(col("doc_id"), domainCol.as("domain"))
+          .join(broadcast(block), Seq("domain"), "left_anti")
+          // using-join reorders the key column first; pin (id, domain)
+          .select(col("doc_id"), col("domain"))
+        val capped = d.as[(Long, String)].groupByKey(_._2)
+          .mapGroupsWithState[Seq[Long], (String, Seq[Long])] {
+            (domain: String, rows: Iterator[(Long, String)],
+             state: org.apache.spark.sql.streaming.GroupState[Seq[Long]]) =>
+              val next = (state.getOption.getOrElse(Seq.empty) ++ rows.map(_._1))
+                .sorted.take(DomainCap)
+              state.update(next)
+              (domain, next)
+          }
+          .toDF("domain", "keep")
+        Events.runToUpdateSink(s, "domain_sink_", capped)
+          .select(col("domain"), explode(col("keep")).as("doc_id"))
+          .distinct()
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("domain")).orderBy(col("doc_id"))))
+          .where(col("rk") <= DomainCap)
+          .select(col("doc_id"), col("domain"))
+          .orderBy(col("doc_id"))
+      }
     },
 
     // C19: deterministic stratified sampling — downsample over-
