@@ -1040,6 +1040,103 @@ object Text {
         .orderBy(col("term"), col("rank"))
     },
 
+    // C50 (r9): HYBRID retrieval — reciprocal-rank fusion of the C35
+    // milli-idf ranker and the C35b BM25 ranker over the SAME probe set
+    // (the fusion production search ships for lexical+semantic hybrids;
+    // Cormack/Clarke/Buettcher RRF, the Elasticsearch/Vespa default).
+    // INTEGER-EXACT: contribution = 1_000_000 div (60 + rank) — ranks
+    // are integers, so both engines emit the identical fused score with
+    // no float anywhere. Fusion is a UNION + groupBy-SUM, not a join:
+    // associative and map-side-combinable, so it extends to any number
+    // of rankers with one aggregation and never sort-merges. SCALE
+    // SHAPE: both rankers share ONE tf/df index build (the tf exchange
+    // reuses — RrfSpec pins one tokenize pass like Bm25Spec), each
+    // ranker's pool is top-20 per probe term (bounded BY CONSTRUCTION:
+    // 20 terms x 20 docs per ranker regardless of corpus size), so the
+    // fusion stage touches at most 800 rows at 100 TB — index-build
+    // cost is the whole query, exactly as hybrid retrieval behaves in
+    // production.
+    Q("text_search_rrf",
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM w WHERE t <> '' GROUP BY doc_id, t),
+        |dl AS (SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+        |       FROM documents),
+        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |ad AS (SELECT CAST(sum(dl) AS BIGINT) // count(*) AS avgdl FROM dl),
+        |probe AS (SELECT t, df FROM df WHERE df >= 3 ORDER BY df ASC, t ASC LIMIT 20),
+        |sa AS (
+        |  SELECT tf.t, tf.doc_id,
+        |         CAST(tf.tf * ((n.n * 1000) // probe.df) AS BIGINT) AS s
+        |  FROM tf JOIN probe ON probe.t = tf.t CROSS JOIN n),
+        |ra AS (SELECT t, doc_id,
+        |         row_number() OVER (PARTITION BY t ORDER BY s DESC, doc_id) AS r
+        |       FROM sa),
+        |sb AS (
+        |  SELECT tf.t, tf.doc_id,
+        |         CAST((CAST((n.n * 1000) // probe.df AS HUGEINT)
+        |               * (22 * tf.tf * ad.avgdl))
+        |              // (10 * ad.avgdl * tf.tf + 3 * ad.avgdl + 9 * dl.dl)
+        |              AS BIGINT) AS s
+        |  FROM tf JOIN probe ON probe.t = tf.t
+        |          JOIN dl ON dl.doc_id = tf.doc_id
+        |          CROSS JOIN n CROSS JOIN ad),
+        |rb AS (SELECT t, doc_id,
+        |         row_number() OVER (PARTITION BY t ORDER BY s DESC, doc_id) AS r
+        |       FROM sb),
+        |c AS (SELECT t, doc_id, 1000000 // (60 + r) AS c FROM ra WHERE r <= 20
+        |      UNION ALL
+        |      SELECT t, doc_id, 1000000 // (60 + r) AS c FROM rb WHERE r <= 20),
+        |f AS (SELECT t, doc_id, CAST(sum(c) AS BIGINT) AS rrf FROM c GROUP BY t, doc_id),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY t ORDER BY rrf DESC, doc_id) AS rnk
+        |       FROM f)
+        |SELECT t AS term, rnk AS rank, doc_id, rrf FROM rk WHERE rnk <= 5
+        |ORDER BY term, rank""".stripMargin) { (s, dir) =>
+      val w = docs(s, dir).select(col("doc_id"), explode(words).as("t"))
+        .where(col("t") =!= "" && col("doc_id").isNotNull)
+      val tf = w.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val dl = docs(s, dir).select(col("doc_id"),
+        size(filter(words, t => t =!= "")).cast("long").as("dl"))
+      // count(when(tf > 0, 1)) anchors df to tf's exchange (the C35
+      // discipline): one tokenize pass feeds both rankers
+      val dfT = tf.groupBy(col("t"))
+        .agg(count(when(col("tf") > 0, lit(1))).as("df"))
+      val nDf = docs(s, dir).agg(count(lit(1)).as("n"))
+      val adDf = dl.agg(expr("CAST(sum(dl) AS BIGINT) div count(*)").as("avgdl"))
+      val probe = dfT.where(col("df") >= 3)
+        .orderBy(col("df").asc, col("t").asc).limit(20)
+      val postings = tf.join(broadcast(probe), Seq("t"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("t")).orderBy(col("s").desc, col("doc_id"))
+      // ranker A: C35's milli-idf tf*idf
+      val ra = postings.crossJoin(broadcast(nDf))
+        .select(col("t"), col("doc_id"),
+          (col("tf") * expr("(n * 1000) div df")).cast("long").as("s"))
+        .withColumn("r", row_number().over(win)).where(col("r") <= 20)
+      // ranker B: C35b's integer BM25 (k1 = 6/5, b = 3/4)
+      val rb = broadcast(postings).join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(nDf)).crossJoin(broadcast(adDf))
+        .select(col("t"), col("doc_id"),
+          expr("""CAST((CAST((n * 1000) div df AS DECIMAL(38,0))
+                 |      * (22 * tf * avgdl))
+                 |     div (10 * avgdl * tf + 3 * avgdl + 9 * dl)
+                 |     AS BIGINT)""".stripMargin).as("s"))
+        .withColumn("r", row_number().over(win)).where(col("r") <= 20)
+      // RRF fold: union + sum, never a join — associative over rankers
+      val contrib = (df: DataFrame) =>
+        df.select(col("t"), col("doc_id"), expr("1000000 div (60 + r)").as("c"))
+      val fused = contrib(ra).unionByName(contrib(rb))
+        .groupBy(col("t"), col("doc_id")).agg(sum(col("c")).as("rrf"))
+      fused.withColumn("rank",
+          org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("t")).orderBy(col("rrf").desc, col("doc_id"))))
+        .where(col("rank") <= 5)
+        .select(col("t").as("term"), col("rank"), col("doc_id"), col("rrf"))
+        .orderBy(col("term"), col("rank"))
+    },
+
     // TF-IDF-style term salience, in LOG-FREE rational form so both
     // engines compute identical doubles: score = (tf_in_doc * N_docs) /
     // (doc_len * doc_freq) — same ranking as tf·idf for monotone idf,
