@@ -62,6 +62,38 @@ object Embed {
       transform(col("embedding"),
         v => floor(v.cast("double") * 1000).cast("long")).as("q"))
 
+  /** C53 core over any (vec_id, embedding, label) frame: kilo-quantize,
+    * per-label integer centroid-sum vector (bounded, broadcasts), and
+    * the square-free τ=0.05 cosine test per vector — see the query
+    * scaladoc for the arithmetic and scale reasoning.
+    */
+  private[graft] def embOutlier(e: DataFrame): DataFrame = {
+    val x = e.select(col("vec_id"), col("label"),
+      transform(col("embedding"),
+        v => floor(v.cast("double") * 1000).cast("long")).as("m"))
+    val sums = x.select(col("label"), posexplode(col("m")).as(Seq("i", "mv")))
+      .groupBy(col("label"), col("i")).agg(sum(col("mv")).as("sv"))
+    // bounded re-assembly: |labels| rows of d longs each + |S|² per label
+    val cent = sums.groupBy(col("label")).agg(
+      transform(array_sort(collect_list(struct(col("i"), col("sv")))),
+        p => p.getField("sv")).as("sarr"),
+      // |S|² widened BEFORE the square: sv ~ n·1000 worst-case, so sv²
+      // outgrows BIGINT past ~3e9-scale sums — same widening as dot²
+      sum(expr("CAST(sv AS DECIMAL(38,0)) * sv")).as("ss"))
+    x.join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        aggregate(zip_with(col("m"), col("sarr"), (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v).as("dot"),
+        aggregate(zip_with(col("m"), col("m"), (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v).as("vv"),
+        col("ss"))
+      .select(col("vec_id"), col("label"),
+        when(col("dot") < 0, lit(1))
+          .when(expr("400 * CAST(dot AS DECIMAL(38,0)) * dot") <
+            expr("CAST(vv AS DECIMAL(38,0)) * ss"), lit(1))
+          .otherwise(lit(0)).as("is_outlier"))
+  }
+
   /** Upper-triangle second-moment accumulation + per-dimension sums:
     * (d1 ≤ d2, Σ m1·m2, Σ m_d1, Σ m_d2, n). The double posexplode emits
     * n·d(d+1)/2 product terms INSIDE codegen and the groupBy partial-
@@ -261,6 +293,45 @@ object Embed {
           greatest(lit(1e-9), lit(1e-6) * abs(col("want"))))
         .select(col("kind"), col("i"), col("j"))
       orthoDf.unionByName(varianceViolations).orderBy(col("kind"), col("i"), col("j"))
+    },
+
+    // C53 (r9): embedding OUTLIER filtering — the CLIP-score-style
+    // quality filter applied in embedding space (drop vectors far from
+    // their label's centroid: mislabeled / off-distribution samples).
+    // EXACT CROSS-ENGINE ARITHMETIC: kilo-quantized components, centroid
+    // = the per-label integer SUM vector S (a scaled centroid points the
+    // same direction — cosine is scale-invariant, so no division ever
+    // happens), and the τ=0.05 cosine test evaluates square-free:
+    // outlier ⟺ dot(m,S) < 0 OR 400·dot² < |m|²·|S|², with the squares
+    // in DECIMAL(38,0)/HUGEINT (dot ~ 1e13 at 1e6 vectors; dot² ~ 1e26
+    // overflows BIGINT — the C35b widening discipline). Integer end to
+    // end ⇒ the whole decision hash-gates.
+    //
+    // 100 TB shape: one posexplode pass partial-aggregates the (label,
+    // dim) sums — |labels|·d slim rows; the centroid table re-assembles
+    // per label (bounded: labels × d longs) and BROADCASTS back; the
+    // per-vector pass is map-side zip_with/aggregate folds inside
+    // codegen with no corpus shuffle at all (PlanSpec-style: the only
+    // exchanges are the centroid agg and the presentation sort).
+    Q("emb_outlier",
+      """WITH x AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |         CAST(floor(unnest(embedding)::DOUBLE * 1000) AS BIGINT) AS m
+        |  FROM embeddings),
+        |s AS (SELECT label, i, CAST(sum(m) AS BIGINT) AS sv FROM x GROUP BY label, i),
+        |ss AS (SELECT label, sum(CAST(sv AS HUGEINT) * sv) AS ss FROM s GROUP BY label),
+        |d AS (SELECT x.vec_id, x.label,
+        |             CAST(sum(x.m * s.sv) AS BIGINT) AS dot,
+        |             CAST(sum(x.m * x.m) AS BIGINT) AS vv
+        |      FROM x JOIN s ON s.label = x.label AND s.i = x.i
+        |      GROUP BY x.vec_id, x.label)
+        |SELECT d.vec_id, d.label,
+        |  CASE WHEN dot < 0 THEN 1
+        |       WHEN 400 * CAST(dot AS HUGEINT) * dot < CAST(vv AS HUGEINT) * ss.ss
+        |       THEN 1 ELSE 0 END AS is_outlier
+        |FROM d JOIN ss ON ss.label = d.label
+        |ORDER BY d.vec_id""".stripMargin) { (s, dir) =>
+      embOutlier(Tables(s, dir, "embeddings")).orderBy(col("vec_id"))
     },
 
     // C41: int8 scalar quantization + exact reconstruction-error

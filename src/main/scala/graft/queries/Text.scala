@@ -466,6 +466,96 @@ object Text {
   /** Per-domain contribution cap for text_domain_filter. */
   private[graft] val DomainCap = 8
 
+  // --------------------------------------------- C51 domain reputation
+
+  /** C51 verdict thresholds: minimum docs to judge a domain at all,
+    * minimum mean quality_bp, maximum exact-duplicate share (bp).
+    */
+  private[graft] val RepMinDocs = 3L
+  private[graft] val RepQualityMin = 5300L
+  private[graft] val RepDupMaxBp = 2000L
+
+  /** C51 core over any (doc_id, source, text) frame — see the query
+    * scaladoc for the scale reasoning (slim partial-agg streams +
+    * size-adaptive dup sliver; the corpus text never shuffles).
+    */
+  private[graft] def domainReputation(d0: DataFrame): DataFrame = {
+    val d = d0.select(domainCol.as("domain"),
+      size(words).as("n_words"),
+      size(array_distinct(words)).as("n_distinct"),
+      size(filter(words, w => w.isin("the", "a", "of", "and", "to"))).as("n_stop"),
+      unhex(sha2(Dedup.normText, 256)).as("h")) // SAME key as dedup_exact
+      .withColumn("qbp",
+        (least(col("n_words"), lit(100)) * 40
+          + expr("(least(n_stop * 10, n_words) * 3000) div n_words")
+          + expr("(n_distinct * 3000) div n_words")).cast("long"))
+    val dupH = d.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1).select(col("h"))
+    val dupPerDomain = d.select(col("domain"), col("h"))
+      .join(Dedup.adaptiveBuild(dupH), Seq("h"), "left_semi")
+      .groupBy(col("domain")).agg(count(lit(1)).as("nd"))
+    val base = d.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("qbp")).as("sq"))
+    base.join(dupPerDomain, Seq("domain"), "left_outer")
+      .select(col("domain"), col("n_docs"),
+        expr("sq div n_docs").as("mean_quality_bp"),
+        expr("coalesce(nd, 0L) * 10000 div n_docs").as("dup_bp"))
+      .withColumn("verdict",
+        when(col("n_docs") < RepMinDocs, lit("thin"))
+          .when(col("mean_quality_bp") < RepQualityMin, lit("low_quality"))
+          .when(col("dup_bp") > RepDupMaxBp, lit("duplicated"))
+          .otherwise(lit("keep")))
+      .orderBy(col("domain"))
+  }
+
+  // ------------------------------------------------ C52/D16 topic tags
+
+  /** The curated keyword taxonomy (bounded artifact; compiles into the
+    * projection as array literals — no join anywhere). Topic names are
+    * the tie-break order: argmax resolves ties by topic name ASC.
+    */
+  private[graft] val Topics: Seq[(String, Seq[String])] = Seq(
+    "exec" -> Seq("join", "hash", "sort", "merge", "agg"),
+    "query" -> Seq("query", "filter", "group", "order", "key"),
+    "storage" -> Seq("row", "column", "table", "scan", "part"),
+    "stream" -> Seq("stream", "window", "batch", "line"))
+
+  /** C52 core: per-row taxonomy argmax — a pure projection (works
+    * identically over a batch frame and a readStream source).
+    */
+  private[graft] def topicTag(d: DataFrame): DataFrame = {
+    val hit = Topics.map { case (t, kws) =>
+      t -> size(filter(words, w => w.isin(kws.map(lit(_)): _*)))
+    }
+    val m = greatest(hit.map(_._2): _*)
+    // CASE order = topic name ASC (ties resolve to the first match)
+    val topic = hit.foldLeft(when(m === 0, lit("other"))) {
+      case (c, (t, h)) => c.when(h === m, lit(t))
+    }
+    d.select(col("doc_id"), topic.as("topic"), m.as("hits"),
+      size(words).as("n_words"))
+      .select(col("doc_id"), col("topic"), col("hits").cast("long").as("hits"),
+        expr("CAST(hits * 10000 AS BIGINT) div n_words").as("score_bp"))
+  }
+
+  /** Shared C52/D16 oracle: the same argmax CASE, spelled in SQL. */
+  private[graft] lazy val topicTagSql: String = {
+    val hitSql = Topics.map { case (t, kws) =>
+      t -> s"len(list_filter(string_split(text, ' '), w -> w IN (${kws.map("'" + _ + "'").mkString(",")})))"
+    }
+    val cases = hitSql.map { case (t, _) => s"WHEN h_$t = m THEN '$t'" }.mkString(" ")
+    s"""WITH h AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+       |    ${hitSql.map { case (t, e) => s"$e AS h_$t" }.mkString(",\n    ")}
+       |  FROM documents),
+       |g AS (SELECT *, greatest(${hitSql.map("h_" + _._1).mkString(",")}) AS m FROM h)
+       |SELECT doc_id,
+       |  CASE WHEN m = 0 THEN 'other' $cases END AS topic,
+       |  CAST(m AS BIGINT) AS hits,
+       |  CAST(m * 10000 AS BIGINT) // n_words AS score_bp
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
   /** Shared C48/D15 oracle: blocklist + per-domain cap. The batch and
     * ingest-time forms gate against the SAME SQL (the batch/stream
     * parity discipline) — both emit the min(n, cap) smallest doc_ids
@@ -1588,6 +1678,88 @@ object Text {
               .partitionBy(col("domain")).orderBy(col("doc_id"))))
           .where(col("rk") <= DomainCap)
           .select(col("doc_id"), col("domain"))
+          .orderBy(col("doc_id"))
+      }
+    },
+
+    // C51 (r9): DOMAIN REPUTATION — the whole-domain keep/drop decision
+    // (RefinedWeb/C4 drop entire hosts whose AGGREGATE signals are bad,
+    // before any per-document filter; C48 caps volume, this one judges
+    // content): per domain, doc count, mean quality_bp (the C10/C18
+    // rule), and the exact-duplicate share (docs whose normalized text
+    // digest appears >1 times corpus-wide — C1's key), folded into a
+    // verdict: thin (< MIN_DOCS) → low_quality (mean < Q_MIN) →
+    // duplicated (dup share > DUP_MAX bp) → keep. All integer (div/bp),
+    // so the whole decision hash-gates.
+    //
+    // 100 TB shape: the corpus never shuffles by text — the quality
+    // signal partial-aggregates to slim (domain, n, sum_q) rows, the
+    // duplicated-digest sliver comes from a map-side-combinable
+    // groupBy(h) and joins back SIZE-ADAPTIVELY (Dedup.adaptiveBuild,
+    // the r9 sliver discipline: broadcast under budget, co-bucketed
+    // shuffle-hash over it), and the dup-share agg again carries only
+    // slim (domain) rows. The final reputation join is per-DOMAIN rows
+    // on both sides — post-aggregation small, AQE broadcasts it. Cost:
+    // two scan-speed passes (digest pass + quality pass) — the C37
+    // scans-are-cheap trade.
+    Q("text_domain_reputation",
+      s"""WITH f AS (
+        |  SELECT doc_id, $domainSql AS domain,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the','a','of','and','to'))) AS n_stop,
+        |    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS k
+        |  FROM documents),
+        |q AS (
+        |  SELECT domain,
+        |    CAST(least(n_words, 100) * 40
+        |      + (least(n_stop * 10, n_words) * 3000) // n_words
+        |      + (n_distinct * 3000) // n_words AS BIGINT) AS qbp,
+        |    CASE WHEN count(*) OVER (PARTITION BY k) > 1 THEN 1 ELSE 0 END AS isdup
+        |  FROM f),
+        |r AS (
+        |  SELECT domain, count(*) AS n_docs,
+        |    CAST(sum(qbp) AS BIGINT) // count(*) AS mean_quality_bp,
+        |    CAST(sum(isdup) * 10000 AS BIGINT) // count(*) AS dup_bp
+        |  FROM q GROUP BY domain)
+        |SELECT domain, n_docs, mean_quality_bp, dup_bp,
+        |  CASE WHEN n_docs < ${RepMinDocs} THEN 'thin'
+        |       WHEN mean_quality_bp < ${RepQualityMin} THEN 'low_quality'
+        |       WHEN dup_bp > ${RepDupMaxBp} THEN 'duplicated'
+        |       ELSE 'keep' END AS verdict
+        |FROM r ORDER BY domain""".stripMargin) { (s, dir) =>
+      domainReputation(docs(s, dir))
+    },
+
+    // C52 (r9): TOPIC TAGGING — broadcast keyword-taxonomy
+    // classification (the FlashText/taxonomy-tagger stage pipelines run
+    // to balance topical mixtures: count each topic's keyword hits,
+    // argmax with a deterministic tie-break, zero hits → 'other').
+    // The taxonomy is a bounded curated artifact, so it compiles into
+    // the projection as array literals — the plan has NO join and NO
+    // aggregation exchange at all: one corpus scan, per-row codegen'd
+    // size(filter(...)) per topic, and the only exchange is the
+    // presentation sort. This is the cheapest possible 100 TB shape —
+    // the tag rides along any other scan for free; score_bp =
+    // hits * 10000 div n_words stays integer so the gate is exact.
+    // PlanSpec pins zero joins/aggregates; the stream twin (D16) runs
+    // the SAME projection stateless at ingest against the SAME oracle.
+    Q("text_topic_tag", topicTagSql) { (s, dir) =>
+      topicTag(docs(s, dir)).orderBy(col("doc_id"))
+    },
+
+    // D16 (r9): C52 at INGEST — taxonomy tagging as data lands, the
+    // stateless-per-row stream form (no watermark, no state store:
+    // append mode over a pure projection). Gated by the SAME oracle as
+    // batch C52 — driver-checked batch/stream parity.
+    Q("text_topic_tag_stream", topicTagSql) { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        Events.runToAppendSink(s, "topic_sink_", topicTag(stream))
           .orderBy(col("doc_id"))
       }
     },
