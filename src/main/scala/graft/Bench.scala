@@ -14,7 +14,8 @@ object Bench {
       "media_phash_stream", "text_decontaminate_stream", "text_lm_score_stream",
       "emb_assign_stream", "text_quality_classifier_stream",
       "text_mixture_apply_stream", "text_importance_resample_stream",
-      "text_domain_filter_stream", "text_topic_tag_stream")
+      "text_domain_filter_stream", "text_topic_tag_stream",
+      "emb_outlier_stream")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -68,18 +68,35 @@ object Embed {
     * scaladoc for the arithmetic and scale reasoning.
     */
   private[graft] def embOutlier(e: DataFrame): DataFrame = {
-    val x = e.select(col("vec_id"), col("label"),
+    val x = embQuantLabel(e)
+    embOutlierScore(x, embCentroids(x))
+  }
+
+  /** Kilo-quantized (vec_id, label, m) view, label kept. */
+  private[graft] def embQuantLabel(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("label"),
       transform(col("embedding"),
         v => floor(v.cast("double") * 1000).cast("long")).as("m"))
-    val sums = x.select(col("label"), posexplode(col("m")).as(Seq("i", "mv")))
+
+  /** The per-label centroid-sum table (label, sarr, ss) — bounded:
+    * |labels| rows of d longs each. This IS the model artifact the
+    * stream twin freezes and broadcasts.
+    */
+  private[graft] def embCentroids(x: DataFrame): DataFrame =
+    x.select(col("label"), posexplode(col("m")).as(Seq("i", "mv")))
       .groupBy(col("label"), col("i")).agg(sum(col("mv")).as("sv"))
-    // bounded re-assembly: |labels| rows of d longs each + |S|² per label
-    val cent = sums.groupBy(col("label")).agg(
-      transform(array_sort(collect_list(struct(col("i"), col("sv")))),
-        p => p.getField("sv")).as("sarr"),
-      // |S|² widened BEFORE the square: sv ~ n·1000 worst-case, so sv²
-      // outgrows BIGINT past ~3e9-scale sums — same widening as dot²
-      sum(expr("CAST(sv AS DECIMAL(38,0)) * sv")).as("ss"))
+      .groupBy(col("label")).agg(
+        transform(array_sort(collect_list(struct(col("i"), col("sv")))),
+          p => p.getField("sv")).as("sarr"),
+        // |S|² widened BEFORE the square: sv ~ n·1000 worst-case, so sv²
+        // outgrows BIGINT past ~3e9-scale sums — same widening as dot²
+        sum(expr("CAST(sv AS DECIMAL(38,0)) * sv")).as("ss"))
+
+  /** The τ=0.05 square-free decision per vector — a stateless per-row
+    * projection once the bounded centroid table broadcasts (works
+    * identically over a batch frame and a readStream source).
+    */
+  private[graft] def embOutlierScore(x: DataFrame, cent: DataFrame): DataFrame =
     x.join(broadcast(cent), Seq("label"))
       .select(col("vec_id"), col("label"),
         aggregate(zip_with(col("m"), col("sarr"), (a, b) => a * b),
@@ -92,7 +109,26 @@ object Embed {
           .when(expr("400 * CAST(dot AS DECIMAL(38,0)) * dot") <
             expr("CAST(vv AS DECIMAL(38,0)) * ss"), lit(1))
           .otherwise(lit(0)).as("is_outlier"))
-  }
+
+  /** Shared C53/D17 oracle: centroid sums, square-free τ-test. */
+  private[graft] val embOutlierSql: String =
+    """WITH x AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+      |         CAST(floor(unnest(embedding)::DOUBLE * 1000) AS BIGINT) AS m
+      |  FROM embeddings),
+      |s AS (SELECT label, i, CAST(sum(m) AS BIGINT) AS sv FROM x GROUP BY label, i),
+      |ss AS (SELECT label, sum(CAST(sv AS HUGEINT) * sv) AS ss FROM s GROUP BY label),
+      |d AS (SELECT x.vec_id, x.label,
+      |             CAST(sum(x.m * s.sv) AS BIGINT) AS dot,
+      |             CAST(sum(x.m * x.m) AS BIGINT) AS vv
+      |      FROM x JOIN s ON s.label = x.label AND s.i = x.i
+      |      GROUP BY x.vec_id, x.label)
+      |SELECT d.vec_id, d.label,
+      |  CASE WHEN dot < 0 THEN 1
+      |       WHEN 400 * CAST(dot AS HUGEINT) * dot < CAST(vv AS HUGEINT) * ss.ss
+      |       THEN 1 ELSE 0 END AS is_outlier
+      |FROM d JOIN ss ON ss.label = d.label
+      |ORDER BY d.vec_id""".stripMargin
 
   /** Upper-triangle second-moment accumulation + per-dimension sums:
     * (d1 ≤ d2, Σ m1·m2, Σ m_d1, Σ m_d2, n). The double posexplode emits
@@ -313,25 +349,29 @@ object Embed {
     // per-vector pass is map-side zip_with/aggregate folds inside
     // codegen with no corpus shuffle at all (PlanSpec-style: the only
     // exchanges are the centroid agg and the presentation sort).
-    Q("emb_outlier",
-      """WITH x AS (
-        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
-        |         CAST(floor(unnest(embedding)::DOUBLE * 1000) AS BIGINT) AS m
-        |  FROM embeddings),
-        |s AS (SELECT label, i, CAST(sum(m) AS BIGINT) AS sv FROM x GROUP BY label, i),
-        |ss AS (SELECT label, sum(CAST(sv AS HUGEINT) * sv) AS ss FROM s GROUP BY label),
-        |d AS (SELECT x.vec_id, x.label,
-        |             CAST(sum(x.m * s.sv) AS BIGINT) AS dot,
-        |             CAST(sum(x.m * x.m) AS BIGINT) AS vv
-        |      FROM x JOIN s ON s.label = x.label AND s.i = x.i
-        |      GROUP BY x.vec_id, x.label)
-        |SELECT d.vec_id, d.label,
-        |  CASE WHEN dot < 0 THEN 1
-        |       WHEN 400 * CAST(dot AS HUGEINT) * dot < CAST(vv AS HUGEINT) * ss.ss
-        |       THEN 1 ELSE 0 END AS is_outlier
-        |FROM d JOIN ss ON ss.label = d.label
-        |ORDER BY d.vec_id""".stripMargin) { (s, dir) =>
+    Q("emb_outlier", embOutlierSql) { (s, dir) =>
       embOutlier(Tables(s, dir, "embeddings")).orderBy(col("vec_id"))
+    },
+
+    // D17 (r9): C53 at INGEST — outlier scoring as vectors land, the
+    // deployment shape (train centroids once on the reference corpus,
+    // score every arriving embedding against the FROZEN model): the
+    // bounded centroid table computes batch-side and broadcasts into a
+    // stateless stream-static join + projection (append mode, no state
+    // store — the emb_assign_stream discipline with a learned-from-data
+    // model instead of k-means centroids). Gated by the SAME oracle as
+    // batch C53 — driver-checked batch/stream parity.
+    Q("emb_outlier_stream", embOutlierSql) { (s, dir) =>
+      graft.queries.Events.withStreamPartitions(s) {
+        val cent = embCentroids(embQuantLabel(Tables(s, dir, "embeddings")))
+        val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet")
+          .parquet(dir)
+        graft.queries.Events.runToAppendSink(s, "outlier_sink_",
+            embOutlierScore(embQuantLabel(stream), cent))
+          .orderBy(col("vec_id"))
+      }
     },
 
     // C41: int8 scalar quantization + exact reconstruction-error

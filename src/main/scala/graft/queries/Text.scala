@@ -472,7 +472,10 @@ object Text {
     * minimum mean quality_bp, maximum exact-duplicate share (bp).
     */
   private[graft] val RepMinDocs = 3L
-  private[graft] val RepQualityMin = 5300L
+  // 5100 discriminates at EVERY test scale: sf0.01 domain means span
+  // 4854-5849 (3 drop), sf1 spans 4995-5208 (about half drop — longer
+  // docs shift the rule down); 5300 emptied the keep-set at sf1
+  private[graft] val RepQualityMin = 5100L
   private[graft] val RepDupMaxBp = 2000L
 
   /** C51 core over any (doc_id, source, text) frame — see the query
@@ -1730,6 +1733,105 @@ object Text {
         |       ELSE 'keep' END AS verdict
         |FROM r ORDER BY domain""".stripMargin) { (s, dir) =>
       domainReputation(docs(s, dir))
+    },
+
+    // C54 (r9): the END-TO-END web-curation pipeline — the full
+    // RefinedWeb/C4 stage order composed from this file's gated pieces
+    // into ONE plan: blocklist (broadcast anti) → per-domain cap (C48's
+    // over-cap-sliver window) → domain reputation drop (C51 verdicts on
+    // the RAW corpus, keep-set joined back size-adaptively) → per-doc
+    // quality floor → exact dedup keep-first (C18's window) → per
+    // (split, lang) corpus accounting. Proves the operators COMPOSE:
+    // one text scan projects every per-doc signal (domain, quality,
+    // digest) and drops text immediately — everything downstream moves
+    // slim rows. The only corpus-scale exchanges are the C18 digest
+    // window and the over-cap ranking sliver; every domain-level table
+    // (blocklist, over-cap set, reputation keep-set) is bounded or
+    // size-adaptive. Integer end-to-end ⇒ hash-gated.
+    Q("pipeline_curate_web",
+      s"""WITH f0 AS (
+        |  SELECT doc_id, lang, n_chars, $domainSql AS domain,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the','a','of','and','to'))) AS n_stop,
+        |    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS k
+        |  FROM documents),
+        |q0 AS (
+        |  SELECT *, CAST(least(n_words, 100) * 40
+        |      + (least(n_stop * 10, n_words) * 3000) // n_words
+        |      + (n_distinct * 3000) // n_words AS BIGINT) AS qbp,
+        |    CASE WHEN count(*) OVER (PARTITION BY k) > 1 THEN 1 ELSE 0 END AS isdup
+        |  FROM f0),
+        |rep AS (
+        |  SELECT domain, count(*) AS n,
+        |    CAST(sum(qbp) AS BIGINT) // count(*) AS mq,
+        |    CAST(sum(isdup) * 10000 AS BIGINT) // count(*) AS dbp
+        |  FROM q0 GROUP BY domain),
+        |repk AS (
+        |  SELECT domain FROM rep
+        |  WHERE n >= ${RepMinDocs} AND mq >= ${RepQualityMin} AND dbp <= ${RepDupMaxBp}),
+        |blocked AS (
+        |  SELECT * FROM q0
+        |  WHERE domain NOT IN (${BlockedDomains.map("'" + _ + "'").mkString(",")})),
+        |capped AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+        |    FROM blocked) WHERE rk <= $DomainCap),
+        |survived AS (
+        |  SELECT c.* FROM capped c JOIN repk ON repk.domain = c.domain
+        |  WHERE c.qbp >= 5000),
+        |kept AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+        |  FROM survived)
+        |SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |            WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+        |  lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM kept WHERE rn = 1
+        |GROUP BY 1, lang ORDER BY split, lang""".stripMargin) { (s, dir) =>
+      val sess = s
+      import sess.implicits._
+      // ONE text-bearing projection: every downstream row is slim
+      val base = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"),
+        domainCol.as("domain"),
+        size(words).as("n_words"),
+        size(array_distinct(words)).as("n_distinct"),
+        size(filter(words, w => w.isin("the", "a", "of", "and", "to"))).as("n_stop"),
+        unhex(sha2(Dedup.normText, 256)).as("h"))
+        .withColumn("qbp",
+          (least(col("n_words"), lit(100)) * 40
+            + expr("(least(n_stop * 10, n_words) * 3000) div n_words")
+            + expr("(n_distinct * 3000) div n_words")).cast("long"))
+      val f = base.join(broadcast(BlockedDomains.toDF("domain")),
+        Seq("domain"), "left_anti")
+      val overB = Dedup.adaptiveBuild(
+        f.groupBy(col("domain")).agg(count(lit(1)).as("n"))
+          .where(col("n") > DomainCap).select(col("domain")))
+      val capped = f.join(overB, Seq("domain"), "left_semi")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("domain")).orderBy(col("doc_id"))))
+        .where(col("rk") <= DomainCap).drop("rk")
+      val v1 = f.join(overB, Seq("domain"), "left_anti").unionAll(capped)
+      // reputation judged on the RAW corpus (pre-filter, as RefinedWeb
+      // does) — its keep-set joins back size-adaptively like any sliver
+      val repKeep = Dedup.adaptiveBuild(
+        domainReputation(docs(s, dir))
+          .where(col("verdict") === "keep").select(col("domain")))
+      val v2 = v1.join(repKeep, Seq("domain"), "left_semi")
+        .where(col("qbp") >= 5000)
+      val kept = v2.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("h")).orderBy(col("doc_id"))))
+        .where(col("rn") === 1)
+      kept.select(
+          when(col("doc_id") % 10 < 8, lit("train"))
+            .when(col("doc_id") % 10 === 8, lit("val"))
+            .otherwise(lit("test")).as("split"),
+          col("lang"), col("n_chars"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("split"), col("lang"))
     },
 
     // C52 (r9): TOPIC TAGGING — broadcast keyword-taxonomy

@@ -57,6 +57,12 @@ class EmbOutlierSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 0), (1L, 0), (2L, 0), (3L, 0), (4L, 1)))
   }
 
+  test("D17 stream twin emits exactly the batch rows (frozen-centroid parity)") {
+    val batch = SparkEntry.queries("emb_outlier")(spark, sf()).collect().toSeq
+    val stream = SparkEntry.queries("emb_outlier_stream")(spark, sf()).collect().toSeq
+    assert(stream == batch)
+  }
+
   test("C53 plan: centroid broadcasts back; the corpus never sort-merges") {
     val df = SparkEntry.queries("emb_outlier")(spark, sf())
     df.collect()

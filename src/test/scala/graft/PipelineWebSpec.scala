@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** C54 `pipeline_curate_web` — a hand-planted corpus where every stage
+  * of the composed pipeline visibly removes something: blocklist,
+  * per-domain cap, reputation (both low-quality and duplicated domain
+  * verdicts), per-doc quality floor, and exact dedup keep-first.
+  */
+class PipelineWebSpec extends SparkSpec {
+
+  private val good = "the a of and to " // + 1 unique token -> qbp 6240
+  private val bad = "x x x x"           // qbp 910
+
+  test("C54 every stage acts: block, cap, reputation, quality, dedup") {
+    import spark.implicits._
+    val dir = "target/tmp/web-hand"
+    // all ids are multiples of 10 (%10 = 0 -> .com domains, 'train')
+    val rows =
+      // srcA.com: 10 docs -> cap trims ids 80/90; id 10 duplicates id 0
+      // (keep-first); id 20 fails the per-doc quality floor. Reputation
+      // on the RAW domain: mean (9*6240+910)/10 = 5707 >= 5100, dup
+      // share 2000 bp NOT > 2000 -> keep.
+      // NOTE: the low-quality doc must be UNIQUE corpus-wide — reusing
+      // srcB's "x x x x" would make it a cross-domain duplicate and
+      // push srcA's dup share to 3000 bp (> 2000 -> domain dropped)
+      Seq((0L, good + "z"), (10L, good + "z"), (20L, "u u u u"),
+        (30L, good + "b"), (40L, good + "c"), (50L, good + "d"),
+        (60L, good + "e"), (70L, good + "f"), (80L, good + "g"),
+        (90L, good + "h")).map { case (i, t) => (i, t, "srcA") } ++
+      // srcB.com: 3 low-quality docs -> whole domain low_quality
+      Seq((100L, bad), (110L, "y y y y"), (120L, "z z z z"))
+        .map { case (i, t) => (i, t, "srcB") } ++
+      // srcC.com: good quality but 2 of 3 are copies -> dup share
+      // 6666 bp > 2000 -> whole domain dropped as duplicated
+      Seq((200L, good + "q"), (210L, good + "q"), (220L, good + "r"))
+        .map { case (i, t) => (i, t, "srcC") } ++
+      // src7.com is on the blocklist: perfect docs, still dropped
+      Seq((130L, good + "m"), (140L, good + "n"))
+        .map { case (i, t) => (i, t, "src7") }
+    rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("pipeline_curate_web")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // survivors: srcA ids 0,30,40,50,60,70 — six 17-char docs
+    assert(out.toSeq == Seq(("train", "en", 6L, 102L)))
+  }
+
+  test("C54 plan: every domain-level table joins bounded; no sort-merge") {
+    val df = SparkEntry.queries("pipeline_curate_web")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(!p.contains("SortMergeJoin"),
+      s"blocklist/over-cap/reputation sets ride broadcast or shuffle-hash:\n$p")
+  }
+}
