@@ -511,6 +511,17 @@ object Text {
       .orderBy(col("domain"))
   }
 
+  // ------------------------------------------------- C55 chunk splitting
+
+  /** C55 training-sequence chunk length and stride (overlap = len −
+    * stride = 8 tokens of carried context, the HF convention).
+    */
+  private[graft] val ChunkLen = 32
+  private[graft] val ChunkStride = 24
+
+  /** C56 reference-vocabulary size (top-K corpus words). */
+  private[graft] val OovVocabK = 20
+
   // ------------------------------------------------ C52/D16 topic tags
 
   /** The curated keyword taxonomy (bounded artifact; compiles into the
@@ -2105,6 +2116,97 @@ object Text {
     // construction (at 100 TB: one shard = one storage partition), so
     // collecting a shard's (id, tokens) pairs in one task is safe. The
     // oracle replays the same greedy scan as a recursive CTE.
+    // C55 (r9): context-window CHUNKING — split long documents into
+    // overlapping max-length chunks (the step BEFORE C22's packing:
+    // a doc longer than the training sequence cannot be packed whole;
+    // HF-style striding keeps `overlap` tokens of context between
+    // consecutive chunks). chunk i covers tokens [i·stride,
+    // i·stride + max_len); n_chunks = ceil((n − max_len)/stride) + 1
+    // for n > max_len else 1 — the last chunk is the one that reaches
+    // the end (may be shorter), and no chunk is ever fully contained
+    // in its predecessor. Emitting the full chunk TEXT puts the whole
+    // rewrite under the hash gate (the remove_boilerplate stance).
+    //
+    // 100 TB shape: a pure per-row explode+slice projection — zero
+    // joins, zero aggregation, byte blowup bounded by max_len/stride
+    // (4/3 here); the only exchange is the presentation sort. Chunks
+    // feed C22 unchanged (doc_id, tokens) downstream.
+    Q("text_chunk_split",
+      s"""WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n <= $ChunkLen THEN 1
+        |         ELSE (n - $ChunkLen + ${ChunkStride - 1}) // $ChunkStride + 1 END AS n_chunks,
+        |    ws FROM w),
+        |e AS (
+        |  SELECT doc_id, n, n_chunks, ws,
+        |         unnest(range(0, n_chunks)) AS chunk_id
+        |  FROM c)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(chunk_id * $ChunkStride AS BIGINT) AS start,
+        |  CAST(least($ChunkLen, n - chunk_id * $ChunkStride) AS BIGINT) AS chunk_len,
+        |  array_to_string(list_slice(ws, chunk_id * $ChunkStride + 1,
+        |    chunk_id * $ChunkStride + least($ChunkLen, n - chunk_id * $ChunkStride)), ' ')
+        |    AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(col("doc_id"), words.as("ws"), size(words).as("n"))
+        .withColumn("n_chunks",
+          when(col("n") <= ChunkLen, lit(1)).otherwise(
+            expr(s"(n - $ChunkLen + ${ChunkStride - 1}) div $ChunkStride + 1")))
+        .select(col("doc_id"), col("ws"), col("n"),
+          explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          (col("chunk_id") * ChunkStride).cast("long").as("start"),
+          least(lit(ChunkLen), col("n") - col("chunk_id") * ChunkStride)
+            .cast("long").as("chunk_len"),
+          array_join(slice(col("ws"), col("chunk_id") * ChunkStride + 1,
+            least(lit(ChunkLen), col("n") - col("chunk_id") * ChunkStride)), " ")
+            .as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // C56 (r9): OOV-rate evaluation — per-document out-of-vocabulary
+    // share against a bounded reference vocabulary (the tokenizer/vocab
+    // COVERAGE metric: which documents a fixed vocab serves badly —
+    // high-OOV docs tokenize to garbage and get down-weighted or
+    // re-routed). The reference vocab here is the corpus's own top-K
+    // words (count desc, word asc — total order, deterministic in both
+    // engines); pointing it at a stored vocab table gives the
+    // deployment form. Integer bp output ⇒ hash-gated.
+    //
+    // 100 TB shape: the vocab table is DRIVER-BOUNDED (top-K via
+    // TakeOrdered over the slim word-count agg) and BROADCASTS into a
+    // left join on the exploded token stream; the per-doc agg is
+    // count/sum — map-side combinable, so the corpus pays one slim
+    // groupBy(word) pass and one partial-aggregated groupBy(doc) pass,
+    // never a corpus-scale join.
+    Q("text_oov_rate",
+      s"""WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |c AS (SELECT t, count(*) AS c FROM w GROUP BY t),
+        |v AS (SELECT t FROM c ORDER BY c DESC, t ASC LIMIT $OovVocabK),
+        |f AS (SELECT w.doc_id, CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM w LEFT JOIN v ON v.t = w.t)
+        |SELECT doc_id, count(*) AS n_words,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  CAST(sum(oov) * 10000 AS BIGINT) // count(*) AS oov_bp
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val w = docs(s, dir).select(col("doc_id"), explode(words).as("t"))
+      val vocab = w.groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t").asc).limit(OovVocabK)
+        .select(col("t"), lit(1).as("iv"))
+      w.join(broadcast(vocab), Seq("t"), "left_outer")
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_words"),
+          sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_words"), col("n_oov"),
+          expr("n_oov * 10000 div n_words").as("oov_bp"))
+        .orderBy(col("doc_id"))
+    },
+
     Q("text_pack_sequences",
       """WITH RECURSIVE t AS (
         |  SELECT doc_id // 100 AS shard, doc_id,

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** C55 `text_chunk_split` / C56 `text_oov_rate` — hand-computed chunk
+  * boundaries (including the fencepost cases) and OOV arithmetic, plus
+  * the map-side plan contracts.
+  */
+class ChunkOovSpec extends SparkSpec {
+
+  private def corpus(name: String, texts: Seq[String]): String = {
+    import spark.implicits._
+    val dir = s"target/tmp/chunkoov-$name"
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "synth", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def toks(n: Int, from: Int = 0): String =
+    (from until from + n).map(i => s"t$i").mkString(" ")
+
+  test("C55 fenceposts: n=32 one chunk, n=33 two, n=56 two, n=57 three") {
+    val out = SparkEntry.queries("text_chunk_split")(
+        spark, corpus("fence", Seq(toks(32), toks(33), toks(56), toks(57))))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 0L, 32L),
+      (1L, 0L, 0L, 32L), (1L, 1L, 24L, 9L),   // last chunk reaches token 33
+      (2L, 0L, 0L, 32L), (2L, 1L, 24L, 32L),  // exactly fills [24,56)
+      (3L, 0L, 0L, 32L), (3L, 1L, 24L, 32L), (3L, 2L, 48L, 9L)))
+  }
+
+  test("C55 chunk text: overlap carries the stride boundary tokens verbatim") {
+    val out = SparkEntry.queries("text_chunk_split")(
+        spark, corpus("text", Seq(toks(40))))
+      .collect().map(r => (r.getLong(1), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (0L, (0 until 32).map("t" + _).mkString(" ")),
+      (1L, (24 until 40).map("t" + _).mkString(" "))))
+    // the 8-token overlap appears in BOTH chunks
+    val shared = (24 until 32).map("t" + _)
+    assert(shared.forall(t => out(0)._2.split(" ").contains(t)
+      && out(1)._2.split(" ").contains(t)))
+  }
+
+  test("C55 plan: pure explode projection — no join, no aggregate") {
+    val df = SparkEntry.queries("text_chunk_split")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"chunking must stay map-side:\n$p")
+  }
+
+  test("C56 hand-computed OOV: rare words past top-K count as OOV") {
+    // heads w00..w20 (21 words): docA holds each twice, docB repeats
+    // w00 once more -> counts w00=3, w01..w20=2, zz1=zz2=1. Vocab =
+    // top-20 by (count desc, word asc) = w00 + w01..w19 (w20 loses the
+    // count-2 tie on name) -> OOV tokens are w20 (x2 in docA) and
+    // zz1/zz2 (docB).
+    val heads = (0 to 20).map(i => f"w$i%02d")
+    val docA = (heads ++ heads).mkString(" ")       // every head twice
+    val docB = s"${heads.head} zz1 zz2"             // 1 in-vocab, 2 OOV
+    val out = SparkEntry.queries("text_oov_rate")(
+        spark, corpus("oov", Seq(docA, docB)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // docA: 42 tokens, w20 x2 OOV -> 2*10000 div 42 = 476
+    // docB: 3 tokens, w20+zz OOV -> 2*10000 div 3 = 6666
+    assert(out.toSeq == Seq((0L, 42L, 2L, 476L), (1L, 3L, 2L, 6666L)))
+  }
+
+  test("C56 plan: vocab broadcasts; no sort-merge join") {
+    val df = SparkEntry.queries("text_oov_rate")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"the bounded top-K vocab must broadcast into the token stream:\n$p")
+  }
+}
