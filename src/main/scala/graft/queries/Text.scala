@@ -522,6 +522,47 @@ object Text {
   /** C56 reference-vocabulary size (top-K corpus words). */
   private[graft] val OovVocabK = 20
 
+  /** C55 core: per-row explode+slice chunking — a pure projection
+    * (works identically over a batch frame and a readStream source).
+    */
+  private[graft] def chunkSplit(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), words.as("ws"), size(words).as("n"))
+      .withColumn("n_chunks",
+        when(col("n") <= ChunkLen, lit(1)).otherwise(
+          expr(s"(n - $ChunkLen + ${ChunkStride - 1}) div $ChunkStride + 1")))
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * ChunkStride).cast("long").as("start"),
+        least(lit(ChunkLen), col("n") - col("chunk_id") * ChunkStride)
+          .cast("long").as("chunk_len"),
+        array_join(slice(col("ws"), col("chunk_id") * ChunkStride + 1,
+          least(lit(ChunkLen), col("n") - col("chunk_id") * ChunkStride)), " ")
+          .as("chunk_text"))
+
+  /** Shared C55/D18 oracle. */
+  private[graft] lazy val chunkSplitSql: String =
+    s"""WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |         len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n,
+      |    CASE WHEN n <= $ChunkLen THEN 1
+      |         ELSE (n - $ChunkLen + ${ChunkStride - 1}) // $ChunkStride + 1 END AS n_chunks,
+      |    ws FROM w),
+      |e AS (
+      |  SELECT doc_id, n, n_chunks, ws,
+      |         unnest(range(0, n_chunks)) AS chunk_id
+      |  FROM c)
+      |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  CAST(chunk_id * $ChunkStride AS BIGINT) AS start,
+      |  CAST(least($ChunkLen, n - chunk_id * $ChunkStride) AS BIGINT) AS chunk_len,
+      |  array_to_string(list_slice(ws, chunk_id * $ChunkStride + 1,
+      |    chunk_id * $ChunkStride + least($ChunkLen, n - chunk_id * $ChunkStride)), ' ')
+      |    AS chunk_text
+      |FROM e ORDER BY doc_id, chunk_id""".stripMargin
+
   // ------------------------------------------------ C52/D16 topic tags
 
   /** The curated keyword taxonomy (bounded artifact; compiles into the
@@ -2107,15 +2148,6 @@ object Text {
       fuzzyDecontam(docs(s, dir)).orderBy(col("doc_id"))
     },
 
-    // C22: greedy sequence packing — fill 512-token bins with documents
-    // in id order, never splitting a document; the batch-construction
-    // step before training. Packing is inherently sequential, so it runs
-    // PER SHARD (doc_id div 100): shards pack in parallel (flatMapGroups,
-    // custom per-group state — the batch twin of D2's sessionization),
-    // the greedy scan inside a shard is exact. Shard size is bounded by
-    // construction (at 100 TB: one shard = one storage partition), so
-    // collecting a shard's (id, tokens) pairs in one task is safe. The
-    // oracle replays the same greedy scan as a recursive CTE.
     // C55 (r9): context-window CHUNKING — split long documents into
     // overlapping max-length chunks (the step BEFORE C22's packing:
     // a doc longer than the training sequence cannot be packed whole;
@@ -2131,41 +2163,24 @@ object Text {
     // joins, zero aggregation, byte blowup bounded by max_len/stride
     // (4/3 here); the only exchange is the presentation sort. Chunks
     // feed C22 unchanged (doc_id, tokens) downstream.
-    Q("text_chunk_split",
-      s"""WITH w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws,
-        |         len(string_split(text, ' ')) AS n
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, n,
-        |    CASE WHEN n <= $ChunkLen THEN 1
-        |         ELSE (n - $ChunkLen + ${ChunkStride - 1}) // $ChunkStride + 1 END AS n_chunks,
-        |    ws FROM w),
-        |e AS (
-        |  SELECT doc_id, n, n_chunks, ws,
-        |         unnest(range(0, n_chunks)) AS chunk_id
-        |  FROM c)
-        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-        |  CAST(chunk_id * $ChunkStride AS BIGINT) AS start,
-        |  CAST(least($ChunkLen, n - chunk_id * $ChunkStride) AS BIGINT) AS chunk_len,
-        |  array_to_string(list_slice(ws, chunk_id * $ChunkStride + 1,
-        |    chunk_id * $ChunkStride + least($ChunkLen, n - chunk_id * $ChunkStride)), ' ')
-        |    AS chunk_text
-        |FROM e ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
-      docs(s, dir).select(col("doc_id"), words.as("ws"), size(words).as("n"))
-        .withColumn("n_chunks",
-          when(col("n") <= ChunkLen, lit(1)).otherwise(
-            expr(s"(n - $ChunkLen + ${ChunkStride - 1}) div $ChunkStride + 1")))
-        .select(col("doc_id"), col("ws"), col("n"),
-          explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
-        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
-          (col("chunk_id") * ChunkStride).cast("long").as("start"),
-          least(lit(ChunkLen), col("n") - col("chunk_id") * ChunkStride)
-            .cast("long").as("chunk_len"),
-          array_join(slice(col("ws"), col("chunk_id") * ChunkStride + 1,
-            least(lit(ChunkLen), col("n") - col("chunk_id") * ChunkStride)), " ")
-            .as("chunk_text"))
-        .orderBy(col("doc_id"), col("chunk_id"))
+    Q("text_chunk_split", chunkSplitSql) { (s, dir) =>
+      chunkSplit(docs(s, dir)).orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // D18 (r9): C55 at INGEST — chunking as documents land (the shape a
+    // write-path tokenizer service runs: every arriving doc fans out to
+    // its training chunks immediately). Stateless per-row explode in
+    // append mode — no watermark, no state store; gated by the SAME
+    // oracle as batch C55 (driver-checked batch/stream parity).
+    Q("text_chunk_split_stream", chunkSplitSql) { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        Events.runToAppendSink(s, "chunk_sink_", chunkSplit(stream))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      }
     },
 
     // C56 (r9): OOV-rate evaluation — per-document out-of-vocabulary
@@ -2207,6 +2222,15 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // C22: greedy sequence packing — fill 512-token bins with documents
+    // in id order, never splitting a document; the batch-construction
+    // step before training. Packing is inherently sequential, so it runs
+    // PER SHARD (doc_id div 100): shards pack in parallel (flatMapGroups,
+    // custom per-group state — the batch twin of D2's sessionization),
+    // the greedy scan inside a shard is exact. Shard size is bounded by
+    // construction (at 100 TB: one shard = one storage partition), so
+    // collecting a shard's (id, tokens) pairs in one task is safe. The
+    // oracle replays the same greedy scan as a recursive CTE.
     Q("text_pack_sequences",
       """WITH RECURSIVE t AS (
         |  SELECT doc_id // 100 AS shard, doc_id,

@@ -54,6 +54,12 @@ class ChunkOovSpec extends SparkSpec {
       s"chunking must stay map-side:\n$p")
   }
 
+  test("D18 stream twin emits exactly the batch chunks (stateless parity)") {
+    val batch = SparkEntry.queries("text_chunk_split")(spark, sf()).collect().toSeq
+    val stream = SparkEntry.queries("text_chunk_split_stream")(spark, sf()).collect().toSeq
+    assert(stream == batch)
+  }
+
   test("C56 hand-computed OOV: rare words past top-K count as OOV") {
     // heads w00..w20 (21 words): docA holds each twice, docB repeats
     // w00 once more -> counts w00=3, w01..w20=2, zz1=zz2=1. Vocab =
