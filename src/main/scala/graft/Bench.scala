@@ -15,7 +15,8 @@ object Bench {
       "emb_assign_stream", "text_quality_classifier_stream",
       "text_mixture_apply_stream", "text_importance_resample_stream",
       "text_domain_filter_stream", "text_topic_tag_stream",
-      "emb_outlier_stream", "text_chunk_split_stream")
+      "emb_outlier_stream", "text_chunk_split_stream",
+      "dedup_minhash_stream", "inv_minhash_stream_parity")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

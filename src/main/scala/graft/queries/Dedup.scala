@@ -1418,6 +1418,95 @@ object Dedup {
       }
     },
 
+    // D19 (r9): NEAR-dup dedup at INGEST — C33's corpus-probe stage as
+    // documents arrive (the RefinedWeb per-crawl fuzzy filter running
+    // on the write path): every arriving doc minhashes in-stream (the
+    // kernel is a per-row expression — stateless), its 32 band keys
+    // probe the STATIC corpus signature index (stream-static inner
+    // join; at scale the persisted bucketed-by-band layout prunes on
+    // the join key), candidates verify by EXACT gram-set jaccard ≥ 0.8
+    // against the static gram table, and a parallel zero-flag branch
+    // carries every arriving doc so absence-of-candidates (including
+    // <3-word docs that cannot band) reads as keep. All stateless —
+    // append mode, no watermark, no state store; the per-doc ANY-match
+    // reduction happens batch-side over the sink (the D15 discipline).
+    // Batch-internal near-dup CC stays the C33 batch path — this is
+    // deliberately the ingest FILTER, not the clustering step.
+    // Rows-only (banding isn't SQL); `inv_minhash_stream_parity` pins
+    // stream ≡ the batch replay of the same rule, whose own pieces
+    // DedupAnnSpec pins against the exact miner.
+    Q.noOracle("dedup_minhash_stream") { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        val d = docs(s, dir)
+        val isBatch = pmod(col("doc_id"), lit(3)) === 0
+        // static probe tables, materialized ONCE (a stream-static join
+        // re-evaluates the static side per micro-batch otherwise)
+        val corpusB = Pinned.track(
+          bandedMinhashKeys(d.where(!isBatch))
+            .select(col("doc_id").as("c_id"), col("bk"))
+            .localCheckpoint(true))
+        val corpusG = Pinned.track(
+          d.where(!isBatch)
+            .select(col("doc_id").as("c_id"), split(col("text"), " ").as("ws"))
+            .where(size(col("ws")) >= 3)
+            .select(col("c_id"), gramsOf(col("ws")).as("gb"))
+            .localCheckpoint(true))
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+          .where(pmod(col("doc_id"), lit(3)) === 0)
+        val sw = stream.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        val banded = sw.where(size(col("ws")) >= 3)
+          .select(col("doc_id"), gramsOf(col("ws")).as("ga"),
+            graft.functions.Kernels.minhash128(gramsOf(col("ws"))).as("sig"))
+          .select(col("doc_id"), col("ga"),
+            explode(transform(sequence(lit(0), lit(31)),
+              b => struct(b.as("band"), slice(col("sig"), b * 4 + 1, lit(4)).as("bsig")))).as("bk"))
+        val flagged = banded.join(corpusB, "bk")
+          .join(corpusG, "c_id")
+          .select(col("doc_id"),
+            size(array_intersect(col("ga"), col("gb"))).as("ni"),
+            size(col("ga")).as("na"), size(col("gb")).as("nb"))
+          .where(col("ni") / (col("na") + col("nb") - col("ni")) >= 0.8)
+          .select(col("doc_id"), lit(1).as("dup"))
+        val all = sw.select(col("doc_id"), lit(0).as("dup"))
+        Events.runToAppendSink(s, "minhash_dedup_sink_",
+            all.unionByName(flagged))
+          .groupBy(col("doc_id")).agg(max(col("dup")).as("dup"))
+          .where(col("dup") === 0)
+          .select(col("doc_id").as("keep_id"))
+          .orderBy(col("keep_id"))
+      }
+    },
+
+    // Driver gate for D19 (WHERE 1=0 oracle): the stream result must
+    // equal the batch replay of the identical corpus-probe rule —
+    // banded candidates (crossBandCands) verified at jaccard ≥ 0.8
+    // (verifyJaccard), survivors = ALL arriving ids minus the verified
+    // set. Any divergence (either direction) emits a violation row.
+    Q("inv_minhash_stream_parity",
+      """SELECT CAST(NULL AS VARCHAR) AS side, CAST(NULL AS BIGINT) AS keep_id
+        |FROM documents WHERE 1=0""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val isBatch = pmod(col("doc_id"), lit(3)) === 0
+      val corpusB = bandedMinhashKeys(d.where(!isBatch))
+        .select(col("doc_id").as("c_id"), col("bk"))
+      val batchB = bandedMinhashKeys(d.where(isBatch))
+      val dropped = verifyJaccard(crossBandCands(corpusB, batchB), d, 0.8)
+        .select(col("a_id").as("doc_id")).distinct()
+      val batchKeep = d.where(isBatch).select(col("doc_id"))
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id").as("keep_id"))
+      val streamKeep = graft.SparkEntry.queries("dedup_minhash_stream")(s, dir)
+        .select(col("keep_id"))
+      streamKeep.except(batchKeep)
+        .select(lit("stream_only").as("side"), col("keep_id"))
+        .unionByName(batchKeep.except(streamKeep)
+          .select(lit("batch_only").as("side"), col("keep_id")))
+        .orderBy(col("side"), col("keep_id"))
+    },
+
     // C6 scale path: hyperplane-LSH candidate buckets + the SAME exact
     // cosine verification — the form that replaces the O(n²) baseline at
     // 100 TB (corpus shuffles once per table on uniform bucket keys).
