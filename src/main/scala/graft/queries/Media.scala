@@ -174,5 +174,71 @@ object Media {
           .select(col("media_id"), col("n_batch_dups"))
           .orderBy(col("media_id"))
       }
+    },
+
+    // C13f (r9): perceptual NEAR-dup pairs — hamming distance ≤ 3 on
+    // the 64-bit dHash via PIGEONHOLE banding (the C5 simhash machinery
+    // on the media key, and the method image pipelines run for
+    // re-encoded/resized copies exact phash equality misses): split the
+    // hash into 4×16-bit bands; a pair differing in ≤3 bits MUST agree
+    // on ≥1 band (3 < 4 — candidates are PROVABLY complete, no recall
+    // loss), then bit_count(xor) verifies exactly. Scale shape: the
+    // corpus shuffles once as slim (media_id, 8 B hash) band rows on
+    // uniform 16-bit keys; within-bucket pairs are quadratic in BUCKET
+    // size only (random hashes → 2¹⁶ uniform buckets); the payload
+    // never moves. Rows-only (the hash is codec output);
+    // `inv_phash_neardup_sound` recomputes every emitted pair's
+    // distance independently AND demands every exact-dup pair (from
+    // the oracle-gated C13d groups) appear — soundness + the hamming-0
+    // completeness witness; MediaHammingSpec drives a planted codec
+    // through distances 1/3 (caught) and 4 (verified away).
+    Q.noOracle("media_phash_neardup") { (s, dir) =>
+      phashNearDupPairs(
+          Multimodal.dHash(Multimodal.mediaFromDocuments(s, dir)).toDF())
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Driver gate for C13f (WHERE 1=0 oracle): soundness — every
+    // emitted pair's independently recomputed hamming ≤ 3 — plus the
+    // hamming-0 completeness witness: every same-phash pair implied by
+    // the C13d dup groups must be present in the pair set.
+    Q("inv_phash_neardup_sound",
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS a_id,
+        |  CAST(NULL AS BIGINT) AS b_id FROM documents WHERE 1=0""".stripMargin) { (s, dir) =>
+      val h = Multimodal.dHash(Multimodal.mediaFromDocuments(s, dir)).toDF()
+      val pairs = phashNearDupPairs(h)
+      val unsound = pairs
+        .join(h.select(col("media_id").as("a_id"), col("phash").as("pa")), "a_id")
+        .join(h.select(col("media_id").as("b_id"), col("phash").as("pb")), "b_id")
+        .where(expr("bit_count(pa ^ pb)") > 3 ||
+          expr("bit_count(pa ^ pb)") =!= col("hamming"))
+        .select(lit("unsound").as("kind"), col("a_id"), col("b_id"))
+      // hamming-0 witness: all same-hash pairs (a < b) must be emitted
+      val exact = h.as("x").join(h.as("y"),
+          col("x.phash") === col("y.phash") &&
+            col("x.media_id") < col("y.media_id"))
+        .select(col("x.media_id").as("a_id"), col("y.media_id").as("b_id"))
+      val missing = exact.join(pairs, Seq("a_id", "b_id"), "left_anti")
+        .select(lit("missing_exact").as("kind"), col("a_id"), col("b_id"))
+      unsound.unionByName(missing).orderBy(col("kind"), col("a_id"), col("b_id"))
     })
+
+  /** C13f core over any (media_id, phash) frame: 4×16-bit pigeonhole
+    * banding → within-bucket candidates → exact bit_count verify ≤ 3.
+    */
+  private[graft] def phashNearDupPairs(h: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val banded = h.select(col("media_id"), col("phash"),
+      explode(expr(
+        // mask after the shift: band 3 of a negative hash sign-extends
+        "transform(sequence(0, 3), b -> struct(b AS band, " +
+          "shiftright(phash, b * 16) & 65535 AS bv))")).as("bk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"),
+        col("a.phash").as("pa"), col("b.phash").as("pb"))
+      .distinct()
+      .select(col("a_id"), col("b_id"),
+        expr("bit_count(pa ^ pb)").cast("long").as("hamming"))
+      .where(col("hamming") <= 3)
+  }
 }
