@@ -38,15 +38,24 @@ object Text {
     * (n_docs, n_tokens, w_sqrt, alloc_tokens, rate_bp). See the C42
     * query scaladoc for the integer-exactness and shuffle-shape story.
     */
-  private def mixtureSchedule(d: DataFrame): DataFrame = {
-    val c = d.groupBy(col("source"), col("lang"))
-      .agg(count(lit(1)).as("n_docs"), sum(size(words).cast("long")).as("n_tokens"))
+  private def mixtureSchedule(d: DataFrame): DataFrame =
+    mixtureAlloc(
+      d.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(size(words).cast("long")).as("n_tokens")),
+      Seq("source", "lang"))
+
+  /** C42's temperature-allocation arithmetic over ANY stratum-count
+    * frame (keys..., n_docs, n_tokens) — ONE definition shared by the
+    * (source, lang) schedule and the r9 (topic, lang) schedule, so the
+    * allocation rule cannot drift between stratifications.
+    */
+  private def mixtureAlloc(c: DataFrame, keys: Seq[String]): DataFrame = {
     val w = c.withColumn("w_sqrt", floor(sqrt(col("n_tokens").cast("double"))))
     val t = w.agg(expr("sum(n_tokens) div 2").as("budget"), sum(col("w_sqrt")).as("wsum"))
     w.crossJoin(broadcast(t))
-      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"), col("w_sqrt"),
+      .select(keys.map(col) ++ Seq(col("n_docs"), col("n_tokens"), col("w_sqrt"),
         expr("CAST((CAST(budget AS DECIMAL(38,0)) * w_sqrt) div wsum AS BIGINT)").as("alloc_tokens"),
-        expr("CAST((CAST((CAST(budget AS DECIMAL(38,0)) * w_sqrt) div wsum AS DECIMAL(38,0)) * 10000) div n_tokens AS BIGINT)").as("rate_bp"))
+        expr("CAST((CAST((CAST(budget AS DECIMAL(38,0)) * w_sqrt) div wsum AS DECIMAL(38,0)) * 10000) div n_tokens AS BIGINT)").as("rate_bp")): _*)
   }
 
   /** C43's DuckDB twin, shared verbatim by batch (`text_decontaminate_
@@ -575,41 +584,54 @@ object Text {
     "storage" -> Seq("row", "column", "table", "scan", "part"),
     "stream" -> Seq("stream", "window", "batch", "line"))
 
-  /** C52 core: per-row taxonomy argmax — a pure projection (works
-    * identically over a batch frame and a readStream source).
+  /** The (topic, max-hits) column pair — the ONE argmax definition
+    * behind C52, D16 and the r9 topic mixture (C57), so tagging and
+    * stratification can never drift. CASE order = topic name ASC.
     */
-  private[graft] def topicTag(d: DataFrame): DataFrame = {
+  private[graft] def topicExprs: (Column, Column) = {
     val hit = Topics.map { case (t, kws) =>
       t -> size(filter(words, w => w.isin(kws.map(lit(_)): _*)))
     }
     val m = greatest(hit.map(_._2): _*)
-    // CASE order = topic name ASC (ties resolve to the first match)
     val topic = hit.foldLeft(when(m === 0, lit("other"))) {
       case (c, (t, h)) => c.when(h === m, lit(t))
     }
+    (topic, m)
+  }
+
+  /** C52 core: per-row taxonomy argmax — a pure projection (works
+    * identically over a batch frame and a readStream source).
+    */
+  private[graft] def topicTag(d: DataFrame): DataFrame = {
+    val (topic, m) = topicExprs
     d.select(col("doc_id"), topic.as("topic"), m.as("hits"),
       size(words).as("n_words"))
       .select(col("doc_id"), col("topic"), col("hits").cast("long").as("hits"),
         expr("CAST(hits * 10000 AS BIGINT) div n_words").as("score_bp"))
   }
 
+  /** SQL fragments of the topic argmax (shared by the C52/D16 oracle
+    * and the C57 mixture oracle).
+    */
+  private def topicHitSql: Seq[(String, String)] = Topics.map { case (t, kws) =>
+    t -> s"len(list_filter(string_split(text, ' '), w -> w IN (${kws.map("'" + _ + "'").mkString(",")})))"
+  }
+  private def topicCaseSql: String =
+    "CASE WHEN m = 0 THEN 'other' " +
+      topicHitSql.map { case (t, _) => s"WHEN h_$t = m THEN '$t'" }.mkString(" ") + " END"
+
   /** Shared C52/D16 oracle: the same argmax CASE, spelled in SQL. */
-  private[graft] lazy val topicTagSql: String = {
-    val hitSql = Topics.map { case (t, kws) =>
-      t -> s"len(list_filter(string_split(text, ' '), w -> w IN (${kws.map("'" + _ + "'").mkString(",")})))"
-    }
-    val cases = hitSql.map { case (t, _) => s"WHEN h_$t = m THEN '$t'" }.mkString(" ")
+  private[graft] lazy val topicTagSql: String =
     s"""WITH h AS (
        |  SELECT doc_id, len(string_split(text, ' ')) AS n_words,
-       |    ${hitSql.map { case (t, e) => s"$e AS h_$t" }.mkString(",\n    ")}
+       |    ${topicHitSql.map { case (t, e) => s"$e AS h_$t" }.mkString(",\n    ")}
        |  FROM documents),
-       |g AS (SELECT *, greatest(${hitSql.map("h_" + _._1).mkString(",")}) AS m FROM h)
+       |g AS (SELECT *, greatest(${topicHitSql.map("h_" + _._1).mkString(",")}) AS m FROM h)
        |SELECT doc_id,
-       |  CASE WHEN m = 0 THEN 'other' $cases END AS topic,
+       |  $topicCaseSql AS topic,
        |  CAST(m AS BIGINT) AS hits,
        |  CAST(m * 10000 AS BIGINT) // n_words AS score_bp
        |FROM g ORDER BY doc_id""".stripMargin
-  }
 
   /** Shared C48/D15 oracle: blocklist + per-domain cap. The batch and
     * ingest-time forms gate against the SAME SQL (the batch/stream
@@ -1916,6 +1938,48 @@ object Text {
         Events.runToAppendSink(s, "topic_sink_", topicTag(stream))
           .orderBy(col("doc_id"))
       }
+    },
+
+    // C57 (r9): TOPIC-balanced mixture — C42's temperature allocation
+    // over (topic, lang) strata derived from C52's taxonomy argmax
+    // instead of the stored source column (the DoReMi/topic-rebalance
+    // shape: the mixture dimension is LEARNED from content, not carried
+    // as metadata). ONE shared allocation body (mixtureAlloc) and ONE
+    // shared topic argmax (topicExprs) with their parents, so neither
+    // the rule nor the stratification can drift; same decimal(38,0)/
+    // HUGEINT wide-product stance. 100 TB shape: the topic tag rides
+    // the counting scan for free (a pure projection, C52), strata =
+    // |topics+1|·|langs| slim rows, the cross join is the 1-row totals
+    // broadcast — the corpus pays exactly one partial-aggregated pass.
+    Q("text_mixture_topic",
+      s"""WITH h AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_words,
+        |    ${topicHitSql.map { case (t, e) => s"$e AS h_$t" }.mkString(",\n    ")}
+        |  FROM documents),
+        |g AS (SELECT *, greatest(${topicHitSql.map("h_" + _._1).mkString(",")}) AS m FROM h),
+        |s AS (SELECT $topicCaseSql AS topic, lang, n_words FROM g),
+        |c AS (SELECT topic, lang, count(*) AS n_docs,
+        |        CAST(sum(n_words) AS BIGINT) AS n_tokens
+        |      FROM s GROUP BY topic, lang),
+        |w AS (SELECT topic, lang, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+        |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_sqrt
+        |      FROM c),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 2 AS budget,
+        |             CAST(sum(w_sqrt) AS BIGINT) AS wsum FROM w),
+        |r AS (SELECT w.topic, w.lang, w.n_docs, w.n_tokens, w.w_sqrt,
+        |  CAST((CAST(t.budget AS HUGEINT) * w.w_sqrt) // t.wsum AS BIGINT) AS alloc_tokens,
+        |  CAST((CAST((CAST(t.budget AS HUGEINT) * w.w_sqrt) // t.wsum AS HUGEINT) * 10000) // w.n_tokens AS BIGINT) AS rate_bp
+        |FROM w CROSS JOIN t)
+        |SELECT topic, lang, n_docs, n_tokens, w_sqrt, alloc_tokens, rate_bp
+        |FROM r ORDER BY topic, lang""".stripMargin) { (s, dir) =>
+      val (topic, _) = topicExprs
+      mixtureAlloc(
+          docs(s, dir).select(topic.as("topic"), col("lang"),
+            size(words).cast("long").as("nw"))
+            .groupBy(col("topic"), col("lang"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_tokens")),
+          Seq("topic", "lang"))
+        .orderBy(col("topic"), col("lang"))
     },
 
     // C19: deterministic stratified sampling — downsample over-

@@ -51,6 +51,24 @@ class TopicTagSpec extends SparkSpec {
       s"one rangepartitioning exchange at most (ORDER BY doc_id):\n$p")
   }
 
+  test("C57 strata conserve the corpus and reuse the C52 argmax verbatim") {
+    import org.apache.spark.sql.functions.{col => c}
+    val mix = SparkEntry.queries("text_mixture_topic")(spark, sf()).collect()
+    val tags = SparkEntry.queries("text_topic_tag")(spark, sf()).collect()
+    // doc conservation: every doc lands in exactly one (topic, lang) cell
+    assert(mix.map(_.getLong(2)).sum == tags.length)
+    // stratification parity: per-topic doc counts equal the C52 tags
+    val mixByTopic = mix.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val tagByTopic = tags.groupBy(_.getString(1)).view.mapValues(_.size.toLong).toMap
+    assert(mixByTopic == tagByTopic)
+    // budget: allocations sum to at most half the corpus tokens (floor
+    // loss only), each stratum's w_sqrt = floor(sqrt(n_tokens))
+    val budget = mix.map(_.getLong(3)).sum / 2
+    val alloc = mix.map(_.getLong(5)).sum
+    assert(alloc <= budget && alloc > budget - mix.length)
+    assert(mix.forall(r => r.getLong(4) == math.sqrt(r.getLong(3).toDouble).toLong))
+  }
+
   test("D16 stream twin emits exactly the batch rows (stateless parity)") {
     val batch = SparkEntry.queries("text_topic_tag")(spark, sf())
       .collect().toSeq
