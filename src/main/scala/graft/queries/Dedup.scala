@@ -749,6 +749,34 @@ object Dedup {
         .orderBy(col("keep_id"))
     },
 
+    // C1b (r9): SOFT dedup — keep every copy but DOWN-WEIGHT it by its
+    // exact-dup cluster size (weight_bp = 10000 div n, so a cluster
+    // contributes ~one document's worth of gradient mass however often
+    // it was crawled). The data-constrained-scaling alternative to C1's
+    // hard removal (repeating data helps until it doesn't; weighting
+    // keeps the marginal value without the over-count), and the weights
+    // feed C29's weighted sampling directly. Scale shape: same 32 B
+    // digest groupBy as C1 (map-side combinable), the per-cluster count
+    // joins back co-partitioned on the digest — the corpus pays the C1
+    // shuffle once and nothing else; all integer ⇒ hash-gated.
+    Q("dedup_soft_weights",
+      """WITH k AS (
+        |  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS k
+        |  FROM documents),
+        |c AS (SELECT k, count(*) AS n FROM k GROUP BY k)
+        |SELECT k.doc_id, CAST(c.n AS BIGINT) AS cluster_n,
+        |  CAST(10000 // c.n AS BIGINT) AS weight_bp
+        |FROM k JOIN c ON c.k = k.k
+        |ORDER BY k.doc_id""".stripMargin) { (s, dir) =>
+      val k = docs(s, dir)
+        .select(col("doc_id"), unhex(sha2(normText, 256)).as("h"))
+      val c = k.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      k.join(c, Seq("h"))
+        .select(col("doc_id"), col("n").as("cluster_n"),
+          expr("10000 div n").as("weight_bp"))
+        .orderBy(col("doc_id"))
+    },
+
     // C2: bag-of-words dedup — canonical representative + cluster size per
     // word-set signature (collisions are real here: small synthetic vocab).
     Q("dedup_exact_keep_first",

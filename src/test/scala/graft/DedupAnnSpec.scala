@@ -14,6 +14,19 @@ class DedupAnnSpec extends SparkSpec {
   private def q(name: String, dir: String) =
     SparkEntry.queries(name)(spark, dir)
 
+  test("C1b soft weights: every copy kept, cluster mass sums to ~10000 bp") {
+    import spark.implicits._
+    val dir = "target/tmp/soft-weights"
+    Seq((0L, "x y z"), (1L, "x y z"), (2L, "x y z"), (3L, "unique doc"))
+      .map { case (id, t) => (id, t, "en", "synth", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q("dedup_soft_weights", dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (0L, 3L, 3333L), (1L, 3L, 3333L), (2L, 3L, 3333L), (3L, 1L, 10000L)))
+  }
+
   test("C4 minhash-LSH finds exactly the exact-Jaccard pairs (tau=0.8)") {
     val dir = sf("sf0.01")
     val exact = q("dedup_ngram_jaccard", dir)
