@@ -53,5 +53,12 @@ class PipelineWebSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
     assert(!p.contains("SortMergeJoin"),
       s"blocklist/over-cap/reputation sets ride broadcast or shuffle-hash:\n$p")
+    // both rank windows (domain cap rk<=8, dedup rn=1) must carry the
+    // partial WindowGroupLimit: rows beyond the limit die MAP-SIDE
+    // before the window shuffle — the property that keeps the cap
+    // exchange a sliver at crawl scale
+    assert(p.linesIterator.count(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")) == 2,
+      s"rank-limit pushdown must prune both windows map-side:\n$p")
   }
 }
