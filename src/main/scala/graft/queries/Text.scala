@@ -1982,6 +1982,54 @@ object Text {
         .orderBy(col("topic"), col("lang"))
     },
 
+    // C58 (r9): corpus VERSION DIFF — the dataset-versioning audit run
+    // before retraining (what changed between crawl snapshot v0 and
+    // v1?): per doc identity (doc_id), classify added / removed /
+    // changed by comparing content DIGESTS, emitting only the diff
+    // rows (unchanged docs — the overwhelming majority — are filtered
+    // before the join result materializes). The two snapshots derive
+    // deterministically from the one documents table (v0 = ids with
+    // id%5 != 4, with id%11 = 3 texts carrying a version marker; v1 =
+    // ids with id%7 != 2), so both engines see identical versions and
+    // the whole classification hash-gates.
+    //
+    // 100 TB shape: each snapshot reduces to a slim (id, 32 B digest)
+    // stream at scan speed; the FULL OUTER join shuffles only those
+    // two digest streams on the id key (co-partitioned — at rest the
+    // snapshots would be bucketed by id and the join is zero-exchange);
+    // text never moves.
+    Q("corpus_diff",
+      """WITH v0 AS (
+        |  SELECT doc_id, sha256(CASE WHEN doc_id % 11 = 3 THEN text || ' v0'
+        |                             ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 5 != 4),
+        |v1 AS (
+        |  SELECT doc_id, sha256(text) AS h
+        |  FROM documents WHERE doc_id % 7 != 2),
+        |j AS (
+        |  SELECT coalesce(v0.doc_id, v1.doc_id) AS doc_id,
+        |    CASE WHEN v0.doc_id IS NULL THEN 'added'
+        |         WHEN v1.doc_id IS NULL THEN 'removed'
+        |         WHEN v0.h != v1.h THEN 'changed' END AS status
+        |  FROM v0 FULL OUTER JOIN v1 ON v1.doc_id = v0.doc_id)
+        |SELECT doc_id, status FROM j WHERE status IS NOT NULL
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val v0 = d.where(col("doc_id") % 5 =!= 4)
+        .select(col("doc_id"),
+          sha2(when(col("doc_id") % 11 === 3, concat(col("text"), lit(" v0")))
+            .otherwise(col("text")), 256).as("h0"))
+      val v1 = d.where(col("doc_id") % 7 =!= 2)
+        .select(col("doc_id"), sha2(col("text"), 256).as("h1"))
+      v0.join(v1, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("h0").isNull, lit("added"))
+            .when(col("h1").isNull, lit("removed"))
+            .when(col("h0") =!= col("h1"), lit("changed")).as("status"))
+        .where(col("status").isNotNull)
+        .orderBy(col("doc_id"))
+    },
+
     // C19: deterministic stratified sampling — downsample over-
     // represented strata (the lang-rebalancing step of corpus curation)
     // by Knuth-hash-mod per row: pure function of the row, so the sample

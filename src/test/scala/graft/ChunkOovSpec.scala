@@ -78,6 +78,20 @@ class ChunkOovSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 42L, 2L, 476L), (1L, 3L, 2L, 6666L)))
   }
 
+  test("C58 corpus diff: added/removed/changed classified; unchanged and absent silent") {
+    val out = SparkEntry.queries("corpus_diff")(
+        spark, corpus("diff", Seq(
+          "same in both",   // id 0: v0+v1, equal -> no row
+          "one",            // id 1: v0+v1, equal -> no row
+          "removed text",   // id 2: %7=2 -> v0 only -> removed
+          "marker text",    // id 3: %11=3 -> digests differ -> changed
+          "added text",     // id 4: %5=4 -> v1 only -> added
+          "five", "six", "seven", "eight",
+          "neither")))      // id 9: %5=4 AND %7=2 -> in NO version
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((2L, "removed"), (3L, "changed"), (4L, "added")))
+  }
+
   test("C56 plan: vocab broadcasts; no sort-merge join") {
     val df = SparkEntry.queries("text_oov_rate")(spark, sf())
     df.collect()
