@@ -16,7 +16,8 @@ object Bench {
       "text_mixture_apply_stream", "text_importance_resample_stream",
       "text_domain_filter_stream", "text_topic_tag_stream",
       "emb_outlier_stream", "text_chunk_split_stream",
-      "dedup_minhash_stream", "inv_minhash_stream_parity")
+      "dedup_minhash_stream", "inv_minhash_stream_parity",
+      "text_oov_rate_stream")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

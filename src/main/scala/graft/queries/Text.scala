@@ -531,6 +531,19 @@ object Text {
   /** C56 reference-vocabulary size (top-K corpus words). */
   private[graft] val OovVocabK = 20
 
+  /** Shared C56/D20 oracle. */
+  private[graft] lazy val oovRateSql: String =
+    s"""WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |c AS (SELECT t, count(*) AS c FROM w GROUP BY t),
+      |v AS (SELECT t FROM c ORDER BY c DESC, t ASC LIMIT $OovVocabK),
+      |f AS (SELECT w.doc_id, CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS oov
+      |      FROM w LEFT JOIN v ON v.t = w.t)
+      |SELECT doc_id, count(*) AS n_words,
+      |  CAST(sum(oov) AS BIGINT) AS n_oov,
+      |  CAST(sum(oov) * 10000 AS BIGINT) // count(*) AS oov_bp
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** C55 core: per-row explode+slice chunking — a pure projection
     * (works identically over a batch frame and a readStream source).
     */
@@ -2310,17 +2323,7 @@ object Text {
     // count/sum — map-side combinable, so the corpus pays one slim
     // groupBy(word) pass and one partial-aggregated groupBy(doc) pass,
     // never a corpus-scale join.
-    Q("text_oov_rate",
-      s"""WITH w AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-        |c AS (SELECT t, count(*) AS c FROM w GROUP BY t),
-        |v AS (SELECT t FROM c ORDER BY c DESC, t ASC LIMIT $OovVocabK),
-        |f AS (SELECT w.doc_id, CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS oov
-        |      FROM w LEFT JOIN v ON v.t = w.t)
-        |SELECT doc_id, count(*) AS n_words,
-        |  CAST(sum(oov) AS BIGINT) AS n_oov,
-        |  CAST(sum(oov) * 10000 AS BIGINT) // count(*) AS oov_bp
-        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Q("text_oov_rate", oovRateSql) { (s, dir) =>
       val w = docs(s, dir).select(col("doc_id"), explode(words).as("t"))
       val vocab = w.groupBy(col("t")).agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("t").asc).limit(OovVocabK)
@@ -2332,6 +2335,35 @@ object Text {
         .select(col("doc_id"), col("n_words"), col("n_oov"),
           expr("n_oov * 10000 div n_words").as("oov_bp"))
         .orderBy(col("doc_id"))
+    },
+
+    // D20 (r9): C56 at INGEST with the vocab as a FROZEN artifact — the
+    // deployment shape (the reference vocab is trained once; scoring a
+    // 100 TB stream against it must not re-derive it): the bounded
+    // top-K vocab collects batch-side (K strings — the C39 centroid-
+    // literal discipline) and compiles into the stream projection as an
+    // isin literal, so per-doc OOV counting is one stateless
+    // size(filter(...)) per row — no join, no state store, append
+    // mode. Gated by the SAME oracle as batch C56.
+    Q("text_oov_rate_stream", oovRateSql) { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        val vocab = docs(s, dir).select(explode(words).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("t").asc).limit(OovVocabK)
+          .collect().map(_.getString(0)).toSeq
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val scored = stream.select(col("doc_id"),
+            size(words).cast("long").as("n_words"),
+            size(filter(words, w => !w.isin(vocab.map(lit(_)): _*)))
+              .cast("long").as("n_oov"))
+          .select(col("doc_id"), col("n_words"), col("n_oov"),
+            expr("n_oov * 10000 div n_words").as("oov_bp"))
+        Events.runToAppendSink(s, "oov_sink_", scored)
+          .orderBy(col("doc_id"))
+      }
     },
 
     // C22: greedy sequence packing — fill 512-token bins with documents

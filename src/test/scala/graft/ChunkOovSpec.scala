@@ -92,6 +92,12 @@ class ChunkOovSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, "removed"), (3L, "changed"), (4L, "added")))
   }
 
+  test("D20 stream twin scores against the frozen vocab identically to batch") {
+    val batch = SparkEntry.queries("text_oov_rate")(spark, sf()).collect().toSeq
+    val stream = SparkEntry.queries("text_oov_rate_stream")(spark, sf()).collect().toSeq
+    assert(stream == batch)
+  }
+
   test("C56 plan: vocab broadcasts; no sort-merge join") {
     val df = SparkEntry.queries("text_oov_rate")(spark, sf())
     df.collect()
