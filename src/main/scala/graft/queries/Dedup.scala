@@ -600,6 +600,43 @@ object Dedup {
         unhex(sha2(col("gram"), 256)).as("h"))
   }
 
+  /** C37c core over any (doc_id, text) frame — see the query scaladoc
+    * for the keep-first policy and shuffle-shape reasoning.
+    */
+  private[graft] def substringRewrite(d: DataFrame, n: Int): DataFrame = {
+    val grams = substringGrams(d, n)
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1).select(col("h"))
+    // ownership window runs over the dup-OCCURRENCE sliver only
+    val occ = grams.join(adaptiveBuild(dup), Seq("h"), "left_semi")
+    val hits = occ.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
+      .where(col("rn") > 1)
+      .select(col("doc_id"), col("n_tokens"), col("pos"))
+    val covered = Pinned.track(
+      hits.select(col("doc_id"), col("n_tokens"),
+          explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+        .distinct().localCheckpoint(true)) // three consumers below
+    val cov = covered.groupBy(col("doc_id"))
+      .agg(first(col("n_tokens")).as("n_tokens"), count(lit(1)).as("removed"))
+    // ONLY affected docs' token streams posexplode
+    val toks = d.join(adaptiveBuild(covered.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+    val agg = toks.join(covered.select(col("doc_id"), col("p")),
+        Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("clean_tokens"),
+        array_join(transform(array_sort(collect_list(struct(col("p"), col("w")))),
+          x => x.getField("w")), " ").as("clean_text"))
+    cov.join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("removed"),
+        coalesce(col("clean_tokens"), lit(0L)).as("clean_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Per-doc interval-union coverage over duplicated-gram hit positions
     * — the aggregation half of C37, from the (doc_id, n_tokens, pos)
     * hit stream to (doc_id, n_tokens, dup_gram_hits, covered,
@@ -1214,6 +1251,58 @@ object Dedup {
         |       CAST((covered * 10000) // n_tokens AS BIGINT) AS dup_frac_bp
         |FROM cov ORDER BY doc_id""".stripMargin) { (s, dir) =>
       substringSpans(docs(s, dir), 10).orderBy(col("doc_id"))
+    },
+
+    // C37c (r9): exact-substring dedup REWRITE — C37 measures
+    // duplicated-span coverage; this produces the CLEANED CORPUS, the
+    // actual output of Lee et al.'s ExactSubstr pipeline: every
+    // duplicated 10-gram keeps its FIRST occurrence (min (doc_id, pos)
+    // per gram — one window over the dup-occurrence sliver) and every
+    // other occurrence's span is cut; per affected doc the uncovered
+    // tokens reassemble in order into the rewritten text (+ exact
+    // removed/clean token accounting). Unaffected docs are ABSENT (the
+    // C43/C25b one-record-per-affected-doc shape) — the rewrite is a
+    // patch stream, not a corpus copy.
+    //
+    // 100 TB shape: the gram stream is slim (32 B digests); only
+    // dup-gram OCCURRENCES enter the ownership window (the sliver);
+    // affected-doc ids and covered positions join back size-adaptively
+    // / co-partitioned, and ONLY affected docs' token streams ever
+    // posexplode — the per-position stream the C37 scaladoc flags is
+    // paid exactly where the rewrite inherently needs it and nowhere
+    // else. Emitting the full rewritten strings puts the whole cut
+    // under the hash gate.
+    Q("dedup_substring_rewrite",
+      """WITH docs_ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, len(ws) AS n_tokens, gs-1 AS pos,
+        |             array_to_string(ws[gs:gs+9], ' ') AS gram
+        |      FROM docs_ws, UNNEST(generate_series(1, len(ws)-9)) AS t(gs)),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+        |r AS (SELECT g.doc_id, g.n_tokens, g.pos,
+        |        row_number() OVER (PARTITION BY g.gram ORDER BY g.doc_id, g.pos) AS rn
+        |      FROM g JOIN dup USING (gram)),
+        |covp AS (SELECT DISTINCT r.doc_id, r.n_tokens, p
+        |         FROM r, UNNEST(generate_series(r.pos, r.pos + 9)) AS u(p)
+        |         WHERE r.rn > 1),
+        |cov AS (SELECT doc_id, any_value(n_tokens) AS n_tokens, count(*) AS removed
+        |        FROM covp GROUP BY doc_id),
+        |toks AS (SELECT d.doc_id, i - 1 AS p, w
+        |         FROM (SELECT doc_id, unnest(ws) AS w,
+        |                      generate_subscripts(ws, 1) AS i FROM docs_ws) d
+        |         WHERE d.doc_id IN (SELECT doc_id FROM cov)),
+        |keep AS (SELECT t.doc_id, t.p, t.w FROM toks t
+        |         WHERE NOT EXISTS (SELECT 1 FROM covp c
+        |                           WHERE c.doc_id = t.doc_id AND c.p = t.p)),
+        |agg AS (SELECT doc_id, count(*) AS clean_tokens,
+        |          array_to_string(array_agg(w ORDER BY p), ' ') AS clean_text
+        |        FROM keep GROUP BY doc_id)
+        |SELECT cov.doc_id, CAST(cov.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(cov.removed AS BIGINT) AS removed,
+        |  CAST(coalesce(agg.clean_tokens, 0) AS BIGINT) AS clean_tokens,
+        |  coalesce(agg.clean_text, '') AS clean_text
+        |FROM cov LEFT JOIN agg USING (doc_id)
+        |ORDER BY cov.doc_id""".stripMargin) { (s, dir) =>
+      substringRewrite(docs(s, dir), 10).orderBy(col("doc_id"))
     },
 
     // C37b: CHAR-grain exact-substring dedup — the published form (Lee

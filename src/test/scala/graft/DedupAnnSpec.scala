@@ -14,6 +14,26 @@ class DedupAnnSpec extends SparkSpec {
   private def q(name: String, dir: String) =
     SparkEntry.queries(name)(spark, dir)
 
+  test("C37c rewrite: first occurrence kept, later spans cut, full coverage empties") {
+    import spark.implicits._
+    val dir = "target/tmp/substr-rewrite"
+    val shared = "a b c d e f g h i j" // one 10-gram
+    Seq(
+      (0L, s"$shared k l"),        // owner: gram at pos 0 -> untouched, ABSENT
+      (1L, s"x $shared y"),        // dup at pos 1 -> tokens 1..10 cut -> "x y"
+      (2L, shared))                // dup at pos 0, whole doc covered -> ""
+      .map { case (id, t) => (id, t, "en", "synth", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q("dedup_substring_rewrite", dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, 12L, 10L, 2L, "x y"),
+      (2L, 10L, 10L, 0L, "")))
+    // conservation: removed + clean = original tokens
+    assert(out.forall(r => r._2 == r._3 + r._4))
+  }
+
   test("C1b soft weights: every copy kept, cluster mass sums to ~10000 bp") {
     import spark.implicits._
     val dir = "target/tmp/soft-weights"
