@@ -531,6 +531,12 @@ object Text {
   /** C56 reference-vocabulary size (top-K corpus words). */
   private[graft] val OovVocabK = 20
 
+  /** C59 tokenize-and-pack: frozen vocab size (ids 1..K; OOV = 0,
+    * EOS = K+1) and the fixed training-block length.
+    */
+  private[graft] val TokPackVocabK = 50
+  private[graft] val TokPackBlock = 64
+
   /** Shared C56/D20 oracle. */
   private[graft] lazy val oovRateSql: String =
     s"""WITH w AS (
@@ -1005,6 +1011,73 @@ object Text {
         (least(col("n_words"), lit(100)) * 40
           + expr("(least(n_stop * 10, n_words) * 3000) div n_words")
           + expr("(n_distinct * 3000) div n_words")).cast("long").as("quality_bp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C60 (r9): the Gopher rule suite (Rae et al. 2021, App. A) — the
+    // published keep/drop FILTER battery, distinct from C10's scalar
+    // score: five independent rules each emit an auditable flag and the
+    // keep decision is their conjunction (the form every production
+    // curation pipeline logs, so dropped docs are attributable to a
+    // rule). Thresholds are adapted to this corpus's distributions
+    // (5%/95% quantiles) so every rule fires both ways at gate scale;
+    // the rule STRUCTURE is Gopher's: word-count range, mean-word-
+    // length range, stopword floor, max-word-share ceiling (repetition),
+    // type-token-ratio floor (diversity). All signals integer-exact
+    // (centichars / basis points, integer division) — no float
+    // boundary can flip a flag between engines.
+    // 100 TB shape: a PURE PROJECTION over (doc_id, text) — zero
+    // shuffles except the presentation sort; the per-doc top-word scan
+    // is O(distinct x n) inside codegen, bounded by doc length, and
+    // never touches an exploded token stream.
+    Q("text_gopher_rules",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS sum_len,
+        |  CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+        |  CAST(list_max(list_transform(list_distinct(ws),
+        |       w -> len(list_filter(ws, x -> x = w)))) AS BIGINT) AS top_c,
+        |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+        |FROM t),
+        |f AS (SELECT doc_id, n_words, n_stop,
+        |  sum_len * 100 // n_words AS mwl_cw,
+        |  top_c * 10000 // n_words AS top_bp,
+        |  n_distinct * 10000 // n_words AS distinct_bp FROM s)
+        |SELECT doc_id, n_words, mwl_cw, n_stop, top_bp, distinct_bp,
+        |  CAST(CASE WHEN n_words BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS BIGINT) AS r_len,
+        |  CAST(CASE WHEN mwl_cw BETWEEN 420 AND 485 THEN 1 ELSE 0 END AS BIGINT) AS r_mwl,
+        |  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+        |  CAST(CASE WHEN top_bp <= 1200 THEN 1 ELSE 0 END AS BIGINT) AS r_rep,
+        |  CAST(CASE WHEN distinct_bp >= 3200 THEN 1 ELSE 0 END AS BIGINT) AS r_div,
+        |  CAST(CASE WHEN n_words BETWEEN 20 AND 80 AND mwl_cw BETWEEN 420 AND 485
+        |    AND n_stop >= 2 AND top_bp <= 1200 AND distinct_bp >= 3200
+        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sig = docs(s, dir).select(col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        aggregate(words, lit(0L), (a, w) => a + length(w)).as("sum_len"),
+        size(filter(words, w => w.isin("the", "a", "of", "and", "to"))).cast("long").as("n_stop"),
+        array_max(transform(array_distinct(words),
+          w => size(filter(words, x => x === w)))).cast("long").as("top_c"),
+        size(array_distinct(words)).cast("long").as("n_distinct"))
+      val f = sig.select(col("doc_id"), col("n_words"), col("n_stop"),
+        expr("sum_len * 100 div n_words").as("mwl_cw"),
+        expr("top_c * 10000 div n_words").as("top_bp"),
+        expr("n_distinct * 10000 div n_words").as("distinct_bp"))
+      val rLen = col("n_words").between(20L, 80L)
+      val rMwl = col("mwl_cw").between(420L, 485L)
+      val rStop = col("n_stop") >= 2L
+      val rRep = col("top_bp") <= 1200L
+      val rDiv = col("distinct_bp") >= 3200L
+      f.select(col("doc_id"), col("n_words"), col("mwl_cw"), col("n_stop"),
+          col("top_bp"), col("distinct_bp"),
+          when(rLen, 1L).otherwise(0L).as("r_len"),
+          when(rMwl, 1L).otherwise(0L).as("r_mwl"),
+          when(rStop, 1L).otherwise(0L).as("r_stop"),
+          when(rRep, 1L).otherwise(0L).as("r_rep"),
+          when(rDiv, 1L).otherwise(0L).as("r_div"),
+          when(rLen && rMwl && rStop && rRep && rDiv, 1L).otherwise(0L).as("keep"))
         .orderBy(col("doc_id"))
     },
 
@@ -2415,6 +2488,77 @@ object Text {
         }
         .toDF("shard", "n_bins", "n_docs", "tokens", "util_bp")
         .orderBy(col("shard"))
+    },
+
+    // C59 (r9): the training-example CONSTRUCTOR — the step after C22's
+    // bin accounting that actually EMITS model-ready token blocks
+    // (GPT-2-style concat-and-chunk: docs in order, EOS-joined, split
+    // into fixed 64-id blocks, shard tail dropped). Ids come from a
+    // frozen top-K vocab (rank by count desc, word asc — a total
+    // order), OOV -> 0, EOS = K+1. Emitting the full id sequence per
+    // block puts every pack decision under the hash gate.
+    // 100 TB shape: the vocab is DRIVER-BOUNDED (50 rows — the single-
+    // partition rank window is over that bounded frame only) and
+    // broadcasts into the token stream; per-doc offsets are a window
+    // over SLIM (doc_id, n) rows partitioned BY SHARD (never global);
+    // the corpus-scale stream pays one posexplode (inherent — the
+    // output IS token-grain), one co-partitioned doc-keyed join to pick
+    // up its shard offset, and one (shard, block)-keyed shuffle of
+    // narrow (slot, id) rows — the floor for materializing a packed
+    // corpus. collect_list groups are bounded at 64 by construction.
+    Q("pipeline_tokenize_pack",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) - 1 AS pos FROM t),
+        |c AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+        |v AS (SELECT w, row_number() OVER (ORDER BY c DESC, w ASC) AS id
+        |      FROM c ORDER BY c DESC, w ASC LIMIT $TokPackVocabK),
+        |ids AS (
+        |  SELECT w.doc_id, w.pos, COALESCE(v.id, 0) AS id FROM w LEFT JOIN v USING (w)
+        |  UNION ALL
+        |  SELECT doc_id, len(ws), ${TokPackVocabK + 1} FROM t),
+        |offs AS (
+        |  SELECT doc_id, doc_id // 100 AS shard,
+        |         CAST(sum(len(ws) + 1) OVER (PARTITION BY doc_id // 100 ORDER BY doc_id) AS BIGINT) - (len(ws) + 1) AS off
+        |  FROM t),
+        |g AS (SELECT o.shard, (o.off + i.pos) // $TokPackBlock AS block,
+        |             (o.off + i.pos) % $TokPackBlock AS slot, i.id
+        |      FROM ids i JOIN offs o USING (doc_id))
+        |SELECT shard, block,
+        |       CAST(sum(CASE WHEN id = ${TokPackVocabK + 1} THEN 1 ELSE 0 END) AS BIGINT) AS n_eos,
+        |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY slot) AS ids
+        |FROM g GROUP BY shard, block HAVING count(*) = $TokPackBlock
+        |ORDER BY shard, block""".stripMargin) { (s, dir) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val wordCounts = d.select(explode(words).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(TokPackVocabK)
+      val vocab = wordCounts
+        .withColumn("id", row_number().over(W.orderBy(col("c").desc, col("w").asc)).cast("long"))
+        .select(col("w"), col("id"))
+      val perDoc = d.select(col("doc_id"), expr("doc_id div 100").as("shard"),
+        size(words).cast("long").as("n"))
+      val offs = perDoc.select(col("doc_id"), col("shard"), col("n"),
+        (sum(col("n") + 1L).over(W.partitionBy(col("shard")).orderBy(col("doc_id")))
+          - (col("n") + 1L)).as("off"))
+      val toks = d.select(col("doc_id"), posexplode(words).as(Seq("pos", "w")))
+        .join(broadcast(vocab), Seq("w"), "left_outer")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          coalesce(col("id"), lit(0L)).as("id"))
+        .unionByName(perDoc.select(col("doc_id"), col("n").as("pos"),
+          lit(TokPackVocabK + 1L).as("id")))
+      toks.join(offs.select(col("doc_id"), col("shard"), col("off")), Seq("doc_id"))
+        .select(col("shard"), expr(s"(off + pos) div $TokPackBlock").as("block"),
+          expr(s"(off + pos) % $TokPackBlock").as("slot"), col("id"))
+        .groupBy(col("shard"), col("block"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("id") === (TokPackVocabK + 1L), 1L).otherwise(0L)).as("n_eos"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("slot"), col("id")))),
+              x => x.getField("id").cast("string")), ",").as("ids"))
+        .filter(col("cnt") === TokPackBlock.toLong)
+        .select(col("shard"), col("block"), col("n_eos"), col("ids"))
+        .orderBy(col("shard"), col("block"))
     },
 
     // C23: deterministic global shuffle — the reproducible corpus
