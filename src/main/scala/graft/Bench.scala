@@ -17,7 +17,9 @@ object Bench {
       "text_domain_filter_stream", "text_topic_tag_stream",
       "emb_outlier_stream", "text_chunk_split_stream",
       "dedup_minhash_stream", "inv_minhash_stream_parity",
-      "text_oov_rate_stream")
+      "text_oov_rate_stream", "pipeline_tokenize_pack_stream",
+      "text_repetition_stream", "text_pii_redact_stream",
+      "pipeline_curate_web_stream")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

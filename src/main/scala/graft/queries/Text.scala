@@ -58,6 +58,71 @@ object Text {
         expr("CAST((CAST((CAST(budget AS DECIMAL(38,0)) * w_sqrt) div wsum AS DECIMAL(38,0)) * 10000) div n_tokens AS BIGINT)").as("rate_bp")): _*)
   }
 
+  /** C20's DuckDB twin + frame, shared verbatim by batch
+    * (`text_repetition`) and ingest (D22 `text_repetition_stream`) —
+    * one oracle gating both IS the batch/stream parity check.
+    */
+  private val repetitionSql: String =
+    """WITH docs_ws AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM docs_ws),
+      |g AS (
+      |  SELECT a.doc_id, a.w || ' ' || b.w AS g
+      |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      |c AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY doc_id, g),
+      |agg AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total,
+      |         count(*) AS n_distinct, max(cnt) AS top_cnt
+      |  FROM c GROUP BY doc_id)
+      |SELECT doc_id, total AS n_bigrams,
+      |  CAST(((total - n_distinct) * 10000) // total AS BIGINT) AS dup_bp,
+      |  CAST((top_cnt * 10000) // total AS BIGINT) AS top_bp
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  private def repetitionFrame(d: DataFrame): DataFrame =
+    d.where(size(words) >= 2)
+      .select(col("doc_id"), graft.functions.Kernels.bigramStats(words).as("st"))
+      .select(col("doc_id"),
+        col("st").getItem(0).as("n_bigrams"),
+        expr("((st[0] - st[1]) * 10000) div st[0]").as("dup_bp"),
+        expr("(st[2] * 10000) div st[0]").as("top_bp"))
+
+  /** C28's redaction stages + frame, shared by batch (`text_pii_redact`)
+    * and ingest (D23 `text_pii_redact_stream`).
+    */
+  private val piiStages: Seq[(String, String)] = Seq(
+    """[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}""" -> "<EMAIL>",
+    """([0-9]{1,3}\.){3}[0-9]{1,3}""" -> "<IP>",
+    """[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}""" -> "<PHONE>",
+    """\bcustomer\b""" -> "<ENT>")
+
+  private def piiRedactFrame(d: DataFrame): DataFrame =
+    piiStages.foldLeft(
+      d.select(col("doc_id"), lit(0L).as("n_red"), col("text").as("t"))) {
+      case (df, (p, r)) => df.select(col("doc_id"),
+        (col("n_red") + size(regexp_extract_all(col("t"), lit(p), lit(0)))).as("n_red"),
+        regexp_replace(col("t"), p, r).as("t"))
+    }.select(col("doc_id"), col("n_red"), col("t").as("red_text"))
+
+  private val piiRedactSql: String =
+    """WITH s0 AS (SELECT doc_id, text AS t FROM documents),
+      |s1 AS (SELECT doc_id,
+      |  len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS c1,
+      |  regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS t
+      |  FROM s0),
+      |s2 AS (SELECT doc_id, c1,
+      |  len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS c2,
+      |  regexp_replace(t, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS t FROM s1),
+      |s3 AS (SELECT doc_id, c1, c2,
+      |  len(regexp_extract_all(t, '[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}')) AS c3,
+      |  regexp_replace(t, '[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}', '<PHONE>', 'g') AS t FROM s2),
+      |s4 AS (SELECT doc_id, c1, c2, c3,
+      |  len(regexp_extract_all(t, '\bcustomer\b')) AS c4,
+      |  regexp_replace(t, '\bcustomer\b', '<ENT>', 'g') AS t FROM s3)
+      |SELECT doc_id, CAST(c1 + c2 + c3 + c4 AS BIGINT) AS n_red, t AS red_text
+      |FROM s4 ORDER BY doc_id""".stripMargin
+
   /** C43's DuckDB twin, shared verbatim by batch (`text_decontaminate_
     * spans`) and stream (D9 `text_decontaminate_stream`) — one oracle
     * gating both IS the batch/stream parity check (C30/D6 discipline).
@@ -537,6 +602,32 @@ object Text {
   private[graft] val TokPackVocabK = 50
   private[graft] val TokPackBlock = 64
 
+  /** C59/D21's shared DuckDB twin — one oracle gating batch AND ingest
+    * packing IS the batch/stream parity check (C30/D6 discipline).
+    */
+  private val tokenizePackSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) - 1 AS pos FROM t),
+      |c AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+      |v AS (SELECT w, row_number() OVER (ORDER BY c DESC, w ASC) AS id
+      |      FROM c ORDER BY c DESC, w ASC LIMIT $TokPackVocabK),
+      |ids AS (
+      |  SELECT w.doc_id, w.pos, COALESCE(v.id, 0) AS id FROM w LEFT JOIN v USING (w)
+      |  UNION ALL
+      |  SELECT doc_id, len(ws), ${TokPackVocabK + 1} FROM t),
+      |offs AS (
+      |  SELECT doc_id, doc_id // 100 AS shard,
+      |         CAST(sum(len(ws) + 1) OVER (PARTITION BY doc_id // 100 ORDER BY doc_id) AS BIGINT) - (len(ws) + 1) AS off
+      |  FROM t),
+      |g AS (SELECT o.shard, (o.off + i.pos) // $TokPackBlock AS block,
+      |             (o.off + i.pos) % $TokPackBlock AS slot, i.id
+      |      FROM ids i JOIN offs o USING (doc_id))
+      |SELECT shard, block,
+      |       CAST(sum(CASE WHEN id = ${TokPackVocabK + 1} THEN 1 ELSE 0 END) AS BIGINT) AS n_eos,
+      |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY slot) AS ids
+      |FROM g GROUP BY shard, block HAVING count(*) = $TokPackBlock
+      |ORDER BY shard, block""".stripMargin
+
   /** Shared C56/D20 oracle. */
   private[graft] lazy val oovRateSql: String =
     s"""WITH w AS (
@@ -951,6 +1042,51 @@ object Text {
         |  CAST(CASE WHEN ((doc_id % 1000003) * 131071 + 99991) % 1000003 % 10000
         |            < least(10000, sum_rbp // n_feats) THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** C54/D24's shared DuckDB twin — one oracle gating the batch web
+    * pipeline AND its ingest form IS the batch/stream parity check.
+    */
+  private val curateWebSql: String =
+    s"""WITH f0 AS (
+      |  SELECT doc_id, lang, n_chars, $domainSql AS domain,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |    len(list_filter(string_split(text, ' '),
+      |        w -> w IN ('the','a','of','and','to'))) AS n_stop,
+      |    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS k
+      |  FROM documents),
+      |q0 AS (
+      |  SELECT *, CAST(least(n_words, 100) * 40
+      |      + (least(n_stop * 10, n_words) * 3000) // n_words
+      |      + (n_distinct * 3000) // n_words AS BIGINT) AS qbp,
+      |    CASE WHEN count(*) OVER (PARTITION BY k) > 1 THEN 1 ELSE 0 END AS isdup
+      |  FROM f0),
+      |rep AS (
+      |  SELECT domain, count(*) AS n,
+      |    CAST(sum(qbp) AS BIGINT) // count(*) AS mq,
+      |    CAST(sum(isdup) * 10000 AS BIGINT) // count(*) AS dbp
+      |  FROM q0 GROUP BY domain),
+      |repk AS (
+      |  SELECT domain FROM rep
+      |  WHERE n >= ${RepMinDocs} AND mq >= ${RepQualityMin} AND dbp <= ${RepDupMaxBp}),
+      |blocked AS (
+      |  SELECT * FROM q0
+      |  WHERE domain NOT IN (${BlockedDomains.map("'" + _ + "'").mkString(",")})),
+      |capped AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+      |    FROM blocked) WHERE rk <= $DomainCap),
+      |survived AS (
+      |  SELECT c.* FROM capped c JOIN repk ON repk.domain = c.domain
+      |  WHERE c.qbp >= 5000),
+      |kept AS (
+      |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+      |  FROM survived)
+      |SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+      |            WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+      |  lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM kept WHERE rn = 1
+      |GROUP BY 1, lang ORDER BY split, lang""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -1908,47 +2044,7 @@ object Text {
     // window and the over-cap ranking sliver; every domain-level table
     // (blocklist, over-cap set, reputation keep-set) is bounded or
     // size-adaptive. Integer end-to-end ⇒ hash-gated.
-    Q("pipeline_curate_web",
-      s"""WITH f0 AS (
-        |  SELECT doc_id, lang, n_chars, $domainSql AS domain,
-        |    len(string_split(text, ' ')) AS n_words,
-        |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
-        |    len(list_filter(string_split(text, ' '),
-        |        w -> w IN ('the','a','of','and','to'))) AS n_stop,
-        |    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS k
-        |  FROM documents),
-        |q0 AS (
-        |  SELECT *, CAST(least(n_words, 100) * 40
-        |      + (least(n_stop * 10, n_words) * 3000) // n_words
-        |      + (n_distinct * 3000) // n_words AS BIGINT) AS qbp,
-        |    CASE WHEN count(*) OVER (PARTITION BY k) > 1 THEN 1 ELSE 0 END AS isdup
-        |  FROM f0),
-        |rep AS (
-        |  SELECT domain, count(*) AS n,
-        |    CAST(sum(qbp) AS BIGINT) // count(*) AS mq,
-        |    CAST(sum(isdup) * 10000 AS BIGINT) // count(*) AS dbp
-        |  FROM q0 GROUP BY domain),
-        |repk AS (
-        |  SELECT domain FROM rep
-        |  WHERE n >= ${RepMinDocs} AND mq >= ${RepQualityMin} AND dbp <= ${RepDupMaxBp}),
-        |blocked AS (
-        |  SELECT * FROM q0
-        |  WHERE domain NOT IN (${BlockedDomains.map("'" + _ + "'").mkString(",")})),
-        |capped AS (
-        |  SELECT * FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
-        |    FROM blocked) WHERE rk <= $DomainCap),
-        |survived AS (
-        |  SELECT c.* FROM capped c JOIN repk ON repk.domain = c.domain
-        |  WHERE c.qbp >= 5000),
-        |kept AS (
-        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
-        |  FROM survived)
-        |SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
-        |            WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
-        |  lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
-        |FROM kept WHERE rn = 1
-        |GROUP BY 1, lang ORDER BY split, lang""".stripMargin) { (s, dir) =>
+    Q("pipeline_curate_web", curateWebSql) { (s, dir) =>
       val sess = s
       import sess.implicits._
       // ONE text-bearing projection: every downstream row is slim
@@ -1992,6 +2088,83 @@ object Text {
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
         .orderBy(col("split"), col("lang"))
+    },
+
+    // D24 (r9): C54 at INGEST — the end-to-end web pipeline's admission
+    // path as crawl data lands. Stage placement follows what each stage
+    // IS: per-doc signals (domain, quality, digest) project statelessly
+    // in-stream; the blocklist anti join is stateless broadcast work;
+    // the per-domain cap is the ONE stateful operator (D15's bounded
+    // cap-many-smallest state, here carrying each kept doc's slim attrs
+    // — ≤ 8 × 5 fields per domain); domain REPUTATION is a corpus-level
+    // artifact (judged on the raw corpus, as in batch — the D17/D20
+    // frozen-artifact stance) applied with the quality floor and the
+    // keep-first dedup in the batch-side reduction over the sink — dedup
+    // AFTER admission matches production (you dedup what you stored).
+    // The admitted sliver the batch side touches is cap-bounded per
+    // domain, never corpus-scale. Gated by the SAME oracle as batch C54
+    // (driver-checked batch/stream parity).
+    Q("pipeline_curate_web_stream", curateWebSql) { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        val sess = s
+        import sess.implicits._
+        val W = org.apache.spark.sql.expressions.Window
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val base = stream.select(col("doc_id"), col("lang"), col("n_chars"),
+          domainCol.as("domain"),
+          size(words).as("n_words"),
+          size(array_distinct(words)).as("n_distinct"),
+          size(filter(words, w => w.isin("the", "a", "of", "and", "to"))).as("n_stop"),
+          sha2(Dedup.normText, 256).as("hx"))
+          .withColumn("qbp",
+            (least(col("n_words"), lit(100)) * 40
+              + expr("(least(n_stop * 10, n_words) * 3000) div n_words")
+              + expr("(n_distinct * 3000) div n_words")).cast("long"))
+        val f = base.join(broadcast(BlockedDomains.toDF("domain")),
+            Seq("domain"), "left_anti")
+          .select(col("domain"), col("doc_id"), col("lang"),
+            col("n_chars"), col("qbp"), col("hx"))
+          .as[(String, Long, String, Long, Long, String)]
+        val capped = f.groupByKey(_._1)
+          .mapGroupsWithState[Seq[(Long, String, Long, Long, String)],
+            (String, Seq[(Long, String, Long, Long, String)])] {
+            (domain: String, rows: Iterator[(String, Long, String, Long, Long, String)],
+             state: org.apache.spark.sql.streaming.GroupState[Seq[(Long, String, Long, Long, String)]]) =>
+              val next = (state.getOption.getOrElse(Seq.empty)
+                ++ rows.map(r => (r._2, r._3, r._4, r._5, r._6)))
+                .sortBy(_._1).take(DomainCap)
+              state.update(next)
+              (domain, next)
+          }
+          .toDF("domain", "keep")
+        val admitted = Events.runToUpdateSink(s, "web_sink_", capped)
+          .select(col("domain"), explode(col("keep")).as("r"))
+          .select(col("domain"), col("r._1").as("doc_id"), col("r._2").as("lang"),
+            col("r._3").as("n_chars"), col("r._4").as("qbp"), col("r._5").as("hx"))
+          .distinct()
+          .withColumn("rk", row_number().over(
+            W.partitionBy(col("domain")).orderBy(col("doc_id"))))
+          .where(col("rk") <= DomainCap).drop("rk")
+        val repKeep = Dedup.adaptiveBuild(
+          domainReputation(docs(s, dir))
+            .where(col("verdict") === "keep").select(col("domain")))
+        val v2 = admitted.join(repKeep, Seq("domain"), "left_semi")
+          .where(col("qbp") >= 5000)
+        v2.withColumn("rn", row_number().over(
+            W.partitionBy(col("hx")).orderBy(col("doc_id"))))
+          .where(col("rn") === 1)
+          .select(
+            when(col("doc_id") % 10 < 8, lit("train"))
+              .when(col("doc_id") % 10 === 8, lit("val"))
+              .otherwise(lit("test")).as("split"),
+            col("lang"), col("n_chars"))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+          .orderBy(col("split"), col("lang"))
+      }
     },
 
     // C52 (r9): TOPIC TAGGING — broadcast keyword-taxonomy
@@ -2148,30 +2321,24 @@ object Text {
     // Integer basis points; per-row KERNEL, zero shuffle — the relational
     // form (explode grams → groupBy) would shuffle the whole corpus to
     // compute a per-document statistic.
-    Q("text_repetition",
-      """WITH docs_ws AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 2),
-        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM docs_ws),
-        |g AS (
-        |  SELECT a.doc_id, a.w || ' ' || b.w AS g
-        |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
-        |c AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY doc_id, g),
-        |agg AS (
-        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total,
-        |         count(*) AS n_distinct, max(cnt) AS top_cnt
-        |  FROM c GROUP BY doc_id)
-        |SELECT doc_id, total AS n_bigrams,
-        |  CAST(((total - n_distinct) * 10000) // total AS BIGINT) AS dup_bp,
-        |  CAST((top_cnt * 10000) // total AS BIGINT) AS top_bp
-        |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      docs(s, dir).where(size(words) >= 2)
-        .select(col("doc_id"), graft.functions.Kernels.bigramStats(words).as("st"))
-        .select(col("doc_id"),
-          col("st").getItem(0).as("n_bigrams"),
-          expr("((st[0] - st[1]) * 10000) div st[0]").as("dup_bp"),
-          expr("(st[2] * 10000) div st[0]").as("top_bp"))
-        .orderBy(col("doc_id"))
+    Q("text_repetition", repetitionSql) { (s, dir) =>
+      repetitionFrame(docs(s, dir)).orderBy(col("doc_id"))
+    },
+
+    // D22 (r9): C20 at INGEST — repetition filtering belongs at the
+    // crawl front door (a looping page is droppable before it costs
+    // another byte of pipeline). Stateless per-row kernel projection,
+    // append mode; shares repetitionFrame verbatim with batch C20 and
+    // is gated by the SAME oracle (driver-checked parity).
+    Q("text_repetition_stream", repetitionSql) { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        Events.runToAppendSink(s, "rep_sink_", repetitionFrame(stream))
+          .orderBy(col("doc_id"))
+      }
     },
 
     // C21: benchmark-contamination check — flag training documents whose
@@ -2506,28 +2673,7 @@ object Text {
     // up its shard offset, and one (shard, block)-keyed shuffle of
     // narrow (slot, id) rows — the floor for materializing a packed
     // corpus. collect_list groups are bounded at 64 by construction.
-    Q("pipeline_tokenize_pack",
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) - 1 AS pos FROM t),
-        |c AS (SELECT w, count(*) AS c FROM w GROUP BY w),
-        |v AS (SELECT w, row_number() OVER (ORDER BY c DESC, w ASC) AS id
-        |      FROM c ORDER BY c DESC, w ASC LIMIT $TokPackVocabK),
-        |ids AS (
-        |  SELECT w.doc_id, w.pos, COALESCE(v.id, 0) AS id FROM w LEFT JOIN v USING (w)
-        |  UNION ALL
-        |  SELECT doc_id, len(ws), ${TokPackVocabK + 1} FROM t),
-        |offs AS (
-        |  SELECT doc_id, doc_id // 100 AS shard,
-        |         CAST(sum(len(ws) + 1) OVER (PARTITION BY doc_id // 100 ORDER BY doc_id) AS BIGINT) - (len(ws) + 1) AS off
-        |  FROM t),
-        |g AS (SELECT o.shard, (o.off + i.pos) // $TokPackBlock AS block,
-        |             (o.off + i.pos) % $TokPackBlock AS slot, i.id
-        |      FROM ids i JOIN offs o USING (doc_id))
-        |SELECT shard, block,
-        |       CAST(sum(CASE WHEN id = ${TokPackVocabK + 1} THEN 1 ELSE 0 END) AS BIGINT) AS n_eos,
-        |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY slot) AS ids
-        |FROM g GROUP BY shard, block HAVING count(*) = $TokPackBlock
-        |ORDER BY shard, block""".stripMargin) { (s, dir) =>
+    Q("pipeline_tokenize_pack", tokenizePackSql) { (s, dir) =>
       val W = org.apache.spark.sql.expressions.Window
       val d = docs(s, dir)
       val wordCounts = d.select(explode(words).as("w"))
@@ -2559,6 +2705,64 @@ object Text {
         .filter(col("cnt") === TokPackBlock.toLong)
         .select(col("shard"), col("block"), col("n_eos"), col("ids"))
         .orderBy(col("shard"), col("block"))
+    },
+
+    // D21 (r9): C59 at INGEST — packing as documents land, the
+    // deployment shape for a streaming pretraining pipeline (blocks
+    // ship to the trainer as soon as they fill; only the <64-id shard
+    // remainder waits). The frozen vocab collects batch-side (50
+    // entries — the D20 frozen-artifact stance) and rides the closure;
+    // per-shard state is GENUINELY BOUNDED: (next block id, remainder
+    // buffer < 64 ids) — ≤ 65 longs per shard no matter how much
+    // history the shard has seen. flatMapGroupsWithState emits each
+    // block exactly once when it fills (append mode — emitted blocks
+    // are immutable, the streaming contract packing naturally has).
+    // Pack order = arrival order; within a micro-batch the group sorts
+    // by doc_id, so replaying the corpus file reproduces batch C59
+    // exactly — gated by the SAME oracle (driver-checked parity).
+    Q("pipeline_tokenize_pack_stream", tokenizePackSql) { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        val sess = s
+        import sess.implicits._
+        val eos = TokPackVocabK + 1L
+        val vocabMap: Map[String, Long] = docs(s, dir)
+          .select(explode(words).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("w").asc).limit(TokPackVocabK)
+          .collect().zipWithIndex
+          .map { case (r, i) => r.getString(0) -> (i + 1L) }.toMap
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val packed = stream
+          .select(col("doc_id"), expr("doc_id div 100").as("shard"), words.as("ws"))
+          .as[(Long, Long, Seq[String])]
+          .groupByKey(_._2)
+          .flatMapGroupsWithState[(Long, Seq[Long]), (Long, Long, Long, String)](
+            org.apache.spark.sql.streaming.OutputMode.Append(),
+            org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+            (shard: Long, rows: Iterator[(Long, Long, Seq[String])],
+             state: org.apache.spark.sql.streaming.GroupState[(Long, Seq[Long])]) =>
+              val (startBlock, startBuf) = state.getOption.getOrElse((0L, Seq.empty[Long]))
+              var block = startBlock
+              var buf = startBuf.toVector
+              val out = Vector.newBuilder[(Long, Long, Long, String)]
+              rows.toVector.sortBy(_._1).foreach { case (_, _, ws) =>
+                buf = buf ++ ws.map(w => vocabMap.getOrElse(w, 0L)) :+ eos
+                while (buf.length >= TokPackBlock) {
+                  val (b, rest) = buf.splitAt(TokPackBlock)
+                  out += ((shard, block, b.count(_ == eos).toLong, b.mkString(",")))
+                  block += 1; buf = rest
+                }
+              }
+              state.update((block, buf))
+              out.result().iterator
+          }
+          .toDF("shard", "block", "n_eos", "ids")
+        Events.runToAppendSink(s, "tokpack_sink_", packed)
+          .orderBy(col("shard"), col("block"))
+      }
     },
 
     // C23: deterministic global shuffle — the reproducible corpus
@@ -3311,37 +3515,25 @@ object Text {
     // replacements actually performed — counting every pattern against
     // the original text would double-count overlaps (the entity word
     // inside an email address is gone by the time the entity pass runs).
-    Q("text_pii_redact",
-      """WITH s0 AS (SELECT doc_id, text AS t FROM documents),
-        |s1 AS (SELECT doc_id,
-        |  len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS c1,
-        |  regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS t
-        |  FROM s0),
-        |s2 AS (SELECT doc_id, c1,
-        |  len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS c2,
-        |  regexp_replace(t, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS t FROM s1),
-        |s3 AS (SELECT doc_id, c1, c2,
-        |  len(regexp_extract_all(t, '[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}')) AS c3,
-        |  regexp_replace(t, '[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}', '<PHONE>', 'g') AS t FROM s2),
-        |s4 AS (SELECT doc_id, c1, c2, c3,
-        |  len(regexp_extract_all(t, '\bcustomer\b')) AS c4,
-        |  regexp_replace(t, '\bcustomer\b', '<ENT>', 'g') AS t FROM s3)
-        |SELECT doc_id, CAST(c1 + c2 + c3 + c4 AS BIGINT) AS n_red, t AS red_text
-        |FROM s4 ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val stages = Seq(
-        """[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}""" -> "<EMAIL>",
-        """([0-9]{1,3}\.){3}[0-9]{1,3}""" -> "<IP>",
-        """[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}""" -> "<PHONE>",
-        """\bcustomer\b""" -> "<ENT>")
-      val redacted = stages.foldLeft(
-        docs(s, dir).select(col("doc_id"), lit(0L).as("n_red"), col("text").as("t"))) {
-        case (df, (p, r)) => df.select(col("doc_id"),
-          (col("n_red") + size(regexp_extract_all(col("t"), lit(p), lit(0)))).as("n_red"),
-          regexp_replace(col("t"), p, r).as("t"))
+    Q("text_pii_redact", piiRedactSql) { (s, dir) =>
+      piiRedactFrame(docs(s, dir)).orderBy(col("doc_id"))
+    },
+
+    // D23 (r9): C28 at INGEST — redaction is the one transform that
+    // MUST run before data is persisted anywhere downstream (PII kept
+    // at rest is the liability, so production scrubbing sits in the
+    // ingest path, not a later batch pass). Stateless per-row regex
+    // projection, append mode; shares piiRedactFrame/piiStages verbatim
+    // with batch C28 and is gated by the SAME oracle.
+    Q("text_pii_redact_stream", piiRedactSql) { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        Events.runToAppendSink(s, "pii_sink_", piiRedactFrame(stream))
+          .orderBy(col("doc_id"))
       }
-      redacted
-        .select(col("doc_id"), col("n_red"), col("t").as("red_text"))
-        .orderBy(col("doc_id"))
     },
 
     // C29: deterministic weighted (importance) sampling — keep

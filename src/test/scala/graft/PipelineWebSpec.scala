@@ -47,6 +47,39 @@ class PipelineWebSpec extends SparkSpec {
     assert(out.toSeq == Seq(("train", "en", 6L, 102L)))
   }
 
+  test("D24 stream admission reproduces batch on the hand corpus") {
+    import spark.implicits._
+    val dir = "target/tmp/web-hand-stream"
+    val rows =
+      Seq((0L, good + "z"), (10L, good + "z"), (20L, "u u u u"),
+        (30L, good + "b"), (40L, good + "c"), (50L, good + "d"),
+        (60L, good + "e"), (70L, good + "f"), (80L, good + "g"),
+        (90L, good + "h")).map { case (i, t) => (i, t, "srcA") } ++
+      Seq((100L, bad), (110L, "y y y y"), (120L, "z z z z"))
+        .map { case (i, t) => (i, t, "srcB") } ++
+      Seq((200L, good + "q"), (210L, good + "q"), (220L, good + "r"))
+        .map { case (i, t) => (i, t, "srcC") } ++
+      Seq((130L, good + "m"), (140L, good + "n"))
+        .map { case (i, t) => (i, t, "src7") }
+    rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_docs_tmp")
+    val tmp = new java.io.File(s"$dir/_docs_tmp")
+    val part = tmp.listFiles().find(f => f.getName.startsWith("part-") &&
+      f.getName.endsWith(".parquet")).get
+    val flat = new java.io.File(s"$dir/documents.parquet")
+    if (flat.isDirectory) { flat.listFiles().foreach(_.delete()); flat.delete() }
+    java.nio.file.Files.copy(part.toPath, flat.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    tmp.listFiles().foreach(_.delete()); tmp.delete()
+
+    val batch = SparkEntry.queries("pipeline_curate_web")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val stream = SparkEntry.queries("pipeline_curate_web_stream")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(batch == Seq(("train", "en", 6L, 102L)) && stream == batch)
+  }
+
   test("C54 plan: every domain-level table joins bounded; no sort-merge") {
     val df = SparkEntry.queries("pipeline_curate_web")(spark, sf())
     df.collect()

@@ -56,6 +56,32 @@ class TokenizePackSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 0L, 1L), (1L, 0L, 1L)))
   }
 
+  // D21: ingest-time packing reproduces batch C59 exactly (same blocks,
+  // same ids) and the shard remainder stays in state, never emitted.
+  test("D21 stream packing equals batch on a planted corpus") {
+    import spark.implicits._
+    val dir = "target/tmp/tokpack-stream"
+    val texts = Seq.fill(95)("aa") ++ Seq(("bb " * 40).trim) // shard 0 docs 0..94 + doc 95
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "synth", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_docs_tmp")
+    val tmp = new java.io.File(s"$dir/_docs_tmp")
+    val part = tmp.listFiles().find(f => f.getName.startsWith("part-") &&
+      f.getName.endsWith(".parquet")).get
+    val flat = new java.io.File(s"$dir/documents.parquet")
+    if (flat.isDirectory) { flat.listFiles().foreach(_.delete()); flat.delete() }
+    java.nio.file.Files.copy(part.toPath, flat.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    tmp.listFiles().foreach(_.delete()); tmp.delete()
+
+    val batch = SparkEntry.queries("pipeline_tokenize_pack")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val stream = SparkEntry.queries("pipeline_tokenize_pack_stream")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(batch.nonEmpty && stream == batch)
+  }
+
   // OOV maps to 0: a word beyond the top-50 vocab cannot exist with a
   // <=50-word alphabet, so plant 51 distinct words where the 51st by
   // (count desc, word asc) falls out of the vocab. Words w00..w50 each
