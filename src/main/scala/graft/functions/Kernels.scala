@@ -235,6 +235,39 @@ object Kernels extends Serializable {
     c => f(c)
   }
 
+  /** Hashing-trick DOCUMENT VECTOR (Weinberger et al. 2009, the
+    * sklearn HashingVectorizer form): each token's feature index is
+    * h % dims and its sign the next hash bit ((h / dims) % 2 — the
+    * unbiased signed-sum variant), over the SAME token hash as
+    * [[tokenWeightStats]]/[[tokenBuckets]] (code-point positions,
+    * surrogate-aware), so these vectors live in the same feature space
+    * as the classifier family. One pass over the token array, empty
+    * tokens contribute nothing; returns a dense Long[dims].
+    */
+  def featureHashVec(dims: Int): Column => Column = {
+    val f = udf { ws: Seq[String] =>
+      val v = new Array[Long](dims)
+      ws.foreach { t =>
+        if (t.nonEmpty) {
+          var h = 0L
+          var i = 0  // code-point index
+          var ci = 0 // UTF-16 unit cursor
+          while (ci < t.length) {
+            val cp = t.codePointAt(ci)
+            h += cp.toLong * (1L + (131L * (i + 1)) % 997L)
+            ci += Character.charCount(cp)
+            i += 1
+          }
+          val hh = h % 1048576L
+          val d = (hh % dims).toInt
+          v(d) += (if ((hh / dims) % 2 == 0) 1L else -1L)
+        }
+      }
+      v
+    }
+    c => f(c)
+  }
+
   /** Deterministic ±1 plane component for (t, j, i) — the shared sign
     * function of [[hyperplaneSig]] and [[hyperplaneSigs]].
     */

@@ -1592,6 +1592,48 @@ object Text {
         .orderBy(col("split"))
     },
 
+    // C62 (r9): SPLIT-LEAKAGE report — the C16 split is deterministic
+    // but duplicate documents cross it anyway (the same text landing in
+    // train AND val/test inflates eval scores — the self-corpus form of
+    // C21's benchmark contamination, and the first audit any training
+    // run should print). Per eval split: doc count, docs whose
+    // normalized exact digest also appears in train, and the leak rate
+    // in bp. 100 TB shape: the corpus projects once to slim (split,
+    // digest) rows; the train-digest set is NOT a sliver (it is most of
+    // the corpus), so the eval side semi-joins it on the digest key —
+    // one co-partitioned exchange of 32 B digests, never text, and the
+    // final agg is 2 rows. Integer end-to-end ⇒ hash-gated.
+    Q("text_split_leakage",
+      """WITH f AS (
+        |  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS k,
+        |    CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |         WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split
+        |  FROM documents),
+        |tr AS (SELECT DISTINCT k FROM f WHERE split = 'train'),
+        |ev AS (
+        |  SELECT split, count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN k IN (SELECT k FROM tr) THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+        |  FROM f WHERE split <> 'train' GROUP BY split)
+        |SELECT split, n_docs, n_leaked,
+        |  CAST(n_leaked * 10000 // n_docs AS BIGINT) AS leak_bp
+        |FROM ev ORDER BY split""".stripMargin) { (s, dir) =>
+      val f = docs(s, dir).select(
+        when(col("doc_id") % 10 < 8, lit("train"))
+          .when(col("doc_id") % 10 === 8, lit("val"))
+          .otherwise(lit("test")).as("split"),
+        unhex(sha2(Dedup.normText, 256)).as("h"))
+      val train = f.where(col("split") === "train").select(col("h")).distinct()
+      val ev = f.where(col("split") =!= "train")
+      val leaked = ev.join(train, Seq("h"), "left_semi")
+        .groupBy(col("split")).agg(count(lit(1)).as("n_leaked"))
+      ev.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+        .join(leaked, Seq("split"), "left_outer")
+        .select(col("split"), col("n_docs"),
+          coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+          expr("coalesce(n_leaked, 0) * 10000 div n_docs").as("leak_bp"))
+        .orderBy(col("split"))
+    },
+
     // C18: the composed CURATION PIPELINE — the flagship shape of a
     // training-data run: quality-filter → exact-dedup keep-first →
     // deterministic split → per-(split, lang) accounting. One pass of
@@ -3671,6 +3713,49 @@ object Text {
         .select(col("doc_id"), col("n_tokens"), col("score"),
           when(col("score") >= 0, lit(1L)).otherwise(lit(0L)).as("keep"))
         .orderBy(col("doc_id"))
+    },
+
+    // C61 (r9): HASHING-TRICK document embeddings (Weinberger et al.
+    // 2009 — the sklearn HashingVectorizer) — deterministic cheap doc
+    // vectors with NO model, NO vocabulary table, NO training pass:
+    // each token's feature index is hh % 16 and its sign the next hash
+    // bit, over the SAME token hash as the C31 classifier family (one
+    // feature space across scorer, weights table, and embeddings).
+    // This is the bridge from raw text into the emb_* family (kmeans/
+    // outlier/ANN run on any fixed-dim vector column) when no learned
+    // encoder exists — and unlike learned embeddings it is INTEGER-
+    // exact, so the full vector is inside the cross-engine hash gate.
+    // 100 TB shape: one JIT kernel pass at scan speed (O(tokens) per
+    // row, dense 16-long accumulator), zero shuffles except the
+    // presentation sort — embedding is a map, not a join.
+    Q("text_hash_embed",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS j
+        |  FROM documents),
+        |chars AS (
+        |  SELECT doc_id, j, ascii(unnest(string_split(tok, ''))) AS a,
+        |         generate_subscripts(string_split(tok, ''), 1) AS i
+        |  FROM toks WHERE len(tok) > 0),
+        |th AS (
+        |  SELECT doc_id, j, (sum(a * (1 + (131 * i) % 997)) % 1048576) AS hh
+        |  FROM chars GROUP BY doc_id, j),
+        |e AS (
+        |  SELECT doc_id, hh % 16 AS dim,
+        |         CASE WHEN (hh // 16) % 2 = 0 THEN 1 ELSE -1 END AS s
+        |  FROM th),
+        |g AS (SELECT doc_id, dim, CAST(sum(s) AS BIGINT) AS v
+        |      FROM e GROUP BY doc_id, dim),
+        |dd AS (SELECT d.doc_id, r.range AS dim FROM documents d, range(16) r)
+        |SELECT dd.doc_id, CAST(dd.dim AS BIGINT) AS dim, COALESCE(g.v, 0) AS v
+        |FROM dd LEFT JOIN g ON g.doc_id = dd.doc_id AND g.dim = dd.dim
+        |ORDER BY dd.doc_id, dim""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(graft.functions.Kernels.featureHashVec(16)(words))
+            .as(Seq("dim", "v")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("v"))
+        .orderBy(col("doc_id"), col("dim"))
     },
 
     // C31b: the classifier with a REAL (stored, sparse) weights table —
