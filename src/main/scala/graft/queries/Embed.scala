@@ -293,6 +293,56 @@ object Embed {
       pcaProject(s, quantized(s, dir), m).orderBy(col("vec_id"))
     },
 
+    // D25 (r9): C40b at INGEST — dimensionality reduction with a
+    // FROZEN basis as embeddings land (the deployment shape: PCA fits
+    // once on the corpus snapshot; reducing a 100 TB stream must not
+    // re-fit). The bounded model (p·d basis literals + projected mean)
+    // rides the stateless per-row projection exactly as in batch —
+    // append mode, no state store, no join. Float output (eigenvectors
+    // are irrational) ⇒ rows-only; `inv_pca_stream_parity` pins
+    // stream ≡ batch projection bitwise (same literals, same kernel,
+    // same per-row arithmetic — any drift is a real bug).
+    Q.noOracle("emb_pca_stream") { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        val m = pcaFit(s, dir, P)
+        val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet")
+          .parquet(dir)
+        val q = stream.select(col("vec_id"),
+          transform(col("embedding"),
+            v => floor(v.cast("double") * 1000).cast("long")).as("q"))
+        Events.runToAppendSink(s, "pca_sink_", pcaProject(s, q, m))
+          .orderBy(col("vec_id"))
+      }
+    },
+
+    // Driver gate for D25 (WHERE 1=0 oracle): the streamed projection
+    // must match the batch projection BITWISE on every vec_id (null-
+    // safe compare — a row missing on either side is also a violation).
+    Q("inv_pca_stream_parity",
+      """SELECT CAST(NULL AS BIGINT) AS vec_id FROM embeddings WHERE 1=0""") { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        val m = pcaFit(s, dir, P)
+        val batch = pcaProject(s, quantized(s, dir), m)
+        val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet")
+          .parquet(dir)
+        val q = stream.select(col("vec_id"),
+          transform(col("embedding"),
+            v => floor(v.cast("double") * 1000).cast("long")).as("q"))
+        val sr = (0 until P).foldLeft(
+          Events.runToAppendSink(s, "pcap_sink_", pcaProject(s, q, m))) {
+          (df, j) => df.withColumnRenamed(s"pc$j", s"spc$j")
+        }
+        val mismatch = (0 until P)
+          .map(j => !(col(s"pc$j") <=> col(s"spc$j"))).reduce(_ || _)
+        batch.join(sr, Seq("vec_id"), "full_outer")
+          .where(mismatch).select(col("vec_id")).orderBy(col("vec_id"))
+      }
+    },
+
     // Driver gate for C40b (WHERE 1=0 oracle): (a) basis orthonormality
     // |⟨vi,vj⟩ − δij| ≤ 1e-9 (p² driver-side dots, emitted as a local
     // frame so the violation set is driver-checked, not spec-trusted);

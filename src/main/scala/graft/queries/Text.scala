@@ -1592,6 +1592,62 @@ object Text {
         .orderBy(col("split"))
     },
 
+    // C63 (r9): QUALITY-BUDGET selection — the threshold-calibration
+    // operator quality filters actually need: a fixed cutoff (C18's
+    // qbp >= 5000) keeps an unpredictable token volume, but training
+    // runs are budgeted in TOKENS, so production selection (the
+    // FineWeb-Edu "keep the best X%" shape) ORDERS by quality and cuts
+    // where the budget fills. Per lang: budget = half the lang's
+    // tokens; keep the highest-quality docs (qbp desc, doc_id tie-
+    // break — a total order) whose running token sum fits; report the
+    // realized cutoff (min kept qbp) — the number a fixed-threshold
+    // filter would have needed to guess. Integer ⇒ hash-gated.
+    // 100 TB shape: the corpus projects ONCE to slim (lang, doc_id,
+    // tokens, qbp) rows; the running sum is a lang-partitioned window
+    // over those slim rows (never global, never text-bearing); the
+    // per-lang budget table is lang-count rows and broadcasts.
+    Q("text_quality_budget_select",
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split(text, ' ')) AS tokens,
+        |    CAST(least(len(string_split(text, ' ')), 100) * 40
+        |      + (least(len(list_filter(string_split(text, ' '),
+        |           w -> w IN ('the','a','of','and','to'))) * 10,
+        |           len(string_split(text, ' '))) * 3000) // len(string_split(text, ' '))
+        |      + (len(list_distinct(string_split(text, ' '))) * 3000)
+        |           // len(string_split(text, ' ')) AS BIGINT) AS qbp
+        |  FROM documents),
+        |b AS (SELECT lang, CAST(sum(tokens) AS BIGINT) // 2 AS budget FROM f GROUP BY lang),
+        |r AS (SELECT f.*, b.budget,
+        |        CAST(sum(tokens) OVER (PARTITION BY f.lang
+        |          ORDER BY qbp DESC, doc_id) AS BIGINT) AS run
+        |      FROM f JOIN b USING (lang))
+        |SELECT lang, count(*) AS n_kept, CAST(sum(tokens) AS BIGINT) AS tokens_kept,
+        |  any_value(budget) AS budget, CAST(min(qbp) AS BIGINT) AS cutoff_bp
+        |FROM r WHERE run <= budget GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val f = docs(s, dir).select(col("doc_id"), col("lang"),
+        size(words).cast("long").as("tokens"),
+        size(array_distinct(words)).as("n_distinct"),
+        size(filter(words, w => w.isin("the", "a", "of", "and", "to"))).as("n_stop"),
+        size(words).as("n_words"))
+        .withColumn("qbp",
+          (least(col("n_words"), lit(100)) * 40
+            + expr("(least(n_stop * 10, n_words) * 3000) div n_words")
+            + expr("(n_distinct * 3000) div n_words")).cast("long"))
+        .select(col("doc_id"), col("lang"), col("tokens"), col("qbp"))
+      val budgets = f.groupBy(col("lang"))
+        .agg(expr("CAST(sum(tokens) AS BIGINT) div 2").as("budget"))
+      f.join(broadcast(budgets), Seq("lang"))
+        .withColumn("run", sum(col("tokens")).over(
+          W.partitionBy(col("lang")).orderBy(col("qbp").desc, col("doc_id"))))
+        .where(col("run") <= col("budget"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("tokens")).as("tokens_kept"),
+          first(col("budget")).as("budget"), min(col("qbp")).as("cutoff_bp"))
+        .orderBy(col("lang"))
+    },
+
     // C62 (r9): SPLIT-LEAKAGE report — the C16 split is deterministic
     // but duplicate documents cross it anyway (the same text landing in
     // train AND val/test inflates eval scores — the self-corpus form of

@@ -110,6 +110,12 @@ class EmbedSpec extends SparkSpec {
     assert(SparkEntry.queries("inv_pca_variance")(spark, sf()).count() == 0)
   }
 
+  test("D25 emb_pca_stream: bitwise parity with batch at sf0.001") {
+    assert(SparkEntry.queries("inv_pca_stream_parity")(spark, sf()).count() == 0)
+    val st = SparkEntry.queries("emb_pca_stream")(spark, sf())
+    assert(st.count() > 0 && st.columns.head == "vec_id")
+  }
+
   test("C41 emb_quantize: hand cases incl. saturation ends") {
     // m=-1000 → code 0 → recon -1000, err 0
     // m= 1000 → code 255 → recon 1000, err 0
