@@ -1043,6 +1043,27 @@ object Text {
         |            < least(10000, sum_rbp // n_feats) THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** C9/D26's shared DuckDB twin — one oracle gating batch langid AND
+    * ingest-time routing IS the batch/stream parity check.
+    */
+  private val langidSql: String = {
+    val hitSql = markers.map { case (l, ws) =>
+      s"len(list_filter(string_split(text, ' '), w -> w IN (${ws.map("'" + _ + "'").mkString(",")}))) AS ${l}_hits"
+    }.mkString(",\n  ")
+    s"""WITH h AS (SELECT doc_id,
+       |  $hitSql
+       |FROM documents)
+       |SELECT doc_id,
+       |  CASE
+       |    WHEN en_hits = 0 AND fr_hits = 0 AND de_hits = 0 AND es_hits = 0 THEN 'und'
+       |    WHEN en_hits >= fr_hits AND en_hits >= de_hits AND en_hits >= es_hits THEN 'en'
+       |    WHEN fr_hits >= de_hits AND fr_hits >= es_hits THEN 'fr'
+       |    WHEN de_hits >= es_hits THEN 'de'
+       |    ELSE 'es' END AS pred_lang,
+       |  en_hits, fr_hits, de_hits, es_hits
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
   /** C54/D24's shared DuckDB twin — one oracle gating the batch web
     * pipeline AND its ingest form IS the batch/stream parity check.
     */
@@ -1093,24 +1114,26 @@ object Text {
     // C9: n-gram/stopword-heuristic language ID — marker hits per
     // language, argmax with deterministic tie order (en,fr,de,es), 'und'
     // when nothing matches.
-    Q("text_langid", {
-      val hitSql = markers.map { case (l, ws) =>
-        s"len(list_filter(string_split(text, ' '), w -> w IN (${ws.map("'" + _ + "'").mkString(",")}))) AS ${l}_hits"
-      }.mkString(",\n  ")
-      s"""WITH h AS (SELECT doc_id,
-         |  $hitSql
-         |FROM documents)
-         |SELECT doc_id,
-         |  CASE
-         |    WHEN en_hits = 0 AND fr_hits = 0 AND de_hits = 0 AND es_hits = 0 THEN 'und'
-         |    WHEN en_hits >= fr_hits AND en_hits >= de_hits AND en_hits >= es_hits THEN 'en'
-         |    WHEN fr_hits >= de_hits AND fr_hits >= es_hits THEN 'fr'
-         |    WHEN de_hits >= es_hits THEN 'de'
-         |    ELSE 'es' END AS pred_lang,
-         |  en_hits, fr_hits, de_hits, es_hits
-         |FROM h ORDER BY doc_id""".stripMargin
-    }) { (s, dir) =>
+    Q("text_langid", langidSql) { (s, dir) =>
       langidFrame(docs(s, dir)).orderBy(col("doc_id"))
+    },
+
+    // D26 (r9): C9 at INGEST — language ROUTING as documents land, the
+    // first stage every multilingual crawl pipeline runs (CCNet routes
+    // by fastText langid at ingest; per-language processing forks from
+    // there). Stateless per-row projection sharing langidFrame verbatim
+    // with batch C9 AND the C47 distillation teacher — the routing
+    // rule, the gate rule, and the model's teacher are one definition.
+    // Same oracle as batch C9 (driver-checked parity), append mode.
+    Q("text_langid_stream", langidSql) { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        Events.runToAppendSink(s, "langid_sink_", langidFrame(stream))
+          .orderBy(col("doc_id"))
+      }
     },
 
     // C10: quality score — length, word-length, stopword ratio, repetition
