@@ -98,6 +98,46 @@ class ChunkOovSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  private def langCorpus(name: String, docs: Seq[(String, String)]): String = {
+    import spark.implicits._
+    val dir = s"target/tmp/chunkoov-$name"
+    docs.zipWithIndex
+      .map { case ((t, l), i) => (i.toLong, t, l, "synth", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("C64 drift report: hand-computed shares, alert fires both directions") {
+    // ids 0..3, 10 distinct non-stopword tokens each (qbp = 400+0+3000).
+    // v0 = id%5!=4 (all) with id 3 (%11=3) marked " v0" -> 11 tokens;
+    // v1 = id%7!=2 (drops id 2). v0: en 20 / fr 21 (tot 41); v1: en 10 /
+    // fr 20 (tot 30) -> en share 4878->3333 (drift -1545), fr 5121->6666
+    // (+1545): one lang alerts down, the other up, off the SAME corpus.
+    val out = SparkEntry.queries("corpus_drift_report")(
+        spark, langCorpus("drift", Seq(
+          (toks(10), "en"), (toks(10, 10), "fr"),
+          (toks(10, 20), "en"), (toks(10, 30), "fr"))))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9)))
+    // fr mq0: id1 qbp 3400, id3 v0-marked 11 tokens -> 440+0+3000 = 3440
+    // -> (3400+3440) div 2 = 3420; every other mean stays 3400.
+    assert(out.toSeq == Seq(
+      ("en", 2L, 1L, 4878L, 3333L, -1545L, 3400L, 3400L, 0L, 1L),
+      ("fr", 2L, 2L, 5121L, 6666L, 1545L, 3420L, 3400L, -20L, 1L)))
+  }
+
+  test("C64 drift report: identical distributions stay silent") {
+    // ids 0/1 live in both versions unmarked -> zero drift, alert 0.
+    val out = SparkEntry.queries("corpus_drift_report")(
+        spark, langCorpus("nodrift", Seq((toks(10), "en"), (toks(10, 10), "fr"))))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(5), r.getLong(8), r.getLong(9)))
+    assert(out.toSeq == Seq(("en", 0L, 0L, 0L), ("fr", 0L, 0L, 0L)))
+  }
+
   test("C56 plan: vocab broadcasts; no sort-merge join") {
     val df = SparkEntry.queries("text_oov_rate")(spark, sf())
     df.collect()
