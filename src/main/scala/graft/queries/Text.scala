@@ -540,6 +540,54 @@ object Text {
   /** Per-domain contribution cap for text_domain_filter. */
   private[graft] val DomainCap = 8
 
+  /** C65's MESSY url — crawls re-fetch the same page under tracking
+    * params, fragments, case-variant hosts, default ports and scheme
+    * drift, so URL-level dedup starts from a dirty string. Like
+    * [[urlCol]] this is a pure function of doc_id (both engines build
+    * the identical corpus): page = doc_id div 3 and the three fetch
+    * variants per page are (0) SHOUTING scheme/host + www + trailing
+    * slash + pure-tracking query + fragment, (1) http + default port +
+    * a REAL `id=` param mixed with a tracking one, (2) already clean.
+    * Variants 0 and 2 canonicalize together; variant 1 keeps its `id=`
+    * param and stays a distinct resource — the subtle rule (strip only
+    * TRACKING params, not all params) is what the gate exercises.
+    */
+  private[graft] def messyUrlCol: Column = {
+    val page = expr("doc_id div 3")
+    val k = expr("(doc_id div 3) % 50")
+    when(expr("doc_id % 3") === 0,
+        concat(lit("HTTPS://WWW.SITE"), k, lit(".COM/page/"), page,
+          lit("/?utm_source=feed&ref=rss#top")))
+      .when(expr("doc_id % 3") === 1,
+        concat(lit("http://site"), k, lit(".com:80/page/"), page,
+          lit("?id="), page, lit("&utm_campaign=x")))
+      .otherwise(concat(lit("https://site"), k, lit(".com/page/"), page))
+  }
+
+  private[graft] val messyUrlSql: String =
+    "CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.SITE' || CAST((doc_id // 3) % 50 AS VARCHAR) " +
+      "|| '.COM/page/' || CAST(doc_id // 3 AS VARCHAR) || '/?utm_source=feed&ref=rss#top' " +
+      "WHEN doc_id % 3 = 1 THEN 'http://site' || CAST((doc_id // 3) % 50 AS VARCHAR) " +
+      "|| '.com:80/page/' || CAST(doc_id // 3 AS VARCHAR) || '?id=' || CAST(doc_id // 3 AS VARCHAR) || '&utm_campaign=x' " +
+      "ELSE 'https://site' || CAST((doc_id // 3) % 50 AS VARCHAR) || '.com/page/' || CAST(doc_id // 3 AS VARCHAR) END"
+
+  /** C65's canonical form: lowercase; fragment, scheme, `www.`, port,
+    * trailing slash and TRACKING params (`utm_*`, `ref`) dropped; real
+    * query params kept in order. Scheme/port-agnostic identity is the
+    * crawl-dedup convention (the same page over http/https is one
+    * resource). Built on Spark's native `parse_url` so the host/path/
+    * query split is the real parser, not a shortcut regex.
+    */
+  private[graft] def canonicalUrlCol(u: Column): Column = {
+    val nf = regexp_replace(lower(u), "#.*$", "")
+    val host = regexp_replace(parse_url(nf, lit("HOST")), "^www\\.", "")
+    val path = regexp_replace(parse_url(nf, lit("PATH")), "/$", "")
+    val kept = array_join(filter(split(parse_url(nf, lit("QUERY")), "&"),
+      p => !(p.startsWith("utm_") || p.startsWith("ref="))), "&")
+    concat(host, path,
+      when(kept.isNotNull && kept =!= "", concat(lit("?"), kept)).otherwise(lit("")))
+  }
+
   // --------------------------------------------- C51 domain reputation
 
   /** C51 verdict thresholds: minimum docs to judge a domain at all,
@@ -1109,6 +1157,72 @@ object Text {
       |FROM kept WHERE rn = 1
       |GROUP BY 1, lang ORDER BY split, lang""".stripMargin
 
+  /** C60's Gopher rule battery over any documents frame — ONE
+    * definition shared by batch C60, its D27 ingest twin, and C66's
+    * ablation report (the C18b shared-frame discipline: the filter, the
+    * routing form, and the audit can never drift apart). Pure per-row
+    * projection; see the C60 query scaladoc for the rule story.
+    */
+  private[graft] def gopherFrame(d: DataFrame): DataFrame = {
+    val sig = d.select(col("doc_id"),
+      size(words).cast("long").as("n_words"),
+      aggregate(words, lit(0L), (a, w) => a + length(w)).as("sum_len"),
+      size(filter(words, w => w.isin("the", "a", "of", "and", "to"))).cast("long").as("n_stop"),
+      array_max(transform(array_distinct(words),
+        w => size(filter(words, x => x === w)))).cast("long").as("top_c"),
+      size(array_distinct(words)).cast("long").as("n_distinct"))
+    val f = sig.select(col("doc_id"), col("n_words"), col("n_stop"),
+      expr("sum_len * 100 div n_words").as("mwl_cw"),
+      expr("top_c * 10000 div n_words").as("top_bp"),
+      expr("n_distinct * 10000 div n_words").as("distinct_bp"))
+    val rLen = col("n_words").between(20L, 80L)
+    val rMwl = col("mwl_cw").between(420L, 485L)
+    val rStop = col("n_stop") >= 2L
+    val rRep = col("top_bp") <= 1200L
+    val rDiv = col("distinct_bp") >= 3200L
+    f.select(col("doc_id"), col("n_words"), col("mwl_cw"), col("n_stop"),
+      col("top_bp"), col("distinct_bp"),
+      when(rLen, 1L).otherwise(0L).as("r_len"),
+      when(rMwl, 1L).otherwise(0L).as("r_mwl"),
+      when(rStop, 1L).otherwise(0L).as("r_stop"),
+      when(rRep, 1L).otherwise(0L).as("r_rep"),
+      when(rDiv, 1L).otherwise(0L).as("r_div"),
+      when(rLen && rMwl && rStop && rRep && rDiv, 1L).otherwise(0L).as("keep"))
+  }
+
+  /** The shared signal/flag CTE chain of the C60/C66 oracles — spliced
+    * into both so the rule thresholds live in exactly one SQL string.
+    */
+  private val gopherCtes: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |s AS (SELECT doc_id,
+      |  CAST(len(ws) AS BIGINT) AS n_words,
+      |  CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS sum_len,
+      |  CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+      |  CAST(list_max(list_transform(list_distinct(ws),
+      |       w -> len(list_filter(ws, x -> x = w)))) AS BIGINT) AS top_c,
+      |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+      |FROM t),
+      |f AS (SELECT doc_id, n_words, n_stop,
+      |  sum_len * 100 // n_words AS mwl_cw,
+      |  top_c * 10000 // n_words AS top_bp,
+      |  n_distinct * 10000 // n_words AS distinct_bp FROM s),
+      |g AS (SELECT doc_id, n_words, mwl_cw, n_stop, top_bp, distinct_bp,
+      |  CAST(CASE WHEN n_words BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS BIGINT) AS r_len,
+      |  CAST(CASE WHEN mwl_cw BETWEEN 420 AND 485 THEN 1 ELSE 0 END AS BIGINT) AS r_mwl,
+      |  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+      |  CAST(CASE WHEN top_bp <= 1200 THEN 1 ELSE 0 END AS BIGINT) AS r_rep,
+      |  CAST(CASE WHEN distinct_bp >= 3200 THEN 1 ELSE 0 END AS BIGINT) AS r_div
+      |FROM f)""".stripMargin
+
+  private val gopherSql: String =
+    s"""$gopherCtes
+      |SELECT doc_id, n_words, mwl_cw, n_stop, top_bp, distinct_bp,
+      |  r_len, r_mwl, r_stop, r_rep, r_div,
+      |  CAST(CASE WHEN r_len = 1 AND r_mwl = 1 AND r_stop = 1 AND r_rep = 1
+      |    AND r_div = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // C9: n-gram/stopword-heuristic language ID — marker hits per
@@ -1189,54 +1303,131 @@ object Text {
     // shuffles except the presentation sort; the per-doc top-word scan
     // is O(distinct x n) inside codegen, bounded by doc length, and
     // never touches an exploded token stream.
-    Q("text_gopher_rules",
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |s AS (SELECT doc_id,
-        |  CAST(len(ws) AS BIGINT) AS n_words,
-        |  CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS sum_len,
-        |  CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
-        |  CAST(list_max(list_transform(list_distinct(ws),
-        |       w -> len(list_filter(ws, x -> x = w)))) AS BIGINT) AS top_c,
-        |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
-        |FROM t),
-        |f AS (SELECT doc_id, n_words, n_stop,
-        |  sum_len * 100 // n_words AS mwl_cw,
-        |  top_c * 10000 // n_words AS top_bp,
-        |  n_distinct * 10000 // n_words AS distinct_bp FROM s)
-        |SELECT doc_id, n_words, mwl_cw, n_stop, top_bp, distinct_bp,
-        |  CAST(CASE WHEN n_words BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS BIGINT) AS r_len,
-        |  CAST(CASE WHEN mwl_cw BETWEEN 420 AND 485 THEN 1 ELSE 0 END AS BIGINT) AS r_mwl,
-        |  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
-        |  CAST(CASE WHEN top_bp <= 1200 THEN 1 ELSE 0 END AS BIGINT) AS r_rep,
-        |  CAST(CASE WHEN distinct_bp >= 3200 THEN 1 ELSE 0 END AS BIGINT) AS r_div,
-        |  CAST(CASE WHEN n_words BETWEEN 20 AND 80 AND mwl_cw BETWEEN 420 AND 485
-        |    AND n_stop >= 2 AND top_bp <= 1200 AND distinct_bp >= 3200
+    Q("text_gopher_rules", gopherSql) { (s, dir) =>
+      gopherFrame(docs(s, dir)).orderBy(col("doc_id"))
+    },
+
+    // D27 (r9): C60 at INGEST — the keep/drop filter battery applied as
+    // documents land (the admission judgment of a crawl pipeline runs
+    // at ingest; batch C60 is the audit/replay form). Stateless per-row
+    // projection sharing gopherFrame verbatim with batch C60 and C66's
+    // ablation — SAME oracle as C60, append mode, no state store.
+    Q("text_gopher_rules_stream", gopherSql) { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        Events.runToAppendSink(s, "gopher_sink_", gopherFrame(stream))
+          .orderBy(col("doc_id"))
+      }
+    },
+
+    // C66 (r9): filter ABLATION report — the attribution matrix dataset
+    // papers publish for a rule battery: per rule, how many docs it
+    // flags, how many it flags ALONE (its marginal value — rules with
+    // zero alone-count are redundant given the rest), and the token
+    // mass it touches; plus the 'any' row (union of the battery).
+    // Shares gopherFrame with C60/D27 so the audited rules are the
+    // shipped rules BY CONSTRUCTION. All counts integer ⇒ hash-gated.
+    // 100 TB shape: one pure-projection corpus scan into ONE partial
+    // aggregate (every sum map-side combinable) ⇒ a single 1-row
+    // exchange, then a 6-row stack on the driver side of the agg; no
+    // join, no token explode, text never leaves the scan.
+    Q("pipeline_filter_ablation",
+      s"""$gopherCtes,
+        |n AS (SELECT g.*,
+        |  5 - r_len - r_mwl - r_stop - r_rep - r_div AS nf FROM g),
+        |a AS (SELECT
+        |  CAST(sum(1 - r_len) AS BIGINT) AS f_len,
+        |  CAST(sum(CASE WHEN r_len = 0 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a_len,
+        |  CAST(sum(n_words * (1 - r_len)) AS BIGINT) AS t_len,
+        |  CAST(sum(1 - r_mwl) AS BIGINT) AS f_mwl,
+        |  CAST(sum(CASE WHEN r_mwl = 0 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a_mwl,
+        |  CAST(sum(n_words * (1 - r_mwl)) AS BIGINT) AS t_mwl,
+        |  CAST(sum(1 - r_stop) AS BIGINT) AS f_stop,
+        |  CAST(sum(CASE WHEN r_stop = 0 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a_stop,
+        |  CAST(sum(n_words * (1 - r_stop)) AS BIGINT) AS t_stop,
+        |  CAST(sum(1 - r_rep) AS BIGINT) AS f_rep,
+        |  CAST(sum(CASE WHEN r_rep = 0 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a_rep,
+        |  CAST(sum(n_words * (1 - r_rep)) AS BIGINT) AS t_rep,
+        |  CAST(sum(1 - r_div) AS BIGINT) AS f_div,
+        |  CAST(sum(CASE WHEN r_div = 0 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a_div,
+        |  CAST(sum(n_words * (1 - r_div)) AS BIGINT) AS t_div,
+        |  CAST(sum(CASE WHEN nf >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS f_any,
+        |  CAST(sum(CASE WHEN nf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a_any,
+        |  CAST(sum(CASE WHEN nf >= 1 THEN n_words ELSE 0 END) AS BIGINT) AS t_any
+        |FROM n)
+        |SELECT 'any' AS rule, f_any AS n_flagged, a_any AS n_flagged_alone, t_any AS tokens_flagged FROM a
+        |UNION ALL SELECT 'diversity', f_div, a_div, t_div FROM a
+        |UNION ALL SELECT 'length', f_len, a_len, t_len FROM a
+        |UNION ALL SELECT 'mean_word_len', f_mwl, a_mwl, t_mwl FROM a
+        |UNION ALL SELECT 'repetition', f_rep, a_rep, t_rep FROM a
+        |UNION ALL SELECT 'stopwords', f_stop, a_stop, t_stop FROM a
+        |ORDER BY rule""".stripMargin) { (s, dir) =>
+      val g = gopherFrame(docs(s, dir)).withColumn("nf",
+        lit(5L) - col("r_len") - col("r_mwl") - col("r_stop") - col("r_rep") - col("r_div"))
+      val aggs = Seq("len", "mwl", "stop", "rep", "div").flatMap { k =>
+        Seq(sum(lit(1L) - col(s"r_$k")).as(s"f_$k"),
+          sum(when(col(s"r_$k") === 0L && col("nf") === 1L, 1L).otherwise(0L)).as(s"a_$k"),
+          sum(col("n_words") * (lit(1L) - col(s"r_$k"))).as(s"t_$k"))
+      } ++ Seq(
+        sum(when(col("nf") >= 1L, 1L).otherwise(0L)).as("f_any"),
+        sum(when(col("nf") === 1L, 1L).otherwise(0L)).as("a_any"),
+        sum(when(col("nf") >= 1L, col("n_words")).otherwise(0L)).as("t_any"))
+      g.agg(aggs.head, aggs.tail: _*)
+        .select(expr("stack(6, " +
+          "'any', f_any, a_any, t_any, " +
+          "'diversity', f_div, a_div, t_div, " +
+          "'length', f_len, a_len, t_len, " +
+          "'mean_word_len', f_mwl, a_mwl, t_mwl, " +
+          "'repetition', f_rep, a_rep, t_rep, " +
+          "'stopwords', f_stop, a_stop, t_stop) " +
+          "AS (rule, n_flagged, n_flagged_alone, tokens_flagged)"))
+        .orderBy(col("rule"))
+    },
+
+    // C65 (r9): URL-level dedup — the stage crawl pipelines run BEFORE
+    // any content dedup (re-fetches of one URL are exact dups that are
+    // cheaper to kill on a 40-byte string than on the document body):
+    // canonicalize the messy fetch URL (lowercase; strip fragment,
+    // scheme, www., port, trailing slash, and TRACKING params while
+    // KEEPING real params — see canonicalUrlCol), then keep-first per
+    // canonical identity. Emits url + canon per doc so the whole
+    // canonicalizer sits under the hash gate, not just the verdict.
+    // 100 TB shape: canonicalization is a pure projection; the only
+    // exchange is the keep-first window keyed on the slim canon string
+    // (~40 B; production would key on its 16 B hash) — the text column
+    // never moves, and the window state per key is one running min.
+    Q("text_url_dedup",
+      s"""WITH u AS (SELECT doc_id, ($messyUrlSql) AS url FROM documents),
+        |c0 AS (SELECT doc_id, url,
+        |  regexp_replace(regexp_replace(lower(url), '#.*$$', ''), '^https?://', '') AS r FROM u),
+        |c1 AS (SELECT doc_id, url, r, regexp_extract(r, '^[^/]+') AS hostport FROM c0),
+        |c2 AS (SELECT doc_id, url,
+        |  regexp_replace(regexp_replace(hostport, ':[0-9]+$$', ''), '^www\\.', '') AS host,
+        |  substr(r, length(hostport) + 1) AS pathq FROM c1),
+        |c3 AS (SELECT doc_id, url, host,
+        |  regexp_replace(CASE WHEN instr(pathq, '?') > 0
+        |    THEN substr(pathq, 1, instr(pathq, '?') - 1) ELSE pathq END, '/$$', '') AS path,
+        |  CASE WHEN instr(pathq, '?') > 0 THEN substr(pathq, instr(pathq, '?') + 1) ELSE '' END AS q
+        |FROM c2),
+        |c4 AS (SELECT doc_id, url, host || path ||
+        |  CASE WHEN array_to_string(list_filter(string_split(q, '&'),
+        |         p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref='))), '&') <> ''
+        |    THEN '?' || array_to_string(list_filter(string_split(q, '&'),
+        |         p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref='))), '&')
+        |    ELSE '' END AS canon FROM c3)
+        |SELECT doc_id, url, canon,
+        |  CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canon)
         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
-        |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val sig = docs(s, dir).select(col("doc_id"),
-        size(words).cast("long").as("n_words"),
-        aggregate(words, lit(0L), (a, w) => a + length(w)).as("sum_len"),
-        size(filter(words, w => w.isin("the", "a", "of", "and", "to"))).cast("long").as("n_stop"),
-        array_max(transform(array_distinct(words),
-          w => size(filter(words, x => x === w)))).cast("long").as("top_c"),
-        size(array_distinct(words)).cast("long").as("n_distinct"))
-      val f = sig.select(col("doc_id"), col("n_words"), col("n_stop"),
-        expr("sum_len * 100 div n_words").as("mwl_cw"),
-        expr("top_c * 10000 div n_words").as("top_bp"),
-        expr("n_distinct * 10000 div n_words").as("distinct_bp"))
-      val rLen = col("n_words").between(20L, 80L)
-      val rMwl = col("mwl_cw").between(420L, 485L)
-      val rStop = col("n_stop") >= 2L
-      val rRep = col("top_bp") <= 1200L
-      val rDiv = col("distinct_bp") >= 3200L
-      f.select(col("doc_id"), col("n_words"), col("mwl_cw"), col("n_stop"),
-          col("top_bp"), col("distinct_bp"),
-          when(rLen, 1L).otherwise(0L).as("r_len"),
-          when(rMwl, 1L).otherwise(0L).as("r_mwl"),
-          when(rStop, 1L).otherwise(0L).as("r_stop"),
-          when(rRep, 1L).otherwise(0L).as("r_rep"),
-          when(rDiv, 1L).otherwise(0L).as("r_div"),
-          when(rLen && rMwl && rStop && rRep && rDiv, 1L).otherwise(0L).as("keep"))
+        |FROM c4 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val W = org.apache.spark.sql.expressions.Window.partitionBy(col("canon"))
+      docs(s, dir)
+        .select(col("doc_id"), messyUrlCol.as("url"))
+        .withColumn("canon", canonicalUrlCol(col("url")))
+        .select(col("doc_id"), col("url"), col("canon"),
+          when(col("doc_id") === min(col("doc_id")).over(W), 1L).otherwise(0L).as("keep"))
         .orderBy(col("doc_id"))
     },
 

@@ -48,6 +48,50 @@ class GopherRulesSpec extends SparkSpec {
       (5L, (1L, 1L, 1L, 1L, 0L), 0L)))
   }
 
+  test("C66 ablation: per-rule counts/alone-counts/token mass hand-computed") {
+    // Reuse the attribution corpus: docs B..F each fail EXACTLY one rule
+    // (so n_flagged = n_flagged_alone = 1 per rule) and A passes all —
+    // tokens_flagged per rule = the failing doc's n_words (10/30/30/30/80).
+    val a = (Seq("the", "a") ++ w5(28, "aa")).mkString(" ")
+    val b = (Seq("the", "a") ++ w5(8, "bb")).mkString(" ")
+    val c2 = (Seq("the", "a") ++ (0 until 28).map(i => s"${('b' + i).toChar}x")).mkString(" ")
+    val d = ((0 until 15).map(i => f"cc$i%02d") ++ w5(15, "dd")).mkString(" ")
+    val e = (Seq.fill(5)("eee00") ++ Seq("the", "a") ++ w5(23, "ee")).mkString(" ")
+    val f = (Seq.fill(9)("the") ++ Seq.fill(9)("a")
+      ++ (0 until 6).flatMap(i => Seq.fill(9)(f"ff$i%03d"))
+      ++ w5(8, "fg")).mkString(" ")
+    val out = SparkEntry.queries("pipeline_filter_ablation")(
+        spark, corpus(Seq(a, b, c2, d, e, f)))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("any", 5L, 5L, 180L),
+      ("diversity", 1L, 1L, 80L),
+      ("length", 1L, 1L, 10L),
+      ("mean_word_len", 1L, 1L, 30L),
+      ("repetition", 1L, 1L, 30L),
+      ("stopwords", 1L, 1L, 30L)))
+  }
+
+  test("C66 plan: one partial aggregate, no join, no token explode") {
+    val df = SparkEntry.queries("pipeline_filter_ablation")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    // the only Generate allowed is stack() over the ONE aggregate row —
+    // a Generate below the aggregate would be a token explode.
+    assert(!p.contains("Join"), s"ablation must not join:\n$p")
+    assert(p.contains("partial_") && p.contains("Exchange SinglePartition"),
+      s"the 1-row aggregate must be map-side combinable:\n$p")
+    assert(p.indexOf("Generate") < p.indexOf("HashAggregate"),
+      s"stack must sit above the aggregate, not explode below it:\n$p")
+  }
+
+  test("D27 stream twin judges every doc exactly as batch C60") {
+    val batch = SparkEntry.queries("text_gopher_rules")(spark, sf()).collect().toSeq
+    val stream = SparkEntry.queries("text_gopher_rules_stream")(spark, sf()).collect().toSeq
+    assert(stream == batch)
+  }
+
   test("C60 plan: pure projection — no aggregate exchange before the sort") {
     val plan = SparkEntry.queries("text_gopher_rules")(spark, corpus(Seq("the a x y")))
       .queryExecution.executedPlan.toString.split("Initial Plan")(0)
