@@ -814,6 +814,46 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
 
+    // C1c (r9): duplication DATA CARD — the cluster-size histogram
+    // dedup reports publish (how duplicated is this crawl, and what
+    // does dedup buy?): per exact-dup cluster size, cluster/doc/dup-doc
+    // counts, token mass, and the tokens dedup would remove (copies of
+    // a cluster are byte-identical, so per-copy tokens = toks div sz —
+    // excess is integer-EXACT, not an estimate). The number that decides
+    // whether to run the heavier near-dup passes at all.
+    // 100 TB shape: the C1 digest agg (map-side combinable, 32 B keys)
+    // then a |distinct sizes| (≤ dozens) second agg — nothing else.
+    Q("dedup_cluster_stats",
+      """WITH k AS (
+        |  SELECT lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS k,
+        |    CAST(count(*) AS BIGINT) AS sz,
+        |    CAST(sum(len(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY k)
+        |SELECT sz AS cluster_size,
+        |  count(*) AS n_clusters,
+        |  CAST(sz * count(*) AS BIGINT) AS n_docs,
+        |  CAST((sz - 1) * count(*) AS BIGINT) AS dup_docs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(toks - toks // sz) AS BIGINT) AS excess_tokens
+        |FROM k GROUP BY sz ORDER BY cluster_size""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .groupBy(unhex(sha2(normText, 256)).as("h"))
+        // token mass over the NORMALIZED text (the cluster key's string):
+        // copies are then literally identical, so per-copy tokens =
+        // toks div sz is exact even for whitespace-variant duplicates
+        .agg(count(lit(1)).as("sz"),
+          sum(size(split(normText, " ")).cast("long")).as("toks"))
+        .groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("toks")).as("n_tokens"),
+          sum(col("toks") - expr("toks div sz")).as("excess_tokens"))
+        .select(col("sz").as("cluster_size"), col("n_clusters"),
+          (col("sz") * col("n_clusters")).as("n_docs"),
+          ((col("sz") - lit(1L)) * col("n_clusters")).as("dup_docs"),
+          col("n_tokens"), col("excess_tokens"))
+        .orderBy(col("cluster_size"))
+    },
+
     // C2: bag-of-words dedup — canonical representative + cluster size per
     // word-set signature (collisions are real here: small synthetic vocab).
     Q("dedup_exact_keep_first",

@@ -1431,6 +1431,60 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // C67 (r9): quality threshold SWEEP — the calibration table read
+    // before picking any quality cutoff (C18's 5000, C63's budget): for
+    // every 500-bp quality bucket boundary, how many docs and tokens a
+    // `qbp >= t` filter would keep, as counts and basis points. C63
+    // answers "what cutoff fits my budget"; this answers "what does
+    // each candidate cutoff cost" across the whole grid in ONE pass.
+    // All integer ⇒ hash-gated.
+    // 100 TB shape: one corpus scan into a ≤ ~dozen-row bucket partial
+    // agg; the descending running sum runs on that bounded table (the
+    // single-partition window is over buckets, never rows) and totals
+    // ride a 1-row broadcast.
+    Q("text_quality_sweep",
+      """WITH f AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(least(len(string_split(text, ' ')), 100) * 40
+        |      + (least(len(list_filter(string_split(text, ' '),
+        |           w -> w IN ('the','a','of','and','to'))) * 10,
+        |           len(string_split(text, ' '))) * 3000) // len(string_split(text, ' '))
+        |      + (len(list_distinct(string_split(text, ' '))) * 3000)
+        |           // len(string_split(text, ' ')) AS BIGINT) AS qbp
+        |  FROM documents),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+        |             CAST(sum(n_words) AS BIGINT) AS t_all FROM f),
+        |b AS (SELECT (qbp // 500) * 500 AS bucket, count(*) AS n,
+        |             CAST(sum(n_words) AS BIGINT) AS tok FROM f GROUP BY 1),
+        |c AS (SELECT bucket,
+        |  CAST(sum(n) OVER (ORDER BY bucket DESC) AS BIGINT) AS n_keep,
+        |  CAST(sum(tok) OVER (ORDER BY bucket DESC) AS BIGINT) AS tok_keep FROM b)
+        |SELECT bucket AS threshold_bp, n_keep, tok_keep,
+        |  n_keep * 10000 // n_all AS keep_bp,
+        |  tok_keep * 10000 // t_all AS token_keep_bp
+        |FROM c CROSS JOIN t ORDER BY threshold_bp""".stripMargin) { (s, dir) =>
+      val f = docs(s, dir).select(
+          size(words).cast("long").as("n_words"),
+          size(array_distinct(words)).cast("long").as("n_distinct"),
+          size(filter(words, w => w.isin("the", "a", "of", "and", "to")))
+            .cast("long").as("n_stop"))
+        .withColumn("qbp",
+          (least(col("n_words"), lit(100L)) * 40
+            + expr("(least(n_stop * 10, n_words) * 3000) div n_words")
+            + expr("(n_distinct * 3000) div n_words")).cast("long"))
+      val t = f.agg(count(lit(1)).as("n_all"), sum(col("n_words")).as("t_all"))
+      val b = f.groupBy((expr("qbp div 500") * 500).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("n_words")).as("tok"))
+      val W = org.apache.spark.sql.expressions.Window.orderBy(col("bucket").desc)
+      b.withColumn("n_keep", sum(col("n")).over(W))
+        .withColumn("tok_keep", sum(col("tok")).over(W))
+        .crossJoin(broadcast(t))
+        .select(col("bucket").as("threshold_bp"), col("n_keep"), col("tok_keep"),
+          expr("n_keep * 10000 div n_all").as("keep_bp"),
+          expr("tok_keep * 10000 div t_all").as("token_keep_bp"))
+        .orderBy(col("threshold_bp"))
+    },
+
     // C11: token counting — whitespace tokens, regex word tokens, and a
     // BPE-ish subword estimate (ceil(len/4) per word: byte-pair vocab
     // pieces average ~4 chars).
