@@ -571,6 +571,30 @@ object Text {
       "|| '.com:80/page/' || CAST(doc_id // 3 AS VARCHAR) || '?id=' || CAST(doc_id // 3 AS VARCHAR) || '&utm_campaign=x' " +
       "ELSE 'https://site' || CAST((doc_id // 3) % 50 AS VARCHAR) || '.com/page/' || CAST(doc_id // 3 AS VARCHAR) END"
 
+  /** SQL twin of [[canonicalUrlCol]] as a CTE chain — expects a CTE
+    * `u(doc_id, url)` in scope and yields `c4(doc_id, url, canon)`.
+    * ONE definition spliced into every oracle that canonicalizes (C65,
+    * C68's cascade) so the two restatements cannot drift.
+    */
+  private[graft] val urlCanonCtes: String =
+    """c0 AS (SELECT doc_id, url,
+      |  regexp_replace(regexp_replace(lower(url), '#.*$', ''), '^https?://', '') AS r FROM u),
+      |c1 AS (SELECT doc_id, url, r, regexp_extract(r, '^[^/]+') AS hostport FROM c0),
+      |c2 AS (SELECT doc_id, url,
+      |  regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''), '^www\.', '') AS host,
+      |  substr(r, length(hostport) + 1) AS pathq FROM c1),
+      |c3 AS (SELECT doc_id, url, host,
+      |  regexp_replace(CASE WHEN instr(pathq, '?') > 0
+      |    THEN substr(pathq, 1, instr(pathq, '?') - 1) ELSE pathq END, '/$', '') AS path,
+      |  CASE WHEN instr(pathq, '?') > 0 THEN substr(pathq, instr(pathq, '?') + 1) ELSE '' END AS q
+      |FROM c2),
+      |c4 AS (SELECT doc_id, url, host || path ||
+      |  CASE WHEN array_to_string(list_filter(string_split(q, '&'),
+      |         p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref='))), '&') <> ''
+      |    THEN '?' || array_to_string(list_filter(string_split(q, '&'),
+      |         p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref='))), '&')
+      |    ELSE '' END AS canon FROM c3)""".stripMargin
+
   /** C65's canonical form: lowercase; fragment, scheme, `www.`, port,
     * trailing slash and TRACKING params (`utm_*`, `ref`) dropped; real
     * query params kept in order. Scheme/port-agnostic identity is the
@@ -1401,23 +1425,7 @@ object Text {
     // never moves, and the window state per key is one running min.
     Q("text_url_dedup",
       s"""WITH u AS (SELECT doc_id, ($messyUrlSql) AS url FROM documents),
-        |c0 AS (SELECT doc_id, url,
-        |  regexp_replace(regexp_replace(lower(url), '#.*$$', ''), '^https?://', '') AS r FROM u),
-        |c1 AS (SELECT doc_id, url, r, regexp_extract(r, '^[^/]+') AS hostport FROM c0),
-        |c2 AS (SELECT doc_id, url,
-        |  regexp_replace(regexp_replace(hostport, ':[0-9]+$$', ''), '^www\\.', '') AS host,
-        |  substr(r, length(hostport) + 1) AS pathq FROM c1),
-        |c3 AS (SELECT doc_id, url, host,
-        |  regexp_replace(CASE WHEN instr(pathq, '?') > 0
-        |    THEN substr(pathq, 1, instr(pathq, '?') - 1) ELSE pathq END, '/$$', '') AS path,
-        |  CASE WHEN instr(pathq, '?') > 0 THEN substr(pathq, instr(pathq, '?') + 1) ELSE '' END AS q
-        |FROM c2),
-        |c4 AS (SELECT doc_id, url, host || path ||
-        |  CASE WHEN array_to_string(list_filter(string_split(q, '&'),
-        |         p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref='))), '&') <> ''
-        |    THEN '?' || array_to_string(list_filter(string_split(q, '&'),
-        |         p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref='))), '&')
-        |    ELSE '' END AS canon FROM c3)
+        |$urlCanonCtes
         |SELECT doc_id, url, canon,
         |  CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canon)
         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
