@@ -1493,6 +1493,65 @@ object Text {
         .orderBy(col("threshold_bp"))
     },
 
+    // C69 (r9): WINNOWING fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    // the MOSS selection rule) — C12's rolling digests fingerprint whole
+    // docs; winnowing selects a GUARANTEED-coverage sparse subset of
+    // local fingerprints: k=3 word-gram hashes, sliding window w=4,
+    // keep each window's minimum (rightmost on ties — encoded as
+    // min(h·2²⁰ + (2²⁰−1−p)), which the oracle restates verbatim, so
+    // the tie rule itself is hash-gated). Guarantee: any shared run of
+    // ≥ k+w−1 = 6 words between two docs shares a fingerprint, at ~2/(w+1)
+    // the density of the full gram set — the copy-localization index C37
+    // spans can seed matches from. Gram hash = first 8 md5 hex digits
+    // (identical in both engines).
+    // 100 TB shape: a PURE per-doc projection — the gram hashes, window
+    // minima and dedup all run inside one codegen'd HOF chain; the only
+    // exchange is the presentation sort, and the emitted index is the
+    // sparse fingerprint set, never the gram stream.
+    Q("text_winnow_fingerprints",
+      """WITH docs_ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 6),
+        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM docs_ws),
+        |grams AS (SELECT a.doc_id, a.i - 1 AS p,
+        |  CAST(concat('0x', substr(md5(a.w || ' ' || b.w || ' ' || c.w), 1, 8)) AS BIGINT) AS h
+        |  FROM w a
+        |  JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        |m AS (SELECT doc_id, max(p) AS pmax FROM grams GROUP BY doc_id),
+        |js AS (SELECT doc_id, unnest(range(0, pmax - 2)) AS j FROM m),
+        |wins AS (SELECT g.doc_id, js.j,
+        |  min(g.h * 1048576 + (1048575 - g.p)) AS key
+        |  FROM grams g JOIN js ON js.doc_id = g.doc_id
+        |    AND g.p BETWEEN js.j AND js.j + 3
+        |  GROUP BY g.doc_id, js.j)
+        |SELECT DISTINCT doc_id, 1048575 - (key % 1048576) AS pos,
+        |  key // 1048576 AS fp
+        |FROM wins ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+      val k = 3; val w = 4; val pow = 1048576L
+      val hsExpr =
+        transform(sequence(lit(0), size(col("ws")) - k), i =>
+          conv(substring(md5(concat_ws(" ", slice(col("ws"), i + 1, lit(k)))), 1, 8),
+            16, 10).cast("long"))
+      // let-bind the gram-hash array as a lambda variable (transform
+      // over a 1-element wrapper): referencing a projected column from
+      // the window lambdas lets CollapseProject inline the whole md5
+      // chain into every element_at — O(m²·w) digests per doc (measured:
+      // single-core minutes at sf0.1); the binding keeps it O(m).
+      val keysExpr = element_at(
+        transform(array(hsExpr), hs =>
+          array_distinct(transform(sequence(lit(0), size(hs) - w), j =>
+            array_min(transform(sequence(j, j + (w - 1)), p =>
+              element_at(hs, p + 1) * pow + (lit(pow - 1) - p)))))), 1)
+      docs(s, dir).select(col("doc_id"), words.as("ws"))
+        .where(size(col("ws")) >= k + w - 1)
+        .select(col("doc_id"), explode(keysExpr).as("key"))
+        .select(col("doc_id"),
+          (lit(pow - 1) - col("key") % pow).as("pos"),
+          expr("key div 1048576").as("fp"))
+        .orderBy(col("doc_id"), col("pos"))
+    },
+
     // C11: token counting — whitespace tokens, regex word tokens, and a
     // BPE-ish subword estimate (ceil(len/4) per word: byte-pair vocab
     // pieces average ~4 chars).
