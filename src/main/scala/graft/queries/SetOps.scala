@@ -78,5 +78,46 @@ object SetOps {
         .toDF("o_orderstatus", "p1", "p2", "p3", "p4", "p5")
         .na.fill(0L, Seq("p1", "p2", "p3", "p4", "p5"))
         .orderBy(col("o_orderstatus"))
+    },
+
+    // F3 (r9): BUCKETED-layout co-located join — the claim "zero-exchange
+    // once bucketed at rest" that the survey's 100 TB stories lean on,
+    // PROVEN as a gated query instead of asserted in prose: both sides
+    // are written bucketBy(8)-on-the-join-key (the at-rest layout a
+    // production corpus keeps), read back through the catalog, and
+    // joined — the join runs WITHOUT ANY hash-partitioning exchange
+    // (BucketJoinSpec pins it; a merge hint keeps AQE from broadcasting
+    // the demo-scale side, which would hide the property being proven).
+    // Bucketed tables are keyed per corpus dir and written once per
+    // session — repeat runs measure the read+join, the probe-path
+    // discipline. At 100 TB this is THE layout decision that deletes
+    // the dominant shuffle from every doc_id-keyed pipeline stage.
+    Q("layout_bucket_join",
+      """SELECT d.doc_id, d.lang, CAST(e.label AS BIGINT) AS label
+        |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val fp = java.lang.Integer.toHexString(dir.hashCode)
+      val (dT, eT) = (s"docs_bkt_$fp", s"emb_bkt_$fp")
+      if (!s.catalog.tableExists(dT)) {
+        // the warehouse DIRECTORY outlives the in-memory catalog: a
+        // fresh session would hit LOCATION_ALREADY_EXISTS on the files
+        // a previous session left, so clear the stale locations first
+        Seq(dT, eT).foreach { t =>
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), t)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        Tables(s, dir, "documents").select(col("doc_id"), col("lang"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(dT)
+        Tables(s, dir, "embeddings").select(col("vec_id"), col("label"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "vec_id").sortBy("vec_id").saveAsTable(eT)
+      }
+      s.table(dT).hint("merge")
+        .join(s.table(eT), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("label").cast("long").as("label"))
+        .orderBy(col("doc_id"))
     })
 }
