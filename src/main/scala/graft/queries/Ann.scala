@@ -375,6 +375,47 @@ object Ann {
         queries, rerank = rerankPool(corpusCount(s, dir)))
     },
 
+    // C8h (r9): the IVF RECALL/COST CURVE — the tuning table an index
+    // operator reads before picking nprobe (FAISS's recall-QPS sweep):
+    // for p in 1/2/4/8 over ONE index build, recall vs exact brute
+    // force and the corpus share actually scanned, both in basis
+    // points. p = 8 probes every cell of the k=8 quantizer, so the
+    // curve's endpoint is EXACT by construction — the curve is anchored
+    // at (10000 bp scanned, 10000 bp recall) and the operator's whole
+    // value is the left side of it. Float k-means ⇒ rows-only;
+    // inv_ann_recall_monotone drives the real invariants through the
+    // gate (recall and scanned both non-decreasing in p — probed cell
+    // sets are nested — and the full-probe endpoint exactly 10000).
+    // 100 TB shape: one index build; per p the probe is the C8b path
+    // (queries broadcast into cells); every reported number is a 1-row
+    // agg crossJoin — nothing corpus-scale moves beyond the probes.
+    Q.noOracle("ann_recall_curve") { (s, dir) =>
+      val e = withNorm(embs(s, dir))
+      val corpus = e.where(col("vec_id") >= NQ)
+      val queries = e.where(col("vec_id") < NQ)
+      val idx = ivfBuild(corpus, k = 8)
+      val exact = Pinned.track(
+        graft.SparkEntry.queries("ann_bruteforce")(s, dir)
+          .select(col("q_id"), col("n_id")).localCheckpoint(true))
+      val cellSizes = idx.assigned.groupBy(col("cell")).agg(count(lit(1)).as("csz"))
+      val tot = queries.agg(count(lit(1)).as("nq"))
+        .crossJoin(corpus.agg(count(lit(1)).as("nc")))
+      Seq(1, 2, 4, 8).map { p =>
+        val hits = ivfProbe(s, idx, queries, p).select(col("q_id"), col("n_id"))
+          .join(exact, Seq("q_id", "n_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+        val scanned = ivfProbeCellPairs(idx, queries, p)
+          .join(cellSizes, "cell")
+          .agg(coalesce(sum(col("csz")), lit(0L)).as("scanned"))
+        hits.crossJoin(scanned)
+          .crossJoin(exact.agg(count(lit(1)).as("ne")))
+          .crossJoin(tot)
+          .select(lit(p.toLong).as("nprobe"),
+            expr("hits * 10000 div ne").as("recall_bp"),
+            expr("scanned * 10000 div (nq * nc)").as("scanned_bp"))
+      }.reduce(_ unionByName _).orderBy(col("nprobe"))
+    },
+
     // The persisted-probe parity gate: serving from the loaded artifact
     // must emit EXACTLY what serving from a fresh in-memory build emits
     // — (q_id, rank, n_id, cos) row sets identical both directions, for

@@ -411,6 +411,32 @@ object Invariants {
     // recall@5 against the exact filtered scan (C7b, oracle-gated) must
     // clear 0.60 — measured 0.86/0.84/1.00 at sf0.01/sf0.1/sf1 with
     // p=6 of k=8, floored with regeneration margin per the
+    // C8h's curve gate: recall and scanned-share must both be
+    // NON-DECREASING in nprobe (argmaxCells' top-p cell sets are nested,
+    // so more probes can only add candidates), and the p=8 full-probe
+    // endpoint must recover brute force EXACTLY (every cell probed ⇒
+    // the scored set IS the corpus; topK is deterministic). A curve
+    // that dips or an endpoint below 10000 bp means the probe path
+    // dropped candidates. Violations WHERE 1=0.
+    Q("inv_ann_recall_monotone",
+      """SELECT CAST(NULL AS VARCHAR) AS chk,
+        |  CAST(NULL AS BIGINT) AS bp FROM embeddings WHERE 1=0""".stripMargin) { (s, dir) =>
+      val c = run("ann_recall_curve")(s, dir).localCheckpoint(true)
+      releasing(c) {
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("nprobe"))
+        val lagged = c.select(col("nprobe"), col("recall_bp"), col("scanned_bp"),
+          lag(col("recall_bp"), 1).over(w).as("prev_r"),
+          lag(col("scanned_bp"), 1).over(w).as("prev_s"))
+        val mono = lagged.where(col("prev_r").isNotNull &&
+            (col("recall_bp") < col("prev_r") || col("scanned_bp") < col("prev_s")))
+          .select(concat(lit("non_monotone_p"), col("nprobe")).as("chk"),
+            col("recall_bp").as("bp"))
+        val endpoint = c.where(col("nprobe") === 8L && col("recall_bp") =!= 10000L)
+          .select(lit("full_probe_not_exact").as("chk"), col("recall_bp").as("bp"))
+        mono.unionByName(endpoint).orderBy(col("chk"))
+      }
+    },
+
     // inv_ann_recall_floor discipline. Scores need no separate check:
     // the probe scores with the same exact-cosine path the verified
     // unfiltered family uses (inv_ann_scores_exact covers the kernel).
