@@ -962,6 +962,48 @@ object Dedup {
 
     // C4b: near-dup pairs → connected components → canonical clusters
     // (keep min-id per component) — the step that turns pair mining into
+    // C70 (r9): n-gram NOVELTY score — per doc, how much of it exists
+    // elsewhere in the corpus (share of its distinct 3-grams occurring
+    // in >= 2 docs): the inter-document repetition scalar quality
+    // filters threshold on (template/boilerplate-heavy docs score low).
+    // C20 measures repetition WITHIN a doc and C25/C25b act on chunk
+    // grain; this is the corpus-relative per-doc score. Integer bp =>
+    // hash-gated.
+    // 100 TB shape: one explode of distinct per-doc grams (the C3 JIT
+    // kernel), ONE gram-keyed shuffle shared by the df count and the
+    // join-back (co-partitioned), one map-side-combinable doc agg --
+    // tfidf's exchange class, nothing quadratic.
+    Q("text_ngram_novelty",
+      """WITH docs_ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM docs_ws),
+        |grams AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+        |  FROM w a
+        |  JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        |d AS (SELECT g, count(*) AS df FROM grams GROUP BY g)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  (count(*) - CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT))
+        |    * 10000 // count(*) AS novelty_bp
+        |FROM grams JOIN d USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val g = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .where(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(gramsOf(col("ws"))).as("g"))
+      val gdf = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      g.join(gdf, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_grams"), col("n_shared"),
+          expr("(n_grams - n_shared) * 10000 div n_grams").as("novelty_bp"))
+        .orderBy(col("doc_id"))
+    },
+
     // an actual dedup decision. See [[connectedComponents]] (reusable
     // over any pair source; spec-verified against union-find on the
     // collected pairs, and run with reliable checkpointing in the spec).

@@ -57,6 +57,23 @@ class QualitySweepSpec extends SparkSpec {
       (3L, 1L, 3L, 2L, 9L, 6L)))  // 3 copies x 3 tokens -> 6 removable
   }
 
+  test("C70 novelty: shared grams counted once, short docs excluded") {
+    val out = SparkEntry.queries("text_ngram_novelty")(
+        spark, corpus("novel", Seq(
+          "p q r s",     // grams {p q r, q r s}; "p q r" shared with doc 1
+          "x p q r y",   // grams {x p q, p q r, q r y}
+          "u v w",       // 1 unique gram
+          "m n m n m",   // repeated INTERNAL gram stays one distinct gram
+          "a b")))       // < 3 words -> no row
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 1L, 5000L),
+      (1L, 3L, 1L, 6666L),
+      (2L, 1L, 0L, 10000L),
+      (3L, 2L, 0L, 10000L)))
+  }
+
   test("C1c plan: two aggregates, no join, text never shuffles") {
     val df = SparkEntry.queries("dedup_cluster_stats")(spark, sf())
     df.collect()
