@@ -303,19 +303,19 @@ object Text {
     * C18b shared-frame discipline: the rule a model imitates cannot
     * drift from the rule the gate checks.
     */
-  private[queries] def langidFrame(d: DataFrame): DataFrame = {
-    val h = d.select(col("doc_id"),
-      hits("en").as("en_hits"), hits("fr").as("fr_hits"),
-      hits("de").as("de_hits"), hits("es").as("es_hits"))
-    h.select(col("doc_id"),
+  private[queries] def langidFrame(d: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val h = d.select(col("doc_id") +: keep.map(col) :+
+      hits("en").as("en_hits") :+ hits("fr").as("fr_hits") :+
+      hits("de").as("de_hits") :+ hits("es").as("es_hits"): _*)
+    h.select(col("doc_id") +: keep.map(col) :+
       when(col("en_hits") === 0 && col("fr_hits") === 0 &&
         col("de_hits") === 0 && col("es_hits") === 0, lit("und"))
         .when(col("en_hits") >= col("fr_hits") && col("en_hits") >= col("de_hits") &&
           col("en_hits") >= col("es_hits"), lit("en"))
         .when(col("fr_hits") >= col("de_hits") && col("fr_hits") >= col("es_hits"), lit("fr"))
         .when(col("de_hits") >= col("es_hits"), lit("de"))
-        .otherwise(lit("es")).as("pred_lang"),
-      col("en_hits"), col("fr_hits"), col("de_hits"), col("es_hits"))
+        .otherwise(lit("es")).as("pred_lang") :+
+      col("en_hits") :+ col("fr_hits") :+ col("de_hits") :+ col("es_hits"): _*)
   }
 
   /** C31's classifier with a STORED weights table `(bucket: long,
@@ -1272,6 +1272,49 @@ object Text {
         Events.runToAppendSink(s, "langid_sink_", langidFrame(stream))
           .orderBy(col("doc_id"))
       }
+    },
+
+    // C71 (r9): langid CONFUSION matrix — the router-validation table
+    // read before trusting C9/D26's routing (and the sanity check on
+    // C47's distilled model's teacher): predicted vs STORED language,
+    // counts and per-true-lang share in bp. Shares langidFrame verbatim
+    // with C9/D26/C47 (the `keep` passthrough carries the stored label
+    // through the prediction projection — no corpus re-join). Integer
+    // ⇒ hash-gated.
+    // 100 TB shape: ONE corpus scan into a |langs × preds| partial agg;
+    // the per-lang total is a window over that bounded table, never a
+    // second scan.
+    Q("text_lang_confusion", {
+      val hitSql = markers.map { case (l, ws) =>
+        s"len(list_filter(string_split(text, ' '), w -> w IN (${ws.map("'" + _ + "'").mkString(",")}))) AS ${l}_hits"
+      }.mkString(",\n  ")
+      s"""WITH h AS (SELECT doc_id, lang,
+        |  $hitSql
+        |FROM documents),
+        |p AS (SELECT lang,
+        |  CASE
+        |    WHEN en_hits = 0 AND fr_hits = 0 AND de_hits = 0 AND es_hits = 0 THEN 'und'
+        |    WHEN en_hits >= fr_hits AND en_hits >= de_hits AND en_hits >= es_hits THEN 'en'
+        |    WHEN fr_hits >= de_hits AND fr_hits >= es_hits THEN 'fr'
+        |    WHEN de_hits >= es_hits THEN 'de'
+        |    ELSE 'es' END AS pred_lang
+        |FROM h),
+        |t AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+        |      FROM p GROUP BY lang, pred_lang)
+        |SELECT lang, pred_lang, n,
+        |  n * 10000 // CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS share_bp
+        |FROM t ORDER BY lang, pred_lang""".stripMargin
+    }) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      langidFrame(docs(s, dir), Seq("lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("lang"), col("pred_lang"), col("n"),
+          expr("n * 10000").cast("long").as("n10k"),
+          sum(col("n")).over(w).as("tot"))
+        .select(col("lang"), col("pred_lang"), col("n"),
+          expr("n10k div tot").as("share_bp"))
+        .orderBy(col("lang"), col("pred_lang"))
     },
 
     // C10: quality score — length, word-length, stopword ratio, repetition
