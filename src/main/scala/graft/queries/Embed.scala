@@ -265,6 +265,56 @@ object Embed {
 
   val all: Seq[Q] = Seq(
 
+    // C72 (r9): embedding-space CENTROID DRIFT between corpus versions —
+    // C64 reports distribution drift in lang/token space; this is the
+    // same retraining signal in REPRESENTATION space (did what a label's
+    // documents *are* move between crawl v0 and v1?), the check run
+    // before reusing frozen ANN/PCA/cluster artifacts on a new snapshot.
+    // Same v0/v1 convention as C58/C64 (id%5≠4 / id%7≠2); per label the
+    // scaled L1 centroid displacement, division-free: Σ_d |S1_d·n0 −
+    // S0_d·n1| div (n0·n1) over kilo-quantized integer sum vectors (the
+    // C34/C40 discipline) — all integer ⇒ the whole drift table
+    // hash-gates, unusual for a geometry operator.
+    // 100 TB shape: each snapshot reduces to |labels×dims| slim partial
+    // aggs at scan speed; everything downstream is bounded-table joins.
+    Q("emb_centroid_drift",
+      """WITH q AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS d,
+        |         CAST(floor(unnest(embedding)::DOUBLE * 1000) AS BIGINT) AS m
+        |  FROM embeddings),
+        |s0 AS (SELECT label, d, CAST(sum(m) AS BIGINT) AS s0
+        |       FROM q WHERE vec_id % 5 != 4 GROUP BY label, d),
+        |s1 AS (SELECT label, d, CAST(sum(m) AS BIGINT) AS s1
+        |       FROM q WHERE vec_id % 7 != 2 GROUP BY label, d),
+        |n0 AS (SELECT label, CAST(count(*) AS BIGINT) AS n0
+        |       FROM embeddings WHERE vec_id % 5 != 4 GROUP BY label),
+        |n1 AS (SELECT label, CAST(count(*) AS BIGINT) AS n1
+        |       FROM embeddings WHERE vec_id % 7 != 2 GROUP BY label)
+        |SELECT CAST(s0.label AS BIGINT) AS label, n0, n1,
+        |  CAST(sum(abs(s1.s1 * n0 - s0.s0 * n1)) AS BIGINT) // (n0 * n1) AS shift_milli
+        |FROM s0
+        |JOIN s1 ON s1.label = s0.label AND s1.d = s0.d
+        |JOIN n0 ON n0.label = s0.label
+        |JOIN n1 ON n1.label = s0.label
+        |GROUP BY s0.label, n0, n1 ORDER BY label""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      def dimSums(f: DataFrame, sn: String): DataFrame =
+        f.select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
+          .select(col("label"), col("d"),
+            floor(col("v").cast("double") * 1000).cast("long").as("m"))
+          .groupBy(col("label"), col("d")).agg(sum(col("m")).as(sn))
+      val e0 = e.where(col("vec_id") % 5 =!= 4)
+      val e1 = e.where(col("vec_id") % 7 =!= 2)
+      dimSums(e0, "s0").join(dimSums(e1, "s1"), Seq("label", "d"))
+        .join(broadcast(e0.groupBy(col("label")).agg(count(lit(1)).as("n0"))), "label")
+        .join(broadcast(e1.groupBy(col("label")).agg(count(lit(1)).as("n1"))), "label")
+        .groupBy(col("label"), col("n0"), col("n1"))
+        .agg(sum(abs(col("s1") * col("n0") - col("s0") * col("n1"))).as("l1"))
+        .select(col("label").cast("long").as("label"), col("n0"), col("n1"),
+          expr("l1 div (n0 * n1)").as("shift_milli"))
+        .orderBy(col("label"))
+    },
+
     // C40: raw second-moment + mean sufficient statistics, upper
     // triangle — the corpus-scale half of covariance/PCA/whitening,
     // hash-gated end to end in integer space.

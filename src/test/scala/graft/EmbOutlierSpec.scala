@@ -13,6 +13,21 @@ class EmbOutlierSpec extends SparkSpec {
     rows.toDF("vec_id", "embedding", "label")
   }
 
+  test("C72 centroid drift: hand-computed scaled L1 shift between snapshots") {
+    import spark.implicits._
+    val dir = "target/tmp/embdrift"
+    // label 0: vec 0 lives in both snapshots, vec 2 (%7=2) in v0 only ->
+    // S0=(1000,1000)/n0=2 vs S1=(1000,0)/n1=1: L1 = |2000-1000|+|0-1000|
+    // = 2000, div (2*1) = 1000. label 1: identical membership -> 0.
+    Seq((0L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.0f, 1.0f), 0),
+        (1L, Seq(0.5f, 0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("emb_centroid_drift")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 2L, 1L, 1000L), (1L, 1L, 1L, 0L)))
+  }
+
   test("C53 hand-computed: dot<0 branch, cos<0.05 branch, keep") {
     // label 0, m = floor(v*1000): [1000,0], [0,1000], [-1000,-100]
     //   S = [0, 900], ss = 810000
