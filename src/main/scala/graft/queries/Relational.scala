@@ -417,6 +417,59 @@ object Relational {
           |FROM lineitem
           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
           |ORDER BY returnflag, linestatus""".stripMargin)
+    },
+
+    // B31 (r9): VALUE-RANGE window frame — the trailing-30-day per-
+    // customer order count/value (RANGE BETWEEN, peer rows by VALUE
+    // not position — the frame kind B9's running totals and B8's topN
+    // don't exercise; ties on order date must enter the frame
+    // together in both engines). Money in integer cents (the round-
+    // then-sum discipline) so the trailing sums hash-gate.
+    // 100 TB shape: one shuffle on o_custkey; frames are per-customer
+    // in-partition scans — no corpus-wide window.
+    Q("q31_range_frame",
+      """SELECT o_orderkey,
+        |  CAST(count(*) OVER w AS BIGINT) AS trail_n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS trail_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        // epoch DAYS (unix_date is timezone-free on the NTZ column's
+        // date): the timestamps are date-grained, so a [-30, 0]-day
+        // range frame is exactly DuckDB's INTERVAL 30 DAYS PRECEDING
+        .orderBy(unix_date(col("o_orderdate").cast("date")))
+        .rangeBetween(-30L, 0L)
+      t(s, dir, "orders").select(col("o_orderkey"),
+          count(lit(1)).over(w).as("trail_n"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).over(w)
+            .as("trail_cents"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // B32 (r9): CUBE — all 2² grouping combinations in one pass
+    // (rollup B16 and explicit sets B30 cover the other shapes);
+    // coalesce-to-'ALL' keeps the null totals hashable, q30's
+    // discipline.
+    Q("q32_cube",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |  coalesce(o_orderpriority, 'ALL') AS priority,
+          |  count(*) AS cnt,
+          |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          |FROM orders
+          |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+          |ORDER BY status, priority""".stripMargin)
     }
   )
 }
