@@ -129,6 +129,20 @@ class ChunkOovSpec extends SparkSpec {
       ("fr", 2L, 2L, 5121L, 6666L, 1545L, 3420L, 3400L, -20L, 1L)))
   }
 
+  test("C71 confusion: correct, misrouted and und cells with per-lang shares") {
+    val out = SparkEntry.queries("text_lang_confusion")(
+        spark, langCorpus("confusion", Seq(
+          ("the a x", "en"),   // routed en (correct)
+          ("le la x", "en"),   // routed fr (misroute cell)
+          ("le et y", "fr"),   // routed fr (correct)
+          ("zz yy", "fr"))))   // no markers -> und
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("en", "en", 1L, 5000L), ("en", "fr", 1L, 5000L),
+      ("fr", "fr", 1L, 5000L), ("fr", "und", 1L, 5000L)))
+  }
+
   test("C64 drift report: identical distributions stay silent") {
     // ids 0/1 live in both versions unmarked -> zero drift, alert 0.
     val out = SparkEntry.queries("corpus_drift_report")(
