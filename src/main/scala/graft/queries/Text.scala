@@ -1139,7 +1139,10 @@ object Text {
   /** C54/D24's shared DuckDB twin — one oracle gating the batch web
     * pipeline AND its ingest form IS the batch/stream parity check.
     */
-  private val curateWebSql: String =
+  /** The C54 CTE chain through `kept` — ONE definition spliced into
+    * the C54 oracle and C73's per-stage ablation oracle.
+    */
+  private val curateWebCtes: String =
     s"""WITH f0 AS (
       |  SELECT doc_id, lang, n_chars, $domainSql AS domain,
       |    len(string_split(text, ' ')) AS n_words,
@@ -1169,12 +1172,16 @@ object Text {
       |  SELECT * FROM (
       |    SELECT *, row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
       |    FROM blocked) WHERE rk <= $DomainCap),
+      |repf AS (
+      |  SELECT c.* FROM capped c JOIN repk ON repk.domain = c.domain),
       |survived AS (
-      |  SELECT c.* FROM capped c JOIN repk ON repk.domain = c.domain
-      |  WHERE c.qbp >= 5000),
+      |  SELECT * FROM repf WHERE qbp >= 5000),
       |kept AS (
       |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
-      |  FROM survived)
+      |  FROM survived)""".stripMargin
+
+  private val curateWebSql: String =
+    s"""$curateWebCtes
       |SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
       |            WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
       |  lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
@@ -1246,6 +1253,53 @@ object Text {
       |  CAST(CASE WHEN r_len = 1 AND r_mwl = 1 AND r_stop = 1 AND r_rep = 1
       |    AND r_div = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM g ORDER BY doc_id""".stripMargin
+
+  /** C54's five-stage pipeline as ORDERED intermediate frames — ONE
+    * definition shared by the pipeline query (last frame) and C73's
+    * per-stage waterfall, so the audited stages are the shipped stages.
+    * Every frame is the slim projection (text dropped at f0/base); see
+    * the C54 query scaladoc for the per-stage scale reasoning.
+    */
+  private[queries] def curateWebFrames(
+      s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+    val sess = s
+    import sess.implicits._
+    // ONE text-bearing projection: every downstream row is slim
+    val base = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"),
+      domainCol.as("domain"),
+      size(words).as("n_words"),
+      size(array_distinct(words)).as("n_distinct"),
+      size(filter(words, w => w.isin("the", "a", "of", "and", "to"))).as("n_stop"),
+      unhex(sha2(Dedup.normText, 256)).as("h"))
+      .withColumn("qbp",
+        (least(col("n_words"), lit(100)) * 40
+          + expr("(least(n_stop * 10, n_words) * 3000) div n_words")
+          + expr("(n_distinct * 3000) div n_words")).cast("long"))
+    val f = base.join(broadcast(BlockedDomains.toDF("domain")),
+      Seq("domain"), "left_anti")
+    val overB = Dedup.adaptiveBuild(
+      f.groupBy(col("domain")).agg(count(lit(1)).as("n"))
+        .where(col("n") > DomainCap).select(col("domain")))
+    val capped = f.join(overB, Seq("domain"), "left_semi")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("domain")).orderBy(col("doc_id"))))
+      .where(col("rk") <= DomainCap).drop("rk")
+    val v1 = f.join(overB, Seq("domain"), "left_anti").unionAll(capped)
+    // reputation judged on the RAW corpus (pre-filter, as RefinedWeb
+    // does) — its keep-set joins back size-adaptively like any sliver
+    val repKeep = Dedup.adaptiveBuild(
+      domainReputation(docs(s, dir))
+        .where(col("verdict") === "keep").select(col("domain")))
+    val v2a = v1.join(repKeep, Seq("domain"), "left_semi")
+    val v2b = v2a.where(col("qbp") >= 5000)
+    val kept = v2b.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h")).orderBy(col("doc_id"))))
+      .where(col("rn") === 1)
+    Seq("raw" -> base, "blocklist" -> f, "domain_cap" -> v1,
+      "reputation" -> v2a, "quality" -> v2b, "dedup" -> kept)
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -2521,42 +2575,7 @@ object Text {
     // (blocklist, over-cap set, reputation keep-set) is bounded or
     // size-adaptive. Integer end-to-end ⇒ hash-gated.
     Q("pipeline_curate_web", curateWebSql) { (s, dir) =>
-      val sess = s
-      import sess.implicits._
-      // ONE text-bearing projection: every downstream row is slim
-      val base = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"),
-        domainCol.as("domain"),
-        size(words).as("n_words"),
-        size(array_distinct(words)).as("n_distinct"),
-        size(filter(words, w => w.isin("the", "a", "of", "and", "to"))).as("n_stop"),
-        unhex(sha2(Dedup.normText, 256)).as("h"))
-        .withColumn("qbp",
-          (least(col("n_words"), lit(100)) * 40
-            + expr("(least(n_stop * 10, n_words) * 3000) div n_words")
-            + expr("(n_distinct * 3000) div n_words")).cast("long"))
-      val f = base.join(broadcast(BlockedDomains.toDF("domain")),
-        Seq("domain"), "left_anti")
-      val overB = Dedup.adaptiveBuild(
-        f.groupBy(col("domain")).agg(count(lit(1)).as("n"))
-          .where(col("n") > DomainCap).select(col("domain")))
-      val capped = f.join(overB, Seq("domain"), "left_semi")
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("domain")).orderBy(col("doc_id"))))
-        .where(col("rk") <= DomainCap).drop("rk")
-      val v1 = f.join(overB, Seq("domain"), "left_anti").unionAll(capped)
-      // reputation judged on the RAW corpus (pre-filter, as RefinedWeb
-      // does) — its keep-set joins back size-adaptively like any sliver
-      val repKeep = Dedup.adaptiveBuild(
-        domainReputation(docs(s, dir))
-          .where(col("verdict") === "keep").select(col("domain")))
-      val v2 = v1.join(repKeep, Seq("domain"), "left_semi")
-        .where(col("qbp") >= 5000)
-      val kept = v2.withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("h")).orderBy(col("doc_id"))))
-        .where(col("rn") === 1)
-      kept.select(
+      curateWebFrames(s, dir).last._2.select(
           when(col("doc_id") % 10 < 8, lit("train"))
             .when(col("doc_id") % 10 === 8, lit("val"))
             .otherwise(lit("test")).as("split"),
@@ -2564,6 +2583,49 @@ object Text {
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
         .orderBy(col("split"), col("lang"))
+    },
+
+    // C73 (r9): the web pipeline's per-stage WATERFALL — C66's ablation
+    // discipline applied to C54's five stages: per stage, surviving
+    // docs/tokens and what the stage removed relative to its
+    // predecessor (cumulative, as the pipeline actually runs — each
+    // stage judges the previous stage's survivors). Shares
+    // curateWebFrames with C54 BY CONSTRUCTION, so the audited stages
+    // are the shipped stages; all counts integer ⇒ hash-gated.
+    // 100 TB shape: six 1-row partial aggs over the shared slim-frame
+    // lineage (the text projection runs per stage but never shuffles);
+    // the waterfall lag windows over SIX rows.
+    Q("pipeline_curate_web_ablation",
+      s"""$curateWebCtes,
+        |a AS (
+        |  SELECT 1 AS ord, 'raw' AS stage, CAST(count(*) AS BIGINT) AS docs_out,
+        |    CAST(sum(n_words) AS BIGINT) AS tokens_out FROM q0
+        |  UNION ALL SELECT 2, 'blocklist', CAST(count(*) AS BIGINT),
+        |    CAST(sum(n_words) AS BIGINT) FROM blocked
+        |  UNION ALL SELECT 3, 'domain_cap', CAST(count(*) AS BIGINT),
+        |    CAST(sum(n_words) AS BIGINT) FROM capped
+        |  UNION ALL SELECT 4, 'reputation', CAST(count(*) AS BIGINT),
+        |    CAST(sum(n_words) AS BIGINT) FROM repf
+        |  UNION ALL SELECT 5, 'quality', CAST(count(*) AS BIGINT),
+        |    CAST(sum(n_words) AS BIGINT) FROM survived
+        |  UNION ALL SELECT 6, 'dedup', CAST(count(*) AS BIGINT),
+        |    CAST(sum(n_words) AS BIGINT) FROM kept WHERE rn = 1)
+        |SELECT CAST(ord AS BIGINT) AS ord, stage, docs_out, tokens_out,
+        |  CAST(coalesce(lag(docs_out) OVER (ORDER BY ord) - docs_out, 0) AS BIGINT) AS docs_removed,
+        |  CAST(coalesce(lag(tokens_out) OVER (ORDER BY ord) - tokens_out, 0) AS BIGINT) AS tokens_removed
+        |FROM a ORDER BY ord""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("ord"))
+      curateWebFrames(s, dir).zipWithIndex.map { case ((name, df), i) =>
+        df.agg(count(lit(1)).as("docs_out"),
+            sum(col("n_words").cast("long")).as("tokens_out"))
+          .select(lit(i + 1L).as("ord"), lit(name).as("stage"),
+            col("docs_out"), col("tokens_out"))
+      }.reduce(_ unionByName _)
+        .withColumn("docs_removed",
+          coalesce(lag(col("docs_out"), 1).over(w) - col("docs_out"), lit(0L)))
+        .withColumn("tokens_removed",
+          coalesce(lag(col("tokens_out"), 1).over(w) - col("tokens_out"), lit(0L)))
+        .orderBy(col("ord"))
     },
 
     // D24 (r9): C54 at INGEST — the end-to-end web pipeline's admission

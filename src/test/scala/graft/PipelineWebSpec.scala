@@ -12,7 +12,10 @@ class PipelineWebSpec extends SparkSpec {
   private val good = "the a of and to " // + 1 unique token -> qbp 6240
   private val bad = "x x x x"           // qbp 910
 
-  test("C54 every stage acts: block, cap, reputation, quality, dedup") {
+  /** Writes the 18-doc hand corpus (every stage removes something) and
+    * returns its dir — shared by the C54, C73 and D24 tests, idempotent.
+    */
+  private def handCorpus(): String = {
     import spark.implicits._
     val dir = "target/tmp/web-hand"
     // all ids are multiples of 10 (%10 = 0 -> .com domains, 'train')
@@ -41,10 +44,31 @@ class PipelineWebSpec extends SparkSpec {
     rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val out = SparkEntry.queries("pipeline_curate_web")(spark, dir)
+    dir
+  }
+
+  test("C54 every stage acts: block, cap, reputation, quality, dedup") {
+    val out = SparkEntry.queries("pipeline_curate_web")(spark, handCorpus())
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     // survivors: srcA ids 0,30,40,50,60,70 — six 17-char docs
     assert(out.toSeq == Seq(("train", "en", 6L, 102L)))
+  }
+
+  test("C73 waterfall: every stage's removal attributed on the hand corpus") {
+    // reuses the C54 fixture written by the test above (18 docs):
+    // blocklist -2 (src7), cap -2 (srcA 80/90), reputation -6
+    // (srcB low-quality + srcC duplicated), quality -1 (id 20),
+    // dedup -1 (id 10 copies id 0) -> 6 survivors.
+    val out = SparkEntry.queries("pipeline_curate_web_ablation")(
+        spark, handCorpus())
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.map(x => (x._1, x._2, x._4)).toSeq == Seq(
+      ("raw", 18L, 0L), ("blocklist", 16L, 2L), ("domain_cap", 14L, 2L),
+      ("reputation", 8L, 6L), ("quality", 7L, 1L), ("dedup", 6L, 1L)))
+    // token conservation: stage removals sum to raw minus kept
+    assert(out.map(_._5).sum == out.head._3 - out.last._3)
+    assert(out.tail.forall(_._5 > 0L), "every stage must remove token mass")
   }
 
   test("D24 stream admission reproduces batch on the hand corpus") {
