@@ -1301,6 +1301,72 @@ object Text {
       "reputation" -> v2a, "quality" -> v2b, "dedup" -> kept)
   }
 
+  /** C64's per-lang snapshot statistics over any (lang, text) frame —
+    * ONE definition shared by batch C64 and its D28 ingest twin (the
+    * stream side runs it as the stateful aggregation).
+    */
+  private def driftStats(v: DataFrame, n: String, t: String, sq: String): DataFrame =
+    v.select(col("lang"), size(words).cast("long").as("nw"),
+        size(array_distinct(words)).as("n_distinct"),
+        size(filter(words, w => w.isin("the", "a", "of", "and", "to"))).as("n_stop"),
+        size(words).as("n_words"))
+      .withColumn("qbp",
+        (least(col("n_words"), lit(100)) * 40
+          + expr("(least(n_stop * 10, n_words) * 3000) div n_words")
+          + expr("(n_distinct * 3000) div n_words")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as(n), sum(col("nw")).as(t), sum(col("qbp")).as(sq))
+
+  /** C64's drift arithmetic over the two |langs|-row stat tables. */
+  private def driftFinish(q0: DataFrame, q1: DataFrame): DataFrame = {
+    val tot = q0.agg(sum(col("t0")).as("tot0"))
+      .crossJoin(q1.agg(sum(col("t1")).as("tot1")))
+    q0.join(q1, Seq("lang")).crossJoin(broadcast(tot))
+      .select(col("lang"), col("n0"), col("n1"),
+        expr("t0 * 10000 div tot0").as("share0_bp"),
+        expr("t1 * 10000 div tot1").as("share1_bp"),
+        expr("t1 * 10000 div tot1 - t0 * 10000 div tot0").as("drift_bp"),
+        expr("sq0 div n0").as("mq0"), expr("sq1 div n1").as("mq1"),
+        expr("sq1 div n1 - sq0 div n0").as("mq_drift"))
+      .withColumn("alert",
+        when(abs(col("drift_bp")) >= 12, 1L).otherwise(0L))
+      .orderBy(col("lang"))
+  }
+
+  private val corpusDriftSql: String =
+    """WITH v0 AS (
+        |  SELECT lang, CASE WHEN doc_id % 11 = 3 THEN text || ' v0' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 != 4),
+        |v1 AS (SELECT lang, text FROM documents WHERE doc_id % 7 != 2),
+        |q0 AS (SELECT lang, count(*) AS n0,
+        |         CAST(sum(len(string_split(text,' '))) AS BIGINT) AS t0,
+        |         CAST(sum(least(len(string_split(text,' ')), 100) * 40
+        |           + (least(len(list_filter(string_split(text,' '),
+        |                w -> w IN ('the','a','of','and','to'))) * 10,
+        |                len(string_split(text,' '))) * 3000) // len(string_split(text,' '))
+        |           + (len(list_distinct(string_split(text,' '))) * 3000)
+        |                // len(string_split(text,' '))) AS BIGINT) AS sq0
+        |       FROM v0 GROUP BY lang),
+        |q1 AS (SELECT lang, count(*) AS n1,
+        |         CAST(sum(len(string_split(text,' '))) AS BIGINT) AS t1,
+        |         CAST(sum(least(len(string_split(text,' ')), 100) * 40
+        |           + (least(len(list_filter(string_split(text,' '),
+        |                w -> w IN ('the','a','of','and','to'))) * 10,
+        |                len(string_split(text,' '))) * 3000) // len(string_split(text,' '))
+        |           + (len(list_distinct(string_split(text,' '))) * 3000)
+        |                // len(string_split(text,' '))) AS BIGINT) AS sq1
+        |       FROM v1 GROUP BY lang),
+        |t AS (SELECT (SELECT CAST(sum(t0) AS BIGINT) FROM q0) AS tot0,
+        |             (SELECT CAST(sum(t1) AS BIGINT) FROM q1) AS tot1),
+        |r AS (SELECT q0.lang, q0.n0, q1.n1,
+        |        t0 * 10000 // tot0 AS share0_bp, t1 * 10000 // tot1 AS share1_bp,
+        |        t1 * 10000 // tot1 - t0 * 10000 // tot0 AS drift_bp,
+        |        sq0 // n0 AS mq0, sq1 // n1 AS mq1, sq1 // n1 - sq0 // n0 AS mq_drift
+        |      FROM q0 JOIN q1 USING (lang) CROSS JOIN t)
+        |SELECT lang, n0, n1, share0_bp, share1_bp, drift_bp, mq0, mq1, mq_drift,
+        |  CAST(CASE WHEN abs(drift_bp) >= 12 THEN 1 ELSE 0 END AS BIGINT) AS alert
+        |FROM r ORDER BY lang""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // C9: n-gram/stopword-heuristic language ID — marker hits per
@@ -2840,69 +2906,43 @@ object Text {
     // 100 TB shape: each snapshot reduces to slim per-lang partial
     // aggregates at scan speed (count/sum — map-side combinable);
     // totals ride a 1-row broadcast; the final join is |langs| rows.
-    Q("corpus_drift_report",
-      """WITH v0 AS (
-        |  SELECT lang, CASE WHEN doc_id % 11 = 3 THEN text || ' v0' ELSE text END AS text
-        |  FROM documents WHERE doc_id % 5 != 4),
-        |v1 AS (SELECT lang, text FROM documents WHERE doc_id % 7 != 2),
-        |q0 AS (SELECT lang, count(*) AS n0,
-        |         CAST(sum(len(string_split(text,' '))) AS BIGINT) AS t0,
-        |         CAST(sum(least(len(string_split(text,' ')), 100) * 40
-        |           + (least(len(list_filter(string_split(text,' '),
-        |                w -> w IN ('the','a','of','and','to'))) * 10,
-        |                len(string_split(text,' '))) * 3000) // len(string_split(text,' '))
-        |           + (len(list_distinct(string_split(text,' '))) * 3000)
-        |                // len(string_split(text,' '))) AS BIGINT) AS sq0
-        |       FROM v0 GROUP BY lang),
-        |q1 AS (SELECT lang, count(*) AS n1,
-        |         CAST(sum(len(string_split(text,' '))) AS BIGINT) AS t1,
-        |         CAST(sum(least(len(string_split(text,' ')), 100) * 40
-        |           + (least(len(list_filter(string_split(text,' '),
-        |                w -> w IN ('the','a','of','and','to'))) * 10,
-        |                len(string_split(text,' '))) * 3000) // len(string_split(text,' '))
-        |           + (len(list_distinct(string_split(text,' '))) * 3000)
-        |                // len(string_split(text,' '))) AS BIGINT) AS sq1
-        |       FROM v1 GROUP BY lang),
-        |t AS (SELECT (SELECT CAST(sum(t0) AS BIGINT) FROM q0) AS tot0,
-        |             (SELECT CAST(sum(t1) AS BIGINT) FROM q1) AS tot1),
-        |r AS (SELECT q0.lang, q0.n0, q1.n1,
-        |        t0 * 10000 // tot0 AS share0_bp, t1 * 10000 // tot1 AS share1_bp,
-        |        t1 * 10000 // tot1 - t0 * 10000 // tot0 AS drift_bp,
-        |        sq0 // n0 AS mq0, sq1 // n1 AS mq1, sq1 // n1 - sq0 // n0 AS mq_drift
-        |      FROM q0 JOIN q1 USING (lang) CROSS JOIN t)
-        |SELECT lang, n0, n1, share0_bp, share1_bp, drift_bp, mq0, mq1, mq_drift,
-        |  CAST(CASE WHEN abs(drift_bp) >= 12 THEN 1 ELSE 0 END AS BIGINT) AS alert
-        |FROM r ORDER BY lang""".stripMargin) { (s, dir) =>
-      def stats(v: DataFrame, n: String, t: String, sq: String): DataFrame =
-        v.select(col("lang"), size(words).cast("long").as("nw"),
-            size(array_distinct(words)).as("n_distinct"),
-            size(filter(words, w => w.isin("the", "a", "of", "and", "to"))).as("n_stop"),
-            size(words).as("n_words"))
-          .withColumn("qbp",
-            (least(col("n_words"), lit(100)) * 40
-              + expr("(least(n_stop * 10, n_words) * 3000) div n_words")
-              + expr("(n_distinct * 3000) div n_words")).cast("long"))
-          .groupBy(col("lang"))
-          .agg(count(lit(1)).as(n), sum(col("nw")).as(t), sum(col("qbp")).as(sq))
+    Q("corpus_drift_report", corpusDriftSql) { (s, dir) =>
       val d = docs(s, dir)
-      val q0 = stats(d.where(col("doc_id") % 5 =!= 4).select(col("lang"),
+      val q0 = driftStats(d.where(col("doc_id") % 5 =!= 4).select(col("lang"),
         when(col("doc_id") % 11 === 3, concat(col("text"), lit(" v0")))
           .otherwise(col("text")).as("text")), "n0", "t0", "sq0")
-      val q1 = stats(d.where(col("doc_id") % 7 =!= 2)
+      val q1 = driftStats(d.where(col("doc_id") % 7 =!= 2)
         .select(col("lang"), col("text")), "n1", "t1", "sq1")
-      val tot = q0.agg(sum(col("t0")).as("tot0"))
-        .crossJoin(q1.agg(sum(col("t1")).as("tot1")))
-      q0.join(q1, Seq("lang")).crossJoin(broadcast(tot))
-        .select(col("lang"), col("n0"), col("n1"),
-          expr("t0 * 10000 div tot0").as("share0_bp"),
-          expr("t1 * 10000 div tot1").as("share1_bp"),
-          expr("t1 * 10000 div tot1 - t0 * 10000 div tot0").as("drift_bp"),
-          expr("sq0 div n0").as("mq0"), expr("sq1 div n1").as("mq1"),
-          expr("sq1 div n1 - sq0 div n0").as("mq_drift"))
-        .withColumn("alert",
-          when(abs(col("drift_bp")) >= 12, 1L).otherwise(0L))
-        .orderBy(col("lang"))
+      driftFinish(q0, q1)
     },
+
+    // D28 (r9): C64 at INGEST — continuous distribution monitoring as
+    // the new snapshot lands (the data-quality dashboard shape: the
+    // reference stats are a FROZEN artifact of the previous snapshot;
+    // the arriving corpus aggregates incrementally). The stream side is
+    // one stateful per-lang aggregation (|langs| rows of state,
+    // complete mode); the frozen v0 stats, totals, drift arithmetic and
+    // the alert run batch-side over the |langs|-row sink output (the
+    // D24 corpus-level-artifacts-batch-side stance). SAME oracle as
+    // batch C64 — driver-checked parity of the whole monitoring table.
+    Q("corpus_drift_stream", corpusDriftSql) { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+          .where(col("doc_id") % 7 =!= 2)
+          .select(col("lang"), col("text"))
+        val q1 = Events.runToCompleteSink(s, "drift_sink_",
+          driftStats(stream, "n1", "t1", "sq1"))
+        val d = docs(s, dir)
+        val q0 = driftStats(d.where(col("doc_id") % 5 =!= 4).select(col("lang"),
+          when(col("doc_id") % 11 === 3, concat(col("text"), lit(" v0")))
+            .otherwise(col("text")).as("text")), "n0", "t0", "sq0")
+        driftFinish(q0, q1)
+      }
+    },
+
 
     // C19: deterministic stratified sampling — downsample over-
     // represented strata (the lang-rebalancing step of corpus curation)

@@ -152,6 +152,12 @@ class ChunkOovSpec extends SparkSpec {
     assert(out.toSeq == Seq(("en", 0L, 0L, 0L), ("fr", 0L, 0L, 0L)))
   }
 
+  test("D28 stream twin emits the batch drift table identically") {
+    val batch = SparkEntry.queries("corpus_drift_report")(spark, sf()).collect().toSeq
+    val stream = SparkEntry.queries("corpus_drift_stream")(spark, sf()).collect().toSeq
+    assert(stream == batch && batch.nonEmpty)
+  }
+
   test("C56 plan: vocab broadcasts; no sort-merge join") {
     val df = SparkEntry.queries("text_oov_rate")(spark, sf())
     df.collect()
