@@ -1715,6 +1715,38 @@ object Text {
         .orderBy(col("doc_id"), col("pos"))
     },
 
+    // D29 (r9): C65 at INGEST — crawl-frontier URL dedup as fetches
+    // land (the place URL dedup actually runs: admit a page iff its
+    // canonical identity is first-seen). ONE stateful aggregation
+    // keyed on the slim canon string (state = a single min doc_id per
+    // group, the D6 state class); the kept doc's messy url re-derives
+    // AFTER the aggregate because the url is a pure function of doc_id
+    // — no min_by struct state, the smallest possible store row.
+    // Oracle = C65's canonicalization CTEs filtered to the keep set —
+    // the admitted frontier is driver-checked against the batch rule.
+    Q("text_url_dedup_stream",
+      s"""WITH u AS (SELECT doc_id, ($messyUrlSql) AS url FROM documents),
+        |$urlCanonCtes,
+        |k AS (SELECT doc_id, url, canon,
+        |  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canon)
+        |    THEN 1 ELSE 0 END AS keep FROM c4)
+        |SELECT doc_id, url, canon FROM k WHERE keep = 1
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+          .select(col("doc_id"), messyUrlCol.as("url"))
+          .withColumn("canon", canonicalUrlCol(col("url")))
+        val kept = stream.groupBy(col("canon"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        Events.runToCompleteSink(s, "urldedup_sink_", kept)
+          .select(col("doc_id"), messyUrlCol.as("url"), col("canon"))
+          .orderBy(col("doc_id"))
+      }
+    },
+
     // C11: token counting — whitespace tokens, regex word tokens, and a
     // BPE-ish subword estimate (ceil(len/4) per word: byte-pair vocab
     // pieces average ~4 chars).

@@ -42,6 +42,15 @@ class UrlDedupSpec extends SparkSpec {
       (6L, "site2.com/page/2", 1L)))
   }
 
+  test("D29 stream frontier admits exactly batch C65's keep set") {
+    val batch = SparkEntry.queries("text_url_dedup")(spark, sf())
+      .collect().filter(_.getLong(3) == 1L)
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val stream = SparkEntry.queries("text_url_dedup_stream")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(stream == batch && stream.nonEmpty)
+  }
+
   test("C65 plan: keep-first is a window over the slim canon key, no join") {
     val df = SparkEntry.queries("text_url_dedup")(spark, sf())
     df.collect()
