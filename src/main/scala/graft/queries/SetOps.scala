@@ -92,6 +92,33 @@ object SetOps {
     // session — repeat runs measure the read+join, the probe-path
     // discipline. At 100 TB this is THE layout decision that deletes
     // the dominant shuffle from every doc_id-keyed pipeline stage.
+    // F4 (r9): PARTITIONED-layout pruning — F3's companion proof for
+    // the other at-rest layout decision: documents written
+    // partitionBy(lang) (the layout a multilingual corpus keeps so
+    // per-language pipelines read only their split), then a one-lang
+    // query — the scan must carry the predicate as a PARTITION filter
+    // (directory pruning before any I/O), not a row filter
+    // (BucketJoinSpec pins PartitionFilters on the scan). Same
+    // corpus-keyed write-once-per-session discipline as F3.
+    Q("layout_partition_prune",
+      """SELECT doc_id, n_chars FROM documents WHERE lang = 'en'
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val fp = java.lang.Integer.toHexString(dir.hashCode)
+      val pT = s"docs_part_$fp"
+      if (!s.catalog.tableExists(pT)) {
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), pT)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"), col("lang"))
+          .write.mode("overwrite").format("parquet")
+          .partitionBy("lang").saveAsTable(pT)
+      }
+      s.table(pT).where(col("lang") === "en")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     Q("layout_bucket_join",
       """SELECT d.doc_id, d.lang, CAST(e.label AS BIGINT) AS label
         |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id

@@ -18,6 +18,17 @@ class BucketJoinSpec extends SparkSpec {
       s"the scans must actually be bucketed reads:\n$p")
   }
 
+  test("F4 plan: the lang predicate prunes partitions, not rows") {
+    val df = SparkEntry.queries("layout_partition_prune")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(p.contains("PartitionFilters: [isnotnull(lang") && p.contains("= en)"),
+      s"the lang filter must land as a partition (directory) filter:\n$p")
+    // nothing left to filter row-wise: the scan's data filters are empty
+    assert(p.contains("PushedFilters: []"),
+      s"no residual row filter expected on the pruned scan:\n$p")
+  }
+
   test("F3 repeat runs reuse the session's bucketed tables") {
     val q = SparkEntry.queries("layout_bucket_join")
     val first = q(spark, sf()).collect()
