@@ -145,6 +145,179 @@ object Ann {
     (codebooks, root.resolve("encoded.parquet").toString)
   }
 
+  // --------------------------------- C8i/C8j incremental index lifecycle
+
+  /** Per-cell assignment statistics of an assigned table against its
+    * (frozen, unit-norm) centroids: (cell, n, Σ floor((1−cos)·1e6)) —
+    * the sufficient statistics the retrain trigger compares between
+    * build time and appended deltas. Per-row floor-quantization BEFORE
+    * the long sum keeps the stat order-independent (no float summation),
+    * and k≤8 cells make the collect bounded by construction.
+    */
+  private[graft] def ivfCellStats(
+      s: SparkSession, cents: Array[Array[Double]],
+      assigned: DataFrame): Seq[(Int, Long, Long)] = {
+    val sess = s
+    import sess.implicits._
+    val cdf = cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "cemb")
+    assigned.join(broadcast(cdf), "cell")
+      .select(col("cell"),
+        floor((lit(1.0) -
+          graft.functions.Native.dot(s, col("emb"), col("cemb")) / col("nrm")) * 1e6)
+          .cast("long").as("dmicro"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("dmicro")).as("sd"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+  }
+
+  /** Retrain-trigger decision over build-time vs delta statistics
+    * (driver-side — both inputs are ≤ k rows). Violation classes:
+    *   - `cell_skew`: some cell's delta share differs from its
+    *     build-time share by more than `skewBp` basis points — the
+    *     appended data populates the frozen Voronoi partition in
+    *     different proportions than the build did (hot new cluster or a
+    *     dying one), so cell sizes are drifting toward probe-time skew;
+    *   - `assign_dist`: the delta's mean assignment distance exceeds the
+    *     build-time mean by more than `distMarginMicro` (micro-cosine
+    *     units) — new vectors land far from EVERY frozen centroid (a
+    *     region the quantizer never saw), the failure cell_skew alone
+    *     can miss when strays spread evenly. An ABSOLUTE margin, not a
+    *     ratio: build-time stats are in-sample (the quantizer trained on
+    *     the base), so even a same-distribution delta reads a measured
+    *     ~0.04–0.09 cos higher — the margin must clear that gap, while a
+    *     genuinely unseen region (orthogonal to the whole centroid span)
+    *     reads ≥ +0.27 here. 0.15 separates the two with ~2× on each
+    *     side; a ratio of the small base mean cannot.
+    * Either firing means: stop appending (C8e), retrain the quantizer,
+    * re-assign. Emitted as violation rows so the driver's WHERE 1=0
+    * oracle gates "no retrain needed" on the real corpus splits.
+    */
+  private[graft] def retrainViolations(
+      s: SparkSession,
+      base: Seq[(Int, Long, Long)], delta: Seq[(Int, Long, Long)],
+      skewBp: Long, distMarginMicro: Long): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    val bn = math.max(base.map(_._2).sum, 1L)
+    val dn = math.max(delta.map(_._2).sum, 1L)
+    val bShare = base.map { case (c, n, _) => c -> n * 10000L / bn }.toMap
+    val dShare = delta.map { case (c, n, _) => c -> n * 10000L / dn }.toMap
+    val skew: Seq[(String, Option[Long], Long, Long)] =
+      (bShare.keySet ++ dShare.keySet).toSeq.sorted.flatMap { c =>
+        val d = (dShare.getOrElse(c, 0L) - bShare.getOrElse(c, 0L)).abs
+        if (d > skewBp) Some(("cell_skew", Some(c.toLong), d, skewBp)) else None
+      }
+    val bMean = base.map(_._3).sum / bn
+    val dMean = delta.map(_._3).sum / dn
+    val dist: Seq[(String, Option[Long], Long, Long)] =
+      if (dMean > bMean + distMarginMicro)
+        Seq(("assign_dist", None, dMean, bMean + distMarginMicro))
+      else Seq.empty
+    (skew ++ dist).toDF("reason", "cell", "observed", "bound")
+  }
+
+  /** Write an incremental IVF artifact under `tmp`: quantizer trained on
+    * the base split (vec_id %5 ≠ 0) and FROZEN (cents.txt + build-time
+    * stats.txt), base assignment cell-partitioned (assigned.parquet),
+    * and the delta split (%5 = 0) assigned through the frozen centroids
+    * as an APPENDED delta (deltas/d0.parquet) — the C8e maintenance
+    * path made durable, never folded into the base at write time.
+    */
+  private def writeIncrArtifact(
+      s: SparkSession, dir: String, tmp: java.nio.file.Path): Unit = {
+    val corpus = embsWithNorm(s, dir).where(col("vec_id") >= NQ)
+    val idx = ivfBuild(corpus.where(pmod(col("vec_id"), lit(5)) =!= 0), k = 8)
+    idx.assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(tmp.resolve("assigned.parquet").toString)
+    ivfAssign(idx.cents, corpus.where(pmod(col("vec_id"), lit(5)) === 0))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(tmp.resolve("deltas").resolve("d0.parquet").toString)
+    java.nio.file.Files.writeString(tmp.resolve("cents.txt"),
+      idx.cents.map(_.mkString(",")).mkString("\n"))
+    // build-time stats persist WITH the index: at 100 TB the base is
+    // never rescanned just to recover its own statistics
+    val stats = ivfCellStats(s, idx.cents,
+      s.read.parquet(tmp.resolve("assigned.parquet").toString))
+    java.nio.file.Files.writeString(tmp.resolve("stats.txt"),
+      stats.sortBy(_._1).map { case (c, n, sd) => s"$c,$n,$sd" }.mkString("\n"))
+  }
+
+  /** Ensure the persisted incremental IVF artifact (base + delta +
+    * frozen quantizer + build stats) exists for this corpus; returns its
+    * root. Shares [[Artifact.publish]]'s atomic-rename discipline.
+    */
+  private[graft] def ivfIncrArtifact(s: SparkSession, dir: String): java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(
+      s"target/ann_index/${artifactKey(s, dir)}/ivf_k8_incr")
+    Artifact.publish(root)(tmp => writeIncrArtifact(s, dir, tmp))
+    root
+  }
+
+  /** Build a PRIVATE incremental artifact at `root` (no publish-once
+    * keying) — for consumers that MUTATE the index (compaction) and must
+    * not fold the shared persisted artifact out from under other probes.
+    */
+  private[graft] def buildIncrArtifactAt(
+      s: SparkSession, dir: String, root: java.nio.file.Path): Unit =
+    writeIncrArtifact(s, dir, root)
+
+  private[graft] def loadCents(root: java.nio.file.Path): Array[Array[Double]] =
+    java.nio.file.Files.readString(root.resolve("cents.txt"))
+      .split("\n").map(_.split(",").map(_.toDouble))
+
+  private[graft] def loadStats(root: java.nio.file.Path): Seq[(Int, Long, Long)] =
+    java.nio.file.Files.readString(root.resolve("stats.txt")).split("\n").toSeq
+      .map { l => val a = l.split(","); (a(0).toInt, a(1).toLong, a(2).toLong) }
+
+  /** The accumulated delta tables under an incremental artifact, oldest
+    * first (append order = lexicographic dN names), or None if compacted.
+    */
+  private[graft] def readDeltas(
+      s: SparkSession, root: java.nio.file.Path): Option[DataFrame] = {
+    val deltasDir = root.resolve("deltas")
+    if (!java.nio.file.Files.isDirectory(deltasDir)) return None
+    val st = java.nio.file.Files.list(deltasDir)
+    val paths =
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.toString).toList.sorted
+      } finally st.close()
+    paths.map(p => s.read.parquet(p)).reduceOption(_.unionByName(_))
+  }
+
+  /** The full serving view of an incremental artifact: base ∪ deltas. */
+  private[graft] def readIncrAssigned(
+      s: SparkSession, root: java.nio.file.Path): DataFrame = {
+    val base = s.read.parquet(root.resolve("assigned.parquet").toString)
+    readDeltas(s, root).map(base.unionByName(_)).getOrElse(base)
+  }
+
+  /** Fold accumulated deltas back into the cell-partitioned base —
+    * the Graft.compact move applied to ANN state. The merged rewrite
+    * lands fully in a temp sibling before two renames swap it in
+    * (single-writer maintenance op, same discipline as the view-state
+    * compactor); afterwards the probe path reads ONE cell-partitioned
+    * table again, so per-cell file counts — and with them probe-time
+    * listing and scan work — stop growing with append history. Probe
+    * parity across the fold is driver-gated (inv_ann_compact_parity).
+    */
+  private[graft] def ivfCompact(s: SparkSession, root: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.isDirectory(root.resolve("deltas"))) return
+    val merged = readIncrAssigned(s, root)
+    val tmp = root.resolve(".assigned.compact-tmp")
+    // the write ACTION completes (full read of base+deltas) before any
+    // rename below touches the files it scanned
+    merged.write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    val old = root.resolve(".assigned.old")
+    java.nio.file.Files.move(root.resolve("assigned.parquet"), old,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(tmp, root.resolve("assigned.parquet"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Artifact.deleteRecursively(old)
+    Artifact.deleteRecursively(root.resolve("deltas"))
+  }
+
   /** Exact top-K per query: scored candidates → row_number window. */
   private def topK(scored: DataFrame): DataFrame =
     scored

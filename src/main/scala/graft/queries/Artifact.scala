@@ -61,7 +61,7 @@ private[graft] object Artifact {
     } finally deleteRecursively(tmp)
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
+  private[queries] def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       val walk = java.nio.file.Files.walk(p)
       try walk.sorted(java.util.Comparator.reverseOrder())

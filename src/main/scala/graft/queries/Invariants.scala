@@ -241,6 +241,77 @@ object Invariants {
         .orderBy(col("side"), col("q_id"), col("n_id"))
     },
 
+    // C8i (r10): ANN RETRAIN TRIGGER — the policy gap the r9 verdict
+    // named: C8e/C8f freeze quantizers and append forever; nothing said
+    // WHEN the frozen model has gone stale. This gate runs the drift
+    // check over the PERSISTED incremental artifact (base + appended
+    // delta + build-time stats, durable on disk): per-cell share skew
+    // between the delta and the build, and the delta's mean assignment
+    // distance vs the build-time mean (Ann.retrainViolations — the
+    // emb_centroid_drift machinery pointed at index state). The real
+    // corpus splits are draws from ONE distribution, so no violation
+    // fires (WHERE 1=0); AnnRetrainSpec's planted distribution-shifted
+    // delta proves the same thresholds DO fire when the data moves.
+    // Thresholds (measured, see Ann.retrainViolations scaladoc): 2000 bp
+    // cell-share skew (real splits read ≤ 893 bp across scales; a
+    // one-cell delta reads ~8700) and +0.15 mean assignment distance in
+    // cos units over the build-time mean (real out-of-sample gap
+    // 0.04–0.09; an orthogonal-to-span delta ≥ +0.27).
+    Q("inv_ann_retrain_trigger",
+      """SELECT CAST(NULL AS VARCHAR) AS reason, CAST(NULL AS BIGINT) AS cell,
+        |  CAST(NULL AS BIGINT) AS observed, CAST(NULL AS BIGINT) AS bound
+        |WHERE 1=0""".stripMargin) { (s, dir) =>
+      val root = Ann.ivfIncrArtifact(s, dir)
+      val cents = Ann.loadCents(root)
+      val delta = Ann.readDeltas(s, root)
+        .map(d => Ann.ivfCellStats(s, cents, d)).getOrElse(Seq.empty)
+      Ann.retrainViolations(s, Ann.loadStats(root), delta,
+          skewBp = 2000L, distMarginMicro = 150000L)
+        .orderBy(col("reason"), col("cell"))
+    },
+
+    // C8j (r10): DELTA COMPACTION parity — Ann.ivfCompact folds the
+    // accumulated appends back into the cell-partitioned base. The gate
+    // builds a PRIVATE incremental artifact (compaction mutates it —
+    // the shared persisted one must stay untouched under other probes),
+    // probes base∪deltas from disk, compacts, probes the folded table,
+    // and emits (a) any (q_id, rank, n_id) served differently across
+    // the fold, (b) ids duplicated by the rewrite, (c) ids lost by it.
+    // Violations WHERE 1=0: compaction is a pure layout move.
+    Q("inv_ann_compact_parity",
+      """SELECT CAST(NULL AS VARCHAR) AS side, CAST(NULL AS BIGINT) AS q_id,
+        |  CAST(NULL AS BIGINT) AS n_id WHERE 1=0""".stripMargin) { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-ivf-compact")
+      Ann.buildIncrArtifactAt(s, dir, root)
+      val cents = Ann.loadCents(root)
+      val queries = Ann.embsWithNorm(s, dir).where(col("vec_id") < Ann.NQ)
+      def probe() = Ann
+        .ivfProbe(s, Ann.IvfIndex(cents, Ann.readIncrAssigned(s, root)), queries, p = 4)
+        .select(col("q_id"), col("rank"), col("n_id"))
+      // materialize BEFORE the fold mutates the files this plan reads
+      val pre = probe().localCheckpoint(true)
+      Ann.ivfCompact(s, root)
+      val post = probe()
+      val topkViol = pre.except(post)
+        .select(lit("pre_only").as("side"), col("q_id"), col("n_id"))
+        .unionByName(post.except(pre)
+          .select(lit("post_only").as("side"), col("q_id"), col("n_id")))
+      val compacted = Ann.readIncrAssigned(s, root)
+      val dupViol = compacted.groupBy(col("n_id"))
+        .agg(count(lit(1)).as("c")).where(col("c") =!= 1)
+        .select(lit("duplicated").as("side"),
+          lit(null).cast("long").as("q_id"), col("n_id"))
+      val lostViol = Ann.embsWithNorm(s, dir).where(col("vec_id") >= Ann.NQ)
+        .select(col("vec_id").as("n_id"))
+        .join(compacted.select(col("n_id")), Seq("n_id"), "left_anti")
+        .select(lit("lost").as("side"), lit(null).cast("long").as("q_id"), col("n_id"))
+      val out = releasing(pre)(
+        topkViol.unionByName(dupViol).unionByName(lostViol)
+          .orderBy(col("side"), col("q_id"), col("n_id")))
+      Artifact.deleteRecursively(root)
+      out
+    },
+
     // dedup_incremental_minhash FULL-RESULT replay: the same drop rule
     // (batch docs near-dup of any corpus doc drop; survivors CC among
     // themselves; keep min-id per cluster) computed from the EXACT

@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Ann
+
+/** C8i/C8j — the incremental-index LIFECYCLE policy:
+  *   - the retrain trigger stays quiet on real same-distribution splits
+  *     (the driver gate proves that at every scale; here at two),
+  *   - and FIRES on planted distribution shifts — one control per
+  *     violation class, so each threshold is proven live, not just
+  *     never-tripped (IncrementalIvfSpec's negative-control discipline);
+  *   - compaction folds deltas into the base with identical probe
+  *     results and a layout that stopped growing.
+  */
+class AnnRetrainSpec extends SparkSpec {
+
+  private val SkewBp = 2000L
+  private val DistMarginMicro = 150000L
+
+  test("real-split delta stays under the retrain thresholds (sf0.001 + sf0.01)") {
+    for (d <- Seq(sf("sf0.001"), sf("sf0.01"))) {
+      val got = SparkEntry.queries("inv_ann_retrain_trigger")(spark, d).collect()
+      assert(got.isEmpty, s"$d tripped: ${got.mkString("; ")}")
+    }
+  }
+
+  test("negative control: a single-cell delta trips cell_skew") {
+    val corpus = Ann.embsWithNorm(spark, sf()).where(col("vec_id") >= Ann.NQ)
+    val idx = Ann.ivfBuild(corpus.where(pmod(col("vec_id"), lit(5)) =!= 0), k = 8)
+    val baseStats = Ann.ivfCellStats(spark, idx.cents, idx.assigned)
+    // everything the ingest appended landed in ONE (the hottest) cell —
+    // a new hot topic the frozen quantizer has no resolution for
+    val hot = baseStats.maxBy(_._2)._1
+    val delta = Ann.ivfAssign(idx.cents,
+        corpus.where(pmod(col("vec_id"), lit(5)) === 0))
+      .where(col("cell") === hot)
+    val v = Ann.retrainViolations(spark, baseStats,
+      Ann.ivfCellStats(spark, idx.cents, delta), SkewBp, DistMarginMicro).collect()
+    assert(v.nonEmpty, "single-cell delta must trip the skew threshold")
+    assert(v.forall(_.getString(0) == "cell_skew"), v.mkString("; "))
+  }
+
+  test("negative control: a shifted delta trips assign_dist") {
+    val corpus = Ann.embsWithNorm(spark, sf()).where(col("vec_id") >= Ann.NQ)
+    val idx = Ann.ivfBuild(corpus.where(pmod(col("vec_id"), lit(5)) =!= 0), k = 8)
+    val baseStats = Ann.ivfCellStats(spark, idx.cents, idx.assigned)
+    // the appended vectors land in a region the quantizer has NO
+    // resolution for: a direction orthogonal to the ENTIRE centroid
+    // span (the "new encoder version" failure — embeddings from a space
+    // the index never trained on). Mild decorrelations (reversal,
+    // negation) are NOT far enough: any fixed direction still reads
+    // max-cos ≈ 0.2 against 8 spread centroids, inside the measured
+    // out-of-sample gap — orthogonal-to-span is the honest shift.
+    val d = idx.cents(0).length
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val basis = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    for (c <- idx.cents) {
+      val v = c.clone()
+      for (b <- basis; p = dot(v, b); i <- 0 until d) v(i) -= p * b(i)
+      val n = math.sqrt(dot(v, v))
+      if (n > 1e-9) basis += v.map(_ / n)
+    }
+    val e0 = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+    for (b <- basis; p = dot(e0, b); i <- 0 until d) e0(i) -= p * b(i)
+    val n0 = math.sqrt(dot(e0, e0))
+    assert(n0 > 0.5, s"e0 unexpectedly inside the centroid span (residual $n0)")
+    val ortho = e0.map(_ / n0)
+    val shifted = corpus.where(pmod(col("vec_id"), lit(5)) === 0)
+      .select(col("vec_id"),
+        transform(array(ortho.map(lit).toIndexedSeq: _*), x => x * col("nrm")).as("emb"),
+        col("nrm"))
+    val dStats = Ann.ivfCellStats(spark, idx.cents, Ann.ivfAssign(idx.cents, shifted))
+    val v = Ann.retrainViolations(spark, baseStats, dStats, SkewBp, DistMarginMicro).collect()
+    def mean(st: Seq[(Int, Long, Long)]) = st.map(_._3).sum / math.max(st.map(_._2).sum, 1L)
+    assert(v.exists(_.getString(0) == "assign_dist"),
+      s"shifted delta must trip assign_dist (base mean ${mean(baseStats)}µ, " +
+        s"delta mean ${mean(dStats)}µ): ${v.mkString("; ")}")
+  }
+
+  test("compaction folds deltas, probes identically, and the layout stops growing") {
+    val root = Files.createTempDirectory("graft-compact-spec")
+    Ann.buildIncrArtifactAt(spark, sf(), root)
+    val cents = Ann.loadCents(root)
+    val queries = Ann.embsWithNorm(spark, sf()).where(col("vec_id") < Ann.NQ)
+    def probe(): Seq[(Long, Int, Long)] = Ann
+      .ivfProbe(spark, Ann.IvfIndex(cents, Ann.readIncrAssigned(spark, root)),
+        queries, p = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    def dataFiles(): Long = {
+      val walk = Files.walk(root)
+      try walk.filter(_.getFileName.toString.endsWith(".parquet"))
+        .filter(Files.isRegularFile(_)).count()
+      finally walk.close()
+    }
+    val pre = probe()
+    val filesPre = dataFiles()
+    Ann.ivfCompact(spark, root)
+    assert(probe() == pre, "probe results must survive the fold unchanged")
+    assert(!Files.isDirectory(root.resolve("deltas")), "deltas must be folded away")
+    assert(dataFiles() <= filesPre,
+      "compaction must not grow the file count the probe lists")
+    // idempotent: a second compact on an already-folded index is a no-op
+    Ann.ivfCompact(spark, root)
+    assert(probe() == pre)
+    org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+  }
+}
