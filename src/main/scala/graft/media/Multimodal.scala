@@ -47,6 +47,13 @@ final case class MediaFeature(
 
 final case class MediaHash(media_id: Long, phash: Long)
 
+/** A cross-modal (image, caption) PAIR — the LAION-style row shape:
+  * opaque image bytes beside the text that describes them. Pair-level
+  * operators must treat the two identities INDEPENDENTLY (same image
+  * re-captioned, same caption re-illustrated are different dup classes).
+  */
+final case class PairRow(pair_id: Long, payload: Array[Byte], caption: String)
+
 /** The codec seam: everything per-item and media-specific — decode,
   * resize, feature extraction — goes through this trait, and ONLY the
   * trait. The Spark-side pipelines ([[Multimodal]]) close over a `Codec`
@@ -180,21 +187,27 @@ object Multimodal {
     */
   def dHash(media: Dataset[MediaRow], codec: Codec = StubCodec): Dataset[MediaHash] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map { m =>
-      val g = Frame(m.media_id, 0, 9, 8, codec.decodeFrame(m.payload, 0, 9, 8))
-      var h = 0L
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          if ((g.pixels(y * 9 + x) & 0xFF) > (g.pixels(y * 9 + x + 1) & 0xFF))
-            h |= 1L << (y * 8 + x)
-          x += 1
-        }
-        y += 1
+    media.mapPartitions(_.map(m => MediaHash(m.media_id, dHashOf(m.payload, codec))))
+  }
+
+  /** The per-payload dHash kernel [[dHash]] maps with — factored out so
+    * pair-level operators hash the image HALF of a PairRow through the
+    * very same function (the mediaRowOf one-definition discipline).
+    */
+  def dHashOf(payload: Array[Byte], codec: Codec = StubCodec): Long = {
+    val px = codec.decodeFrame(payload, 0, 9, 8)
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if ((px(y * 9 + x) & 0xFF) > (px(y * 9 + x + 1) & 0xFF))
+          h |= 1L << (y * 8 + x)
+        x += 1
       }
-      MediaHash(m.media_id, h)
-    })
+      y += 1
+    }
+    h
   }
 
   /** Exact-hash duplicate groups: (canonical = min media_id, n ≥ 2).
@@ -266,6 +279,57 @@ object Multimodal {
     graft.core.Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("n_chars"), col("lang"))
       .map(r => mediaRowOf(r.getLong(0), r.getString(1), r.getLong(2)))
+  }
+
+  // ------------------------------------- cross-modal (image, caption)
+
+  /** Synthesize the image bytes of a pair from its reduced key — a
+    * 32-byte arithmetic pattern the pair oracles recompute relationally
+    * (`((key*31 + i*17) % 256)` at byte position i). The REDUCTION is the
+    * point: image identity derives from `n_chars % 64` while the caption
+    * is the full text, so the two dup keys are genuinely independent —
+    * the same image recurs under different captions and vice versa,
+    * which is what makes pair-level dedup a conjunction and not a
+    * restatement of either single-modality operator.
+    */
+  def pairImageBytes(key: Long): Array[Byte] =
+    Array.tabulate(32)(i => ((key * 31 + i * 17) % 256).toByte)
+
+  /** The one synth mapping documents-row → cross-modal pair (shared by
+    * any batch/stream form, the mediaRowOf discipline).
+    */
+  def pairRowOf(id: Long, text: String, nChars: Long): PairRow =
+    PairRow(id, pairImageBytes(nChars % 64), text)
+
+  /** Synthesize the (image, caption) pair table from `documents`. */
+  def pairsFromDocuments(spark: SparkSession, dir: String): Dataset[PairRow] = {
+    import spark.implicits._
+    graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .map(r => pairRowOf(r.getLong(0), r.getString(1), r.getLong(2)))
+  }
+
+  /** Feature-hash IMAGE BYTES into a dim-dimensional signed-count
+    * vector — the image analog of text_hash_embed (C61): byte at
+    * 1-based position p with value a hashes to
+    * `hh = (a · (1 + (131·p) % 997)) % 2²⁰`, lands in dimension
+    * `hh % dim` with sign from bit `(hh / dim) % 2`. Exactly C61's rule
+    * with byte positions standing where tokens stood, so the whole
+    * binary → vector path is SQL-restatable and hash-gates (a real
+    * deployment swaps in `Codec.features` here — the plumbing this
+    * gates is binary column → bounded integer vector → the ANN family).
+    */
+  def byteHashEmbed(payload: Array[Byte], dim: Int): Array[Long] = {
+    val v = new Array[Long](dim)
+    var i = 0
+    while (i < payload.length) {
+      val a = payload(i) & 0xFF
+      val hh = (a.toLong * (1L + (131L * (i + 1)) % 997L)) % 1048576L
+      val d = (hh % dim).toInt
+      v(d) += (if ((hh / dim) % 2 == 0) 1L else -1L)
+      i += 1
+    }
+    v
   }
 
   /** Ingest-time image dedup: a new media batch against an

@@ -221,6 +221,135 @@ object Media {
       val missing = exact.join(pairs, Seq("a_id", "b_id"), "left_anti")
         .select(lit("missing_exact").as("kind"), col("a_id"), col("b_id"))
       unsound.unionByName(missing).orderBy(col("kind"), col("a_id"), col("b_id"))
+    },
+
+    // C13g (r10): CROSS-MODAL pair dedup — the LAION-style (image,
+    // caption) row where the two identities are INDEPENDENT (the pair
+    // synth derives image bytes from a reduced key, so the same image
+    // recurs under different captions and vice versa — Multimodal
+    // .pairImageBytes scaladoc). A pair is a duplicate only when BOTH
+    // keys match: dHash on the image payload (the C13d perceptual key,
+    // through the same dHashOf kernel) ∧ sha2 of the caption (the C1
+    // exact-text key). Per pair: min-id canonical + group size — the
+    // C13d gate shape on the conjunction, so a collapsed caption-dup
+    // with a different image (or the reverse) changes rows at any
+    // scale. 100 TB shape: ONE pass over pairs (decode+hash+digest at
+    // scan speed), then a single window shuffle of (pair_id, 8 B hash,
+    // 32 B digest) — the payload and caption never move.
+    Q("media_text_pair_dedup",
+      """SELECT doc_id AS pair_id,
+        |  min(doc_id) OVER (PARTITION BY n_chars % 64, text) AS canonical_id,
+        |  count(*) OVER (PARTITION BY n_chars % 64, text) AS n
+        |FROM documents ORDER BY pair_id""".stripMargin) { (s, dir) =>
+      val sess = s
+      import sess.implicits._
+      val sig = Multimodal.pairsFromDocuments(s, dir)
+        .map(p => (p.pair_id, Multimodal.dHashOf(p.payload), p.caption))
+        .toDF("pair_id", "phash", "caption")
+        .select(col("pair_id"), col("phash"), sha2(col("caption"), 256).as("cdig"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("phash"), col("cdig"))
+      sig.select(col("pair_id"),
+          min(col("pair_id")).over(w).as("canonical_id"),
+          count(lit(1)).over(w).as("n"))
+        .orderBy(col("pair_id"))
+    },
+
+    // C13h (r10): image HASH-EMBED — the image analog of C61
+    // text_hash_embed: feature-hash the payload BYTES into a 16-dim
+    // signed-count vector (byte positions standing where C61's tokens
+    // stood — Multimodal.byteHashEmbed), making the binary column a
+    // first-class citizen of the embedding family. The byte→dim→sign
+    // rule is SQL-restatable, so the whole binary → integer-vector path
+    // HASH-gates (a real deployment swaps Codec.features in; what this
+    // gates is the plumbing: binary column → bounded vector → C13i's
+    // ANN). One scan, no shuffle but the presentation sort.
+    Q("media_hash_embed",
+      """WITH b AS (
+        |  SELECT doc_id, r.range AS i,
+        |         ((n_chars % 64) * 31 + r.range * 17) % 256 AS a
+        |  FROM documents, range(32) r),
+        |th AS (SELECT doc_id, i,
+        |         (a * (1 + (131 * (i + 1)) % 997)) % 1048576 AS hh FROM b),
+        |e AS (SELECT doc_id, hh % 16 AS dim,
+        |         CASE WHEN (hh // 16) % 2 = 0 THEN 1 ELSE -1 END AS s FROM th),
+        |g AS (SELECT doc_id, dim, CAST(sum(s) AS BIGINT) AS v
+        |      FROM e GROUP BY doc_id, dim),
+        |dd AS (SELECT d.doc_id, r.range AS dim FROM documents d, range(16) r)
+        |SELECT dd.doc_id AS pair_id, CAST(dd.dim AS BIGINT) AS dim,
+        |  COALESCE(g.v, 0) AS v
+        |FROM dd LEFT JOIN g ON g.doc_id = dd.doc_id AND g.dim = dd.dim
+        |ORDER BY pair_id, dim""".stripMargin) { (s, dir) =>
+      val sess = s
+      import sess.implicits._
+      Multimodal.pairsFromDocuments(s, dir)
+        .map(p => (p.pair_id, Multimodal.byteHashEmbed(p.payload, 16)))
+        .toDF("pair_id", "v")
+        .select(col("pair_id"), posexplode(col("v")).as(Seq("dim", "v")))
+        .select(col("pair_id"), col("dim").cast("long").as("dim"), col("v"))
+        .orderBy(col("pair_id"), col("dim"))
+    },
+
+    // C13i (r10): the C13h vectors FEEDING THE ANN FAMILY — brute-force
+    // top-5 cosine over image hash-embeddings, pair_id < 10 as queries
+    // (C7's frame on the media column: broadcast query set, corpus
+    // scanned never shuffled, round(cos,6)+n_id deterministic ranking).
+    // Integer-derived doubles make the cosine bit-identical across
+    // engines, so unlike the float C7 family this one hash-gates with
+    // no recall gate needed. Ties at cos=1.0 (image-dup cohorts) are
+    // the point: the ranking must break them identically to the oracle.
+    Q("media_ann",
+      """WITH b AS (
+        |  SELECT doc_id, r.range AS i,
+        |         ((n_chars % 64) * 31 + r.range * 17) % 256 AS a
+        |  FROM documents, range(32) r),
+        |th AS (SELECT doc_id, i,
+        |         (a * (1 + (131 * (i + 1)) % 997)) % 1048576 AS hh FROM b),
+        |e AS (SELECT doc_id, hh % 16 AS dim,
+        |         CASE WHEN (hh // 16) % 2 = 0 THEN 1 ELSE -1 END AS s FROM th),
+        |g AS (SELECT doc_id, dim, CAST(sum(s) AS BIGINT) AS v
+        |      FROM e GROUP BY doc_id, dim),
+        |n AS (SELECT doc_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS nrm
+        |      FROM g GROUP BY doc_id),
+        |d AS (SELECT q.doc_id AS q_id, c.doc_id AS n_id,
+        |        CAST(sum(q.v * c.v) AS DOUBLE) AS dot
+        |      FROM g q JOIN g c ON c.dim = q.dim
+        |      WHERE q.doc_id < 10 AND c.doc_id >= 10
+        |      GROUP BY 1, 2),
+        |scored AS (SELECT q_id, n_id, dot / (nq.nrm * nc.nrm) AS cos
+        |           FROM d JOIN n nq ON nq.doc_id = q_id
+        |                  JOIN n nc ON nc.doc_id = n_id),
+        |ranked AS (SELECT q_id, n_id, cos, row_number() OVER (
+        |             PARTITION BY q_id ORDER BY round(cos, 6) DESC, n_id) AS rank
+        |           FROM scored)
+        |SELECT q_id, rank, n_id, round(cos, 4) AS cos
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+      val sess = s
+      import sess.implicits._
+      val emb = Multimodal.pairsFromDocuments(s, dir)
+        .map(p => (p.pair_id, Multimodal.byteHashEmbed(p.payload, 16)))
+        .toDF("pair_id", "iv")
+        .select(col("pair_id"),
+          transform(col("iv"), v => v.cast("double")).as("emb"))
+        .withColumn("nrm",
+          sqrt(graft.functions.Native.dot(s, col("emb"), col("emb"))))
+      val queries = emb.where(col("pair_id") < 10)
+        .select(col("pair_id").as("q_id"), col("emb").as("qemb"),
+          col("nrm").as("qnrm"))
+      val scored = emb.where(col("pair_id") >= 10)
+        .crossJoin(broadcast(queries))
+        .select(col("q_id"), col("pair_id").as("n_id"),
+          (graft.functions.Native.dot(s, col("qemb"), col("emb")) /
+            (col("qnrm") * col("nrm"))).as("cos"))
+      scored
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+            .orderBy(round(col("cos"), 6).desc, col("n_id"))))
+        .where(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("n_id"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy(col("q_id"), col("rank"))
     })
 
   /** C13f core over any (media_id, phash) frame: 4×16-bit pigeonhole
