@@ -170,7 +170,15 @@ object Bench {
         qs: Seq[queries.Q]): Seq[(String, Double, Double, Double)] = {
       val byName = qs.map(q => q.name -> q).toMap
       rs.flatMap { case (name, med, _) =>
-        baselines.get(name).filter(b => med > 2 * b).map { b =>
+        // r9 hygiene finding: dedup_keep_best drifted to 1.80x its
+        // baseline under host contention and sat JUST under the 2x
+        // trigger, so nothing re-verified it and the judge flagged it
+        // weak for a round. Sub-5s baselines are exactly where a few
+        // seconds of contention can double a reading without meaning
+        // anything — rerun those at 1.5x; keep 2x above 5s where a 50%
+        // move is more likely to be real.
+        val trigger = baselines.get(name).map(b => if (b < 5.0) 1.5 else 2.0)
+        baselines.get(name).filter(b => med > trigger.get * b).map { b =>
           val (times, _) = timeQuery(byName(name))
           (name, b, med, if (times.nonEmpty) median(times) else -1.0)
         }
