@@ -20,7 +20,8 @@ object Bench {
       "text_oov_rate_stream", "pipeline_tokenize_pack_stream",
       "text_repetition_stream", "text_pii_redact_stream",
       "pipeline_curate_web_stream", "emb_pca_stream", "inv_pca_stream_parity",
-      "text_langid_stream", "text_gopher_rules_stream", "corpus_drift_stream", "text_url_dedup_stream")
+      "text_langid_stream", "text_gopher_rules_stream", "corpus_drift_stream",
+      "text_url_dedup_stream", "media_text_pair_stream")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

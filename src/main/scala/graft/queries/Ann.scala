@@ -270,6 +270,31 @@ object Ann {
     java.nio.file.Files.readString(root.resolve("stats.txt")).split("\n").toSeq
       .map { l => val a = l.split(","); (a(0).toInt, a(1).toLong, a(2).toLong) }
 
+  /** Append a new vector batch to a persisted incremental artifact:
+    * assign through the FROZEN centroids (the C8e contract — never
+    * retrain on append; `inv_ann_retrain_trigger` decides when that
+    * stops being sound) and land it as the next `deltas/dN.parquet`,
+    * cell-partitioned like the base so probe-time partition pruning
+    * covers deltas too. Write-to-temp-then-rename: a concurrent probe
+    * reads a complete delta or none. `batch` must be (vec_id, emb, nrm).
+    */
+  private[graft] def ivfAppend(
+      s: SparkSession, root: java.nio.file.Path, batch: DataFrame): Unit = {
+    val deltasDir = root.resolve("deltas")
+    java.nio.file.Files.createDirectories(deltasDir)
+    val st = java.nio.file.Files.list(deltasDir)
+    val n =
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.count(_ => true)
+      } finally st.close()
+    val tmp = deltasDir.resolve(f".d$n%04d.tmp")
+    ivfAssign(loadCents(root), batch)
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    java.nio.file.Files.move(tmp, deltasDir.resolve(f"d$n%04d.parquet"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** The accumulated delta tables under an incremental artifact, oldest
     * first (append order = lexicographic dN names), or None if compacted.
     */
@@ -281,7 +306,10 @@ object Ann {
     val paths =
       try {
         import scala.jdk.CollectionConverters._
-        st.iterator().asScala.map(_.toString).toList.sorted
+        // published deltas only — never a crashed append's .dN.tmp
+        st.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(_.toString).toList.sorted
       } finally st.close()
     paths.map(p => s.read.parquet(p)).reduceOption(_.unionByName(_))
   }

@@ -21,6 +21,36 @@ object Media {
   /** Shared C13e/D8 oracle: the ingest-dedup decision restated on text
     * equality (the payload bytes) — batch and stream gate identically.
     */
+  /** Shared C13j/D30 oracle: the ingest-time PAIR-dedup decision
+    * restated on the synth keys (image = n_chars%64, caption = text) —
+    * batch and stream gate identically against it.
+    */
+  private val pairIncrSql: String =
+    """WITH delta AS (
+      |  SELECT doc_id, n_chars % 64 AS k, text FROM documents WHERE doc_id % 7 = 3),
+      |agg AS (SELECT k, text, min(doc_id) AS pair_id, count(*) AS n_batch_dups
+      |        FROM delta GROUP BY k, text)
+      |SELECT pair_id, n_batch_dups FROM agg
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM documents b
+      |  WHERE b.doc_id % 7 != 3 AND b.n_chars % 64 = agg.k AND b.text = agg.text)
+      |ORDER BY pair_id""".stripMargin
+
+  /** The (phash, caption-digest) signature frame of a pair set — the
+    * ONE place the pair dup-key is computed (batch dedup, incremental
+    * probe, and the stream twin all build through it, so the conjunction
+    * key cannot drift between forms). One pass: decode+dHash in the
+    * typed map, sha2 as a column.
+    */
+  private def pairSignatures(
+      pairs: org.apache.spark.sql.Dataset[graft.media.PairRow]): org.apache.spark.sql.DataFrame = {
+    val sess = pairs.sparkSession
+    import sess.implicits._
+    pairs.map(p => (p.pair_id, Multimodal.dHashOf(p.payload), p.caption))
+      .toDF("pair_id", "phash", "caption")
+      .select(col("pair_id"), col("phash"), sha2(col("caption"), 256).as("cdig"))
+  }
+
   private val phashIncrSql: String =
     """WITH delta AS (
       |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 3),
@@ -241,18 +271,65 @@ object Media {
         |  min(doc_id) OVER (PARTITION BY n_chars % 64, text) AS canonical_id,
         |  count(*) OVER (PARTITION BY n_chars % 64, text) AS n
         |FROM documents ORDER BY pair_id""".stripMargin) { (s, dir) =>
-      val sess = s
-      import sess.implicits._
-      val sig = Multimodal.pairsFromDocuments(s, dir)
-        .map(p => (p.pair_id, Multimodal.dHashOf(p.payload), p.caption))
-        .toDF("pair_id", "phash", "caption")
-        .select(col("pair_id"), col("phash"), sha2(col("caption"), 256).as("cdig"))
+      val sig = pairSignatures(Multimodal.pairsFromDocuments(s, dir))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("phash"), col("cdig"))
       sig.select(col("pair_id"),
           min(col("pair_id")).over(w).as("canonical_id"),
           count(lit(1)).over(w).as("n"))
         .orderBy(col("pair_id"))
+    },
+
+    // C13j (r10): ingest-time PAIR dedup — C13g's decision at the
+    // incremental boundary (C13e's shape on the conjunction key): a new
+    // pair batch probes the corpus's persisted (phash, caption-digest)
+    // index, colliding pairs drop, batch-internal collisions collapse
+    // to the min-id canonical. The corpus contributes only its distinct
+    // 40 B signature index — payloads and captions are never re-read.
+    Q("media_text_pair_incremental", pairIncrSql) { (s, dir) =>
+      val m = Multimodal.pairsFromDocuments(s, dir)
+      val idx = pairSignatures(m.filter(p => p.pair_id % 7 != 3))
+        .select(col("phash"), col("cdig")).distinct()
+      pairSignatures(m.filter(p => p.pair_id % 7 == 3))
+        .join(idx, Seq("phash", "cdig"), "left_anti")
+        .groupBy(col("phash"), col("cdig"))
+        .agg(min(col("pair_id")).as("pair_id"), count(lit(1)).as("n_batch_dups"))
+        .select(col("pair_id"), col("n_batch_dups"))
+        .orderBy(col("pair_id"))
+    },
+
+    // D30 (r10): the STREAMING twin — cross-modal pairs as an ingest
+    // stream through the same pairRowOf synth (shared, so batch and
+    // stream can never drift), dHash+digest partition-wise on the
+    // stream via the SAME pairSignatures frame, stream-static LEFT ANTI
+    // join against the corpus signature index (stateless — the static
+    // side is a probe table), one stateful groupBy collapsing
+    // batch-internal collisions (state = one row per surviving
+    // signature), AvailableNow → complete memory sink. Gated by the
+    // SAME oracle as C13j — driver-checked batch/stream parity, the D8
+    // discipline on the conjunction key.
+    Q("media_text_pair_stream", pairIncrSql) { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        import s.implicits._
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+          .where(pmod(col("doc_id"), lit(7)) === 3)
+          .select(col("doc_id"), col("text"), col("n_chars"))
+          .as[(Long, String, Long)]
+          .map { case (id, t, n) => Multimodal.pairRowOf(id, t, n) }
+        val idx = pairSignatures(
+            Multimodal.pairsFromDocuments(s, dir).filter(p => p.pair_id % 7 != 3))
+          .select(col("phash"), col("cdig")).distinct()
+        val kept = pairSignatures(stream)
+          .join(idx, Seq("phash", "cdig"), "left_anti")
+          .groupBy(col("phash"), col("cdig"))
+          .agg(min(col("pair_id")).as("pair_id"), count(lit(1)).as("n_batch_dups"))
+        Events.runToCompleteSink(s, "pair_stream_sink_", kept)
+          .select(col("pair_id"), col("n_batch_dups"))
+          .orderBy(col("pair_id"))
+      }
     },
 
     // C13h (r10): image HASH-EMBED — the image analog of C61

@@ -108,4 +108,43 @@ class AnnRetrainSpec extends SparkSpec {
     assert(probe() == pre)
     org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
   }
+
+  test("full lifecycle: append batches, trigger stays quiet, compact, probe parity") {
+    val root = Files.createTempDirectory("graft-lifecycle-spec")
+    val corpus = Ann.embsWithNorm(spark, sf()).where(col("vec_id") >= Ann.NQ)
+    // base = everything the two ingest batches below do NOT carry, so
+    // append+compact coverage audits can demand exactly-once
+    val idx = Ann.ivfBuild(corpus.where(!pmod(col("vec_id"), lit(7)).isin(1, 2)), k = 8)
+    idx.assigned.write.partitionBy("cell")
+      .parquet(root.resolve("assigned.parquet").toString)
+    Files.writeString(root.resolve("cents.txt"),
+      idx.cents.map(_.mkString(",")).mkString("\n"))
+    Files.writeString(root.resolve("stats.txt"),
+      Ann.ivfCellStats(spark, idx.cents,
+          spark.read.parquet(root.resolve("assigned.parquet").toString))
+        .sortBy(_._1).map { case (c, n, sd) => s"$c,$n,$sd" }.mkString("\n"))
+    val cents = Ann.loadCents(root)
+    // two ingest batches append through the frozen quantizer
+    Ann.ivfAppend(spark, root, corpus.where(pmod(col("vec_id"), lit(7)) === 1))
+    Ann.ivfAppend(spark, root, corpus.where(pmod(col("vec_id"), lit(7)) === 2))
+    assert(Files.list(root.resolve("deltas")).count() == 2)
+    // same-distribution appends must not trip the retrain trigger
+    val delta = Ann.readDeltas(spark, root).get
+    val v = Ann.retrainViolations(spark, Ann.loadStats(root),
+      Ann.ivfCellStats(spark, cents, delta), SkewBp, DistMarginMicro).collect()
+    assert(v.isEmpty, v.mkString("; "))
+    val queries = Ann.embsWithNorm(spark, sf()).where(col("vec_id") < Ann.NQ)
+    def probe(): Seq[(Long, Int, Long)] = Ann
+      .ivfProbe(spark, Ann.IvfIndex(cents, Ann.readIncrAssigned(spark, root)),
+        queries, p = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val pre = probe()
+    Ann.ivfCompact(spark, root)
+    assert(probe() == pre, "compaction after real appends must not move the top-k")
+    // no vector lost or duplicated across append+compact
+    val ids = Ann.readIncrAssigned(spark, root).select(col("n_id"))
+    assert(ids.distinct().count() == ids.count())
+    assert(ids.count() == corpus.count(), "append+compact must cover the corpus exactly")
+    org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+  }
 }
