@@ -217,6 +217,65 @@ object Ann {
     (skew ++ dist).toDF("reason", "cell", "observed", "bound")
   }
 
+  /** Mean PQ reconstruction error — the staleness statistic of FROZEN
+    * codebooks (C8i's assign_dist on the CODE side): per row, the L2²
+    * between the unit vector and its nearest-codeword reconstruction,
+    * floor-quantized to micro units BEFORE the long sum (order-
+    * independent). Rising error on appended data means the codebooks no
+    * longer span where new vectors land — quantization noise eats the
+    * re-rank pool's headroom and recall decays silently, which is
+    * exactly what a code-side retrain trigger must catch. Returns
+    * (n, Σ floor(err·1e6)).
+    */
+  private[graft] def pqQuantErrStats(
+      s: SparkSession, codebooks: Array[Array[Array[Double]]],
+      corpus: DataFrame): (Long, Long) = {
+    val errUdf = udf { (emb: Seq[Double], nrm: Double) =>
+      val m = codebooks.length
+      val dim = emb.size
+      val dsub = dim / m
+      var err = 0.0
+      var j = 0
+      while (j < m) {
+        val sub = new Array[Double](dsub)
+        var i = 0
+        while (i < dsub) {
+          val v = emb(j * dsub + i)
+          sub(i) = if (nrm > 0) v / nrm else v
+          i += 1
+        }
+        val cw = codebooks(j)(PqKernels.nearestL2(codebooks(j), sub))
+        var d = 0.0
+        i = 0
+        while (i < dsub) { val t = sub(i) - cw(i); d += t * t; i += 1 }
+        err += d
+        j += 1
+      }
+      math.floor(err * 1e6).toLong
+    }
+    val r = corpus.select(errUdf(col("emb"), col("nrm")).as("e"))
+      .agg(count(lit(1)).as("n"), sum(col("e")).as("s")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Code-side retrain decision: violation when the delta's mean
+    * reconstruction error exceeds the build-time mean by more than
+    * `marginMicro` (absolute, for the same in-sample reason as
+    * [[retrainViolations]]' distance test). Same output shape as the
+    * IVF trigger so the two gates share an oracle.
+    */
+  private[graft] def pqRetrainViolations(
+      s: SparkSession, baseMean: Long, deltaMean: Long,
+      marginMicro: Long): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    val rows: Seq[(String, Option[Long], Long, Long)] =
+      if (deltaMean > baseMean + marginMicro)
+        Seq(("recon_err", None, deltaMean, baseMean + marginMicro))
+      else Seq.empty
+    rows.toDF("reason", "cell", "observed", "bound")
+  }
+
   /** Write an incremental IVF artifact under `tmp`: quantizer trained on
     * the base split (vec_id %5 ≠ 0) and FROZEN (cents.txt + build-time
     * stats.txt), base assignment cell-partitioned (assigned.parquet),

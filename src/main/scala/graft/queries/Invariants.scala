@@ -270,6 +270,32 @@ object Invariants {
         .orderBy(col("reason"), col("cell"))
     },
 
+    // C8k (r10): the CODE-side retrain trigger — C8i for the PQ family:
+    // codebooks freeze between retrainings (C8f), so the staleness
+    // signal is the mean RECONSTRUCTION error of appended vectors vs
+    // build time (rising error = quantization noise eating the re-rank
+    // pool's headroom = silent recall decay). Absolute margin over the
+    // build-time mean, for C8i's in-sample reason amplified: the
+    // driver-sampled codebooks fit their base hard, so a
+    // same-distribution delta already reads +0.04–0.10 L2² out-of-sample
+    // (measured ×3 scales: diffs 96k/98k/41k µ), while the planted
+    // sparse-spike shift reads +0.22. The 0.15 margin separates the
+    // two on the fixed gate data (deterministic, not statistical).
+    Q("inv_ann_pq_retrain_trigger",
+      """SELECT CAST(NULL AS VARCHAR) AS reason, CAST(NULL AS BIGINT) AS cell,
+        |  CAST(NULL AS BIGINT) AS observed, CAST(NULL AS BIGINT) AS bound
+        |WHERE 1=0""".stripMargin) { (s, dir) =>
+      val corpus = Ann.embsWithNorm(s, dir).where(col("vec_id") >= Ann.NQ)
+      val base = corpus.where(pmod(col("vec_id"), lit(5)) =!= 0)
+      val delta = corpus.where(pmod(col("vec_id"), lit(5)) === 0)
+      val idx = Ann.pqBuild(base, m = 16, k = 256)
+      val (bn, bs) = Ann.pqQuantErrStats(s, idx.codebooks, base)
+      val (dn, ds) = Ann.pqQuantErrStats(s, idx.codebooks, delta)
+      Ann.pqRetrainViolations(s, bs / math.max(bn, 1L), ds / math.max(dn, 1L),
+          marginMicro = 150000L)
+        .orderBy(col("reason"))
+    },
+
     // C8j (r10): DELTA COMPACTION parity — Ann.ivfCompact folds the
     // accumulated appends back into the cell-partitioned base. The gate
     // builds a PRIVATE incremental artifact (compaction mutates it —

@@ -109,6 +109,31 @@ class AnnRetrainSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
   }
 
+  test("negative control: an orthogonal delta trips the PQ recon-error trigger") {
+    val corpus = Ann.embsWithNorm(spark, sf()).where(col("vec_id") >= Ann.NQ)
+    val base = corpus.where(pmod(col("vec_id"), lit(5)) =!= 0)
+    val idx = Ann.pqBuild(base, k = 256, m = 16)
+    val (bn, bs) = Ann.pqQuantErrStats(spark, idx.codebooks, base)
+    // same orthogonal-to-trained-span model as the IVF control: the
+    // frozen codebooks reconstruct nothing of it, so per-subspace
+    // residuals stay ~full-length
+    val d = 64
+    val e0 = Array.tabulate(d)(i => if (i == 0 || i == 17 || i == 33 || i == 49) 0.5 else 0.0)
+    val shifted = corpus.where(pmod(col("vec_id"), lit(5)) === 0)
+      .select(col("vec_id"),
+        transform(array(e0.map(lit).toIndexedSeq: _*), x => x * col("nrm")).as("emb"),
+        col("nrm"))
+    val (dn, ds) = Ann.pqQuantErrStats(spark, idx.codebooks, shifted)
+    val v = Ann.pqRetrainViolations(spark, bs / bn, ds / dn, 150000L).collect()
+    assert(v.exists(_.getString(0) == "recon_err"),
+      s"orthogonal delta must trip recon_err (base ${bs / bn}µ, delta ${ds / dn}µ)")
+    // and the real same-distribution delta must NOT trip it
+    val (rn, rs) = Ann.pqQuantErrStats(spark, idx.codebooks,
+      corpus.where(pmod(col("vec_id"), lit(5)) === 0))
+    assert(Ann.pqRetrainViolations(spark, bs / bn, rs / rn, 150000L).collect().isEmpty,
+      s"real delta tripped: base ${bs / bn}µ, delta ${rs / rn}µ")
+  }
+
   test("full lifecycle: append batches, trigger stays quiet, compact, probe parity") {
     val root = Files.createTempDirectory("graft-lifecycle-spec")
     val corpus = Ann.embsWithNorm(spark, sf()).where(col("vec_id") >= Ann.NQ)

@@ -742,6 +742,28 @@ class PlanSpec extends SparkSpec {
       s"exactly one union branch (the over-cap sliver) may carry the window, got $windowed:\n$lp")
   }
 
+  test("media_ann: 10-query embed set broadcasts; pair corpus never shuffles for scoring") {
+    val p = planStr("media_ann")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected a broadcast cross join of the query embeds:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"pair corpus must not shuffle for scoring:\n$p")
+  }
+
+  test("media_text_pair_dedup: one signature-window shuffle + presentation sort only") {
+    // the conjunction key is 40 B of (hash, digest) — the payload and
+    // caption must never reach an exchange
+    val p = planStr("media_text_pair_dedup")
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 2,
+      s"pair dedup should shuffle once on signatures (+ ORDER BY):\n$p")
+  }
+
+  test("media_text_pair_incremental: the corpus signature index joins as a real anti join") {
+    val p = planStr("media_text_pair_incremental")
+    assert(p.contains("LeftAnti"), s"expected an anti join on signatures:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no pair-space join:\n$p")
+  }
+
   test("gramsMultiN keeps multiplicity where gramsN dedups") {
     import spark.implicits._
     val df = Seq(Tuple1(Seq("a", "b", "a", "b", "c"))).toDF("ws")
