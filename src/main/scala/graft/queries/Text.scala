@@ -3592,6 +3592,52 @@ object Text {
         .orderBy(col("gram"))
     },
 
+    // C74 (r10): DISTINCT-n corpus DIVERSITY — distinct n-grams over
+    // total n-grams (bp) per source for n ∈ 1/2/3, the distinct-n
+    // metric generation-eval uses, pointed at curation: the number that
+    // says whether dedup/filter stages actually reduced homogenization
+    // (template-heavy sources read low distinct-3), monitored per
+    // source so a single boilerplate feed can't hide inside a healthy
+    // corpus average. All integer ⇒ hash-gated.
+    // 100 TB shape: one explode per n through the SAME gram kernel the
+    // dedup/LM family uses, ONE gram-keyed shuffle with map-side
+    // combine on (source, n, gram) — tfidf's exchange class, the floor
+    // for an exact corpus-wide distinct — then the rollup carries
+    // |sources·3| slim rows. No count_distinct expand, no second pass.
+    Q("text_distinct_ngrams",
+      """WITH docs_ws AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |w AS (SELECT doc_id, source, unnest(ws) AS w,
+        |        generate_subscripts(ws, 1) AS i FROM docs_ws),
+        |g1 AS (SELECT source, w AS gram FROM w),
+        |g2 AS (SELECT a.source, a.w||' '||b.w AS gram
+        |       FROM w a JOIN w b ON b.doc_id=a.doc_id AND b.i=a.i+1),
+        |g3 AS (SELECT a.source, a.w||' '||b.w||' '||c.w AS gram
+        |       FROM w a JOIN w b ON b.doc_id=a.doc_id AND b.i=a.i+1
+        |                JOIN w c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+        |u AS (SELECT 1 AS n, source, gram FROM g1
+        |      UNION ALL SELECT 2, source, gram FROM g2
+        |      UNION ALL SELECT 3, source, gram FROM g3),
+        |agg AS (SELECT source, n, CAST(count(*) AS BIGINT) AS total_grams,
+        |          CAST(count(DISTINCT gram) AS BIGINT) AS distinct_grams
+        |        FROM u GROUP BY source, n)
+        |SELECT source, CAST(n AS BIGINT) AS n, total_grams, distinct_grams,
+        |  CAST(distinct_grams * 10000 // total_grams AS BIGINT) AS distinct_bp
+        |FROM agg ORDER BY source, n""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select(col("source"), words.as("ws"))
+      val u = Seq(1, 2, 3).map { n =>
+        d.select(col("source"), lit(n.toLong).as("n"),
+          explode(graft.functions.Kernels.gramsMultiN(col("ws"), n)).as("gram"))
+      }.reduce(_.unionAll(_))
+      u.groupBy(col("source"), col("n"), col("gram"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"), col("n"))
+        .agg(sum(col("c")).as("total_grams"), count(lit(1)).as("distinct_grams"))
+        .select(col("source"), col("n"), col("total_grams"), col("distinct_grams"),
+          expr("distinct_grams * 10000 div total_grams").as("distinct_bp"))
+        .orderBy(col("source"), col("n"))
+    },
+
     // C27: TF-IDF top terms per document. The idf is INTEGER-scaled
     // ((N*1000) div df) so both engines rank identical integers — a
     // ln()-based idf would hand the gate to cross-engine libm rounding.
