@@ -307,10 +307,42 @@ object Dedup {
     * [[connectedComponents]] falls back to localCheckpoint). Shared by
     * every query that feeds pairs into CC.
     */
-  private def ensureLocalCkptDir(s: SparkSession): Unit =
+  private[queries] def ensureLocalCkptDir(s: SparkSession): Unit =
     if (s.sparkContext.isLocal && s.sparkContext.getCheckpointDir.isEmpty)
       s.sparkContext.setCheckpointDir(
         sys.props("java.io.tmpdir") + "/graft-ckpt")
+
+  /** The cascade's per-doc stage verdict frame — (doc_id, stage ∈
+    * url/exact/neardup/kept) — factored from `pipeline_dedup_cascade`
+    * (which orders and ships it) so downstream consumers (C75
+    * dedup_diversity_gain) audit the SAME shipped stages, not a copy:
+    * the cascade's own oracle staying green through this refactor is
+    * the regression evidence (the C73/curateWebFrames discipline).
+    */
+  private[queries] def cascadeStages(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val base = d.select(col("doc_id"),
+      Text.canonicalUrlCol(Text.messyUrlCol).as("canon"),
+      unhex(sha2(normText, 256)).as("h"))
+    val s1 = base.withColumn("url_keep",
+      col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("canon"))))
+    val s2 = s1.where(col("url_keep"))
+      .withColumn("exact_keep",
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("h"))))
+    val survivors = s2.where(col("exact_keep")).select(col("doc_id"))
+    val pairs = ngramJaccardPairs(d.join(survivors, Seq("doc_id"), "left_semi"), 4, 5)
+    val nd = connectedComponents(pairs)
+      .where(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"), lit(1L).as("nd"))
+    s1.select(col("doc_id"), col("url_keep"))
+      .join(s2.select(col("doc_id"), col("exact_keep")), Seq("doc_id"), "left_outer")
+      .join(nd, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(!col("url_keep"), lit("url"))
+          .when(!col("exact_keep"), lit("exact"))
+          .when(col("nd").isNotNull, lit("neardup"))
+          .otherwise(lit("kept")).as("stage"))
+  }
 
   /** Exact all-pairs embedding-cosine near-dup pairs (a_id, b_id, cos) —
     * ORACLE BASELINE ONLY. The plan is a deliberate O(n²)
@@ -765,6 +797,59 @@ object Dedup {
         .where(col("cnt") > 1)
         .drop("cnt"), n)
 
+  /** The cascade oracle's CTE chain (url canon → exact digest →
+    * survivor-scoped near-dup mining → recursive-CC labels → the nd
+    * dropped-id set), factored so the C75 diversity-gain oracle
+    * restates THE SAME staged decision the cascade gate pins.
+    * Interpolate after a `WITH RECURSIVE ` head.
+    *
+    * A `def`, not a `val`: Text.all interpolates this while Dedup.all
+    * interpolates Text vals — a stored field here would read null
+    * during the Dedup→Text→Dedup object-initialization cycle; the def
+    * evaluates at call time, when Text's (earlier-declared) url vals
+    * are already set.
+    */
+  private[queries] def cascadeCtes: String =
+    s"""u AS (SELECT doc_id, (${Text.messyUrlSql}) AS url FROM documents),
+        |${Text.urlCanonCtes},
+        |s1 AS (SELECT d.doc_id, d.text,
+        |  CASE WHEN d.doc_id = min(d.doc_id) OVER (PARTITION BY c4.canon)
+        |    THEN 1 ELSE 0 END AS url_keep
+        |  FROM documents d JOIN c4 ON c4.doc_id = d.doc_id),
+        |s2 AS (SELECT doc_id, text,
+        |  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY k) THEN 1 ELSE 0 END AS exact_keep
+        |  FROM (SELECT doc_id, text,
+        |          lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS k
+        |        FROM s1 WHERE url_keep = 1)),
+        |docs_ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM s2
+        |  WHERE exact_keep = 1 AND len(string_split(text, ' ')) >= 3),
+        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM docs_ws),
+        |grams AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+        |  FROM w a
+        |  JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        |cnt AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM inter
+        |  JOIN cnt ca ON ca.doc_id = a_id
+        |  JOIN cnt cb ON cb.doc_id = b_id
+        |  WHERE i / (ca.c + cb.c - i) >= 0.8),
+        |edges AS (SELECT a_id, b_id FROM pairs
+        |          UNION SELECT b_id AS a_id, a_id AS b_id FROM pairs),
+        |nodes AS (SELECT DISTINCT a_id AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b_id AS id, reach.r FROM reach JOIN edges e ON e.a_id = reach.id),
+        |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+        |nd AS (SELECT id AS doc_id FROM labels WHERE id <> label)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // C1: exact dedup — hash-groupBy on normalized text, keep min id.
@@ -1072,45 +1157,7 @@ object Dedup {
     // the verdict assembly joins doc_id-keyed slim frames (zero-exchange
     // once the corpus is bucketed by doc_id at rest).
     Q("pipeline_dedup_cascade",
-      s"""WITH RECURSIVE u AS (SELECT doc_id, (${Text.messyUrlSql}) AS url FROM documents),
-        |${Text.urlCanonCtes},
-        |s1 AS (SELECT d.doc_id, d.text,
-        |  CASE WHEN d.doc_id = min(d.doc_id) OVER (PARTITION BY c4.canon)
-        |    THEN 1 ELSE 0 END AS url_keep
-        |  FROM documents d JOIN c4 ON c4.doc_id = d.doc_id),
-        |s2 AS (SELECT doc_id, text,
-        |  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY k) THEN 1 ELSE 0 END AS exact_keep
-        |  FROM (SELECT doc_id, text,
-        |          lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS k
-        |        FROM s1 WHERE url_keep = 1)),
-        |docs_ws AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM s2
-        |  WHERE exact_keep = 1 AND len(string_split(text, ' ')) >= 3),
-        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM docs_ws),
-        |grams AS (
-        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
-        |  FROM w a
-        |  JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
-        |  JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
-        |cnt AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
-        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        |pairs AS (
-        |  SELECT a_id, b_id FROM inter
-        |  JOIN cnt ca ON ca.doc_id = a_id
-        |  JOIN cnt cb ON cb.doc_id = b_id
-        |  WHERE i / (ca.c + cb.c - i) >= 0.8),
-        |edges AS (SELECT a_id, b_id FROM pairs
-        |          UNION SELECT b_id AS a_id, a_id AS b_id FROM pairs),
-        |nodes AS (SELECT DISTINCT a_id AS id FROM edges),
-        |reach(id, r) AS (
-        |  SELECT id, id FROM nodes
-        |  UNION
-        |  SELECT e.b_id AS id, reach.r FROM reach JOIN edges e ON e.a_id = reach.id),
-        |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
-        |nd AS (SELECT id AS doc_id FROM labels WHERE id <> label)
+      s"""WITH RECURSIVE ${Dedup.cascadeCtes}
         |SELECT d.doc_id,
         |  CASE WHEN s1.url_keep = 0 THEN 'url'
         |       WHEN s2.exact_keep = 0 THEN 'exact'
@@ -1122,32 +1169,10 @@ object Dedup {
         |LEFT JOIN nd ON nd.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       ensureLocalCkptDir(s)
-      val d = docs(s, dir)
-      val base = d.select(col("doc_id"),
-        Text.canonicalUrlCol(Text.messyUrlCol).as("canon"),
-        unhex(sha2(normText, 256)).as("h"))
-      val s1 = base.withColumn("url_keep",
-        col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("canon"))))
-      val s2 = s1.where(col("url_keep"))
-        .withColumn("exact_keep",
-          col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("h"))))
-      val survivors = s2.where(col("exact_keep")).select(col("doc_id"))
-      val pairs = ngramJaccardPairs(d.join(survivors, Seq("doc_id"), "left_semi"), 4, 5)
-      val nd = connectedComponents(pairs)
-        .where(col("id") =!= col("label"))
-        .select(col("id").as("doc_id"), lit(1L).as("nd"))
-      s1.select(col("doc_id"), col("url_keep"))
-        .join(s2.select(col("doc_id"), col("exact_keep")), Seq("doc_id"), "left_outer")
-        .join(nd, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          when(!col("url_keep"), lit("url"))
-            .when(!col("exact_keep"), lit("exact"))
-            .when(col("nd").isNotNull, lit("neardup"))
-            .otherwise(lit("kept")).as("stage"))
-        .orderBy(col("doc_id"))
+      cascadeStages(s, dir).orderBy(col("doc_id"))
     },
 
-    // C4c: quality-aware retention — the near-dup decision real curation
+        // C4c: quality-aware retention — the near-dup decision real curation
     // pipelines actually ship: within each near-dup cluster keep the
     // HIGHEST-quality member (C10's quality_bp, doc_id tie-break), not
     // the arbitrary min-id canonical. Composition: C3 pair mining →

@@ -3592,6 +3592,9 @@ object Text {
         .orderBy(col("gram"))
     },
 
+    // C74/C75 shared frames are defined at the end of this object
+    // (distinctNgramsFrame / distinctNgramsSql).
+    //
     // C74 (r10): DISTINCT-n corpus DIVERSITY — distinct n-grams over
     // total n-grams (bp) per source for n ∈ 1/2/3, the distinct-n
     // metric generation-eval uses, pointed at curation: the number that
@@ -3624,17 +3627,46 @@ object Text {
         |SELECT source, CAST(n AS BIGINT) AS n, total_grams, distinct_grams,
         |  CAST(distinct_grams * 10000 // total_grams AS BIGINT) AS distinct_bp
         |FROM agg ORDER BY source, n""".stripMargin) { (s, dir) =>
-      val d = docs(s, dir).select(col("source"), words.as("ws"))
-      val u = Seq(1, 2, 3).map { n =>
-        d.select(col("source"), lit(n.toLong).as("n"),
-          explode(graft.functions.Kernels.gramsMultiN(col("ws"), n)).as("gram"))
-      }.reduce(_.unionAll(_))
-      u.groupBy(col("source"), col("n"), col("gram"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("source"), col("n"))
-        .agg(sum(col("c")).as("total_grams"), count(lit(1)).as("distinct_grams"))
-        .select(col("source"), col("n"), col("total_grams"), col("distinct_grams"),
-          expr("distinct_grams * 10000 div total_grams").as("distinct_bp"))
+      distinctNgramsFrame(docs(s, dir).select(col("source"), words.as("ws")))
+        .orderBy(col("source"), col("n"))
+    },
+
+    // C75 (r10): dedup DIVERSITY GAIN — C74 before/after the C68
+    // cascade, per source: THE number dedup reports exist to move
+    // (distinct-n up = homogenization out), attributed to the exact
+    // corpus the cascade keeps. Composes the SHARED frames verbatim
+    // (Dedup.cascadeStages / distinctNgramsFrame — both gated queries'
+    // oracles staying green is the regression evidence), so this audit
+    // can never drift from the shipped dedup decision. All integer ⇒
+    // hash-gated. 100 TB shape: the cascade's own cost + two C74 passes
+    // (one semi-joined to survivors); the final join carries
+    // |sources·3| rows.
+    Q("dedup_diversity_gain",
+      s"""WITH RECURSIVE ${Dedup.cascadeCtes},
+        |kept AS (
+        |  SELECT s2.doc_id FROM s2
+        |  LEFT JOIN nd ON nd.doc_id = s2.doc_id
+        |  WHERE s2.exact_keep = 1 AND nd.doc_id IS NULL),
+        |raw_d AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |kept_d AS (SELECT d.doc_id, d.source, string_split(d.text, ' ') AS ws
+        |           FROM documents d JOIN kept ON kept.doc_id = d.doc_id),
+        |${distinctNgramsSql("raw_d", "r")},
+        |${distinctNgramsSql("kept_d", "k")}
+        |SELECT r.source, CAST(r.n AS BIGINT) AS n, r.bp AS raw_bp,
+        |  k.bp AS kept_bp, k.bp - r.bp AS gain_bp
+        |FROM r_agg r JOIN k_agg k ON k.source = r.source AND k.n = r.n
+        |ORDER BY r.source, r.n""".stripMargin) { (s, dir) =>
+      Dedup.ensureLocalCkptDir(s)
+      val kept = Dedup.cascadeStages(s, dir)
+        .where(col("stage") === "kept").select(col("doc_id"))
+      val raw = docs(s, dir).select(col("doc_id"), col("source"), words.as("ws"))
+      def bp(d: org.apache.spark.sql.DataFrame) =
+        distinctNgramsFrame(d.select(col("source"), col("ws")))
+          .select(col("source"), col("n"), col("distinct_bp"))
+      bp(raw).withColumnRenamed("distinct_bp", "raw_bp")
+        .join(bp(raw.join(kept, Seq("doc_id"), "left_semi"))
+          .withColumnRenamed("distinct_bp", "kept_bp"), Seq("source", "n"))
+        .withColumn("gain_bp", col("kept_bp") - col("raw_bp"))
         .orderBy(col("source"), col("n"))
     },
 
@@ -4505,4 +4537,44 @@ object Text {
           |  0L, (acc, v) -> acc + v) % 2147483647L""".stripMargin).as("fp"))
         .orderBy(col("doc_id"))
     })
+
+  /** C74's diversity frame over (source, ws) — shared VERBATIM by
+    * `text_distinct_ngrams` and the C75 gain audit, so the before/after
+    * comparison measures the same statistic by construction. Plan: one
+    * gram-keyed map-side-combined shuffle, then a |sources·3| rollup.
+    */
+  private def distinctNgramsFrame(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val u = Seq(1, 2, 3).map { n =>
+      d.select(col("source"), lit(n.toLong).as("n"),
+        explode(graft.functions.Kernels.gramsMultiN(col("ws"), n)).as("gram"))
+    }.reduce(_.unionAll(_))
+    u.groupBy(col("source"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"), col("n"))
+      .agg(sum(col("c")).as("total_grams"), count(lit(1)).as("distinct_grams"))
+      .select(col("source"), col("n"), col("total_grams"), col("distinct_grams"),
+        expr("distinct_grams * 10000 div total_grams").as("distinct_bp"))
+  }
+
+  /** DuckDB restatement of [[distinctNgramsFrame]] over a CTE
+    * `src`(doc_id, source, ws): emits CTEs `<p>_w`/`<p>_u`/`<p>_agg`
+    * with `<p>_agg`(source, n, bp). Raw `|` margins — the consuming
+    * oracle's outer stripMargin handles them (the urlCanonCtes
+    * convention).
+    */
+  private def distinctNgramsSql(src: String, p: String): String =
+    s"""${p}_w AS (SELECT doc_id, source, unnest(ws) AS w,
+       |        generate_subscripts(ws, 1) AS i FROM $src),
+       |${p}_u AS (
+       |  SELECT 1 AS n, source, w AS gram FROM ${p}_w
+       |  UNION ALL
+       |  SELECT 2, a.source, a.w||' '||b.w FROM ${p}_w a
+       |    JOIN ${p}_w b ON b.doc_id=a.doc_id AND b.i=a.i+1
+       |  UNION ALL
+       |  SELECT 3, a.source, a.w||' '||b.w||' '||c.w FROM ${p}_w a
+       |    JOIN ${p}_w b ON b.doc_id=a.doc_id AND b.i=a.i+1
+       |    JOIN ${p}_w c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+       |${p}_agg AS (SELECT source, n,
+       |    CAST(count(DISTINCT gram) * 10000 // count(*) AS BIGINT) AS bp
+       |  FROM ${p}_u GROUP BY source, n)"""
 }
