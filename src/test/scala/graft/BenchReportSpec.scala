@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** The bench's one line of driver record: the recording harness keeps
+  * only the last ~2000 chars of stdout, so the line must fit the budget
+  * AND carry COMPLETE suspect-rerun evidence (r10 lost 14 of 26 rerun
+  * records to a 12-entry cap — exactly the arms graded weak). These
+  * specs drive renderRecordLine with the r10 shape (198 arms, 26
+  * suspects) and worse, and assert the budget + completeness contract
+  * by parsing the emitted JSON.
+  */
+class BenchReportSpec extends AnyFunSuite {
+
+  private val budget = 1880
+
+  private def results(n: Int): Seq[(String, Double, Int)] =
+    (1 to n).map(i => (s"query_arm_name_number_$i", 0.1 + (i % 37) * 0.13, 3))
+
+  private def suspects(n: Int): Seq[(String, Double, Double, Double)] =
+    (1 to n).map(i =>
+      (s"query_arm_name_number_$i", 0.5 + i * 0.11, 1.9 + i * 0.3, 0.52 + i * 0.1))
+
+  private def parse(line: String): JValue = JsonMethods.parse(line)
+
+  test("r10 shape: 198 arms + 26 suspects all fit, suspect map complete") {
+    val line = Bench.renderRecordLine(results(198), suspects(26), 3, "/x/sf0.1")
+    assert(line.length <= budget, s"line ${line.length} chars exceeds budget")
+    val j = parse(line)
+    val JInt(n) = j \ "suspect_n"
+    assert(n == 26)
+    val JObject(entries) = j \ "suspect_rerun"
+    assert(entries.size == 26, s"suspect_rerun carries ${entries.size}/26")
+    // every entry resolves base/med/rerun (long or short keys)
+    entries.foreach { case (_, v) =>
+      val keys = v.asInstanceOf[JObject].obj.map(_._1).toSet
+      assert(keys == Set("base", "med", "rerun") || keys == Set("b", "m", "r"))
+    }
+  }
+
+  test("pathological: 60 suspects still parse; unresolved entries survive") {
+    // every third suspect's rerun stays above trigger (unresolved)
+    val sus = (1 to 60).map { i =>
+      val base = 0.5 + i * 0.07
+      val rerun = if (i % 3 == 0) base * 3.0 else base * 1.01
+      (s"query_arm_name_number_$i", base, base * 2.5, rerun)
+    }
+    val line = Bench.renderRecordLine(results(198), sus, 3, "/x/sf0.1")
+    assert(line.length <= budget, s"line ${line.length} chars exceeds budget")
+    val j = parse(line)
+    val JInt(n) = j \ "suspect_n"
+    assert(n == 60)
+    val JObject(entries) = j \ "suspect_rerun"
+    // if folding kicked in, ONLY cleared suspects folded: all 20
+    // unresolved names must still be present verbatim
+    val unresolvedNames = sus.collect {
+      case (name, b, _, r) if r > (if (b < 5.0) 1.5 else 2.0) * b => name
+    }.toSet
+    val shown = entries.map(_._1).toSet
+    assert(unresolvedNames.subsetOf(shown),
+      s"missing unresolved suspects: ${(unresolvedNames -- shown).take(3)}")
+    if (entries.size < 60) {
+      val JInt(clearedN) = j \ "suspect_cleared_n"
+      assert(clearedN.toInt + entries.size == 60)
+    }
+  }
+
+  test("failed rows are named in failed[] but absent from the queries map") {
+    val rs = results(30) :+ ("watch_latency", -1.0, 0)
+    val line = Bench.renderRecordLine(rs, Nil, 3, "/x/sf0.1")
+    val j = parse(line)
+    val JArray(failed) = j \ "failed"
+    assert(failed.contains(JString("watch_latency")))
+    val JObject(qs) = j \ "queries"
+    assert(!qs.exists(_._1 == "watch_latency"),
+      "a failed arm must not carry a -1.0 'timing' in the queries map")
+    val JInt(fn) = j \ "failed_n"
+    assert(fn == 1)
+  }
+
+  test("flaky rows stay pinned (resolvable) in the queries map") {
+    val rs = results(120) :+ ("flaky_one", 2.5, 2)
+    val line = Bench.renderRecordLine(rs, suspects(26), 3, "/x/sf0.1")
+    assert(line.length <= budget)
+    val j = parse(line)
+    val JObject(qs) = j \ "queries"
+    assert(qs.exists(_._1 == "flaky_one"))
+    val JArray(flaky) = j \ "flaky"
+    assert(flaky.contains(JString("flaky_one")))
+  }
+}
