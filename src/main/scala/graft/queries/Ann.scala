@@ -203,10 +203,19 @@ object Ann {
     val dn = math.max(delta.map(_._2).sum, 1L)
     val bShare = base.map { case (c, n, _) => c -> n * 10000L / bn }.toMap
     val dShare = delta.map { case (c, n, _) => c -> n * 10000L / dn }.toMap
+    // Granularity guard (r10 advice): a dn-row delta quantizes shares
+    // in 10000/dn bp steps, so a SINGLE stray vector in a tiny append
+    // reads up to 10000 bp of "skew" — and an EMPTY delta reads every
+    // build cell's own share as drift. The effective bound therefore
+    // never drops below 5 row-quanta (50000/dn bp): one vector can
+    // account for at most 1/5 of a firing skew, the configured skewBp
+    // is fully active from dn ≥ 50000/skewBp rows (25 at the 2000 bp
+    // default), and dn = 0 can never fire (bound 50000 > any share).
+    val skewBound = math.max(skewBp, 50000L / dn)
     val skew: Seq[(String, Option[Long], Long, Long)] =
       (bShare.keySet ++ dShare.keySet).toSeq.sorted.flatMap { c =>
         val d = (dShare.getOrElse(c, 0L) - bShare.getOrElse(c, 0L)).abs
-        if (d > skewBp) Some(("cell_skew", Some(c.toLong), d, skewBp)) else None
+        if (d > skewBound) Some(("cell_skew", Some(c.toLong), d, skewBound)) else None
       }
     val bMean = base.map(_._3).sum / bn
     val dMean = delta.map(_._3).sum / dn
@@ -342,10 +351,19 @@ object Ann {
     val deltasDir = root.resolve("deltas")
     java.nio.file.Files.createDirectories(deltasDir)
     val st = java.nio.file.Files.list(deltasDir)
+    // next index = max(published dNNNN) + 1, NOT a directory-entry
+    // count (r10 advice): counting would include crashed .tmp dirs and
+    // stray files, and once names go sparse (a cleaned-up crash, an
+    // out-of-band removal) a count collides with an existing
+    // dNNNN.parquet — the ATOMIC_MOVE below would then fail or replace
+    // a live delta depending on platform.
+    val pat = "d(\\d+)\\.parquet".r
     val n =
       try {
         import scala.jdk.CollectionConverters._
-        st.iterator().asScala.count(_ => true)
+        st.iterator().asScala.map(_.getFileName.toString).collect {
+          case pat(i) => i.toInt
+        }.maxOption.map(_ + 1).getOrElse(0)
       } finally st.close()
     val tmp = deltasDir.resolve(f".d$n%04d.tmp")
     ivfAssign(loadCents(root), batch)
@@ -373,11 +391,65 @@ object Ann {
     paths.map(p => s.read.parquet(p)).reduceOption(_.unionByName(_))
   }
 
-  /** The full serving view of an incremental artifact: base ∪ deltas. */
+  /** The full serving view of an incremental artifact: base ∪ deltas.
+    * Recovers any interrupted compaction FIRST — without that, a crash
+    * after the base swap but before the deltas cleanup would serve
+    * every appended vector TWICE (the merged base already contains
+    * them), and a crash between the two swap renames would serve no
+    * base at all.
+    */
   private[graft] def readIncrAssigned(
       s: SparkSession, root: java.nio.file.Path): DataFrame = {
+    recoverCompact(root)
     val base = s.read.parquet(root.resolve("assigned.parquet").toString)
     readDeltas(s, root).map(base.unionByName(_)).getOrElse(base)
+  }
+
+  /** Detect-and-repair for a compaction interrupted mid-swap (r10
+    * advice: ivfAppend guarantees "complete delta or none", but
+    * compaction had no recovery story). State machine over the three
+    * markers — `.assigned.compact-tmp` (the merged rewrite),
+    * `.assigned.old` (the pre-fold base parked by the first rename),
+    * `assigned.parquet` (the live base):
+    *   - no base + old present: crashed BETWEEN the two renames. The
+    *     tmp is a COMPLETE merged view (its write action finished
+    *     before the first rename ran), so roll FORWARD: tmp → base,
+    *     then drop old + deltas (both already folded into tmp). If the
+    *     tmp vanished out-of-band, roll BACK: old → base, deltas stay.
+    *   - base + old present: the fold COMMITTED (the live base is the
+    *     merged view) but cleanup crashed — the deltas are already in
+    *     the base, so serving them again would double every appended
+    *     vector. Finish the cleanup: drop old + deltas.
+    *   - tmp only: the fold never started committing; the base+deltas
+    *     view is intact and current. Drop the stale tmp.
+    * Rename races between concurrent recoverers resolve to whoever
+    * moved first; the loser's NoSuchFile is benign and swallowed.
+    */
+  private[graft] def recoverCompact(root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val base = root.resolve("assigned.parquet")
+    val old = root.resolve(".assigned.old")
+    val tmp = root.resolve(".assigned.compact-tmp")
+    if (!Files.exists(old) && !Files.exists(tmp)) return // fast path
+    try {
+      if (!Files.exists(base) && Files.exists(old)) {
+        if (Files.exists(tmp)) {
+          Files.move(tmp, base, StandardCopyOption.ATOMIC_MOVE)
+          Artifact.deleteRecursively(old)
+          Artifact.deleteRecursively(root.resolve("deltas"))
+        } else Files.move(old, base, StandardCopyOption.ATOMIC_MOVE)
+      } else if (Files.exists(old)) {
+        Artifact.deleteRecursively(old)
+        Artifact.deleteRecursively(root.resolve("deltas"))
+      } else if (Files.exists(tmp)) {
+        Artifact.deleteRecursively(tmp)
+      }
+    } catch {
+      // a concurrent recoverer (or the compactor itself) won a rename;
+      // the state it left is one of the handled states or fully healed
+      case _: java.nio.file.NoSuchFileException => ()
+      case _: java.nio.file.FileAlreadyExistsException => ()
+    }
   }
 
   /** Fold accumulated deltas back into the cell-partitioned base —
@@ -390,6 +462,7 @@ object Ann {
     * parity across the fold is driver-gated (inv_ann_compact_parity).
     */
   private[graft] def ivfCompact(s: SparkSession, root: java.nio.file.Path): Unit = {
+    recoverCompact(root) // a prior interrupted fold heals before a new one starts
     if (!java.nio.file.Files.isDirectory(root.resolve("deltas"))) return
     val merged = readIncrAssigned(s, root)
     val tmp = root.resolve(".assigned.compact-tmp")

@@ -172,4 +172,103 @@ class AnnRetrainSpec extends SparkSpec {
     assert(ids.count() == corpus.count(), "append+compact must cover the corpus exactly")
     org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
   }
+
+  test("interrupted compaction recovers: every crash window serves exactly-once") {
+    import java.nio.file.StandardCopyOption.ATOMIC_MOVE
+    def freshRoot(): java.nio.file.Path = {
+      val r = Files.createTempDirectory("graft-crash-spec")
+      Ann.buildIncrArtifactAt(spark, sf(), r)
+      r
+    }
+    def servedIds(root: java.nio.file.Path): Seq[Long] =
+      Ann.readIncrAssigned(spark, root).select(col("n_id"))
+        .collect().map(_.getLong(0)).toSeq.sorted
+    val expected = { // the healthy pre-crash view, exactly-once
+      val r = freshRoot()
+      val ids = servedIds(r)
+      assert(ids == ids.distinct, "fixture itself must be exactly-once")
+      org.apache.commons.io.FileUtils.deleteQuietly(r.toFile)
+      ids
+    }
+    // window 1: crash after the merged rewrite, before any rename —
+    // base+deltas stay live; the stale tmp must not confuse anything
+    locally {
+      val r = freshRoot()
+      Ann.readIncrAssigned(spark, r).write.partitionBy("cell")
+        .parquet(r.resolve(".assigned.compact-tmp").toString)
+      assert(servedIds(r) == expected, "window-1 recovery changed the view")
+      assert(!Files.exists(r.resolve(".assigned.compact-tmp")))
+      org.apache.commons.io.FileUtils.deleteQuietly(r.toFile)
+    }
+    // window 2: crash BETWEEN the two renames — no live base at all;
+    // recovery must roll the complete tmp forward
+    locally {
+      val r = freshRoot()
+      Ann.readIncrAssigned(spark, r).write.partitionBy("cell")
+        .parquet(r.resolve(".assigned.compact-tmp").toString)
+      Files.move(r.resolve("assigned.parquet"), r.resolve(".assigned.old"), ATOMIC_MOVE)
+      assert(servedIds(r) == expected, "window-2 recovery lost or doubled vectors")
+      assert(!Files.isDirectory(r.resolve("deltas")), "deltas must fold away with the tmp")
+      assert(!Files.exists(r.resolve(".assigned.old")))
+      org.apache.commons.io.FileUtils.deleteQuietly(r.toFile)
+    }
+    // window 3: crash after the base swap, before cleanup — the r10
+    // advice hazard: base already CONTAINS the deltas, so serving
+    // deltas again would double every appended vector
+    locally {
+      val r = freshRoot()
+      Ann.readIncrAssigned(spark, r).write.partitionBy("cell")
+        .parquet(r.resolve(".assigned.compact-tmp").toString)
+      Files.move(r.resolve("assigned.parquet"), r.resolve(".assigned.old"), ATOMIC_MOVE)
+      Files.move(r.resolve(".assigned.compact-tmp"), r.resolve("assigned.parquet"), ATOMIC_MOVE)
+      assert(servedIds(r) == expected, "window-3 recovery served appended vectors twice")
+      assert(!Files.isDirectory(r.resolve("deltas")))
+      assert(!Files.exists(r.resolve(".assigned.old")))
+      // and a compact after recovery works normally (idempotent heal)
+      Ann.ivfCompact(spark, r)
+      assert(servedIds(r) == expected)
+      org.apache.commons.io.FileUtils.deleteQuietly(r.toFile)
+    }
+  }
+
+  test("append indices never collide after sparse delta names") {
+    val root = Files.createTempDirectory("graft-sparse-spec")
+    Ann.buildIncrArtifactAt(spark, sf(), root) // ships deltas/d0.parquet
+    val corpus = Ann.embsWithNorm(spark, sf()).where(col("vec_id") >= Ann.NQ)
+    Ann.ivfAppend(spark, root, corpus.where(pmod(col("vec_id"), lit(11)) === 1))
+    // out-of-band removal makes the name sequence sparse: a directory
+    // COUNT would now re-derive an index that collides with d0001
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      root.resolve("deltas").resolve("d0.parquet").toFile)
+    val before = Ann.readDeltas(spark, root).get.count()
+    Ann.ivfAppend(spark, root, corpus.where(pmod(col("vec_id"), lit(11)) === 2))
+    val names = {
+      val st = Files.list(root.resolve("deltas"))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString).toList.sorted
+      } finally st.close()
+    }
+    assert(names.count(_.endsWith(".parquet")) == 2, names.mkString(","))
+    assert(Ann.readDeltas(spark, root).get.count() > before,
+      "the second append must land as a NEW delta, not replace d0001")
+    org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+  }
+
+  test("tiny or empty deltas never fire cell_skew (granularity guard)") {
+    val corpus = Ann.embsWithNorm(spark, sf()).where(col("vec_id") >= Ann.NQ)
+    val idx = Ann.ivfBuild(corpus.where(pmod(col("vec_id"), lit(5)) =!= 0), k = 8)
+    val baseStats = Ann.ivfCellStats(spark, idx.cents, idx.assigned)
+    // ONE appended vector: its cell reads 10000 bp of "share" — the
+    // r10 advice false-fire; the guard must keep the trigger quiet
+    val one = Ann.ivfCellStats(spark, idx.cents,
+      Ann.ivfAssign(idx.cents, corpus.where(col("vec_id") === Ann.NQ)))
+    val vOne = Ann.retrainViolations(spark, baseStats, one, SkewBp, DistMarginMicro)
+      .collect().filter(_.getString(0) == "cell_skew")
+    assert(vOne.isEmpty, s"1-row delta fired cell_skew: ${vOne.mkString("; ")}")
+    // EMPTY delta: every build cell's own share would read as drift
+    val vEmpty = Ann.retrainViolations(spark, baseStats, Seq.empty,
+      SkewBp, DistMarginMicro).collect().filter(_.getString(0) == "cell_skew")
+    assert(vEmpty.isEmpty, s"empty delta fired cell_skew: ${vEmpty.mkString("; ")}")
+  }
 }
