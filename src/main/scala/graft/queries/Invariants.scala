@@ -647,5 +647,64 @@ object Invariants {
           a.except(b).unionAll(b.except(a))
             .select(lit(nm).as("q"), col("doc_id")).distinct())
       }.reduce(_ unionByName _).orderBy(col("q"), col("doc_id"))
+    },
+
+    // r11: the persisted cascade-verdict artifact (C75's input) must
+    // serve EXACTLY what a fresh cascadeStages computes — the
+    // tokenizer/ann probe-parity discipline applied to the dedup
+    // decision. The cascade is deterministic (min-id windows, exact
+    // verified miner, min-label CC), so loaded ≡ fresh is an equality,
+    // not a tolerance. A mismatch means a stale/corrupt artifact
+    // (fingerprint failed to move) or nondeterminism in the stages.
+    Q("inv_cascade_artifact_parity",
+      """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS art_stage,
+        |  CAST(NULL AS VARCHAR) AS fresh_stage FROM documents WHERE 1=0""".stripMargin) { (s, dir) =>
+      Dedup.ensureLocalCkptDir(s)
+      val art = Dedup.cascadeStagesArtifact(s, dir)
+        .select(col("doc_id"), col("stage").as("art_stage"))
+      val fresh = Dedup.cascadeStages(s, dir)
+        .select(col("doc_id"), col("stage").as("fresh_stage")).localCheckpoint(true)
+      releasing(fresh)(
+        art.join(fresh, Seq("doc_id"), "full_outer")
+          .where(!(col("art_stage") <=> col("fresh_stage")))
+          .orderBy(col("doc_id")))
+    },
+
+    // r11: the at-scale cascade (minhash stage-3 miner, C76) vs the
+    // exact cascade (C68). Two parts:
+    //  - SOUNDNESS is a theorem: minhash candidates re-verify with the
+    //    same exact gram Jaccard, so minhash pairs ⊆ exact pairs — a
+    //    doc the minhash form kills as neardup must be neardup in the
+    //    exact form, and stages 1-2 (url/exact) are shared code. The
+    //    ONLY permitted divergence is exact=neardup → minhash=kept (a
+    //    banding miss disconnecting a component). Anything else emits
+    //    a per-doc stage_mismatch row.
+    //  - COMPLETENESS is bounded: banding capture at j ≥ 0.8 is
+    //    1-(1-j⁴)³² ≈ 1-5e-8, so missed-pair kept-rate inflation must
+    //    stay ≤ 1% of the exact form's kept set (measured 0 at
+    //    sf0.01/sf0.1/sf1).
+    Q("inv_cascade_minhash_parity",
+      """SELECT CAST(NULL AS VARCHAR) AS chk, CAST(NULL AS BIGINT) AS doc_id,
+        |  CAST(NULL AS BIGINT) AS bp FROM documents WHERE 1=0""".stripMargin) { (s, dir) =>
+      val ex = run("pipeline_dedup_cascade")(s, dir)
+        .select(col("doc_id"), col("stage").as("ex_stage")).localCheckpoint(true)
+      val mh = run("pipeline_dedup_cascade_minhash")(s, dir)
+        .select(col("doc_id"), col("stage").as("mh_stage")).localCheckpoint(true)
+      releasing(ex, mh) {
+        val j = ex.join(mh, Seq("doc_id"), "full_outer")
+        val allowedMiss =
+          coalesce(col("mh_stage") === "kept" && col("ex_stage") === "neardup",
+            lit(false))
+        val hard = j.where(!(col("ex_stage") <=> col("mh_stage")) && !allowedMiss)
+          .select(lit("stage_mismatch").as("chk"), col("doc_id"), lit(0L).as("bp"))
+        val rate = j.agg(
+            sum(allowedMiss.cast("long")).as("m"),
+            sum((col("ex_stage") === "kept").cast("long")).as("n"))
+          .select(lit("keep_rate_delta").as("chk"),
+            lit(null).cast("long").as("doc_id"),
+            expr("coalesce(m, 0) * 10000 div greatest(coalesce(n, 0), 1)").as("bp"))
+          .where(col("bp") > 100L)
+        hard.unionByName(rate).orderBy(col("chk"), col("doc_id"))
+      }
     })
 }

@@ -3634,12 +3634,15 @@ object Text {
     // C75 (r10): dedup DIVERSITY GAIN — C74 before/after the C68
     // cascade, per source: THE number dedup reports exist to move
     // (distinct-n up = homogenization out), attributed to the exact
-    // corpus the cascade keeps. Composes the SHARED frames verbatim
-    // (Dedup.cascadeStages / distinctNgramsFrame — both gated queries'
-    // oracles staying green is the regression evidence), so this audit
-    // can never drift from the shipped dedup decision. All integer ⇒
-    // hash-gated. 100 TB shape: the cascade's own cost + two C74 passes
-    // (one semi-joined to survivors); the final join carries
+    // corpus the cascade keeps. Reads the PERSISTED cascade verdict
+    // artifact (r11: Dedup.cascadeStagesArtifact — fingerprint-keyed,
+    // parity-pinned by inv_cascade_artifact_parity) instead of
+    // re-running pair mining + CC per report: at 100 TB a downstream
+    // audit must consume the dedup decision, not recompute it. The
+    // oracle still restates the FULL staged decision in SQL, so the
+    // gate proves artifact-served verdicts ≡ the from-scratch cascade.
+    // All integer ⇒ hash-gated. 100 TB shape: artifact scan + two C74
+    // passes (one semi-joined to survivors); the final join carries
     // |sources·3| rows.
     Q("dedup_diversity_gain",
       s"""WITH RECURSIVE ${Dedup.cascadeCtes},
@@ -3656,8 +3659,7 @@ object Text {
         |  k.bp AS kept_bp, k.bp - r.bp AS gain_bp
         |FROM r_agg r JOIN k_agg k ON k.source = r.source AND k.n = r.n
         |ORDER BY r.source, r.n""".stripMargin) { (s, dir) =>
-      Dedup.ensureLocalCkptDir(s)
-      val kept = Dedup.cascadeStages(s, dir)
+      val kept = Dedup.cascadeStagesArtifact(s, dir)
         .where(col("stage") === "kept").select(col("doc_id"))
       val raw = docs(s, dir).select(col("doc_id"), col("source"), words.as("ws"))
       def bp(d: org.apache.spark.sql.DataFrame) =
