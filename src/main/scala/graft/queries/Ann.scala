@@ -643,6 +643,91 @@ object Ann {
       ivfProbe(s, idx, e.where(col("vec_id") < NQ), p = 4)
     },
 
+    // C8l (r11): the HASH-GATED IVF — full IVF mechanics (trained
+    // coarse quantizer → cell assignment → per-query top-p cell probe →
+    // exact cosine re-rank inside probed cells) over kilo-quantized
+    // INTEGER vectors, so every step is bit-identical cross-engine and
+    // the driver's rows+schema+hash gate covers an IVF-family probe
+    // end-to-end (r10 verdict gap #3: media_ann proved integer vectors
+    // make ANN hash-gateable; the main family rested on inv gates).
+    // Quantizer = C39's integer Lloyd k-means (emb_kmeans — itself
+    // hash-gated ×3 scales), restated move-for-move by the same
+    // chained-CTE oracle prefix; probe cells per query = the 4 nearest
+    // of 8 final centroids by the SAME integer distance (aF rn ≤ 4 in
+    // the oracle, a bounded 10×8 driver computation here); similarity =
+    // exact integer dot over the SIGNED kilo codes (m − 1000, products
+    // ≤1e6, sums ≤6.4e7 ≪ 2⁵³ — exact in double in any order) with
+    // √/division/round applied to identical doubles in both engines.
+    // Scale shape: corpus assignment is the map-only centroid-literal
+    // pass (never shuffles), the probe set broadcasts as ≤ NQ·p slim
+    // rows into an EQUI-join on cell id — only probed cells' rows are
+    // scored, the ann_ivf partition-pruning story with the quantizer's
+    // determinism making it gateable.
+    Q("ann_ivf_int",
+      s"""${Cluster.kmeansCtes},
+         |iv AS (SELECT vec_id, d, m - 1000 AS v FROM x),
+         |nrm AS (SELECT vec_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS nrm
+         |        FROM iv GROUP BY vec_id),
+         |probe AS (SELECT vec_id AS q_id, cluster FROM aF
+         |          WHERE vec_id < $NQ AND rn <= 4),
+         |cells AS (SELECT vec_id AS n_id, cluster FROM aF
+         |          WHERE vec_id >= $NQ AND rn = 1),
+         |cand AS (SELECT p.q_id, c.n_id
+         |         FROM probe p JOIN cells c ON c.cluster = p.cluster),
+         |dots AS (SELECT cand.q_id, cand.n_id,
+         |           CAST(sum(q.v * c.v) AS DOUBLE) AS dot
+         |         FROM cand JOIN iv q ON q.vec_id = cand.q_id
+         |                   JOIN iv c ON c.vec_id = cand.n_id AND c.d = q.d
+         |         GROUP BY cand.q_id, cand.n_id),
+         |scored AS (SELECT d.q_id, d.n_id, d.dot / (nq.nrm * nc.nrm) AS cos
+         |           FROM dots d JOIN nrm nq ON nq.vec_id = d.q_id
+         |                       JOIN nrm nc ON nc.vec_id = d.n_id
+         |           WHERE nq.nrm > 0 AND nc.nrm > 0),
+         |ranked AS (SELECT q_id, n_id, cos, row_number() OVER (
+         |             PARTITION BY q_id ORDER BY round(cos, 6) DESC, n_id) AS rank
+         |           FROM scored)
+         |SELECT q_id, rank, n_id, round(cos, 4) AS cos
+         |FROM ranked WHERE rank <= $K
+         |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+      val cents = Cluster.fit(s, dir)._3
+      val x = Tables(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          v => floor((v.cast("double") + 1.0d) * 1000).cast("long")).as("q"))
+      // per-query probe cells: NQ×k integer distances, driver-bounded
+      // like every quantizer-model computation in this family
+      val qRows = x.where(col("vec_id") < NQ)
+        .select(col("vec_id"), col("q")).collect()
+      val probe: Seq[(Long, Int)] = qRows.toSeq.flatMap { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Long](1).toArray
+        cents.zipWithIndex.map { case (c, ci) =>
+          (c.iterator.zip(qv.iterator).map { case (cv, mv) =>
+            val dd = mv - cv; dd * dd
+          }.sum, ci)
+        }.sorted.take(4).map { case (_, ci) => (qid, ci.toLong) }
+      }.map { case (q, c) => (q, c.toInt) }
+      val sess = s
+      import sess.implicits._
+      val signed = transform(col("q"), m => (m - lit(1000L)).cast("double"))
+      val queries = x.where(col("vec_id") < NQ)
+        .select(col("vec_id").as("q_id"), signed.as("qemb"))
+        .withColumn("qnrm",
+          sqrt(graft.functions.Native.dot(s, col("qemb"), col("qemb"))))
+      val probeDf = probe.toDF("q_id", "cluster")
+      val corpus = Cluster.assigned(s, Cluster.withDerived(s, x), cents)
+        .where(col("vec_id") >= NQ)
+        .select(col("vec_id").as("n_id"), col("cluster"), signed.as("nemb"))
+        .withColumn("nnrm",
+          sqrt(graft.functions.Native.dot(s, col("nemb"), col("nemb"))))
+      val scored = corpus
+        .join(broadcast(probeDf.join(queries, "q_id")), "cluster")
+        .where(col("qnrm") > 0 && col("nnrm") > 0)
+        .select(col("q_id"), col("n_id"),
+          (graft.functions.Native.dot(s, col("qemb"), col("nemb")) /
+            (col("qnrm") * col("nnrm"))).as("cos"))
+      topK(scored)
+    },
+
     // C8c: product-quantization ANN (the FAISS-standard compressed
     // path): 16 subspaces × 32 codewords trained driver-side on a
     // bounded sample, corpus encoded once to 16 ONE-BYTE codes (16× less

@@ -74,7 +74,7 @@ object Cluster {
     *         partials, not an extra job; the centroids are the k·dim
     *         trained model D11's ingest-time assigner broadcasts.
     */
-  private def fit(s: SparkSession, dir: String): (DataFrame, Long, Array[Array[Long]]) = {
+  private[queries] def fit(s: SparkSession, dir: String): (DataFrame, Long, Array[Array[Long]]) = {
     val x = Tables(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"),
@@ -122,7 +122,7 @@ object Cluster {
     } finally xd.unpersist(blocking = false)
   }
 
-  private def withDerived(s: SparkSession, x: DataFrame): DataFrame =
+  private[queries] def withDerived(s: SparkSession, x: DataFrame): DataFrame =
     x.withColumn("qd", transform(col("q"), _.cast("double")))
       .withColumn("qq", graft.functions.Native.dot(s, col("qd"), col("qd")))
 
@@ -133,7 +133,7 @@ object Cluster {
     * achieving the minimum wins — the lowest cluster id, matching the
     * oracle's row_number ORDER BY (dist, cluster).
     */
-  private def assigned(
+  private[queries] def assigned(
       s: SparkSession, xd: DataFrame, cents: Array[Array[Long]]): DataFrame = {
     val dists: Seq[Column] = cents.toSeq.map { c =>
       val cd = typedLit(c.map(_.toDouble).toSeq)
@@ -159,7 +159,7 @@ object Cluster {
     * nearest final centroid. Generated from the SAME K/ITERS constants
     * as the Spark loop.
     */
-  private def kmeansCtes: String = {
+  private[queries] def kmeansCtes: String = {
     val sb = new StringBuilder
     sb ++= s"""WITH x AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
