@@ -66,29 +66,50 @@ object Events {
     try body finally s.conf.set(key, prev)
   }
 
-  /** Run an already-built streaming DataFrame to completion into a
-    * memory sink in the given output mode and return the result DETACHED
-    * (localCheckpoint) with the sink dropped — memory tables otherwise
-    * pin their result in the driver for the session's lifetime. The ONE
-    * implementation of the sink/UUID/detach/drop plumbing; both public
-    * mode-specific names are thin wrappers so the invariant can't drift
-    * between copies.
+  /** Run an already-built streaming DataFrame to completion and return
+    * the result DETACHED (localCheckpoint). The sink is foreachBatch,
+    * NOT a memory sink: a memory sink collects every output row into
+    * the DRIVER (then the gate re-scans it out of driver memory) —
+    * exactly the driver-bound shape these gates exist to avoid at
+    * 100 TB. foreachBatch checkpoints each batch's rows where they
+    * already live (executor-cached blocks), so the result never rides
+    * through the driver; memory-sink MODE semantics are reproduced at
+    * the batch grain — complete replaces (keep the LAST batch's full
+    * result), update/append accumulate (union every batch's rows). The
+    * ONE implementation of the run/detach plumbing; the public
+    * mode-specific names are thin wrappers so the invariant can't
+    * drift between copies.
     */
   private def runToSink(
       s: org.apache.spark.sql.SparkSession, sinkPrefix: String,
       streamed: org.apache.spark.sql.DataFrame,
       mode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.DataFrame = {
-    val sink = sinkPrefix + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = streamed.writeStream.format("memory").queryName(sink)
+    val complete = mode == org.apache.spark.sql.streaming.OutputMode.Complete
+    val batches = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    val q = streamed.writeStream
       .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // AvailableNow runs foreachBatch on the driver's stream thread
+        // sequentially — the buffer needs no synchronization. Complete
+        // mode re-emits the FULL result each batch, so earlier batches'
+        // blocks release before theirs are replaced.
+        val b = df.localCheckpoint(true)
+        if (complete) { batches.foreach(_.unpersist(blocking = false)); batches.clear() }
+        batches += b
+        ()
+      }
       .start()
     q.awaitTermination()
-    // tracked: the returned frame IS the checkpoint; the consumer's
-    // Pinned.drain releases its blocks after materialization
-    val out = Pinned.track(s.table(sink).localCheckpoint(true))
-    s.catalog.dropTempView(sink)
-    out
+    // each BATCH frame is the checkpoint, so each is tracked — tracking
+    // only the union would unpersist a non-persisted plan node and leak
+    // the batches' blocks past the consumer's Pinned.drain. A zero-batch
+    // run (empty source) still returns the right SCHEMA via an empty
+    // frame on the streamed plan's schema.
+    batches.foreach(Pinned.track)
+    batches.reduceOption(_ unionAll _)
+      .getOrElse(s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), streamed.schema))
   }
 
   /** Complete-mode [[runToSink]] — the generic core every complete-mode
