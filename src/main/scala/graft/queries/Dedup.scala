@@ -300,6 +300,54 @@ object Dedup {
     } finally cleanup()
   }
 
+  /** Connected components by PLAIN min-label propagation to fixpoint —
+    * the INDEPENDENT witness behind `inv_cascade_cc_parity`: the same
+    * (id, label = component-min id) contract as [[connectedComponents]]
+    * with none of its machinery (no pointer doubling, no union-find
+    * fast path, no reliable-checkpoint plumbing), so a defect in either
+    * implementation cannot hide in the other. O(component diameter)
+    * rounds — fine for a parity gate over near-dup cluster graphs
+    * (dense, shallow), wrong as the production operator; it refuses a
+    * non-fixpoint like the production loop rather than emit split
+    * clusters. Callers should pass MATERIALIZED pairs (the gate
+    * checkpoints once and feeds both implementations) so mining isn't
+    * re-run per round.
+    */
+  private[graft] def ccMinPropagation(pairs: DataFrame, maxRounds: Int = 100): DataFrame = {
+    val edges = Pinned.track(pairs.select(explode(array(
+        struct(col("a_id").as("u"), col("b_id").as("v")),
+        struct(col("b_id").as("u"), col("a_id").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint(true))
+    var kept = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("label"), lit(0L).as("chg"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"ccMinPropagation: no fixpoint after $maxRounds rounds " +
+            "(component diameter too large?) — refusing to emit split clusters")
+      val labels = kept.select(col("id"), col("label"))
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("label")), "v")
+        .groupBy(col("u").as("id")).agg(min(col("label")).as("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .select(col("id"), col("label"),
+          (col("label") =!= col("old")).cast("long").as("chg"))
+        .localCheckpoint(true)
+      changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
+      kept.unpersist(blocking = false)
+      kept = next
+      rounds += 1
+    }
+    Pinned.track(kept)
+    kept.select(col("id"), col("label"))
+  }
+
   /** Default the reliable-checkpoint dir ONLY in local mode: on a
     * cluster the driver's /tmp is not a shared filesystem, so reliable
     * checkpoint partitions written by executors would be unreadable —
@@ -319,10 +367,13 @@ object Dedup {
     * the cascade's own oracle staying green through this refactor is
     * the regression evidence (the C73/curateWebFrames discipline).
     */
-  private[queries] def cascadeStages(s: SparkSession, dir: String,
-      miner: DataFrame => DataFrame = ngramJaccardPairs(_, 4, 5)): DataFrame = {
-    val d = docs(s, dir)
-    val base = d.select(col("doc_id"),
+  /** The cascade's stage-1/2 keep frames — (s1 with url_keep, s2 with
+    * exact_keep over url survivors) — the ONE implementation behind
+    * [[cascadeStages]] and the `cascade_stage_keys` gate, so the staged
+    * gate can never check a drifted copy of the shipped decision.
+    */
+  private[queries] def cascadeKeyFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = docs(s, dir).select(col("doc_id"),
       Text.canonicalUrlCol(Text.messyUrlCol).as("canon"),
       unhex(sha2(normText, 256)).as("h"))
     val s1 = base.withColumn("url_keep",
@@ -330,8 +381,20 @@ object Dedup {
     val s2 = s1.where(col("url_keep"))
       .withColumn("exact_keep",
         col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("h"))))
-    val survivors = s2.where(col("exact_keep")).select(col("doc_id"))
-    val pairs = miner(d.join(survivors, Seq("doc_id"), "left_semi"))
+    (s1, s2)
+  }
+
+  /** The cascade's stage-3 input: url+exact survivors' documents. */
+  private[queries] def cascadeSurvivorDocs(s: SparkSession, dir: String): DataFrame = {
+    val survivors = cascadeKeyFrames(s, dir)._2
+      .where(col("exact_keep")).select(col("doc_id"))
+    docs(s, dir).join(survivors, Seq("doc_id"), "left_semi")
+  }
+
+  private[queries] def cascadeStages(s: SparkSession, dir: String,
+      miner: DataFrame => DataFrame = ngramJaccardPairs(_, 4, 5)): DataFrame = {
+    val (s1, s2) = cascadeKeyFrames(s, dir)
+    val pairs = miner(cascadeSurvivorDocs(s, dir))
     val nd = connectedComponents(pairs)
       .where(col("id") =!= col("label"))
       .select(col("id").as("doc_id"), lit(1L).as("nd"))
@@ -833,7 +896,11 @@ object Dedup {
     * evaluates at call time, when Text's (earlier-declared) url vals
     * are already set.
     */
-  private[queries] def cascadeCtes: String =
+  /** Stage 1+2 of the cascade oracle (url canon keep → exact digest
+    * keep) — the PREFIX the sf3 stage-composed gates check on its own:
+    * no gram join, no recursion, so DuckDB runs it at any scale.
+    */
+  private[queries] def cascadeUrlExactCtes: String =
     s"""u AS (SELECT doc_id, (${Text.messyUrlSql}) AS url FROM documents),
         |${Text.urlCanonCtes},
         |s1 AS (SELECT d.doc_id, d.text,
@@ -844,11 +911,16 @@ object Dedup {
         |  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY k) THEN 1 ELSE 0 END AS exact_keep
         |  FROM (SELECT doc_id, text,
         |          lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS k
-        |        FROM s1 WHERE url_keep = 1)),
-        |docs_ws AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM s2
-        |  WHERE exact_keep = 1 AND len(string_split(text, ' ')) >= 3),
-        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM docs_ws),
+        |        FROM s1 WHERE url_keep = 1))""".stripMargin
+
+  /** The exact τ=0.8 3-gram Jaccard pair miner over a `docs_ws`
+    * (doc_id, ws) CTE the caller supplies — the MIDDLE fragment, shared
+    * verbatim by the cascade oracle (survivor-scoped docs_ws), the
+    * full-corpus miner gate, and the keep-best oracle, ending at a
+    * `pairs` (a_id, b_id, jacc) CTE with NO recursion downstream.
+    */
+  private[queries] def minerCtes: String =
+    """w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM docs_ws),
         |grams AS (
         |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
         |  FROM w a
@@ -860,11 +932,19 @@ object Dedup {
         |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id),
         |pairs AS (
-        |  SELECT a_id, b_id FROM inter
+        |  SELECT a_id, b_id, round(i / (ca.c + cb.c - i), 4) AS jacc FROM inter
         |  JOIN cnt ca ON ca.doc_id = a_id
         |  JOIN cnt cb ON cb.doc_id = b_id
-        |  WHERE i / (ca.c + cb.c - i) >= 0.8),
-        |edges AS (SELECT a_id, b_id FROM pairs
+        |  WHERE i / (ca.c + cb.c - i) >= 0.8)""".stripMargin
+
+  /** The recursive-CC closure over a `pairs` CTE → `nd` dropped-id set
+    * — the one fragment whose DuckDB working set (full transitive
+    * closure, Σ|C|² rows) exceeds the box at sf3; the stage-composed
+    * gates replace it there with the Spark-side algorithm-diversity
+    * parity gate (`inv_cascade_cc_parity`).
+    */
+  private[queries] def ccClosureCtes: String =
+    """edges AS (SELECT a_id, b_id FROM pairs
         |          UNION SELECT b_id AS a_id, a_id AS b_id FROM pairs),
         |nodes AS (SELECT DISTINCT a_id AS id FROM edges),
         |reach(id, r) AS (
@@ -873,6 +953,14 @@ object Dedup {
         |  SELECT e.b_id AS id, reach.r FROM reach JOIN edges e ON e.a_id = reach.id),
         |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
         |nd AS (SELECT id AS doc_id FROM labels WHERE id <> label)""".stripMargin
+
+  private[queries] def cascadeCtes: String =
+    s"""$cascadeUrlExactCtes,
+        |docs_ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM s2
+        |  WHERE exact_keep = 1 AND len(string_split(text, ' ')) >= 3),
+        |$minerCtes,
+        |$ccClosureCtes""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -1213,6 +1301,68 @@ object Dedup {
     Q.noOracle("pipeline_dedup_cascade_minhash") { (s, dir) =>
       ensureLocalCkptDir(s)
       cascadeStages(s, dir, minhashLshPairs(_, 4, 5)).orderBy(col("doc_id"))
+    },
+
+    // C68b (r11): the cascade's stage-1/2 decision surface as its OWN
+    // gate — per doc, the url-canon keep bit and (for url survivors)
+    // the exact-digest keep bit, from the SAME cascadeKeyFrames the
+    // shipped cascade consumes. One of the three stage-composed gates
+    // (r10 verdict #6) that carry the cascade's correctness to sf3,
+    // where the monolithic recursive-CTE oracle exceeds the box's
+    // spill budget: THIS oracle has no gram join and no recursion, so
+    // DuckDB runs it at any scale.
+    Q("cascade_stage_keys",
+      s"""WITH $cascadeUrlExactCtes
+         |SELECT s1.doc_id, CAST(s1.url_keep AS BIGINT) AS url_keep,
+         |  CAST(s2.exact_keep AS BIGINT) AS exact_keep
+         |FROM s1 LEFT JOIN s2 ON s2.doc_id = s1.doc_id
+         |ORDER BY s1.doc_id""".stripMargin) { (s, dir) =>
+      val (s1, s2) = cascadeKeyFrames(s, dir)
+      s1.select(col("doc_id"), col("url_keep").cast("long").as("url_keep"))
+        .join(s2.select(col("doc_id"), col("exact_keep").cast("long").as("exact_keep")),
+          Seq("doc_id"), "left_outer")
+        .orderBy(col("doc_id"))
+    },
+
+    // C68c (r11): the cascade's stage-3 pair set as its OWN gate — the
+    // exact τ=0.8 3-gram Jaccard pairs over the url+exact survivors,
+    // from the SAME miner + survivor frame the shipped cascade runs.
+    // Second stage-composed gate: the oracle ends at the pairs CTE (NO
+    // recursive closure), cutting the DuckDB working set from the
+    // monolithic form's transitive-closure blowup (Σ|C|² reach rows on
+    // top of the gram join) to the gram join alone — the sf3-runnable
+    // shape. The CC closure over these pairs is gated by the Spark-side
+    // algorithm-diversity parity gate (inv_cascade_cc_parity), and the
+    // final verdict assembly stays pinned by the monolithic cascade
+    // oracle at sf0.01/0.1/1.
+    Q("cascade_stage_pairs",
+      s"""WITH $cascadeUrlExactCtes,
+         |docs_ws AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM s2
+         |  WHERE exact_keep = 1 AND len(string_split(text, ' ')) >= 3),
+         |$minerCtes
+         |SELECT a_id, b_id, jacc FROM pairs
+         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      ngramJaccardPairs(cascadeSurvivorDocs(s, dir), 4, 5)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // C3b (r11): the exact miner over the FULL corpus as a direct gate
+    // — dedup_keep_best's stage-1 edge set (C4c mines unfiltered
+    // documents), previously hash-checked only inside larger composed
+    // oracles. Same no-recursion oracle shape as cascade_stage_pairs;
+    // with inv_cascade_cc_parity gating the closure and the per-cluster
+    // quality argmax pinned by the monolithic keep_best oracle at
+    // sf0.01/0.1/1, every keep_best stage is separately gated at sf3.
+    Q("dedup_pairs_exact",
+      s"""WITH docs_ws AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |$minerCtes
+         |SELECT a_id, b_id, jacc FROM pairs
+         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      ngramJaccardPairs(docs(s, dir), 4, 5)
+        .orderBy(col("a_id"), col("b_id"))
     },
 
         // C4c: quality-aware retention — the near-dup decision real curation

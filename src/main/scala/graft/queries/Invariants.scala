@@ -706,5 +706,49 @@ object Invariants {
           .where(col("bp") > 100L)
         hard.unionByName(rate).orderBy(col("chk"), col("doc_id"))
       }
+    },
+
+    // r11: the CC-closure stage gate (third stage-composed cascade
+    // gate, r10 verdict #6). The monolithic cascade/keep_best oracles'
+    // WITH RECURSIVE closure materializes the full transitive closure
+    // (Σ|C|² reach rows) — past the box's spill budget at sf3 — so at
+    // that scale the closure is gated HERE instead: the production
+    // pointer-doubling/union-find CC and an independent plain
+    // min-propagation witness (Dedup.ccMinPropagation — different
+    // algorithm, different code path) must emit IDENTICAL labels over
+    // the same mined pair sets, and the production labels must be
+    // edge-consistent (no edge may cross two labels — any split
+    // component is caught by its crossing edge). Runs over BOTH live
+    // edge sets: the cascade's survivor-scoped pairs and keep_best's
+    // full-corpus pairs, each mined once (checkpointed) and fed to both
+    // implementations.
+    Q("inv_cascade_cc_parity",
+      """SELECT CAST(NULL AS VARCHAR) AS chk, CAST(NULL AS BIGINT) AS id
+        |FROM documents WHERE 1=0""".stripMargin) { (s, dir) =>
+      Dedup.ensureLocalCkptDir(s)
+      def check(tag: String, pairsIn: DataFrame): DataFrame = {
+        val p = pairsIn.select(col("a_id"), col("b_id")).localCheckpoint(true)
+        releasing(p) {
+          val prod = Dedup.connectedComponents(p)
+            .select(col("id"), col("label").as("prod_label")).localCheckpoint(true)
+          val wit = Dedup.ccMinPropagation(p)
+            .select(col("id"), col("label").as("wit_label"))
+          releasing(prod) {
+            val mism = prod.join(wit, Seq("id"), "full_outer")
+              .where(!(col("prod_label") <=> col("wit_label")))
+              .select(lit(s"${tag}_label").as("chk"), col("id"))
+            val la = prod.select(col("id").as("a_id"), col("prod_label").as("la"))
+            val lb = prod.select(col("id").as("b_id"), col("prod_label").as("lb"))
+            val edgeViol = p.join(la, "a_id").join(lb, "b_id")
+              .where(col("la") =!= col("lb"))
+              .select(lit(s"${tag}_edge").as("chk"), col("a_id").as("id"))
+            mism.unionByName(edgeViol)
+          }
+        }
+      }
+      check("cascade", Dedup.ngramJaccardPairs(Dedup.cascadeSurvivorDocs(s, dir), 4, 5))
+        .unionByName(
+          check("full", run("dedup_pairs_exact")(s, dir)))
+        .orderBy(col("chk"), col("id"))
     })
 }

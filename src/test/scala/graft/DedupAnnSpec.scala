@@ -279,6 +279,41 @@ class DedupAnnSpec extends SparkSpec {
     assert(got == expected, s"got=$got expected=$expected")
   }
 
+  test("ccMinPropagation witness == production CC on random graphs and a deep chain") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // random sparse graphs: many small components, shuffled ids
+    (1 to 3).foreach { trial =>
+      val n = 60 + trial * 40
+      val ids = rnd.shuffle((0L until n * 3L).toVector).take(n)
+      val edges = (1 until n).flatMap { i =>
+        if (rnd.nextDouble() < 0.6) Some((ids(i), ids(rnd.nextInt(i)))) else None
+      }
+      val p = edges.toDF("a_id", "b_id")
+      val prod = Dedup.connectedComponents(p, smallGraphThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val wit = Dedup.ccMinPropagation(p)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(wit == prod, s"trial $trial: witness != production")
+    }
+    // a 60-deep chain in adversarial (descending) id order: the worst
+    // case for plain propagation — the min label must walk the whole
+    // chain; pins the maxRounds headroom and the fixpoint logic
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val chainLabels = Dedup.ccMinPropagation(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(chainLabels.forall(_._2 == 0L), "chain must collapse to label 0")
+    assert(chainLabels.length == 61)
+    // negative control: the gate's edge-consistency arm fires on a
+    // labeling that splits a component (any crossing edge is caught)
+    val broken = Seq((1L, 1L), (2L, 2L)).toDF("id", "label") // edge 1-2 crosses
+    val la = broken.select(col("id").as("a_id"), col("label").as("la"))
+    val lb = broken.select(col("id").as("b_id"), col("label").as("lb"))
+    val viol = Seq((1L, 2L)).toDF("a_id", "b_id")
+      .join(la, "a_id").join(lb, "b_id").where(col("la") =!= col("lb")).count()
+    assert(viol == 1L, "edge-consistency check must catch a split component")
+  }
+
   test("property: prefix-filtered ngram join == brute-force jaccard on random corpora") {
     // the prefix filter is the one place where a subtle math slip loses
     // pairs SILENTLY (a float tau already did once) — drive it with
