@@ -44,10 +44,16 @@ object Ann {
   private[queries] def corpusCount(s: SparkSession, dir: String): Long =
     graft.core.Tables(s, dir, "embeddings").count() - NQ
 
+  /** float[] embedding → (vec_id, emb double[]) — the ONE cast shared
+    * by the batch loader and the D31 stream source, so stream/batch
+    * scores can't drift on a cast detail.
+    */
+  private def embCast(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+      transform(col("embedding"), v => v.cast("double")).as("emb"))
+
   private def embs(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "embeddings")
-      .select(col("vec_id"),
-        transform(col("embedding"), v => v.cast("double")).as("emb"))
+    embCast(Tables(s, dir, "embeddings"))
 
   // norm through the codegen'd graft_dot expression — the interpreted
   // aggregate() HOF evaluates per-element boxed and dominated every job
@@ -778,6 +784,42 @@ object Ann {
       val assigned = s.read.parquet(path)
         .where(col("cell").isInCollection(cells))
       ivfProbe(s, IvfIndex(cents, assigned), queries, p = 4)
+    },
+
+    // D31 (r11): STREAMING ANN serving — query vectors arrive as a
+    // stream and are answered against the PERSISTED IVF artifact (the
+    // C8g probe read path at ingest time: the real-time vector-search
+    // deployment shape). Frozen-model discipline (D11): the artifact's
+    // centroids load ONCE before the stream starts and compile into a
+    // stateless per-row probe-cell projection (zero stream state); the
+    // probed stream then STREAM-STATIC equi-joins the cell-partitioned
+    // index on cell with exact cosine riding the join. Top-k ranking is
+    // a BATCH rollup over the completed append sink (the q28s
+    // discipline — ranking downstream of a stream needs event time the
+    // queries don't have). At 100 TB the static index side is the scan:
+    // a production micro-batch would push its batch's probe cells into
+    // the static read (foreachBatch + partition filter — the
+    // ivfProbeCells pruning per batch); the gate keeps the declarative
+    // join so the parity invariant covers the whole path. Rows-only
+    // (float k-means); inv_ann_probe_stream_parity pins stream ≡ batch
+    // probe EXACTLY (same persisted artifact, same p, same rounding).
+    Q.noOracle("ann_probe_stream") { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        val (cents, path) = ivfArtifact(s, dir)
+        val assigned = s.read.parquet(path)
+        val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet")
+          .parquet(dir)
+        val queries = withNorm(embCast(stream)).where(col("vec_id") < NQ)
+        val probed = queries.select(col("vec_id").as("q_id"),
+          col("emb").as("qemb"), col("nrm").as("qnrm"),
+          explode(argmaxCells(cents, 4)(col("emb"))).as("cell"))
+        val scored = probed.join(assigned, "cell")
+          .select(col("q_id"), col("n_id"),
+            cosine(s, col("qemb"), col("emb"), col("qnrm"), col("nrm")).as("cos"))
+        topK(Events.runToAppendSink(s, "annprobe_sink_", scored))
+      }
     },
 
     // C8g (PQ side): probe a persisted PQ index — loads the 16-byte

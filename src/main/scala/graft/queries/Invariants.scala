@@ -750,5 +750,28 @@ object Invariants {
         .unionByName(
           check("full", run("dedup_pairs_exact")(s, dir)))
         .orderBy(col("chk"), col("id"))
+    },
+
+    // r11: D31 stream-serving parity — ann_probe_stream (queries as a
+    // stream, stream-static join against the persisted IVF index) must
+    // serve EXACTLY what the batch probe path serves: same persisted
+    // artifact, same p, exact cosines, same round-6/id tie-break, so
+    // equality is bitwise on (q_id, rank) → (n_id, cos), not a
+    // tolerance. The D6/D25 stream≡batch discipline applied to the ANN
+    // read path.
+    Q("inv_ann_probe_stream_parity",
+      """SELECT CAST(NULL AS BIGINT) AS q_id, CAST(NULL AS BIGINT) AS rank
+        |FROM documents WHERE 1=0""".stripMargin) { (s, dir) =>
+      val st = run("ann_probe_stream")(s, dir)
+        .select(col("q_id"), col("rank"), col("n_id").as("st_n"), col("cos").as("st_cos"))
+        .localCheckpoint(true)
+      val ba = run("ann_ivf_probe")(s, dir)
+        .select(col("q_id"), col("rank"), col("n_id").as("ba_n"), col("cos").as("ba_cos"))
+        .localCheckpoint(true)
+      releasing(st, ba)(
+        st.join(ba, Seq("q_id", "rank"), "full_outer")
+          .where(!(col("st_n") <=> col("ba_n")) || !(col("st_cos") <=> col("ba_cos")))
+          .select(col("q_id"), col("rank"))
+          .orderBy(col("q_id"), col("rank")))
     })
 }
