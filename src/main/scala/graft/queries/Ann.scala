@@ -25,6 +25,21 @@ object Ann {
   private val K = 5
   private[graft] val NQ = 10 // vec_id < NQ are the query vectors; the rest, corpus
 
+  // C8m integer-LSH geometry: 8 tables × 6 bits. Capture per bit for a
+  // cos-0.75 neighbor is ≈ 1 − θ/π ≈ 0.77 → 0.77⁶ ≈ 0.21 per table →
+  // 1 − 0.79⁸ ≈ 0.85 across 8 tables (≈0.98 at cos 0.9); 2⁶
+  // buckets/table keeps candidates bucket-local (bits scale up with
+  // corpus size in a deployment — more bits = smaller buckets).
+  // Hyperplane weights hash through a LARGE-prime inner mod before the
+  // small range reduction: a plain linear-in-j formula mod 13 is
+  // CYCLIC in j (every plane a shift of one pattern — measured recall
+  // 0.18); the 1000003 inner mod decorrelates planes (measured 0.42 at
+  // sf0.01 — the float ann_lsh family's own spec floor).
+  private val LshTables = 8
+  private val LshBits = 6
+  private[queries] def lshW(t: Int, b: Int, j: Int): Long =
+    (t.toLong * 2654435761L + b.toLong * 2246822519L + j.toLong * 3266489917L) % 1000003L % 13L - 6L
+
   /** PQ re-rank pool size, scaled to the corpus: candidate selection
     * must out-grow the PQ-RESOLUTION TIE MASS, which grows linearly
     * with n on a crowded corpus — with a fixed pool of 50, the r7 sf1
@@ -732,6 +747,91 @@ object Ann {
           (graft.functions.Native.dot(s, col("qemb"), col("nemb")) /
             (col("qnrm") * col("nnrm"))).as("cos"))
       topK(scored)
+    },
+
+    // C8m (r11): the HASH-GATED LSH — C8l's integer-determinism scheme
+    // applied to the hyperplane-LSH family: deterministic INTEGER
+    // hyperplanes ([[lshW]], a fixed integer formula both engines
+    // restate literally — see the constant's scaladoc for the
+    // decorrelation requirement), signature bit =
+    // sign of the integer dot against the signed kilo codes (|term| ≤
+    // 6e3·64 — exact in double in any order, so the SIGN is bit-stable
+    // cross-engine), candidates = signature equality in ANY table,
+    // re-rank = exact integer cosine. Every stage is integer-decidable
+    // ⇒ the driver's rows+schema+hash gate covers an LSH probe
+    // end-to-end (ann_lsh itself stays rows-only: float hyperplanes).
+    // Scale shape: signatures are ONE map-only pass over the corpus
+    // (8×8 dots/row inside codegen'd graft_dot), the 10-query signature
+    // set broadcasts into an equi-join on (table, sig) — bucket-local
+    // candidate generation, zero corpus shuffle, the C8 plan with the
+    // determinism making it gateable.
+    Q("ann_lsh_int",
+      s"""WITH x AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         |    CAST(floor((unnest(embedding)::DOUBLE + 1.0) * 1000) AS BIGINT) - 1000 AS v
+         |  FROM embeddings),
+         |nrm AS (SELECT vec_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS nrm
+         |        FROM x GROUP BY vec_id),
+         |w AS (SELECT t.t, b.b, j.j,
+         |        CAST((t.t * 2654435761 + b.b * 2246822519 + j.j * 3266489917)
+         |          % 1000003 % 13 AS BIGINT) - 6 AS w
+         |      FROM range(0, $LshTables) t(t), range(0, $LshBits) b(b),
+         |           range(1, ${64 + 1}) j(j)),
+         |bits AS (
+         |  SELECT x.vec_id, w.t, w.b,
+         |    CASE WHEN sum(w.w * x.v) >= 0 THEN 1 ELSE 0 END AS bit
+         |  FROM x JOIN w ON w.j = x.d
+         |  GROUP BY x.vec_id, w.t, w.b),
+         |sig AS (SELECT vec_id, t, CAST(sum(bit << b) AS BIGINT) AS sig
+         |        FROM bits GROUP BY vec_id, t),
+         |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+         |         FROM sig q JOIN sig c ON c.t = q.t AND c.sig = q.sig
+         |         WHERE q.vec_id < $NQ AND c.vec_id >= $NQ),
+         |dots AS (SELECT cand.q_id, cand.n_id,
+         |           CAST(sum(q.v * c.v) AS DOUBLE) AS dot
+         |         FROM cand JOIN x q ON q.vec_id = cand.q_id
+         |                   JOIN x c ON c.vec_id = cand.n_id AND c.d = q.d
+         |         GROUP BY cand.q_id, cand.n_id),
+         |scored AS (SELECT d.q_id, d.n_id, d.dot / (nq.nrm * nc.nrm) AS cos
+         |           FROM dots d JOIN nrm nq ON nq.vec_id = d.q_id
+         |                       JOIN nrm nc ON nc.vec_id = d.n_id
+         |           WHERE nq.nrm > 0 AND nc.nrm > 0),
+         |ranked AS (SELECT q_id, n_id, cos, row_number() OVER (
+         |             PARTITION BY q_id ORDER BY round(cos, 6) DESC, n_id) AS rank
+         |           FROM scored)
+         |SELECT q_id, rank, n_id, round(cos, 4) AS cos
+         |FROM ranked WHERE rank <= $K
+         |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+      val signed = Tables(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          v => (floor((v.cast("double") + 1.0d) * 1000) - 1000.0d)).as("v"))
+        .withColumn("nrm",
+          sqrt(graft.functions.Native.dot(s, col("v"), col("v"))))
+      // one struct per table: sig_t = Σ_b [w_tb · v ≥ 0] << b, the 8×8
+      // integer dots riding the codegen'd graft_dot kernel
+      val sigCols: Column = array((0 until LshTables).map { t =>
+        val sig = (0 until LshBits).map { b =>
+          val w = typedLit((1 to 64).map(j => lshW(t, b, j).toDouble))
+          when(graft.functions.Native.dot(s, col("v"), w) >= 0,
+            lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        struct(lit(t).as("t"), sig.as("sig"))
+      }: _*)
+      val sigs = signed.select(col("vec_id"), col("v"), col("nrm"),
+        explode(sigCols).as("ts"))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("ts.t").as("t"), col("ts.sig").as("sig"))
+      val qs = sigs.where(col("vec_id") < NQ)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("t"), col("sig"))
+      val cand = sigs.where(col("vec_id") >= NQ)
+        .join(broadcast(qs), Seq("t", "sig"))
+        .where(col("qnrm") > 0 && col("nrm") > 0)
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          (graft.functions.Native.dot(s, col("qv"), col("v")) /
+            (col("qnrm") * col("nrm"))).as("cos"))
+        .distinct()
+      topK(cand)
     },
 
     // C8c: product-quantization ANN (the FAISS-standard compressed

@@ -750,6 +750,14 @@ class PlanSpec extends SparkSpec {
       s"pair corpus must not shuffle for scoring:\n$p")
   }
 
+  test("ann_ivf_int: probe set broadcasts into the cell equi-join; corpus never sort-merges") {
+    val p = planStr("ann_ivf_int")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the (probe cells × queries) side broadcast into the cell join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the integer IVF must equi-join on cell, never pair-score the corpus:\n$p")
+  }
+
   test("media_text_pair_dedup: one signature-window shuffle + presentation sort only") {
     // the conjunction key is 40 B of (hash, digest) — the payload and
     // caption must never reach an exchange
