@@ -35,10 +35,13 @@ object Bench {
     * the table in code. Best-effort: an unreadable/moved file simply
     * disables the suspect-rerun pass (empty map), never fails the bench.
     */
-  private def parseBaselines(): Map[String, Double] = {
+  private def parseBaselines(): Map[String, Double] =
+    try parseBaselinesFrom(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BASELINE.md")), "UTF-8"))
+    catch { case _: Throwable => Map.empty }
+
+  private[graft] def parseBaselinesFrom(full: String): Map[String, Double] = {
     try {
-      val full = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("BASELINE.md")), "UTF-8")
       // Baselines of record are sf0.1 — everything below the "## sf1"
       // sentinel heading is the 10x-scale record and must NOT override
       // the sf0.1 medians this parser feeds to the suspect-rerun pass.
@@ -67,8 +70,15 @@ object Bench {
           }.toSeq
         if (pairs.exists(_.isEmpty)) Seq.empty else pairs.flatten
       }.toSeq
+      // per-match Try: ONE malformed prose number (e.g. a sentence
+      // reading "`name` 1.04. sf1 …" — the greedy [0-9.]+ captures the
+      // trailing period) must drop only itself; before this, a single
+      // bad match threw into the outer catch and silently blanked the
+      // ENTIRE baseline map — disabling the suspect-rerun pass for the
+      // whole run (r11 incident, caught in the local close bench).
       val prose = "`([A-Za-z][A-Za-z0-9_]*)`\\s+([0-9.]+)\\s*s".r
-        .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toSeq
+        .findAllMatchIn(text).flatMap(m =>
+          scala.util.Try(m.group(2).toDouble).toOption.map(m.group(1) -> _)).toSeq
       // FIRST occurrence wins: the v2 table of record leads the file, so
       // a query re-listed in a later historical table (e.g. ann_ivfpq in
       // the round-4 additions) must not override its entry of record;

@@ -40,6 +40,106 @@ object Ann {
   private[queries] def lshW(t: Int, b: Int, j: Int): Long =
     (t.toLong * 2654435761L + b.toLong * 2246822519L + j.toLong * 3266489917L) % 1000003L % 13L - 6L
 
+  // C8n integer-PQ geometry: 4 subspaces × 16 dims, 4 codewords each
+  // (64 dims → 4 one-byte codes), 3 Lloyd rounds, ADC top-100 re-rank
+  // pool. Small K keeps the sub-keyed chained-CTE oracle tractable;
+  // the compression/lookup mechanics are the full FAISS PQ shape.
+  private val PqSubs = 4
+  private val PqSubDim = 16
+  private val PqKInt = 4
+  private val PqItersInt = 3
+  private val PqRerankInt = 100
+  // Training subset: the first 2000 corpus vectors BY ID — a bounded
+  // driver collect (the ivfBuild/float-PQ sampled-training trade) that
+  // stays SQL-expressible (`vec_id < NQ + 2000`), unlike a random
+  // sample. Distributed full-corpus training measured 12.7 s at sf1 —
+  // 3× the float PQ — with the three training scans the whole gap.
+  private val PqTrainN = 2000
+
+  /** The C8n oracle: [[Cluster.kmeansCtes]]'s integer-Lloyd chain with
+    * `sub` added to every key (one chain trains ALL subspace codebooks
+    * at once), then the classic PQ serving algebra — per-query ADC
+    * lookup table (query-sub × codeword integer dots), code-join
+    * scoring, top-R pool, exact integer-cosine re-rank. Every value is
+    * an integer or a double of an integer, so the driver's hash gate
+    * covers the whole PQ lifecycle.
+    */
+  private def pqIntCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH x AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+      |    CAST(floor((unnest(embedding)::DOUBLE + 1.0) * 1000) AS BIGINT) AS m
+      |  FROM embeddings),
+      |xs AS (SELECT vec_id, d, m, CAST((d - 1) // $PqSubDim AS BIGINT) AS sub FROM x),
+      |pc0 AS (SELECT sub, vec_id - $NQ AS cw, d, m AS cent
+      |        FROM xs WHERE vec_id >= $NQ AND vec_id < ${NQ + PqKInt}),
+      |""".stripMargin
+    for (t <- 1 to PqItersInt) {
+      sb ++= s"""pdist$t AS (
+        |  SELECT xs.vec_id, xs.sub, c.cw,
+        |    CAST(sum((xs.m - c.cent) * (xs.m - c.cent)) AS BIGINT) AS dist
+        |  FROM xs JOIN pc${t - 1} c ON c.d = xs.d AND c.sub = xs.sub
+        |  WHERE xs.vec_id >= $NQ AND xs.vec_id < ${NQ + PqTrainN}
+        |  GROUP BY xs.vec_id, xs.sub, c.cw),
+        |pa$t AS (
+        |  SELECT vec_id, sub, cw, row_number() OVER (
+        |      PARTITION BY vec_id, sub ORDER BY dist, cw) AS rn
+        |  FROM pdist$t),
+        |ps$t AS (
+        |  SELECT a.sub, a.cw, xs.d, CAST(sum(xs.m) AS BIGINT) AS sm, count(*) AS n
+        |  FROM pa$t a JOIN xs ON xs.vec_id = a.vec_id AND xs.sub = a.sub
+        |  WHERE a.rn = 1 GROUP BY a.sub, a.cw, xs.d),
+        |pc$t AS (
+        |  SELECT c.sub, c.cw, c.d,
+        |    COALESCE(CAST(s.sm // s.n AS BIGINT), c.cent) AS cent
+        |  FROM pc${t - 1} c LEFT JOIN ps$t s
+        |    ON s.sub = c.sub AND s.cw = c.cw AND s.d = c.d),
+        |""".stripMargin
+    }
+    sb ++= s"""pdistF AS (
+      |  SELECT xs.vec_id, xs.sub, c.cw,
+      |    CAST(sum((xs.m - c.cent) * (xs.m - c.cent)) AS BIGINT) AS dist
+      |  FROM xs JOIN pc$PqItersInt c ON c.d = xs.d AND c.sub = xs.sub
+      |  WHERE xs.vec_id >= $NQ
+      |  GROUP BY xs.vec_id, xs.sub, c.cw),
+      |enc AS (
+      |  SELECT vec_id, sub, cw FROM (
+      |    SELECT vec_id, sub, cw, row_number() OVER (
+      |        PARTITION BY vec_id, sub ORDER BY dist, cw) AS rn
+      |    FROM pdistF) WHERE rn = 1),
+      |sdot AS (
+      |  SELECT q.vec_id AS q_id, c.sub, c.cw,
+      |    CAST(sum((q.m - 1000) * (c.cent - 1000)) AS BIGINT) AS sdot
+      |  FROM xs q JOIN pc$PqItersInt c ON c.d = q.d AND c.sub = q.sub
+      |  WHERE q.vec_id < $NQ
+      |  GROUP BY q.vec_id, c.sub, c.cw),
+      |adc AS (
+      |  SELECT w.q_id, e.vec_id AS n_id, CAST(sum(w.sdot) AS BIGINT) AS adc
+      |  FROM enc e JOIN sdot w ON w.sub = e.sub AND w.cw = e.cw
+      |  GROUP BY w.q_id, e.vec_id),
+      |cand AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT q_id, n_id, row_number() OVER (
+      |        PARTITION BY q_id ORDER BY adc DESC, n_id) AS arn
+      |    FROM adc) WHERE arn <= $PqRerankInt),
+      |iv AS (SELECT vec_id, d, m - 1000 AS v FROM x),
+      |nrm AS (SELECT vec_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS nrm
+      |        FROM iv GROUP BY vec_id),
+      |dots AS (SELECT cand.q_id, cand.n_id,
+      |           CAST(sum(q.v * c.v) AS DOUBLE) AS dot
+      |         FROM cand JOIN iv q ON q.vec_id = cand.q_id
+      |                   JOIN iv c ON c.vec_id = cand.n_id AND c.d = q.d
+      |         GROUP BY cand.q_id, cand.n_id),
+      |scored AS (SELECT d.q_id, d.n_id, d.dot / (nq.nrm * nc.nrm) AS cos
+      |           FROM dots d JOIN nrm nq ON nq.vec_id = d.q_id
+      |                       JOIN nrm nc ON nc.vec_id = d.n_id
+      |           WHERE nq.nrm > 0 AND nc.nrm > 0),
+      |ranked AS (SELECT q_id, n_id, cos, row_number() OVER (
+      |             PARTITION BY q_id ORDER BY round(cos, 6) DESC, n_id) AS rank
+      |           FROM scored)""".stripMargin
+    sb.toString
+  }
+
   /** PQ re-rank pool size, scaled to the corpus: candidate selection
     * must out-grow the PQ-RESOLUTION TIE MASS, which grows linearly
     * with n on a crowded corpus — with a fixed pool of 50, the r7 sf1
@@ -832,6 +932,144 @@ object Ann {
             (col("qnrm") * col("nrm"))).as("cos"))
         .distinct()
       topK(cand)
+    },
+
+    // C8n (r11): the HASH-GATED PQ — the integer-determinism scheme
+    // completing the trilogy (C8l IVF, C8m LSH): per-subspace integer
+    // Lloyd codebooks (the Cluster.kmeansCtes discipline with `sub`
+    // added to every key — ONE chained-CTE trains all four codebooks),
+    // corpus encoded to 4 codes, per-query ADC LOOKUP TABLE (query-sub
+    // × codeword integer dots — the classic PQ serving trick, 160
+    // integers), code-join scoring, top-100 ADC pool (4 codewords/subspace is coarse — measured recall 0.20 at pool 20, 0.48 at 100), exact integer
+    // cosine re-rank. Every step is integer arithmetic (sums ≤ 6.4e7 ≪
+    // 2⁵³ — exact in double in any order), so the driver's
+    // rows+schema+hash gate covers the full PQ lifecycle end-to-end
+    // (ann_pq stays rows-only: float sampled codebooks). Scale shape:
+    // training shuffles 256 partial rows per round (map-side
+    // combinable), encode is a map-only codeword-literal pass, ADC
+    // scoring joins the 4-code table against a ≤NQ·S·K broadcast —
+    // the compressed-domain scan IS the read path, raw vectors touched
+    // only by the 20-row re-rank pool per query.
+    Q("ann_pq_int",
+      s"""$pqIntCtes
+         |SELECT q_id, rank, n_id, round(cos, 4) AS cos
+         |FROM ranked WHERE rank <= $K
+         |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+      val x = Tables(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          v => floor((v.cast("double") + 1.0d) * 1000).cast("long")).as("q"))
+      val xd = x.withColumn("qd", transform(col("q"), _.cast("double")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val corpus = xd.where(col("vec_id") >= NQ)
+        val seedRows = corpus.where(col("vec_id") < NQ + PqKInt)
+          .select(col("vec_id"), col("q")).orderBy(col("vec_id")).collect()
+        require(seedRows.length == PqKInt,
+          s"ann_pq_int expects vec_ids $NQ..${NQ + PqKInt - 1} present as seeds")
+        var cents: Array[Array[Array[Long]]] = Array.tabulate(PqSubs) { sb =>
+          seedRows.map(_.getSeq[Long](1).toArray
+            .slice(sb * PqSubDim, (sb + 1) * PqSubDim))
+        }
+        // nearest codeword of subspace `sb` — argmin over −2·(q_s·c) +
+        // c·c (the shared q_s·q_s term cancels in both the argmin and
+        // its ties, which break to the lowest cw like the oracle's
+        // row_number ORDER BY (dist, cw))
+        def cwCol(sb: Int): Column = {
+          val qs = slice(col("qd"), sb * PqSubDim + 1, PqSubDim)
+          val dists: Seq[Column] = cents(sb).toSeq.map { cw =>
+            val cd = typedLit(cw.map(_.toDouble).toSeq)
+            val cc = cw.foldLeft(0.0d)((acc, v) => acc + v.toDouble * v.toDouble)
+            lit(-2.0d) * graft.functions.Native.dot(s, qs, cd) + lit(cc)
+          }
+          val minD = least(dists: _*)
+          dists.init.zipWithIndex.foldLeft(Option.empty[Column]) {
+            case (acc, (d, i)) =>
+              Some(acc.fold(when(d === minD, lit(i)))(_.when(d === minD, lit(i))))
+          }.get.otherwise(lit(PqKInt - 1)).cast("int")
+        }
+        // training runs ON THE DRIVER over the deterministic id-prefix
+        // subset (bounded collect: PqTrainN rows — the float-PQ sampled
+        // trade kept SQL-expressible): integer Lloyd with the oracle's
+        // exact rules — Σ(m−cent)² distances, ties to the lowest cw,
+        // floor-mean update, empty codeword keeps its previous centroid
+        val trainRows: Array[Array[Long]] = corpus
+          .where(col("vec_id") < NQ + PqTrainN)
+          .select(col("q")).collect().map(_.getSeq[Long](0).toArray)
+        for (_ <- 1 to PqItersInt) {
+          val next = cents.map(_.map(_.clone()))
+          for (sb <- 0 until PqSubs) {
+            val sums = Array.fill(PqKInt, PqSubDim)(0L)
+            val ns = Array.fill(PqKInt)(0L)
+            trainRows.foreach { q =>
+              var best = 0; var bestD = Long.MaxValue
+              for (cw <- 0 until PqKInt) {
+                var dist = 0L
+                var d = 0
+                while (d < PqSubDim) {
+                  val diff = q(sb * PqSubDim + d) - cents(sb)(cw)(d)
+                  dist += diff * diff; d += 1
+                }
+                if (dist < bestD) { bestD = dist; best = cw }
+              }
+              ns(best) += 1
+              var d = 0
+              while (d < PqSubDim) {
+                sums(best)(d) += q(sb * PqSubDim + d); d += 1
+              }
+            }
+            for (cw <- 0 until PqKInt; d <- 0 until PqSubDim)
+              if (ns(cw) > 0) next(sb)(cw)(d) = sums(cw)(d) / ns(cw)
+          }
+          cents = next
+        }
+        // corpus → 4 codes (map-only, codeword literals)
+        val enc = corpus.select(col("vec_id").as("n_id"),
+          explode(array((0 until PqSubs).map { sb =>
+            struct(lit(sb).as("sub"), cwCol(sb).as("cw"))
+          }: _*)).as("e"))
+          .select(col("n_id"), col("e.sub").as("sub"), col("e.cw").as("cw"))
+        // per-query ADC lookup table — NQ·S·K signed integer dots,
+        // driver-computed like every quantizer-model artifact here
+        val qRows = xd.where(col("vec_id") < NQ)
+          .select(col("vec_id"), col("q")).collect()
+        val sess = s
+        import sess.implicits._
+        val sdot = qRows.toSeq.flatMap { r =>
+          val qid = r.getLong(0)
+          val qv = r.getSeq[Long](1).toArray
+          for (sb <- 0 until PqSubs; cw <- 0 until PqKInt) yield {
+            val dot = (0 until PqSubDim).map(d =>
+              (qv(sb * PqSubDim + d) - 1000L) * (cents(sb)(cw)(d) - 1000L)).sum
+            (qid, sb, cw, dot)
+          }
+        }.toDF("q_id", "sub", "cw", "sdot")
+        val adc = enc.join(broadcast(sdot), Seq("sub", "cw"))
+          .groupBy(col("q_id"), col("n_id"))
+          .agg(sum(col("sdot")).as("adc"))
+        val cand = adc.withColumn("arn", row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("adc").desc, col("n_id"))))
+          .where(col("arn") <= PqRerankInt)
+          .select(col("q_id"), col("n_id"))
+        val signed = transform(col("q"), m => (m - lit(1000L)).cast("double"))
+        val queries = xd.where(col("vec_id") < NQ)
+          .select(col("vec_id").as("q_id"), signed.as("qemb"))
+          .withColumn("qnrm",
+            sqrt(graft.functions.Native.dot(s, col("qemb"), col("qemb"))))
+        val corpusS = xd.where(col("vec_id") >= NQ)
+          .select(col("vec_id").as("n_id"), signed.as("nemb"))
+          .withColumn("nnrm",
+            sqrt(graft.functions.Native.dot(s, col("nemb"), col("nemb"))))
+        val scored = corpusS
+          .join(broadcast(cand.join(queries, "q_id")), "n_id")
+          .where(col("qnrm") > 0 && col("nnrm") > 0)
+          .select(col("q_id"), col("n_id"),
+            (graft.functions.Native.dot(s, col("qemb"), col("nemb")) /
+              (col("qnrm") * col("nnrm"))).as("cos"))
+        // eager checkpoint BEFORE the cached frame releases (the plan
+        // reads xd); tracked so the consumer's drain frees the blocks
+        Pinned.track(topK(scored).localCheckpoint(true))
+      } finally xd.unpersist(blocking = false)
     },
 
     // C8c: product-quantization ANN (the FAISS-standard compressed

@@ -25,6 +25,28 @@ class BenchReportSpec extends AnyFunSuite {
 
   private def parse(line: String): JValue = JsonMethods.parse(line)
 
+  test("one malformed prose baseline drops itself, not the whole map (r11 incident)") {
+    val text =
+      """|| q01_agg | 0.35 | q02_filter | 0.21 |
+         |
+         |- prose additions: `good_arm` 1.25 s and a sentence that ends
+         |  with `bad_arm` 1.04. sf1 medians follow, and `also_good` 0.5 s.
+         |
+         |## sf1
+         || q01_agg (sf1) | 9.99 |
+         |""".stripMargin
+    val m = Bench.parseBaselinesFrom(text)
+    assert(m("q01_agg") == 0.35 && m("q02_filter") == 0.21,
+      s"table rows must parse: $m")
+    assert(m("good_arm") == 1.25 && m("also_good") == 0.5,
+      s"well-formed prose must parse: $m")
+    // "1.04." (greedy [0-9.]+ eating the sentence period) used to THROW
+    // in toDouble and blank the ENTIRE map via the outer catch —
+    // silently disabling the suspect-rerun pass for the whole bench run
+    assert(!m.contains("bad_arm"), s"malformed prose must drop itself: $m")
+    assert(m("q01_agg") == 0.35, "sf1 section must not override the record")
+  }
+
   test("r10 shape: 198 arms + 26 suspects all fit, suspect map complete") {
     val line = Bench.renderRecordLine(results(198), suspects(26), 3, "/x/sf0.1")
     assert(line.length <= budget, s"line ${line.length} chars exceeds budget")

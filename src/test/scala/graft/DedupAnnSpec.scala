@@ -123,6 +123,18 @@ class DedupAnnSpec extends SparkSpec {
     assert(recall >= 0.4, f"recall $recall%.3f below 0.4")
   }
 
+  test("C8n integer-PQ ANN reaches recall@5 >= 0.4 vs brute force (hash gate covers values)") {
+    val dir = sf("sf0.01")
+    val exact = q("ann_bruteforce", dir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "empty brute-force baseline — recall undefined")
+    val approx = q("ann_pq_int", dir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"ann_pq_int recall@5 = $recall%.3f (|exact|=${exact.size})")
+    assert(recall >= 0.4, f"recall $recall%.3f below 0.4")
+  }
+
   test("C8b IVF ANN: recall@5 beats the random-cell baseline; results verified-exact cosines") {
     val dir = sf("sf0.01")
     val exact = q("ann_bruteforce", dir)
