@@ -2016,6 +2016,121 @@ object Dedup {
         .orderBy(col("side"), col("keep_id"))
     },
 
+    // D32 (r11): the FULL cascade decision AT INGEST — every incoming
+    // doc (doc_id % 3 = 0, the ingest convention) gets its C68 stage
+    // verdict against the RETAINED corpus as it lands: url (canon ∈
+    // corpus canon set) → exact (digest ∈ corpus digest set) → neardup
+    // (minhash-banded corpus candidate verified at gram-Jaccard ≥ 0.8,
+    // the C76 at-scale miner) → kept, first stage wins. The contract
+    // is CORPUS-RELATIVE (is this doc redundant vs what we keep?) —
+    // within-increment duplicates are the batch cascade's job on the
+    // next compaction, the C30/C33/D19 incremental discipline. Shape:
+    // three corpus probe tables materialize ONCE (canon + digest sets
+    // as slim distinct columns, band keys + gram sets for the verify),
+    // the stream is a stateless per-row projection into stream-static
+    // joins — zero stream state, and the probes are exactly what a
+    // 100 TB ingest holds beside the corpus (the persisted-signature
+    // index C33 documents). Union sink carries per-stage hit bits; the
+    // batch rollup folds them by stage priority. Rows-only (banding
+    // isn't SQL); inv_cascade_stream_parity is the named evidence.
+    Q.noOracle("pipeline_dedup_cascade_stream") { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        val d = docs(s, dir)
+        val isBatch = pmod(col("doc_id"), lit(3)) === 0
+        val corpus = d.where(!isBatch)
+        val corpusCanon = Pinned.track(corpus
+          .select(Text.canonicalUrlCol(Text.messyUrlCol).as("canon"))
+          .distinct().withColumn("u", lit(1)).localCheckpoint(true))
+        val corpusH = Pinned.track(corpus
+          .select(unhex(sha2(normText, 256)).as("h"))
+          .distinct().withColumn("e", lit(1)).localCheckpoint(true))
+        val corpusB = Pinned.track(bandedMinhashKeys(corpus)
+          .select(col("doc_id").as("c_id"), col("bk")).localCheckpoint(true))
+        val corpusG = Pinned.track(corpus
+          .select(col("doc_id").as("c_id"), split(col("text"), " ").as("ws"))
+          .where(size(col("ws")) >= 3)
+          .select(col("c_id"), gramsOf(col("ws")).as("gb"))
+          .localCheckpoint(true))
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+          .where(pmod(col("doc_id"), lit(3)) === 0)
+        val sw = stream.select(col("doc_id"), col("text"),
+          Text.canonicalUrlCol(Text.messyUrlCol).as("canon"),
+          unhex(sha2(normText, 256)).as("h"))
+        val keyed = sw
+          .join(corpusCanon, Seq("canon"), "left")
+          .join(corpusH, Seq("h"), "left")
+          .select(col("doc_id"), coalesce(col("u"), lit(0)).as("u"),
+            coalesce(col("e"), lit(0)).as("e"), lit(0).as("n"))
+        val swg = sw.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        val near = swg.where(size(col("ws")) >= 3)
+          .select(col("doc_id"), gramsOf(col("ws")).as("ga"),
+            graft.functions.Kernels.minhash128(gramsOf(col("ws"))).as("sig"))
+          .select(col("doc_id"), col("ga"),
+            explode(transform(sequence(lit(0), lit(31)),
+              b => struct(b.as("band"), slice(col("sig"), b * 4 + 1, lit(4)).as("bsig")))).as("bk"))
+          .join(corpusB, "bk")
+          .join(corpusG, "c_id")
+          .select(col("doc_id"),
+            size(array_intersect(col("ga"), col("gb"))).as("ni"),
+            size(col("ga")).as("na"), size(col("gb")).as("nb"))
+          .where(col("ni") / (col("na") + col("nb") - col("ni")) >= 0.8)
+          .select(col("doc_id"), lit(0).as("u"), lit(0).as("e"), lit(1).as("n"))
+        Events.runToAppendSink(s, "cascade_stream_sink_",
+            keyed.unionByName(near))
+          .groupBy(col("doc_id"))
+          .agg(max(col("u")).as("u"), max(col("e")).as("e"), max(col("n")).as("n"))
+          .select(col("doc_id"),
+            when(col("u") === 1, lit("url"))
+              .when(col("e") === 1, lit("exact"))
+              .when(col("n") === 1, lit("neardup"))
+              .otherwise(lit("kept")).as("stage"))
+          .orderBy(col("doc_id"))
+      }
+    },
+
+    // D32 gate: the stream verdicts must equal the batch replay of the
+    // identical corpus-relative staged rule — canon membership, digest
+    // membership, banded-candidate verification (crossBandCands +
+    // verifyJaccard, C33's corpus-probe path), folded by the same
+    // stage priority. Any per-doc divergence emits a violation row.
+    Q("inv_cascade_stream_parity",
+      """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS st_stage,
+        |  CAST(NULL AS VARCHAR) AS ba_stage FROM documents WHERE 1=0""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val isBatch = pmod(col("doc_id"), lit(3)) === 0
+      val corpus = d.where(!isBatch)
+      val batch = d.where(isBatch)
+      val canonOf = (df: DataFrame) => df.select(col("doc_id"),
+        Text.canonicalUrlCol(Text.messyUrlCol).as("canon"),
+        unhex(sha2(normText, 256)).as("h"))
+      val bk = canonOf(batch)
+      val uIds = bk.join(canonOf(corpus).select(col("canon")).distinct(), Seq("canon"), "left_semi")
+        .select(col("doc_id"))
+      val eIds = bk.join(canonOf(corpus).select(col("h")).distinct(), Seq("h"), "left_semi")
+        .select(col("doc_id"))
+      val corpusB = bandedMinhashKeys(corpus)
+        .select(col("doc_id").as("c_id"), col("bk"))
+      val nIds = verifyJaccard(crossBandCands(corpusB, bandedMinhashKeys(batch)), d, 0.8)
+        .select(col("a_id").as("doc_id")).distinct()
+      val ba = batch.select(col("doc_id"))
+        .join(uIds.withColumn("u", lit(1)), Seq("doc_id"), "left")
+        .join(eIds.withColumn("e", lit(1)), Seq("doc_id"), "left")
+        .join(nIds.withColumn("n", lit(1)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("u") === 1, lit("url"))
+            .when(col("e") === 1, lit("exact"))
+            .when(col("n") === 1, lit("neardup"))
+            .otherwise(lit("kept")).as("ba_stage"))
+      val st = graft.SparkEntry.queries("pipeline_dedup_cascade_stream")(s, dir)
+        .select(col("doc_id"), col("stage").as("st_stage"))
+      st.join(ba, Seq("doc_id"), "full_outer")
+        .where(!(col("st_stage") <=> col("ba_stage")))
+        .orderBy(col("doc_id"))
+    },
+
     // C6 scale path: hyperplane-LSH candidate buckets + the SAME exact
     // cosine verification — the form that replaces the O(n²) baseline at
     // 100 TB (corpus shuffles once per table on uniform bucket keys).
