@@ -758,6 +758,18 @@ class PlanSpec extends SparkSpec {
       s"the integer IVF must equi-join on cell, never pair-score the corpus:\n$p")
   }
 
+  test("ann_lsh_int: query signature set broadcasts; corpus signature pass never pair-scores") {
+    val p = planStr("ann_lsh_int")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the query (table, sig) set broadcast into the bucket join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the bucket equi-join, never an all-pairs scan:\n$p")
+  }
+
+  // (no ann_pq_int pin: its result detaches through an eager
+  // localCheckpoint — the returned plan is a cached-block scan, the
+  // documented Pinned-checkpoint plan-assert limitation)
+
   test("media_text_pair_dedup: one signature-window shuffle + presentation sort only") {
     // the conjunction key is 40 B of (hash, digest) — the payload and
     // caption must never reach an exchange
