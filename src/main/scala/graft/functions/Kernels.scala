@@ -36,6 +36,91 @@ object Kernels extends Serializable {
 
   private val P31 = 2147483647L // 2^31 - 1
 
+  /** Codepoint polynomial hash mod 2³¹−1 — the SQL-RESTATABLE base hash
+    * behind the integer dedup gates (`dedup_minhash_int` /
+    * `dedup_simhash_int`): DuckDB computes the identical value as
+    * `list_reduce(list_transform(range(1, length(s)+1), i ->
+    * ord(substr(s,i,1))::BIGINT), (h,c) -> (h*31+c) % 2147483647)`, so
+    * every signature derived from it is bit-identical cross-engine
+    * (the C8l/C8m/C8n integer-determinism scheme applied to text).
+    * Iterates CODEPOINTS, not UTF-16 units, to match `ord()` exactly on
+    * non-BMP text; the fold seeds with the first codepoint (list_reduce
+    * semantics) and the empty string hashes to 0 (list_reduce cannot
+    * fold an empty list — the SQL side guards with CASE).
+    */
+  @inline private def hashCp(s: String): Long = {
+    if (s.isEmpty) 0L
+    else {
+      var h = -1L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = if (h < 0) cp.toLong else (h * 31 + cp) % P31
+        i += Character.charCount(cp)
+      }
+      h
+    }
+  }
+
+  /** [[minhash128]] with the SQL-restatable [[hashCp]] base hash — every
+    * slot value is an exact integer both engines can derive, which is
+    * what lets `dedup_minhash_int` carry a full rows+schema+hash gate
+    * (the float-free analogue of the production sketch; same affine
+    * permutation family, same 128-slot layout).
+    */
+  val minhashInt128: Column => Column = {
+    val f = udf { grams: Seq[String] =>
+      val n = grams.size
+      val hs = new Array[Long](n)
+      var j = 0
+      while (j < n) { hs(j) = hashCp(grams(j)); j += 1 }
+      val sig = new Array[Long](128)
+      var i = 0
+      while (i < 128) {
+        val a = 2L * i + 1; val b = 40503L * i
+        var m = Long.MaxValue
+        j = 0
+        while (j < n) {
+          val v = (hs(j) * a + b) % P31
+          if (v < m) m = v
+          j += 1
+        }
+        sig(i) = m
+        i += 1
+      }
+      sig
+    }
+    c => f(c)
+  }
+
+  /** 48-bit SQL-restatable simhash over a word array (multiplicity
+    * preserved, like [[simhash64]]): slot k's vote for word w is the low
+    * bit of the affine rehash (hashCp(w)·(2k+1) + 40503k) mod 2³¹−1 —
+    * 48 independent single-bit hashes derived from one base hash, every
+    * step integer arithmetic DuckDB restates verbatim. 48 slots (not 64)
+    * keep `sum(bit << k)` and the 4×12-bit pigeonhole blocks inside
+    * signed-BIGINT range on both engines.
+    */
+  val simhashInt48: Column => Column = {
+    val f = udf { words: Seq[String] =>
+      val votes = new Array[Int](48)
+      words.foreach { w =>
+        val h = hashCp(w)
+        var k = 0
+        while (k < 48) {
+          if (((h * (2L * k + 1) + 40503L * k) % P31 & 1L) == 1L) votes(k) += 1
+          else votes(k) -= 1
+          k += 1
+        }
+      }
+      var sig = 0L
+      var k = 0
+      while (k < 48) { if (votes(k) > 0) sig |= (1L << k); k += 1 }
+      sig
+    }
+    c => f(c)
+  }
+
   /** 128-slot minhash signature over a string-gram array: slot i is the
     * min over grams of the affine permutation (h·(2i+1) + i·40503) mod p
     * of the gram's 31-bit base hash.

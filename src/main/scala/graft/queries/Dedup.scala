@@ -1133,6 +1133,130 @@ object Dedup {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // C4e (r11): the HASH-GATED MinHash-LSH — the C8l/C8m/C8n
+    // integer-determinism scheme applied to the near-dup family. The
+    // production sketch (C4) is rows-only because its splitmix64 gram
+    // hash has no SQL restatement; here the base hash is a codepoint
+    // polynomial mod 2³¹−1 (Kernels.hashCp — DuckDB computes the same
+    // value with a list_reduce lambda fold), so the ENTIRE pipeline —
+    // 128 affine permutations, 32×4 banding, bucket-equality candidates,
+    // exact gram-Jaccard verification — is integer-decidable and the
+    // driver's rows+schema+hash gate covers a MinHash-LSH miner
+    // end-to-end. Same scale shape as C4: band keys are (band, 4-hash)
+    // buckets, candidates never leave a bucket, text joins back only for
+    // the surviving sliver.
+    Q("dedup_minhash_int",
+      """WITH docs_ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM docs_ws),
+        |grams AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+        |  FROM w a
+        |  JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        |gh AS (SELECT doc_id,
+        |         list_reduce(list_transform(range(1, length(g) + 1),
+        |             i -> CAST(ord(substr(g, i, 1)) AS BIGINT)),
+        |           (h, c) -> (h * 31 + c) % 2147483647) AS h
+        |       FROM grams),
+        |mh AS (SELECT doc_id, p.i,
+        |         min((gh.h * (2 * p.i + 1) + 40503 * p.i) % 2147483647) AS mv
+        |       FROM gh, range(0, 128) p(i)
+        |       GROUP BY doc_id, p.i),
+        |bands AS (SELECT doc_id, i // 4 AS band,
+        |            string_agg(mv::VARCHAR, ':' ORDER BY i) AS bk
+        |          FROM mh GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        |cnt AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.a_id, c.b_id, count(*) AS i
+        |  FROM cand c
+        |  JOIN grams ga ON ga.doc_id = c.a_id
+        |  JOIN grams gb ON gb.doc_id = c.b_id AND gb.g = ga.g
+        |  GROUP BY c.a_id, c.b_id)
+        |SELECT i.a_id, i.b_id, round(i.i / (ca.c + cb.c - i.i), 4) AS jacc
+        |FROM inter i
+        |JOIN cnt ca ON ca.doc_id = i.a_id
+        |JOIN cnt cb ON cb.doc_id = i.b_id
+        |WHERE i.i / (ca.c + cb.c - i.i) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val banded = d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .where(size(col("ws")) >= 3)
+        .select(col("doc_id"),
+          graft.functions.Kernels.minhashInt128(gramsOf(col("ws"))).as("sig"))
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), lit(31)),
+            b => struct(b.as("band"),
+              array_join(transform(slice(col("sig"), b * 4 + 1, lit(4)),
+                _.cast("string")), ":").as("bsig")))).as("bk"))
+      val cands = banded.as("a").join(banded.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      verifyJaccard(cands, d, 0.8).orderBy(col("a_id"), col("b_id"))
+    },
+
+    // C5b (r11): the HASH-GATED SimHash — 48 single-bit hashes derived
+    // from the same SQL-restatable codepoint base hash (slot k's vote is
+    // the LOW BIT of the affine rehash mod 2³¹−1), votes summed with
+    // word multiplicity, sign → bit; candidates via the 4×12-bit
+    // pigeonhole block join (hamming ≤ 3 over 4 blocks ⇒ one block
+    // equal — candidate generation is EXACT, not approximate), verified
+    // by popcount on the XOR. 48 bits, not 64, keeps every intermediate
+    // (bit << k sums, block values) inside signed-BIGINT semantics both
+    // engines share. Every step integer ⇒ full rows+schema+hash gate;
+    // the float-free analogue of C5's production form.
+    Q("dedup_simhash_int",
+      """WITH wx AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |  WHERE text IS NOT NULL),
+        |wh AS (SELECT doc_id,
+        |         CASE WHEN length(w) = 0 THEN 0 ELSE
+        |           list_reduce(list_transform(range(1, length(w) + 1),
+        |               i -> CAST(ord(substr(w, i, 1)) AS BIGINT)),
+        |             (h, c) -> (h * 31 + c) % 2147483647) END AS h
+        |       FROM wx),
+        |bits AS (
+        |  SELECT doc_id, k.k,
+        |    CASE WHEN sum(CASE WHEN ((h * (2 * k.k + 1) + 40503 * k.k) % 2147483647) & 1 = 1
+        |                       THEN 1 ELSE -1 END) > 0
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM wh, range(0, 48) k(k)
+        |  GROUP BY doc_id, k.k),
+        |sig AS (SELECT doc_id, sum(CAST(bit AS BIGINT) << CAST(k AS INT)) AS sh
+        |        FROM bits GROUP BY doc_id),
+        |blk AS (SELECT doc_id, sh, b.b, (sh >> CAST(b.b * 12 AS INT)) & 4095 AS bval
+        |        FROM sig, range(0, 4) b(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |           a.sh AS sha, b.sh AS shb
+        |         FROM blk a JOIN blk b
+        |           ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(sha, shb)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val sigs = docs(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.Kernels.simhashInt48(split(col("text"), " ")).as("sh"))
+      val blocked = sigs.selectExpr("doc_id", "sh",
+        "explode(transform(sequence(0,3), b -> struct(b as blk, shiftright(sh, cast(b*12 as int)) & 4095 as bval))) as x")
+        .select(col("doc_id"), col("sh"), col("x.blk"), col("x.bval"))
+      val cands = blocked.as("a").join(blocked.as("b"),
+          col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.sh").as("sha"), col("b.sh").as("shb"))
+        .distinct()
+      cands
+        .select(col("a_id"), col("b_id"),
+          expr("cast(bit_count(sha ^ shb) as bigint)").as("hamming"))
+        .where(col("hamming") <= 3)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // C6: embedding-cosine near-dup pairs (exact, tau = 0.5 on the rounded
     // score). ORACLE BASELINE ONLY — the plan is a deliberate O(n²)
     // BroadcastNestedLoopJoin used to gate correctness of the scale path;
@@ -2128,6 +2252,153 @@ object Dedup {
         .select(col("doc_id"), col("stage").as("st_stage"))
       st.join(ba, Seq("doc_id"), "full_outer")
         .where(!(col("st_stage") <=> col("ba_stage")))
+        .orderBy(col("doc_id"))
+    },
+
+    // C79 (r11): cascade COMPACTION — the batch job D32's
+    // corpus-relative contract explicitly defers to ("within-increment
+    // duplicates are the next batch compaction's job"): every increment
+    // doc gets its FINAL verdict, each stage now also checked WITHIN the
+    // increment under the cascade's min-id retention rule — url (canon ∈
+    // corpus canons, else min-id per canon among increment docs), exact
+    // (digest ∈ corpus digests, else min-id per digest among url
+    // survivors), neardup (exact τ=0.8 pair with any corpus doc — the
+    // batch side is entitled to the exact miner — else CC min-label over
+    // pairs among the REMAINING increment survivors). The `vs` column
+    // attributes every drop to corpus or increment (corpus wins
+    // priority): vs='increment' rows are exactly the docs D32's ingest
+    // pass admitted provisionally and this compaction catches — the
+    // audit a deployment reads after each fold. Scale shape: stages 1-2
+    // are slim key windows/membership joins (32 B digests, canon
+    // strings); stage 3 is the C3 prefix-filtered miner over corpus ∪
+    // surviving increment (at 100 TB swap in the C76 minhash miner —
+    // same seam as cascadeStages); CC runs on increment-internal pairs
+    // only. All decisions integer/string-exact ⇒ hash-gated, recursive
+    // closure restated in the oracle (increment-scoped, so the sf3
+    // blowup of the monolithic closure doesn't apply).
+    Q("pipeline_dedup_cascade_compact",
+      s"""WITH RECURSIVE u AS (SELECT doc_id, (${Text.messyUrlSql}) AS url FROM documents),
+        |${Text.urlCanonCtes},
+        |base AS (SELECT d.doc_id, d.text, c4.canon,
+        |    lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g')) AS k,
+        |    d.doc_id % 7 IN (2, 4) AS is_incr
+        |  FROM documents d JOIN c4 ON c4.doc_id = d.doc_id),
+        |i1 AS (SELECT doc_id, text, canon, k,
+        |    CASE WHEN canon IN (SELECT canon FROM base WHERE NOT is_incr) THEN 'corpus'
+        |         WHEN doc_id <> min(doc_id) OVER (PARTITION BY canon) THEN 'increment'
+        |    END AS url_vs
+        |  FROM base WHERE is_incr),
+        |i2 AS (SELECT doc_id, text, k,
+        |    CASE WHEN k IN (SELECT k FROM base WHERE NOT is_incr) THEN 'corpus'
+        |         WHEN doc_id <> min(doc_id) OVER (PARTITION BY k) THEN 'increment'
+        |    END AS exact_vs
+        |  FROM i1 WHERE url_vs IS NULL),
+        |docs_ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM (
+        |    SELECT doc_id, text FROM base WHERE NOT is_incr
+        |    UNION ALL
+        |    SELECT doc_id, text FROM i2 WHERE exact_vs IS NULL)
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |$minerCtes,
+        |nc AS (SELECT DISTINCT doc_id FROM (
+        |    SELECT a_id AS doc_id FROM pairs WHERE a_id % 7 IN (2, 4) AND b_id % 7 NOT IN (2, 4)
+        |    UNION ALL
+        |    SELECT b_id AS doc_id FROM pairs WHERE b_id % 7 IN (2, 4) AND a_id % 7 NOT IN (2, 4))),
+        |rem AS (SELECT doc_id FROM i2 WHERE exact_vs IS NULL
+        |          AND doc_id NOT IN (SELECT doc_id FROM nc)),
+        |iip AS (SELECT a_id, b_id FROM pairs
+        |  WHERE a_id IN (SELECT doc_id FROM rem) AND b_id IN (SELECT doc_id FROM rem)),
+        |edges AS (SELECT a_id, b_id FROM iip
+        |          UNION SELECT b_id AS a_id, a_id AS b_id FROM iip),
+        |nodes AS (SELECT DISTINCT a_id AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b_id AS id, reach.r FROM reach JOIN edges e ON e.a_id = reach.id),
+        |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+        |ni AS (SELECT id AS doc_id FROM labels WHERE id <> label)
+        |SELECT b.doc_id,
+        |  CASE WHEN i1.url_vs IS NOT NULL THEN 'url'
+        |       WHEN i2.exact_vs IS NOT NULL THEN 'exact'
+        |       WHEN nc.doc_id IS NOT NULL OR ni.doc_id IS NOT NULL THEN 'neardup'
+        |       ELSE 'kept' END AS stage,
+        |  coalesce(i1.url_vs, i2.exact_vs,
+        |    CASE WHEN nc.doc_id IS NOT NULL THEN 'corpus'
+        |         WHEN ni.doc_id IS NOT NULL THEN 'increment' END) AS vs
+        |FROM base b
+        |LEFT JOIN i1 ON i1.doc_id = b.doc_id
+        |LEFT JOIN i2 ON i2.doc_id = b.doc_id
+        |LEFT JOIN nc ON nc.doc_id = b.doc_id
+        |LEFT JOIN ni ON ni.doc_id = b.doc_id
+        |WHERE b.is_incr
+        |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      ensureLocalCkptDir(s)
+      val d = docs(s, dir)
+      // increment = doc_id % 7 IN (2, 4) — NOT D32's doc_id%3 ingest
+      // convention: the synthetic messy URLs key their fetch variants on
+      // doc_id%3, so a %3 split makes EVERY increment canon collide with
+      // a corpus sibling by construction and the url stage swallows the
+      // whole gate. %7 over {2,4} decorrelates from the variant layout
+      // (sibling offsets are 1/2 mod 7) AND co-places both url-siblings
+      // of some pages, both ends of some near-dup pairs (sf0.01), and
+      // both members of an exact-dup group (sf0.1) inside the increment
+      // — every (stage, vs) outcome occurs at gate scale
+      val coinIncr = (c: Column) => (c % 7).isin(2L, 4L)
+      val isIncr = coinIncr(col("doc_id"))
+      val keyed = (df: DataFrame) => df.select(col("doc_id"),
+        Text.canonicalUrlCol(Text.messyUrlCol).as("canon"),
+        unhex(sha2(normText, 256)).as("h"))
+      val corpusK = keyed(d.where(!isIncr))
+      val ik = keyed(d.where(isIncr))
+      // stage 1: url — corpus membership first, then min-id per canon
+      // within the increment (slim key columns only; text never moves)
+      val s1 = ik
+        .join(corpusK.select(col("canon")).distinct().withColumn("uc", lit(1)),
+          Seq("canon"), "left")
+        .withColumn("minc", min(col("doc_id")).over(Window.partitionBy(col("canon"))))
+        .select(col("doc_id"), col("h"),
+          when(col("uc") === 1, lit("corpus"))
+            .when(col("doc_id") =!= col("minc"), lit("increment")).as("url_vs"))
+      // stage 2: exact over url survivors — same two-rung rule on digests
+      val s2 = s1.where(col("url_vs").isNull)
+        .join(corpusK.select(col("h")).distinct().withColumn("ec", lit(1)),
+          Seq("h"), "left")
+        .withColumn("minh", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+        .select(col("doc_id"),
+          when(col("ec") === 1, lit("corpus"))
+            .when(col("doc_id") =!= col("minh"), lit("increment")).as("exact_vs"))
+      val survivors = s2.where(col("exact_vs").isNull).select(col("doc_id"))
+      // stage 3: the exact miner over corpus ∪ surviving increment; only
+      // pairs touching an increment doc matter downstream
+      val minedInput = d.where(!isIncr).select(col("doc_id"), col("text"))
+        .unionByName(d.join(survivors, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("text")))
+      val pairs = Pinned.track(
+        ngramJaccardPairs(minedInput, 4, 5).localCheckpoint(true)) // feeds 3 consumers
+      val aIncr = coinIncr(col("a_id"))
+      val bIncr = coinIncr(col("b_id"))
+      val nc = pairs.where(aIncr && !bIncr).select(col("a_id").as("doc_id"))
+        .unionByName(pairs.where(!aIncr && bIncr).select(col("b_id").as("doc_id")))
+        .distinct()
+      val remaining = survivors.join(nc, Seq("doc_id"), "left_anti")
+      val ii = pairs.where(aIncr && bIncr)
+        .join(remaining.select(col("doc_id").as("a_id")), Seq("a_id"), "left_semi")
+        .join(remaining.select(col("doc_id").as("b_id")), Seq("b_id"), "left_semi")
+      val ni = connectedComponents(ii.select(col("a_id"), col("b_id")))
+        .where(col("id") =!= col("label")).select(col("id").as("doc_id"))
+      ik.select(col("doc_id"))
+        .join(s1.select(col("doc_id"), col("url_vs")), Seq("doc_id"), "left")
+        .join(s2.select(col("doc_id"), col("exact_vs")), Seq("doc_id"), "left")
+        .join(nc.withColumn("ncf", lit(1)), Seq("doc_id"), "left")
+        .join(ni.withColumn("nif", lit(1)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("url_vs").isNotNull, lit("url"))
+            .when(col("exact_vs").isNotNull, lit("exact"))
+            .when(col("ncf") === 1 || col("nif") === 1, lit("neardup"))
+            .otherwise(lit("kept")).as("stage"),
+          coalesce(col("url_vs"), col("exact_vs"),
+            when(col("ncf") === 1, lit("corpus"))
+              .when(col("nif") === 1, lit("increment"))).as("vs"))
         .orderBy(col("doc_id"))
     },
 

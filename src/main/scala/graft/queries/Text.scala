@@ -3476,6 +3476,140 @@ object Text {
       s.createDataFrame(numbered, schema).where(col("pos") <= 50).orderBy(col("pos"))
     },
 
+    // C77 (r11): curriculum ORDER — the easy→hard phased training
+    // schedule (curriculum learning, Bengio et al. 2009): rank the
+    // corpus by C10's quality_bp (high quality = "easy" = phase 1),
+    // cut into 4 equal phases by pure integer arithmetic on the rank
+    // (phase = (4·(rn−1)) div n + 1 — no float quantile can flip a
+    // boundary row between engines), then shuffle WITHIN each phase by
+    // the deterministic Knuth coin so consecutive training batches stay
+    // diverse while the phase progression holds. seq restarts per phase
+    // via the closed-form offset (n·(p−1)) div 4 — phases are contiguous
+    // under the (phase, coin) sort, so no per-phase window is needed.
+    // 100 TB shape: the C23 discipline twice — NO global window
+    // function; each global ordering is a range-partitioned sort +
+    // zipWithIndex (per-partition offsets from one count job), and both
+    // sorted passes move only (doc_id, quality_bp, phase, coin) slivers,
+    // never text. All integer ⇒ hash-gated.
+    Q("text_curriculum_order",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the','a','of','and','to'))) AS n_stop
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |    CAST(least(n_words, 100) * 40
+        |      + (least(n_stop * 10, n_words) * 3000) // n_words
+        |      + (n_distinct * 3000) // n_words AS BIGINT) AS quality_bp
+        |  FROM f),
+        |n AS (SELECT count(*) AS n FROM q),
+        |r AS (SELECT doc_id, quality_bp,
+        |        row_number() OVER (ORDER BY quality_bp DESC, doc_id) AS rn
+        |      FROM q),
+        |p AS (SELECT doc_id, quality_bp,
+        |        CAST((4 * (rn - 1)) // n.n + 1 AS BIGINT) AS phase,
+        |        ((doc_id % 1000003) * 131071 + 99991) % 1000003 AS coin
+        |      FROM r CROSS JOIN n),
+        |o AS (SELECT phase, doc_id, quality_bp,
+        |        CAST(row_number() OVER (ORDER BY phase, coin, doc_id)
+        |          - (n.n * (phase - 1)) // 4 AS BIGINT) AS seq
+        |      FROM p CROSS JOIN n)
+        |SELECT phase, seq, doc_id, quality_bp
+        |FROM o ORDER BY phase, seq""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val q = cardBase(docs(s, dir)).select(col("doc_id"), col("quality_bp"))
+      val n = q.count()
+      // pass 1: global difficulty rank — range-sort + zipWithIndex, the
+      // C23 scale-correct numbering (a window over the full corpus would
+      // serialize on one reducer)
+      val rankSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("quality_bp", LongType),
+        StructField("rn", LongType)))
+      val ranked = s.createDataFrame(
+        q.orderBy(col("quality_bp").desc, col("doc_id")).rdd.zipWithIndex.map {
+          case (r, i) => org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), i + 1L)
+        }, rankSchema)
+      val phased = ranked.select(col("doc_id"), col("quality_bp"),
+        expr(s"cast((4 * (rn - 1)) div $n + 1 as bigint)").as("phase"),
+        (((col("doc_id") % 1000003L) * 131071L + 99991L) % 1000003L).as("coin"))
+      // pass 2: within-phase shuffle order; phases are contiguous under
+      // (phase, coin, doc_id), so the per-phase seq is the global
+      // position minus the phase's closed-form start offset
+      val posSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("quality_bp", LongType),
+        StructField("phase", LongType), StructField("pos", LongType)))
+      val positioned = s.createDataFrame(
+        phased.orderBy(col("phase"), col("coin"), col("doc_id")).rdd.zipWithIndex.map {
+          case (r, i) => org.apache.spark.sql.Row(
+            r.getLong(0), r.getLong(1), r.getLong(2), i + 1L)
+        }, posSchema)
+      positioned.select(col("phase"),
+          expr(s"cast(pos - ($n * (phase - 1)) div 4 as bigint)").as("seq"),
+          col("doc_id"), col("quality_bp"))
+        .orderBy(col("phase"), col("seq"))
+    },
+
+    // C78 (r11): fill-in-the-middle TRANSFORM — the FIM data
+    // augmentation of code/infilling pretraining (Bavarian et al. 2022,
+    // arXiv:2207.14255): a deterministic 50% of documents (the paper's
+    // fim_rate, decided by the Knuth coin — pure function of doc_id, so
+    // the same doc transforms identically on every engine/rerun) are
+    // re-serialized in PSM order '<PRE>'+prefix+'<SUF>'+suffix+'<MID>'+
+    // middle, with the two cut points derived from doc_id by integer
+    // arithmetic guaranteeing three NON-EMPTY spans (a ∈ [1, len−2],
+    // b ∈ [a+1, len−1]); the rest pass through unchanged. Both engines
+    // slice with character-based substr on the same integer offsets ⇒
+    // hash-gated end-to-end, span-length audit columns included.
+    // 100 TB shape: a pure stateless projection — zero shuffles except
+    // the presentation sort; at scale this runs fused into the
+    // tokenize+pack scan (C59), never as its own pass.
+    Q("text_fim_transform",
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    ((doc_id % 1000003) * 131071 + 99991) % 1000003 % 2 AS coin
+        |  FROM documents),
+        |f AS (SELECT doc_id, text, len,
+        |        1 + ((doc_id * 48271 + 11) % 1000003) % (len - 2) AS a
+        |      FROM d WHERE coin = 0 AND len >= 3),
+        |g AS (SELECT doc_id, text, len, a,
+        |        a + 1 + ((doc_id * 16807 + 7) % 1000003) % (len - 1 - a) AS b
+        |      FROM f),
+        |out AS (
+        |  SELECT doc_id, 'psm' AS mode,
+        |    CAST(a AS BIGINT) AS n_prefix,
+        |    CAST(b - a AS BIGINT) AS n_middle,
+        |    CAST(len - b AS BIGINT) AS n_suffix,
+        |    '<PRE>' || substr(text, 1, CAST(a AS INT))
+        |      || '<SUF>' || substr(text, CAST(b + 1 AS INT), CAST(len - b AS INT))
+        |      || '<MID>' || substr(text, CAST(a + 1 AS INT), CAST(b - a AS INT)) AS out_text
+        |  FROM g
+        |  UNION ALL
+        |  SELECT doc_id, 'orig' AS mode, 0 AS n_prefix,
+        |    CAST(len AS BIGINT) AS n_middle, 0 AS n_suffix, text AS out_text
+        |  FROM d WHERE coin = 1 OR len < 3)
+        |SELECT doc_id, mode, n_prefix, n_middle, n_suffix, out_text
+        |FROM out ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("len"),
+        (((col("doc_id") % 1000003L) * 131071L + 99991L) % 1000003L % 2).as("coin"))
+      val fim = d.where(col("coin") === 0 && col("len") >= 3)
+        .withColumn("a", expr("1 + ((doc_id * 48271 + 11) % 1000003) % (len - 2)"))
+        .withColumn("b", expr("a + 1 + ((doc_id * 16807 + 7) % 1000003) % (len - 1 - a)"))
+        .select(col("doc_id"), lit("psm").as("mode"),
+          col("a").cast("long").as("n_prefix"),
+          (col("b") - col("a")).cast("long").as("n_middle"),
+          (col("len") - col("b")).cast("long").as("n_suffix"),
+          concat(lit("<PRE>"), expr("substring(text, 1, cast(a as int))"),
+            lit("<SUF>"), expr("substring(text, cast(b + 1 as int), cast(len - b as int))"),
+            lit("<MID>"), expr("substring(text, cast(a + 1 as int), cast(b - a as int))")).as("out_text"))
+      val orig = d.where(col("coin") === 1 || col("len") < 3)
+        .select(col("doc_id"), lit("orig").as("mode"), lit(0L).as("n_prefix"),
+          col("len").as("n_middle"), lit(0L).as("n_suffix"), col("text").as("out_text"))
+      fim.unionAll(orig).orderBy(col("doc_id"))
+    },
+
     // C24: data-driven language rebalance — the two-pass reweighting
     // behind domain/language mixing: pass 1 computes per-stratum counts,
     // keep-rate = min(1, equal-share / observed-share) in integer basis

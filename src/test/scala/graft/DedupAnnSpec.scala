@@ -59,6 +59,69 @@ class DedupAnnSpec extends SparkSpec {
     assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
   }
 
+  test("C4e dedup_minhash_int finds exactly the exact-Jaccard pairs (tau=0.8)") {
+    // the integer-hash banding is a different permutation family than
+    // C4's splitmix64 one, but the same 32×4 capture math applies:
+    // P(miss) ≈ 0 at j >= 0.8 and verification is the SAME exact gram
+    // Jaccard — so equality with the exact miner is expected here too
+    val dir = sf("sf0.01")
+    val exact = q("dedup_ngram_jaccard", dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val intPairs = q("dedup_minhash_int", dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dup pairs")
+    assert(intPairs == exact, s"missed=${exact -- intPairs} extra=${intPairs -- exact}")
+  }
+
+  test("C5b dedup_simhash_int blocked join == brute-force hamming<=3 over int signatures") {
+    val dir = sf("sf0.01")
+    val sigs = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.Kernels.simhashInt48(
+          org.apache.spark.sql.functions.split(col("text"), " ")).as("sh"))
+    val brute = sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        expr("cast(bit_count(a.sh ^ b.sh) as bigint)").as("hamming"))
+      .where(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val blocked = q("dedup_simhash_int", dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty, "expected some hamming<=3 pairs in test data")
+    // pigeonhole blocking is exact for hamming <= 3 over 4×12-bit blocks
+    assert(blocked == brute, s"missed=${(brute -- blocked).take(3)} extra=${(blocked -- brute).take(3)}")
+  }
+
+  test("C79 cascade compaction: planted corpus exercises all six (stage, vs) outcomes") {
+    import spark.implicits._
+    val dir = "target/tmp/cascade-compact"
+    def w(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val A = w(12, "a"); val B = w(12, "b"); val C = w(22, "c"); val D = w(22, "d")
+    // increment = doc_id % 7 IN (2, 4); messy-url canon siblings are
+    // (3p, 3p+2); hand-planted so every (stage, vs) outcome occurs:
+    Seq(
+      (0L, A), (1L, C),            // corpus
+      (2L, A),                     // canon sibling of corpus 0 → url/corpus
+      (9L, B), (11L, w(12, "e")),  // canon pair in-increment: 9 min-keeps, 11 url/increment
+      (16L, B),                    // exact dup of surviving 9 → exact/increment
+      (23L, C + " extra"),         // jacc 0.95 with corpus 1 → neardup/corpus
+      (30L, D), (32L, w(12, "f")), // canon pair in-increment: 30 keeps, 32 url/increment
+      (58L, D + " tail")           // jacc 0.95 with surviving 30 → neardup/increment
+    ).map { case (id, t) => (id, t, "en", "synth", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q("pipeline_dedup_cascade_compact", dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.getString(2)).getOrElse("-"))))
+      .toMap
+    assert(out == Map(
+      2L -> (("url", "corpus")), 9L -> (("kept", "-")),
+      11L -> (("url", "increment")), 16L -> (("exact", "increment")),
+      23L -> (("neardup", "corpus")), 30L -> (("kept", "-")),
+      32L -> (("url", "increment")), 58L -> (("neardup", "increment"))),
+      s"got $out")
+  }
+
   test("C31b weights-table classifier == hashed classifier under the FULL weight table") {
     // the weights path must be a pure mechanism change: handing it a
     // DENSE table carrying exactly the weight the hashed kernel derives
