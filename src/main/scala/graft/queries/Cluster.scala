@@ -79,6 +79,17 @@ object Cluster {
       .select(col("vec_id"),
         transform(col("embedding"),
           v => floor((v.cast("double") + 1.0d) * 1000).cast("long")).as("q"))
+    fitOn(s, x)
+  }
+
+  /** [[fit]] generalized over ANY quantized (vec_id, q: array<long>)
+    * frame — the C39 embeddings run and the C80 RAG chunk-embed run
+    * share this one Lloyd loop, so the two gates can never disagree on
+    * the iteration discipline. Seeds are the k LOWEST vec_ids (for the
+    * embeddings table, ids 0..k−1 — exactly the oracle's
+    * `WHERE vec_id < k`; for sparse id spaces, the row_number form).
+    */
+  private[queries] def fitOn(s: SparkSession, x: DataFrame): (DataFrame, Long, Array[Array[Long]]) = {
     // qd/qq: the double-view and squared-norm each assignment pass needs;
     // computed once and persisted with the quantized vectors so the
     // ITERS+1 passes re-read ~ (id + 64 longs + 64 doubles) per row, not
@@ -86,12 +97,12 @@ object Cluster {
     // corpus spills rather than recomputing per iteration.
     val xd = withDerived(s, x).persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // seeds: the k lowest vec_ids (deterministic, same rule as the
-      // oracle's `WHERE vec_id < k`). Bounded driver collect: k rows.
-      val seedRows = xd.where(col("vec_id") < K)
-        .select(col("vec_id"), col("q")).orderBy(col("vec_id")).collect()
+      // seeds: the k lowest vec_ids (deterministic). Bounded driver
+      // collect: k rows via TakeOrdered.
+      val seedRows = xd.select(col("vec_id"), col("q"))
+        .orderBy(col("vec_id")).limit(K).collect()
       require(seedRows.length == K,
-        s"emb_kmeans expects vec_ids 0..${K - 1} present as seeds; " +
+        s"kmeans expects at least $K vectors to seed from; " +
           s"found ${seedRows.length}")
       var cents: Array[Array[Long]] =
         seedRows.map(_.getSeq[Long](1).toArray)
@@ -159,14 +170,22 @@ object Cluster {
     * nearest final centroid. Generated from the SAME K/ITERS constants
     * as the Spark loop.
     */
-  private[queries] def kmeansCtes: String = {
-    val sb = new StringBuilder
-    sb ++= s"""WITH x AS (
+  private[queries] def kmeansCtes: String =
+    s"""WITH x AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
       |    CAST(floor((unnest(embedding)::DOUBLE + 1.0) * 1000) AS BIGINT) AS m
       |  FROM embeddings),
       |c0 AS (SELECT vec_id AS cluster, d, m AS cent FROM x WHERE vec_id < $K),
-      |""".stripMargin
+      |""".stripMargin + kmeansChainCtes
+
+  /** The iteration chain alone — expects CTEs `x(vec_id, d, m)` and
+    * `c0(cluster, d, cent)` in scope, emits dist/a/s/c rounds ending in
+    * `aF` (final assignment, rn = 1 per vec_id). Shared by [[kmeansCtes]]
+    * (embeddings header) and the C80 RAG oracle (chunk hash-embed
+    * header), so every integer-Lloyd gate replays the SAME chain.
+    */
+  private[queries] def kmeansChainCtes: String = {
+    val sb = new StringBuilder
     for (t <- 1 to ITERS) {
       sb ++= s"""dist$t AS (
         |  SELECT x.vec_id, c.cluster,

@@ -235,6 +235,97 @@ object Events {
         .orderBy(col("event_id"))
     },
 
+    // B33 (r11): FUNNEL — the ordered multi-step conversion analysis
+    // every product-analytics engine ships: per user, first 'view', the
+    // first 'click' strictly after it, the first 'purchase' strictly
+    // after that click, all inside a 24 h window anchored at the view.
+    // Output = steps completed (1..3) + integer-ms step latencies (NULL
+    // where the funnel stopped). SEQUENCING makes this more than three
+    // aggregates: t2 conditions on t1, t3 on t2 — expressed as three
+    // conditional min-aggregations chained through joins, not a
+    // row_number scan over the whole event stream. 100 TB shape: every
+    // groupBy/join keys on user_id, so the three stages co-partition and
+    // AQE reuses the exchange; each stage's input shrinks (clicks of
+    // view-users, purchases of click-users). All comparisons on
+    // timestamps, latencies integer-ms ⇒ hash-gated.
+    Q("q33_funnel",
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2
+        |      FROM events e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1
+        |        AND e.ts <= v.t1 + INTERVAL 24 HOUR
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3
+        |      FROM events e JOIN c ON c.user_id = e.user_id
+        |                    JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |        AND e.ts <= v.t1 + INTERVAL 24 HOUR
+        |      GROUP BY e.user_id)
+        |SELECT v.user_id,
+        |  CAST(1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT AS BIGINT) AS steps,
+        |  CAST(CASE WHEN t2 IS NOT NULL
+        |       THEN (epoch_us(t2) - epoch_us(t1)) // 1000 END AS BIGINT) AS ms_to_click,
+        |  CAST(CASE WHEN t3 IS NOT NULL
+        |       THEN (epoch_us(t3) - epoch_us(t1)) // 1000 END AS BIGINT) AS ms_to_purchase
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |       LEFT JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = e.where(col("event_type") === "click").join(v, "user_id")
+        .where(col("ts") > col("t1") && col("ts") <= col("t1") + expr("INTERVAL 24 HOUR"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = e.where(col("event_type") === "purchase")
+        .join(c, "user_id").join(v, "user_id")
+        .where(col("ts") > col("t2") && col("ts") <= col("t1") + expr("INTERVAL 24 HOUR"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (lit(1L) + col("t2").isNotNull.cast("long")
+            + col("t3").isNotNull.cast("long")).as("steps"),
+          when(col("t2").isNotNull,
+            expr("(unix_micros(t2) - unix_micros(t1)) div 1000")).as("ms_to_click"),
+          when(col("t3").isNotNull,
+            expr("(unix_micros(t3) - unix_micros(t1)) div 1000")).as("ms_to_purchase"))
+        .orderBy(col("user_id"))
+    },
+
+    // B34 (r11): RETENTION / cohort matrix — the second classic of
+    // product analytics: users cohorted by their signup week (integer
+    // week index = epoch_us div the week's microseconds — no calendar
+    // arithmetic to disagree on), each later active week recorded as an
+    // integer offset from THEIR signup; the matrix cell is distinct
+    // users. 100 TB shape: one slim (user_id, min ts) agg, one
+    // co-partitioned join back to the event stream, one distinct on
+    // (cohort, offset, user) that map-side combines — the event payload
+    // never moves. All integer ⇒ hash-gated.
+    Q("q34_retention",
+      """WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+        |           WHERE event_type = 'signup' GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id,
+        |        epoch_us(s.t0) // 604800000000 AS cohort_wk,
+        |        (epoch_us(e.ts) - epoch_us(s.t0)) // 604800000000 AS offset_wk
+        |      FROM events e JOIN s ON s.user_id = e.user_id
+        |      WHERE e.ts >= s.t0)
+        |SELECT cohort_wk, offset_wk, count(*) AS users
+        |FROM a GROUP BY cohort_wk, offset_wk
+        |ORDER BY cohort_wk, offset_wk""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      val s0 = e.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      e.join(s0, "user_id")
+        .where(col("ts") >= col("t0"))
+        .select(col("user_id"),
+          expr("unix_micros(t0) div 604800000000").as("cohort_wk"),
+          expr("(unix_micros(ts) - unix_micros(t0)) div 604800000000").as("offset_wk"))
+        .distinct()
+        .groupBy(col("cohort_wk"), col("offset_wk"))
+        .agg(count(lit(1)).as("users"))
+        .orderBy(col("cohort_wk"), col("offset_wk"))
+    },
+
     // D1-gate: the STREAMING form of q20, run to completion through
     // Structured Streaming (AvailableNow trigger → complete-mode memory
     // sink) and gated against the SAME DuckDB oracle as the batch query

@@ -754,6 +754,63 @@ object Text {
       |    AS chunk_text
       |FROM e ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** C80 oracle: chunk → hash-embed → integer-Lloyd chain, every
+    * fragment the SQL twin of the shared implementation it gates
+    * (chunkSplit / featureHashVec / Cluster.kmeansChainCtes).
+    */
+  private[graft] lazy val ragIndexSql: String =
+    s"""WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |         len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n,
+      |    CASE WHEN n <= $ChunkLen THEN 1
+      |         ELSE (n - $ChunkLen + ${ChunkStride - 1}) // $ChunkStride + 1 END AS n_chunks,
+      |    ws FROM w),
+      |ch AS (
+      |  SELECT doc_id, CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_id, n, ws
+      |  FROM c),
+      |cid AS (
+      |  SELECT doc_id, chunk_id, doc_id * 4096 + chunk_id AS cid,
+      |    array_to_string(list_slice(ws, chunk_id * $ChunkStride + 1,
+      |      chunk_id * $ChunkStride + least($ChunkLen, n - chunk_id * $ChunkStride)), ' ')
+      |      AS chunk_text
+      |  FROM ch),
+      |toks AS (
+      |  SELECT cid, unnest(string_split(chunk_text, ' ')) AS tok,
+      |         generate_subscripts(string_split(chunk_text, ' '), 1) AS j
+      |  FROM cid),
+      |chars AS (
+      |  SELECT cid, j, ascii(unnest(string_split(tok, ''))) AS a,
+      |         generate_subscripts(string_split(tok, ''), 1) AS i
+      |  FROM toks WHERE len(tok) > 0),
+      |th AS (
+      |  SELECT cid, j, (sum(a * (1 + (131 * i) % 997)) % 1048576) AS hh
+      |  FROM chars GROUP BY cid, j),
+      |e AS (
+      |  SELECT cid, hh % 16 AS dim,
+      |         CASE WHEN (hh // 16) % 2 = 0 THEN 1 ELSE -1 END AS s
+      |  FROM th),
+      |g AS (SELECT cid, dim, CAST(sum(s) AS BIGINT) AS v
+      |      FROM e GROUP BY cid, dim),
+      |dd AS (SELECT c.cid, r.range AS dim FROM cid c, range(16) r),
+      |x AS (SELECT dd.cid AS vec_id, dd.dim AS d,
+      |        COALESCE(g.v, 0) + $ChunkLen AS m
+      |      FROM dd LEFT JOIN g ON g.cid = dd.cid AND g.dim = dd.dim),
+      |seeds AS (
+      |  SELECT cid, cluster FROM (
+      |    SELECT cid, row_number() OVER (ORDER BY cid) - 1 AS cluster
+      |    FROM (SELECT DISTINCT cid FROM cid))
+      |  WHERE cluster < 8),
+      |c0 AS (SELECT s.cluster, x.d, x.m AS cent
+      |       FROM x JOIN seeds s ON s.cid = x.vec_id),
+      |${Cluster.kmeansChainCtes}
+      |SELECT c.doc_id, c.chunk_id, CAST(aF.cluster AS BIGINT) AS cluster, aF.dist
+      |FROM aF JOIN cid c ON c.cid = aF.vec_id
+      |WHERE aF.rn = 1
+      |ORDER BY c.doc_id, c.chunk_id""".stripMargin
+
   // ------------------------------------------------ C52/D16 topic tags
 
   /** The curated keyword taxonomy (bounded artifact; compiles into the
@@ -3217,6 +3274,37 @@ object Text {
     // feed C22 unchanged (doc_id, tokens) downstream.
     Q("text_chunk_split", chunkSplitSql) { (s, dir) =>
       chunkSplit(docs(s, dir)).orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // C80 (r11): the RAG INDEX BUILD — the end-to-end pipeline a
+    // retrieval deployment runs over the corpus: C55's chunking → C61's
+    // hashing-trick embedding per chunk (16-dim signed integer counts,
+    // shifted +32 so every component is non-negative and floor-mean ==
+    // truncating division in both engines) → C39's distributed integer
+    // Lloyd k-means (K=8, 4 rounds, seeds = the 8 lowest chunk keys) →
+    // the per-chunk cell assignment that IS the index. Every stage is
+    // integer-decidable, and all three stages reuse the ONE shared
+    // implementation (chunkSplit, featureHashVec, Cluster.fitOn /
+    // kmeansChainCtes), so this gate also pins that the composed
+    // pipeline equals its parts. 100 TB shape: chunk+embed is one
+    // map-only pass (text never shuffles — the 16-long vector does),
+    // Lloyd is C39's k·dim-bounded-collect loop, assignment rides the
+    // centroid literals at scan speed; the output partitions by cell
+    // exactly like the persisted ANN artifact (C8g) for probe-time
+    // pruning. Hash-gated ×2 scales.
+    Q("pipeline_rag_index", ragIndexSql) { (s, dir) =>
+      val ch = chunkSplit(docs(s, dir))
+        .select((col("doc_id") * 4096 + col("chunk_id")).as("vec_id"),
+          col("doc_id"), col("chunk_id"),
+          graft.functions.Kernels.featureHashVec(16)(split(col("chunk_text"), " ")).as("hv"))
+      val x = ch.select(col("vec_id"),
+        transform(col("hv"), v => v + lit(32L)).as("q"))
+      val (assign, _, _) = Cluster.fitOn(s, x)
+      ch.select(col("vec_id"), col("doc_id"), col("chunk_id"))
+        .join(assign, "vec_id")
+        .select(col("doc_id"), col("chunk_id"),
+          col("cluster").cast("long").as("cluster"), col("dist"))
+        .orderBy(col("doc_id"), col("chunk_id"))
     },
 
     // D18 (r9): C55 at INGEST — chunking as documents land (the shape a
