@@ -178,6 +178,12 @@ object Cluster {
       |c0 AS (SELECT vec_id AS cluster, d, m AS cent FROM x WHERE vec_id < $K),
       |""".stripMargin + kmeansChainCtes
 
+  /** Name of the chain's final-centroid CTE (`c<ITERS>`) — consumers
+    * that score against the trained model (the C81 probe oracle) must
+    * reference the same round the chain ends on.
+    */
+  private[queries] def kmeansFinalCentsCte: String = s"c$ITERS"
+
   /** The iteration chain alone — expects CTEs `x(vec_id, d, m)` and
     * `c0(cluster, d, cent)` in scope, emits dist/a/s/c rounds ending in
     * `aF` (final assignment, rn = 1 per vec_id). Shared by [[kmeansCtes]]

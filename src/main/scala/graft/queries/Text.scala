@@ -754,11 +754,13 @@ object Text {
       |    AS chunk_text
       |FROM e ORDER BY doc_id, chunk_id""".stripMargin
 
-  /** C80 oracle: chunk → hash-embed → integer-Lloyd chain, every
-    * fragment the SQL twin of the shared implementation it gates
-    * (chunkSplit / featureHashVec / Cluster.kmeansChainCtes).
+  /** C80/D33/C81 shared oracle prefix: chunk → hash-embed →
+    * integer-Lloyd chain, every fragment the SQL twin of the shared
+    * implementation it gates (chunkSplit / featureHashVec /
+    * Cluster.kmeansChainCtes); ends at `aF` with `cid` and `x` in scope
+    * for downstream consumers.
     */
-  private[graft] lazy val ragIndexSql: String =
+  private[graft] lazy val ragCtes: String =
     s"""WITH w AS (
       |  SELECT doc_id, string_split(text, ' ') AS ws,
       |         len(string_split(text, ' ')) AS n
@@ -805,11 +807,68 @@ object Text {
       |  WHERE cluster < 8),
       |c0 AS (SELECT s.cluster, x.d, x.m AS cent
       |       FROM x JOIN seeds s ON s.cid = x.vec_id),
-      |${Cluster.kmeansChainCtes}
+      |${Cluster.kmeansChainCtes}""".stripMargin
+
+  private[graft] lazy val ragIndexSql: String =
+    s"""$ragCtes
       |SELECT c.doc_id, c.chunk_id, CAST(aF.cluster AS BIGINT) AS cluster, aF.dist
       |FROM aF JOIN cid c ON c.cid = aF.vec_id
       |WHERE aF.rn = 1
       |ORDER BY c.doc_id, c.chunk_id""".stripMargin
+
+  /** C81 oracle: query-side hash-embed (FULL document text, doc_id <
+    * 10), nearest trained cell by integer L2, exact integer-L2 rank of
+    * the probed cell's chunks, top-5. The query embeds get the same +32
+    * shift as the corpus (translation cancels in every difference; the
+    * non-negativity only training needed doesn't apply to probes).
+    */
+  private[graft] lazy val ragProbeSql: String =
+    s"""$ragCtes,
+      |qdoc AS (SELECT doc_id AS q_id, text FROM documents WHERE doc_id < 10),
+      |qtoks AS (
+      |  SELECT q_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS j
+      |  FROM qdoc),
+      |qchars AS (
+      |  SELECT q_id, j, ascii(unnest(string_split(tok, ''))) AS a,
+      |         generate_subscripts(string_split(tok, ''), 1) AS i
+      |  FROM qtoks WHERE len(tok) > 0),
+      |qth AS (
+      |  SELECT q_id, j, (sum(a * (1 + (131 * i) % 997)) % 1048576) AS hh
+      |  FROM qchars GROUP BY q_id, j),
+      |qe AS (
+      |  SELECT q_id, hh % 16 AS dim,
+      |         CASE WHEN (hh // 16) % 2 = 0 THEN 1 ELSE -1 END AS s
+      |  FROM qth),
+      |qg AS (SELECT q_id, dim, CAST(sum(s) AS BIGINT) AS v
+      |       FROM qe GROUP BY q_id, dim),
+      |qdd AS (SELECT q.q_id, r.range AS dim FROM qdoc q, range(16) r),
+      |qx AS (SELECT qdd.q_id, qdd.dim AS d, COALESCE(qg.v, 0) + $ChunkLen AS m
+      |       FROM qdd LEFT JOIN qg ON qg.q_id = qdd.q_id AND qg.dim = qdd.dim),
+      |qdist AS (
+      |  SELECT qx.q_id, c.cluster,
+      |    CAST(sum((qx.m - c.cent) * (qx.m - c.cent)) AS BIGINT) AS dist
+      |  FROM qx JOIN ${Cluster.kmeansFinalCentsCte} c ON c.d = qx.d
+      |  GROUP BY qx.q_id, c.cluster),
+      |qcell AS (SELECT q_id, cluster FROM (
+      |    SELECT q_id, cluster, row_number() OVER (
+      |        PARTITION BY q_id ORDER BY dist, cluster) AS rn
+      |    FROM qdist) WHERE rn = 1),
+      |sc AS (
+      |  SELECT qc.q_id, ax.vec_id,
+      |    CAST(sum((qx.m - x.m) * (qx.m - x.m)) AS BIGINT) AS l2
+      |  FROM qcell qc
+      |  JOIN aF ax ON ax.cluster = qc.cluster AND ax.rn = 1
+      |  JOIN x ON x.vec_id = ax.vec_id
+      |  JOIN qx ON qx.q_id = qc.q_id AND qx.d = x.d
+      |  GROUP BY qc.q_id, ax.vec_id),
+      |rk AS (SELECT q_id, vec_id, l2, row_number() OVER (
+      |         PARTITION BY q_id ORDER BY l2, vec_id) AS rank
+      |       FROM sc)
+      |SELECT rk.q_id, CAST(rk.rank AS BIGINT) AS rank, c.doc_id, c.chunk_id, rk.l2
+      |FROM rk JOIN cid c ON c.cid = rk.vec_id
+      |WHERE rk.rank <= 5
+      |ORDER BY rk.q_id, rk.rank""".stripMargin
 
   // ------------------------------------------------ C52/D16 topic tags
 
@@ -3305,6 +3364,83 @@ object Text {
         .select(col("doc_id"), col("chunk_id"),
           col("cluster").cast("long").as("cluster"), col("dist"))
         .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // C81 (r11): the RAG PROBE — querying the C80 index: a probe text
+    // hash-embeds into the same 16-dim integer space, routes to its
+    // nearest trained cell (integer L2 against the k·dim centroid
+    // literals — the IVF nprobe=1 read path), and ranks ONLY that
+    // cell's chunks by exact integer L2, top-5. With C80/D33 this
+    // completes the retrieval lifecycle: build, ingest, serve. Every
+    // number integer ⇒ hash-gated; ties break (l2, chunk key) in both
+    // engines. 100 TB shape: the probe set (10 queries) broadcasts into
+    // an equi-join on the cell id of a cell-partitioned index — only
+    // probed cells are scanned (the C8g partition-prune discipline),
+    // the corpus never re-shuffles per query batch.
+    Q("pipeline_rag_probe", ragProbeSql) { (s, dir) =>
+      val ch = chunkSplit(docs(s, dir))
+        .select((col("doc_id") * 4096 + col("chunk_id")).as("vec_id"),
+          col("doc_id"), col("chunk_id"),
+          graft.functions.Kernels.featureHashVec(16)(split(col("chunk_text"), " ")).as("hv"))
+      val x = ch.select(col("vec_id"),
+        transform(col("hv"), v => v + lit(32L)).as("q"))
+      val (assign, _, cents) = Cluster.fitOn(s, x)
+      val corpus = Cluster.withDerived(s, x).join(assign, "vec_id")
+        .select(col("vec_id").as("c_vec"), col("cluster"),
+          col("qd").as("cd"), col("qq").as("cc"))
+      val qs0 = docs(s, dir).where(col("doc_id") < 10)
+        .select(col("doc_id").as("q_id"),
+          transform(graft.functions.Kernels.featureHashVec(16)(words),
+            v => v + lit(32L)).as("q"))
+      val qs = Cluster.assigned(s, Cluster.withDerived(s, qs0), cents)
+        .select(col("q_id"), col("cluster"), col("qd"), col("qq"))
+      val scored = corpus.join(broadcast(qs), "cluster")
+        .select(col("q_id"), col("c_vec"),
+          (col("qq") - lit(2.0d) * graft.functions.Native.dot(s, col("qd"), col("cd"))
+            + col("cc")).cast("long").as("l2"))
+      val ranked = scored.withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("q_id")).orderBy(col("l2"), col("c_vec"))))
+        .where(col("rank") <= 5)
+      ranked.join(ch.select(col("vec_id").as("c_vec"), col("doc_id"), col("chunk_id")), "c_vec")
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("chunk_id"), col("l2"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+
+    // D33 (r11): C80 at INGEST — the RAG index's write path: documents
+    // arriving as a stream fan out to chunks, hash-embed, and take
+    // their cell assignment against the FROZEN corpus-trained quantizer
+    // immediately (the D11 frozen-model discipline applied to the full
+    // chunk pipeline — at 100 TB this is how the retrieval index stays
+    // current without re-clustering per batch; retraining is C8i's
+    // trigger's job). The model trains batch-side before the stream
+    // starts (Cluster.fitOn, k·dim literals), the stream is a stateless
+    // explode + projection — no watermark, no state store; gated by the
+    // SAME oracle as batch C80 (driver-checked batch/stream parity, the
+    // D18 pattern).
+    Q("pipeline_rag_assign_stream", ragIndexSql) { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        val chB = chunkSplit(docs(s, dir))
+          .select((col("doc_id") * 4096 + col("chunk_id")).as("vec_id"),
+            graft.functions.Kernels.featureHashVec(16)(split(col("chunk_text"), " ")).as("hv"))
+        val (_, _, cents) = Cluster.fitOn(s,
+          chB.select(col("vec_id"), transform(col("hv"), v => v + lit(32L)).as("q")))
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val chS = chunkSplit(stream)
+          .select(col("doc_id"), col("chunk_id"),
+            graft.functions.Kernels.featureHashVec(16)(split(col("chunk_text"), " ")).as("hv"))
+          .select(col("doc_id"), col("chunk_id"),
+            transform(col("hv"), v => v + lit(32L)).as("q"))
+        val assignedS = Cluster.assigned(s, Cluster.withDerived(s, chS), cents)
+          .select(col("doc_id"), col("chunk_id"),
+            col("cluster").cast("long").as("cluster"), col("dist"))
+        Events.runToAppendSink(s, "rag_assign_sink_", assignedS)
+          .orderBy(col("doc_id"), col("chunk_id"))
+      }
     },
 
     // D18 (r9): C55 at INGEST — chunking as documents land (the shape a

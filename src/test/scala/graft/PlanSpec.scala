@@ -770,6 +770,32 @@ class PlanSpec extends SparkSpec {
   // localCheckpoint — the returned plan is a cached-block scan, the
   // documented Pinned-checkpoint plan-assert limitation)
 
+  test("pipeline_rag_probe: query set broadcasts into the cell equi-join; no all-pairs scan") {
+    val p = planStr("pipeline_rag_probe")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the 10-query probe set broadcast into the cluster join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the cell equi-join, never an all-pairs scan:\n$p")
+  }
+
+  test("q33_funnel: all three stages are equi-joins on user_id; no nested-loop step") {
+    val p = planStr("q33_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the sequenced min-aggregations must chain through equi-joins:\n$p")
+  }
+
+  test("dedup_minhash_int: candidates meet in the band-bucket equi-join only") {
+    val p = planStr("dedup_minhash_int")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banding exists to avoid the all-pairs scan:\n$p")
+  }
+
+  test("text_fim_transform: a pure projection — no exchange except the presentation sort") {
+    val p = planStr("text_fim_transform")
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 1,
+      s"FIM is per-row arithmetic; nothing should shuffle before the sort:\n$p")
+  }
+
   test("media_text_pair_dedup: one signature-window shuffle + presentation sort only") {
     // the conjunction key is 40 B of (hash, digest) — the payload and
     // caption must never reach an exchange
