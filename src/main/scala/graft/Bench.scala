@@ -23,7 +23,8 @@ object Bench {
       "text_langid_stream", "text_gopher_rules_stream", "corpus_drift_stream",
       "text_url_dedup_stream", "media_text_pair_stream",
       "ann_probe_stream", "inv_ann_probe_stream_parity",
-      "pipeline_dedup_cascade_stream", "inv_cascade_stream_parity")
+      "pipeline_dedup_cascade_stream", "inv_cascade_stream_parity",
+      "pipeline_rag_assign_stream")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -95,11 +95,19 @@ object Kernels extends Serializable {
 
   /** 48-bit SQL-restatable simhash over a word array (multiplicity
     * preserved, like [[simhash64]]): slot k's vote for word w is the low
-    * bit of the affine rehash (hashCp(w)·(2k+1) + 40503k) mod 2³¹−1 —
-    * 48 independent single-bit hashes derived from one base hash, every
-    * step integer arithmetic DuckDB restates verbatim. 48 slots (not 64)
-    * keep `sum(bit << k)` and the 4×12-bit pigeonhole blocks inside
-    * signed-BIGINT range on both engines.
+    * bit of (hashCp(w)·(2654435761 + 2k) + k·2246822519) mod 2³¹−1 —
+    * 48 single-bit hashes from one base hash, every step integer
+    * arithmetic DuckDB restates verbatim. The multiplier must EXCEED the
+    * modulus (the C8m `lshW` lesson, rediscovered here the hard way): a
+    * small-multiplier form like h·(2k+1)+40503k stays below 2³¹−1 for
+    * every short word, the mod never wraps, and the low bit degenerates
+    * to parity(h)⊕parity(k) — identical vote patterns across all slots
+    * collapsed signatures and emitted 10.1M hamming≤3 pairs at sf1 where
+    * the 64-bit float form emits 13.9k. With the wrapping multiplier the
+    * product h·(2.65e9+2k) ≤ 5.7e18 stays inside signed-64 on both
+    * engines and every slot votes independently. 48 slots (not 64) keep
+    * `sum(bit << k)` and the 4×12-bit pigeonhole blocks inside
+    * signed-BIGINT semantics both engines share.
     */
   val simhashInt48: Column => Column = {
     val f = udf { words: Seq[String] =>
@@ -108,7 +116,7 @@ object Kernels extends Serializable {
         val h = hashCp(w)
         var k = 0
         while (k < 48) {
-          if (((h * (2L * k + 1) + 40503L * k) % P31 & 1L) == 1L) votes(k) += 1
+          if (((h * (2654435761L + 2L * k) + k * 2246822519L) % P31 & 1L) == 1L) votes(k) += 1
           else votes(k) -= 1
           k += 1
         }

@@ -1202,14 +1202,20 @@ object Dedup {
 
     // C5b (r11): the HASH-GATED SimHash — 48 single-bit hashes derived
     // from the same SQL-restatable codepoint base hash (slot k's vote is
-    // the LOW BIT of the affine rehash mod 2³¹−1), votes summed with
-    // word multiplicity, sign → bit; candidates via the 4×12-bit
-    // pigeonhole block join (hamming ≤ 3 over 4 blocks ⇒ one block
-    // equal — candidate generation is EXACT, not approximate), verified
-    // by popcount on the XOR. 48 bits, not 64, keeps every intermediate
-    // (bit << k sums, block values) inside signed-BIGINT semantics both
-    // engines share. Every step integer ⇒ full rows+schema+hash gate;
-    // the float-free analogue of C5's production form.
+    // the low bit of a WRAPPING large-multiplier rehash mod 2³¹−1 — see
+    // Kernels.simhashInt48 for the degenerate-parity pitfall the first
+    // form hit), votes summed with word multiplicity, sign → bit;
+    // candidates via the 2×24-bit pigeonhole block join (hamming ≤ 1
+    // over 2 blocks ⇒ one block equal — candidate generation is EXACT,
+    // not approximate), verified by popcount on the XOR. Radius 1 on 48
+    // bits (≥97.9% vote agreement) is the calibrated near-dup bar for
+    // this corpus: radius 3 admits the template-quadratic tail (1.04M
+    // pairs at sf1 vs the float 64-bit form's 13.9k) — the pair set
+    // must stay linear-ish in the corpus for the operator to ship at
+    // 100 TB. 48 bits keeps every intermediate (bit << k sums, block
+    // values) inside signed-BIGINT semantics both engines share. Every
+    // step integer ⇒ full rows+schema+hash gate; the float-free
+    // analogue of C5's production form.
     Q("dedup_simhash_int",
       """WITH wx AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
@@ -1222,27 +1228,28 @@ object Dedup {
         |       FROM wx),
         |bits AS (
         |  SELECT doc_id, k.k,
-        |    CASE WHEN sum(CASE WHEN ((h * (2 * k.k + 1) + 40503 * k.k) % 2147483647) & 1 = 1
+        |    CASE WHEN sum(CASE WHEN ((h * (2654435761 + 2 * k.k) + k.k * 2246822519)
+        |                             % 2147483647) & 1 = 1
         |                       THEN 1 ELSE -1 END) > 0
         |         THEN 1 ELSE 0 END AS bit
         |  FROM wh, range(0, 48) k(k)
         |  GROUP BY doc_id, k.k),
         |sig AS (SELECT doc_id, sum(CAST(bit AS BIGINT) << CAST(k AS INT)) AS sh
         |        FROM bits GROUP BY doc_id),
-        |blk AS (SELECT doc_id, sh, b.b, (sh >> CAST(b.b * 12 AS INT)) & 4095 AS bval
-        |        FROM sig, range(0, 4) b(b)),
+        |blk AS (SELECT doc_id, sh, b.b, (sh >> CAST(b.b * 24 AS INT)) & 16777215 AS bval
+        |        FROM sig, range(0, 2) b(b)),
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
         |           a.sh AS sha, b.sh AS shb
         |         FROM blk a JOIN blk b
         |           ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id)
         |SELECT a_id, b_id, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
-        |FROM cand WHERE bit_count(xor(sha, shb)) <= 3
+        |FROM cand WHERE bit_count(xor(sha, shb)) <= 1
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       val sigs = docs(s, dir).where(col("text").isNotNull)
         .select(col("doc_id"),
           graft.functions.Kernels.simhashInt48(split(col("text"), " ")).as("sh"))
       val blocked = sigs.selectExpr("doc_id", "sh",
-        "explode(transform(sequence(0,3), b -> struct(b as blk, shiftright(sh, cast(b*12 as int)) & 4095 as bval))) as x")
+        "explode(transform(sequence(0,1), b -> struct(b as blk, shiftright(sh, cast(b*24 as int)) & 16777215 as bval))) as x")
         .select(col("doc_id"), col("sh"), col("x.blk"), col("x.bval"))
       val cands = blocked.as("a").join(blocked.as("b"),
           col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
@@ -1253,7 +1260,7 @@ object Dedup {
       cands
         .select(col("a_id"), col("b_id"),
           expr("cast(bit_count(sha ^ shb) as bigint)").as("hamming"))
-        .where(col("hamming") <= 3)
+        .where(col("hamming") <= 1)
         .orderBy(col("a_id"), col("b_id"))
     },
 

@@ -73,7 +73,7 @@ class DedupAnnSpec extends SparkSpec {
     assert(intPairs == exact, s"missed=${exact -- intPairs} extra=${intPairs -- exact}")
   }
 
-  test("C5b dedup_simhash_int blocked join == brute-force hamming<=3 over int signatures") {
+  test("C5b dedup_simhash_int blocked join == brute-force hamming<=1 over int signatures") {
     val dir = sf("sf0.01")
     val sigs = spark.read.parquet(s"$dir/documents.parquet")
       .where(col("text").isNotNull)
@@ -83,12 +83,12 @@ class DedupAnnSpec extends SparkSpec {
     val brute = sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         expr("cast(bit_count(a.sh ^ b.sh) as bigint)").as("hamming"))
-      .where(col("hamming") <= 3)
+      .where(col("hamming") <= 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val blocked = q("dedup_simhash_int", dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(brute.nonEmpty, "expected some hamming<=3 pairs in test data")
-    // pigeonhole blocking is exact for hamming <= 3 over 4×12-bit blocks
+    assert(brute.nonEmpty, "expected some hamming<=1 pairs in test data")
+    // pigeonhole blocking is exact for hamming <= 1 over 2×24-bit blocks
     assert(blocked == brute, s"missed=${(brute -- blocked).take(3)} extra=${(blocked -- brute).take(3)}")
   }
 
