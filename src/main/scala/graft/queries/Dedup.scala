@@ -408,6 +408,84 @@ object Dedup {
           .otherwise(lit("kept")).as("stage"))
   }
 
+  /** C79's staged compaction verdicts over any miner — the ONE
+    * implementation behind `pipeline_dedup_cascade_compact` (exact
+    * miner) and `_minhash` (C76's banded miner), so the two forms can
+    * never disagree on the staged rule itself. Returns (doc_id, stage,
+    * vs) for every increment doc.
+    *
+    * Increment = doc_id % 7 IN (2, 4) — NOT D32's doc_id%3 ingest
+    * convention: the synthetic messy URLs key their fetch variants on
+    * doc_id%3, so a %3 split makes EVERY increment canon collide with a
+    * corpus sibling by construction and the url stage swallows the whole
+    * gate. %7 over {2,4} decorrelates from the variant layout (sibling
+    * offsets are 1/2 mod 7) AND co-places both url-siblings of some
+    * pages, both ends of some near-dup pairs (sf0.01), and both members
+    * of an exact-dup group (sf0.1) inside the increment — every
+    * (stage, vs) outcome occurs at gate scale.
+    */
+  private[queries] def cascadeCompactStages(s: SparkSession, dir: String,
+      miner: DataFrame => DataFrame = ngramJaccardPairs(_, 4, 5)): DataFrame = {
+    ensureLocalCkptDir(s)
+    val d = docs(s, dir)
+    val coinIncr = (c: Column) => (c % 7).isin(2L, 4L)
+    val isIncr = coinIncr(col("doc_id"))
+    val keyed = (df: DataFrame) => df.select(col("doc_id"),
+      Text.canonicalUrlCol(Text.messyUrlCol).as("canon"),
+      unhex(sha2(normText, 256)).as("h"))
+    val corpusK = keyed(d.where(!isIncr))
+    val ik = keyed(d.where(isIncr))
+    // stage 1: url — corpus membership first, then min-id per canon
+    // within the increment (slim key columns only; text never moves)
+    val s1 = ik
+      .join(corpusK.select(col("canon")).distinct().withColumn("uc", lit(1)),
+        Seq("canon"), "left")
+      .withColumn("minc", min(col("doc_id")).over(Window.partitionBy(col("canon"))))
+      .select(col("doc_id"), col("h"),
+        when(col("uc") === 1, lit("corpus"))
+          .when(col("doc_id") =!= col("minc"), lit("increment")).as("url_vs"))
+    // stage 2: exact over url survivors — same two-rung rule on digests
+    val s2 = s1.where(col("url_vs").isNull)
+      .join(corpusK.select(col("h")).distinct().withColumn("ec", lit(1)),
+        Seq("h"), "left")
+      .withColumn("minh", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .select(col("doc_id"),
+        when(col("ec") === 1, lit("corpus"))
+          .when(col("doc_id") =!= col("minh"), lit("increment")).as("exact_vs"))
+    val survivors = s2.where(col("exact_vs").isNull).select(col("doc_id"))
+    // stage 3: the miner over corpus ∪ surviving increment; only pairs
+    // touching an increment doc matter downstream
+    val minedInput = d.where(!isIncr).select(col("doc_id"), col("text"))
+      .unionByName(d.join(survivors, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text")))
+    val pairs = Pinned.track(
+      miner(minedInput).localCheckpoint(true)) // feeds 3 consumers
+    val aIncr = coinIncr(col("a_id"))
+    val bIncr = coinIncr(col("b_id"))
+    val nc = pairs.where(aIncr && !bIncr).select(col("a_id").as("doc_id"))
+      .unionByName(pairs.where(!aIncr && bIncr).select(col("b_id").as("doc_id")))
+      .distinct()
+    val remaining = survivors.join(nc, Seq("doc_id"), "left_anti")
+    val ii = pairs.where(aIncr && bIncr)
+      .join(remaining.select(col("doc_id").as("a_id")), Seq("a_id"), "left_semi")
+      .join(remaining.select(col("doc_id").as("b_id")), Seq("b_id"), "left_semi")
+    val ni = connectedComponents(ii.select(col("a_id"), col("b_id")))
+      .where(col("id") =!= col("label")).select(col("id").as("doc_id"))
+    ik.select(col("doc_id"))
+      .join(s1.select(col("doc_id"), col("url_vs")), Seq("doc_id"), "left")
+      .join(s2.select(col("doc_id"), col("exact_vs")), Seq("doc_id"), "left")
+      .join(nc.withColumn("ncf", lit(1)), Seq("doc_id"), "left")
+      .join(ni.withColumn("nif", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("url_vs").isNotNull, lit("url"))
+          .when(col("exact_vs").isNotNull, lit("exact"))
+          .when(col("ncf") === 1 || col("nif") === 1, lit("neardup"))
+          .otherwise(lit("kept")).as("stage"),
+        coalesce(col("url_vs"), col("exact_vs"),
+          when(col("ncf") === 1, lit("corpus"))
+            .when(col("nif") === 1, lit("increment"))).as("vs"))
+  }
+
   /** The cascade's stage verdicts as a PERSISTED, fingerprint-keyed
     * artifact (the ann_ivf_probe / tokenizer-artifact discipline):
     * downstream reports that consume the dedup decision (C75
@@ -2339,74 +2417,21 @@ object Dedup {
         |LEFT JOIN ni ON ni.doc_id = b.doc_id
         |WHERE b.is_incr
         |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
-      ensureLocalCkptDir(s)
-      val d = docs(s, dir)
-      // increment = doc_id % 7 IN (2, 4) — NOT D32's doc_id%3 ingest
-      // convention: the synthetic messy URLs key their fetch variants on
-      // doc_id%3, so a %3 split makes EVERY increment canon collide with
-      // a corpus sibling by construction and the url stage swallows the
-      // whole gate. %7 over {2,4} decorrelates from the variant layout
-      // (sibling offsets are 1/2 mod 7) AND co-places both url-siblings
-      // of some pages, both ends of some near-dup pairs (sf0.01), and
-      // both members of an exact-dup group (sf0.1) inside the increment
-      // — every (stage, vs) outcome occurs at gate scale
-      val coinIncr = (c: Column) => (c % 7).isin(2L, 4L)
-      val isIncr = coinIncr(col("doc_id"))
-      val keyed = (df: DataFrame) => df.select(col("doc_id"),
-        Text.canonicalUrlCol(Text.messyUrlCol).as("canon"),
-        unhex(sha2(normText, 256)).as("h"))
-      val corpusK = keyed(d.where(!isIncr))
-      val ik = keyed(d.where(isIncr))
-      // stage 1: url — corpus membership first, then min-id per canon
-      // within the increment (slim key columns only; text never moves)
-      val s1 = ik
-        .join(corpusK.select(col("canon")).distinct().withColumn("uc", lit(1)),
-          Seq("canon"), "left")
-        .withColumn("minc", min(col("doc_id")).over(Window.partitionBy(col("canon"))))
-        .select(col("doc_id"), col("h"),
-          when(col("uc") === 1, lit("corpus"))
-            .when(col("doc_id") =!= col("minc"), lit("increment")).as("url_vs"))
-      // stage 2: exact over url survivors — same two-rung rule on digests
-      val s2 = s1.where(col("url_vs").isNull)
-        .join(corpusK.select(col("h")).distinct().withColumn("ec", lit(1)),
-          Seq("h"), "left")
-        .withColumn("minh", min(col("doc_id")).over(Window.partitionBy(col("h"))))
-        .select(col("doc_id"),
-          when(col("ec") === 1, lit("corpus"))
-            .when(col("doc_id") =!= col("minh"), lit("increment")).as("exact_vs"))
-      val survivors = s2.where(col("exact_vs").isNull).select(col("doc_id"))
-      // stage 3: the exact miner over corpus ∪ surviving increment; only
-      // pairs touching an increment doc matter downstream
-      val minedInput = d.where(!isIncr).select(col("doc_id"), col("text"))
-        .unionByName(d.join(survivors, Seq("doc_id"), "left_semi")
-          .select(col("doc_id"), col("text")))
-      val pairs = Pinned.track(
-        ngramJaccardPairs(minedInput, 4, 5).localCheckpoint(true)) // feeds 3 consumers
-      val aIncr = coinIncr(col("a_id"))
-      val bIncr = coinIncr(col("b_id"))
-      val nc = pairs.where(aIncr && !bIncr).select(col("a_id").as("doc_id"))
-        .unionByName(pairs.where(!aIncr && bIncr).select(col("b_id").as("doc_id")))
-        .distinct()
-      val remaining = survivors.join(nc, Seq("doc_id"), "left_anti")
-      val ii = pairs.where(aIncr && bIncr)
-        .join(remaining.select(col("doc_id").as("a_id")), Seq("a_id"), "left_semi")
-        .join(remaining.select(col("doc_id").as("b_id")), Seq("b_id"), "left_semi")
-      val ni = connectedComponents(ii.select(col("a_id"), col("b_id")))
-        .where(col("id") =!= col("label")).select(col("id").as("doc_id"))
-      ik.select(col("doc_id"))
-        .join(s1.select(col("doc_id"), col("url_vs")), Seq("doc_id"), "left")
-        .join(s2.select(col("doc_id"), col("exact_vs")), Seq("doc_id"), "left")
-        .join(nc.withColumn("ncf", lit(1)), Seq("doc_id"), "left")
-        .join(ni.withColumn("nif", lit(1)), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(col("url_vs").isNotNull, lit("url"))
-            .when(col("exact_vs").isNotNull, lit("exact"))
-            .when(col("ncf") === 1 || col("nif") === 1, lit("neardup"))
-            .otherwise(lit("kept")).as("stage"),
-          coalesce(col("url_vs"), col("exact_vs"),
-            when(col("ncf") === 1, lit("corpus"))
-              .when(col("nif") === 1, lit("increment"))).as("vs"))
-        .orderBy(col("doc_id"))
+      cascadeCompactStages(s, dir).orderBy(col("doc_id"))
+    },
+
+    // C79b (r11): the AT-SCALE compaction — C79's staged fold with
+    // stage 3 mining through C4's MinHash(128)+32×4 banding instead of
+    // the exact prefix-filtered miner (the C76 seam applied to the
+    // compact job: at 100 TB the exact miner over corpus ∪ increment is
+    // the fold's dominant, superlinear term — 17.2 s at sf1 vs the
+    // banded form's bucket-local candidates). LSH candidates re-verify
+    // with the SAME exact gram Jaccard, so minhash pairs ⊆ exact pairs;
+    // verdict-level parity with the exact fold is bounded by
+    // `inv_compact_minhash_parity` (kept-set delta ≤1%, measured 0).
+    // Rows-only (banding isn't SQL); that gate is the named evidence.
+    Q.noOracle("pipeline_dedup_cascade_compact_minhash") { (s, dir) =>
+      cascadeCompactStages(s, dir, minhashLshPairs(_, 4, 5)).orderBy(col("doc_id"))
     },
 
     // C6 scale path: hyperplane-LSH candidate buckets + the SAME exact

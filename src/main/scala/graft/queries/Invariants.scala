@@ -708,6 +708,45 @@ object Invariants {
       }
     },
 
+    // r11: the at-scale compaction (minhash stage-3 miner, C79b) vs the
+    // exact compaction (C79) — the inv_cascade_minhash_parity discipline
+    // applied to the fold: minhash pairs ⊆ exact pairs (same exact-gram
+    // re-verification), so a doc the minhash fold drops as neardup must
+    // be neardup-droppable in the exact fold; the permitted divergences
+    // are banding misses (exact=neardup → minhash=kept) and their CC
+    // knock-ons (a miss re-connecting membership can flip which member
+    // of a component is the min label, so vs/label attributions may
+    // shift). The gate therefore compares the KEPT SETS: any doc kept by
+    // exactly one form counts toward the delta, bounded ≤1% of the
+    // exact fold's kept set (measured 0 ×3 scales — banding capture at
+    // j ≥ 0.8 is ≈ 1-5e-8); url/exact stages are shared code and must
+    // agree exactly (hard mismatch rows).
+    Q("inv_compact_minhash_parity",
+      """SELECT CAST(NULL AS VARCHAR) AS chk, CAST(NULL AS BIGINT) AS doc_id,
+        |  CAST(NULL AS BIGINT) AS bp FROM documents WHERE 1=0""".stripMargin) { (s, dir) =>
+      val ex = run("pipeline_dedup_cascade_compact")(s, dir)
+        .select(col("doc_id"), col("stage").as("ex_stage")).localCheckpoint(true)
+      val mh = run("pipeline_dedup_cascade_compact_minhash")(s, dir)
+        .select(col("doc_id"), col("stage").as("mh_stage")).localCheckpoint(true)
+      releasing(ex, mh) {
+        val j = ex.join(mh, Seq("doc_id"), "full_outer")
+        // stages 1-2 are shared code: any url/exact disagreement is hard
+        val hard = j.where(
+            (col("ex_stage").isin("url", "exact") || col("mh_stage").isin("url", "exact")) &&
+              !(col("ex_stage") <=> col("mh_stage")))
+          .select(lit("stage_mismatch").as("chk"), col("doc_id"), lit(0L).as("bp"))
+        val rate = j.agg(
+            sum(((col("ex_stage") === "kept") =!= (col("mh_stage") === "kept"))
+              .cast("long")).as("m"),
+            sum((col("ex_stage") === "kept").cast("long")).as("n"))
+          .select(lit("kept_set_delta").as("chk"),
+            lit(null).cast("long").as("doc_id"),
+            expr("coalesce(m, 0) * 10000 div greatest(coalesce(n, 0), 1)").as("bp"))
+          .where(col("bp") > 100L)
+        hard.unionByName(rate).orderBy(col("chk"), col("doc_id"))
+      }
+    },
+
     // r11: the CC-closure stage gate (third stage-composed cascade
     // gate, r10 verdict #6). The monolithic cascade/keep_best oracles'
     // WITH RECURSIVE closure materializes the full transitive closure

@@ -2725,6 +2725,50 @@ object Text {
       }
     },
 
+    // C82 (r11): per-domain QUOTA CAP — the anti-spam curation rule
+    // every web-corpus pipeline ships (C4/RefinedWeb-style source
+    // capping): within each domain keep only the top-N documents by
+    // quality (C10's quality_bp, doc_id tie-break), so no single
+    // crawl-heavy domain floods the training mix however much of it
+    // was fetched. Emits the full per-doc decision log (rank + kept
+    // bit), not just survivors — drops stay attributable (the C60/C68
+    // auditability discipline). 100 TB shape: the window runs over
+    // SLIM (doc_id, domain, quality_bp) — text never shuffles — and
+    // partitions by domain (numerous, naturally parallel); a
+    // mega-domain skewing one partition is AQE's skew-split case, or
+    // pre-aggregate: domains under the cap (the vast majority) can
+    // bypass the window entirely via a count semi-filter. All integer
+    // ⇒ hash-gated.
+    Q("text_domain_cap",
+      s"""WITH f AS (
+        |  SELECT doc_id, $domainSql AS domain,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the','a','of','and','to'))) AS n_stop
+        |  FROM documents),
+        |q AS (SELECT doc_id, domain,
+        |    CAST(least(n_words, 100) * 40
+        |      + (least(n_stop * 10, n_words) * 3000) // n_words
+        |      + (n_distinct * 3000) // n_words AS BIGINT) AS quality_bp
+        |  FROM f),
+        |r AS (SELECT doc_id, domain, quality_bp,
+        |        CAST(row_number() OVER (
+        |          PARTITION BY domain ORDER BY quality_bp DESC, doc_id) AS BIGINT) AS rnk
+        |      FROM q)
+        |SELECT doc_id, domain, rnk,
+        |  CAST(CASE WHEN rnk <= 5 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      cardBase(docs(s, dir))
+        .select(col("doc_id"), col("domain"), col("quality_bp"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("domain"))
+            .orderBy(col("quality_bp").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("domain"), col("rnk"),
+          when(col("rnk") <= 5, lit(1L)).otherwise(lit(0L)).as("kept"))
+        .orderBy(col("doc_id"))
+    },
+
     // C51 (r9): DOMAIN REPUTATION — the whole-domain keep/drop decision
     // (RefinedWeb/C4 drop entire hosts whose AGGREGATE signals are bad,
     // before any per-document filter; C48 caps volume, this one judges
