@@ -198,6 +198,27 @@ object Bench {
         }
       }
     }
+    // r12 drift-watch (verdict #6): arms landing BETWEEN 1.3x and the
+    // suspect trigger never fired a rerun, so creepers like
+    // dedup_substring_chars (1.59x) and text_langid_classifier_train
+    // (1.52x) could drift for rounds with no recorded re-measurement.
+    // Same rerun mechanics, no trigger change — the evidence lands in
+    // bench_full.json's drift_rerun map (and a drift_n count in the
+    // line of record); an arm whose rerun returns ≤1.3x annotated
+    // itself away, one that repeats its 1.3x+ reading is a re-baseline
+    // conversation for the round log, not a suspect.
+    def driftWatch(rs: Seq[(String, Double, Int)],
+        qs: Seq[queries.Q]): Seq[(String, Double, Double, Double)] = {
+      val byName = qs.map(q => q.name -> q).toMap
+      rs.flatMap { case (name, med, _) =>
+        val trigger = baselines.get(name).map(b => if (b < 5.0) 1.5 else 2.0)
+        baselines.get(name)
+          .filter(b => med > 1.3 * b && med <= trigger.get * b).map { b =>
+            val (times, _) = timeQuery(byName(name))
+            (name, b, med, if (times.nonEmpty) median(times) else -1.0)
+          }
+      }
+    }
     // watch-path latency: tick-to-VISIBLE time for a 1-file edit on an
     // indexed origin — the reference's core interactive loop
     // (indexer.js:67), which every gate runs for CORRECTNESS but nothing
@@ -267,8 +288,10 @@ object Bench {
     val (mutatingQs, pureQs) = ordered.partition(q => sessionMutating(q.name))
     val pureResults = measure(pureQs)
     val pureSuspects = rerunSuspects(pureResults, pureQs)
+    val pureDrift = driftWatch(pureResults, pureQs)
     val mutResults = measure(mutatingQs)
     val mutSuspects = rerunSuspects(mutResults, mutatingQs)
+    val mutDrift = driftWatch(mutResults, mutatingQs)
     // SPARK_GRAFT_ONLY without "watch_latency" skips it, like any query
     val watchRow: Seq[(String, Double, Int)] =
       if (!sys.env.get("SPARK_GRAFT_ONLY").forall(
@@ -282,18 +305,21 @@ object Bench {
         })
     val results = pureResults ++ mutResults ++ watchRow
     val suspects = pureSuspects ++ mutSuspects
-    val out = renderRecordLine(results, suspects, repeats, sfDir)
+    val drift = pureDrift ++ mutDrift
+    val out = renderRecordLine(results, suspects, repeats, sfDir,
+      driftN = drift.size)
     val full = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val fullSuspects = suspects.map { case (n, b, m, r) =>
-      s""""$n":{"base":$b,"med":$m,"rerun":$r}"""
-    }.mkString("{", ",", "}")
+    def tripleMap(xs: Seq[(String, Double, Double, Double)]): String =
+      xs.map { case (n, b, m, r) =>
+        s""""$n":{"base":$b,"med":$m,"rerun":$r}"""
+      }.mkString("{", ",", "}")
     val failedNames = results.filter(_._2 < 0).map(_._1)
     val flakyNames = results.filter(r => r._2 >= 0 && r._3 < repeats).map(_._1)
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("target/bench_full.json"),
-        s"""{"total":${results.map(_._2).filter(_ >= 0).sum},"queries":$full,"failed":${jsonNames(failedNames)},"flaky":${jsonNames(flakyNames)},"suspect_rerun":$fullSuspects,"sf":"$sfDir","repeats":$repeats}""".getBytes("UTF-8"))
+        s"""{"total":${results.map(_._2).filter(_ >= 0).sum},"queries":$full,"failed":${jsonNames(failedNames)},"flaky":${jsonNames(flakyNames)},"suspect_rerun":${tripleMap(suspects)},"drift_rerun":${tripleMap(drift)},"sf":"$sfDir","repeats":$repeats}""".getBytes("UTF-8"))
     } catch { case _: Throwable => } // diagnostics only; never fail the bench
     println(out)
     spark.stop()
@@ -319,10 +345,24 @@ object Bench {
     *      (base, med, rerun) triple is in the line;
     *   2. failed/flaky name lists (capped at 12; _n carries the truth);
     *   3. per-query times, cheapest folding first.
-    * Ladder: fold queries → shrink suspect keys to {b,m,r} → as a LAST
-    * resort fold suspects whose rerun returned to ≤trigger×baseline
-    * into suspect_cleared_n, keeping the UNRESOLVED entries (the
-    * grading evidence) verbatim.
+    * Ladder: fold queries → shrink suspect keys to {b,m,r} → fold
+    * suspects whose rerun returned to ≤trigger×baseline into
+    * suspect_cleared_n, keeping the UNRESOLVED entries (the grading
+    * evidence) verbatim.
+    *
+    * r12 reorder (the r11 lesson): the contended driver run (219 arms,
+    * 36 suspects) exhausted the query fold FIRST — the durable record
+    * carried "queries":{} with every arm in fast_other, exactly when
+    * the grader needed per-arm medians. The query fold is now CAPPED at
+    * size−15: the ~15 heaviest named arms always survive (their medians
+    * are the grading signal; the cheap arms' are noise), and when
+    * verbatim suspect triples + top-15 can't coexist in the budget, the
+    * CLEARED suspect triples fold to suspect_cleared_n before the
+    * top-15 is ever touched — a cleared triple's full evidence persists
+    * in target/bench_full.json, and the line still accounts for every
+    * suspect (unresolved verbatim + cleared count). Only a pathological
+    * line (mass failure name lists) falls through the cap, because a
+    * parseable record beats the top-15 guarantee.
     *
     * FAILED rows (median −1) are excluded from the queries map entirely
     * — failed[] names them, and a −1.0 "timing" next to a positive
@@ -332,7 +372,8 @@ object Bench {
   private[graft] def renderRecordLine(
       results: Seq[(String, Double, Int)],
       suspects: Seq[(String, Double, Double, Double)],
-      repeats: Int, sfDir: String, budget: Int = 1880): String = {
+      repeats: Int, sfDir: String, budget: Int = 1880,
+      driftN: Int = 0): String = {
     def fmt(v: Double, decimals: Int): String = {
       if (v < 0) "-1"
       else {
@@ -391,14 +432,29 @@ object Bench {
         }
       val opt = (if (failed == "[]") "" else s""","failed_n":${failedNames.size},"failed":$failed""") +
         (if (flaky == "[]") "" else s""","flaky_n":${flakyNames.size},"flaky":$flaky""") +
-        suspectJson
+        suspectJson +
+        // 1.3x-band drift reruns: count here, triples in bench_full
+        (if (driftN == 0) "" else s""","drift_n":$driftN""")
       val tot = BigDecimal(total).setScale(2, BigDecimal.RoundingMode.HALF_UP)
       s"""{"metric":"total","value":$tot,"unit":"sec","queries":$qs$fold$opt,"sf":"$sfDir","repeats":$repeats}"""
     }
-    (0 to byCost.size).iterator.map(line(_, 3, false, false))
+    // never fold the heaviest `keepNamed` arms (they sort last in
+    // byCost); pinned flaky arms are additionally always kept
+    val keepNamed = 15
+    val maxFold = math.max(byCost.size - keepNamed, 0)
+    (0 to maxFold).iterator.map(line(_, 3, false, false))
       .find(_.length <= budget)
-      .orElse((0 to byCost.size).iterator.map(line(_, 2, true, false))
+      .orElse((0 to maxFold).iterator.map(line(_, 2, true, false))
         .find(_.length <= budget))
-      .getOrElse(line(byCost.size, 2, true, true))
+      // suspects verbatim + top-15 named can't coexist: fold the
+      // CLEARED suspects (unresolved stay verbatim) and keep as many
+      // named arms as fit — never fewer than the top 15
+      .orElse((0 to maxFold).iterator.map(line(_, 2, true, true))
+        .find(_.length <= budget))
+      // pathological (mass-failure name lists): parseability wins
+      .getOrElse(
+        (maxFold to byCost.size).iterator.map(line(_, 2, true, true))
+          .find(_.length <= budget)
+          .getOrElse(line(byCost.size, 2, true, true)))
   }
 }

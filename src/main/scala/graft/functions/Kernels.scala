@@ -106,8 +106,9 @@ object Kernels extends Serializable {
     * the 64-bit float form emits 13.9k. With the wrapping multiplier the
     * product h·(2.65e9+2k) ≤ 5.7e18 stays inside signed-64 on both
     * engines and every slot votes independently. 48 slots (not 64) keep
-    * `sum(bit << k)` and the 4×12-bit pigeonhole blocks inside
-    * signed-BIGINT semantics both engines share.
+    * `sum(bit << k)` and the 2×24-bit pigeonhole blocks (radius 1,
+    * Dedup.scala dedup_simhash_int) inside signed-BIGINT semantics both
+    * engines share.
     */
   val simhashInt48: Column => Column = {
     val f = udf { words: Seq[String] =>

@@ -729,11 +729,21 @@ object Invariants {
       val mh = run("pipeline_dedup_cascade_compact_minhash")(s, dir)
         .select(col("doc_id"), col("stage").as("mh_stage")).localCheckpoint(true)
       releasing(ex, mh) {
+        // r12 ADVICE fix: coalesce stages BEFORE comparing — a doc_id
+        // present in only one fold used to yield NULL in both the
+        // null-skipping kept-xor sum and the isin() hard filter, so a
+        // row-count divergence between folds went unflagged. With the
+        // MISSING sentinel a one-sided row is a hard mismatch.
         val j = ex.join(mh, Seq("doc_id"), "full_outer")
-        // stages 1-2 are shared code: any url/exact disagreement is hard
+          .select(col("doc_id"),
+            coalesce(col("ex_stage"), lit("MISSING")).as("ex_stage"),
+            coalesce(col("mh_stage"), lit("MISSING")).as("mh_stage"))
+        // stages 1-2 are shared code: any url/exact disagreement is
+        // hard, and so is presence in only one fold
         val hard = j.where(
-            (col("ex_stage").isin("url", "exact") || col("mh_stage").isin("url", "exact")) &&
-              !(col("ex_stage") <=> col("mh_stage")))
+            (col("ex_stage").isin("url", "exact", "MISSING") ||
+              col("mh_stage").isin("url", "exact", "MISSING")) &&
+              !(col("ex_stage") === col("mh_stage")))
           .select(lit("stage_mismatch").as("chk"), col("doc_id"), lit(0L).as("bp"))
         val rate = j.agg(
             sum(((col("ex_stage") === "kept") =!= (col("mh_stage") === "kept"))

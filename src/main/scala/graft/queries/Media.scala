@@ -51,6 +51,72 @@ object Media {
       .select(col("pair_id"), col("phash"), sha2(col("caption"), 256).as("cdig"))
   }
 
+  /** C13f oracle: DuckDB recomputes the 64-bit dHash bit-exactly (see
+    * the query comment for the HUGEINT unsigned-64 emulation), then
+    * mines the same 4×16-bit pigeonhole bands and popcount-verifies
+    * hamming ≤ 3. The fmix64 step ladder runs as a list_reduce over
+    * step indices [1..5] so the accumulator appears symbolically (an
+    * inlined form would copy the innermost expression 2⁵ times).
+    * Constants: 31-fold seed 1125899906842597; golden-ratio increment
+    * 0x9E3779B97F4A7C15 = 11400714819323198485 (fits HUGEINT whole —
+    * i ≤ 71 keeps i·G < 2⁷⁰); fmix64 c1 = 0xFF51AFD7ED558CCD split as
+    * hi 4283543511 / lo 3981806797; c2 = 0xC4CEB9FE1A85EC53 split as
+    * hi 3301882366 / lo 444984403.
+    */
+  private val phashNearDupSql: String = {
+    // fmix64 ladder body, shared by the seed and per-pixel mixes
+    val fmix =
+      """(x, st) -> CASE
+        |        WHEN st = 2 THEN (x * 3981806797 + ((x * 4283543511) % 4294967296) * 4294967296) % 18446744073709551616
+        |        WHEN st = 4 THEN (x * 444984403 + ((x * 3301882366) % 4294967296) * 4294967296) % 18446744073709551616
+        |        ELSE xor(x, x // 8589934592) END""".stripMargin
+    s"""WITH d AS (SELECT doc_id AS media_id, text FROM documents),
+       |ps AS (SELECT media_id,
+       |  list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+       |      list_transform(range(1, length(text) + 1),
+       |        i -> CAST(ord(substr(text, i, 1)) AS HUGEINT))),
+       |    (h, b) -> (h * 31 + b) % 18446744073709551616) AS pseed
+       |  FROM d),
+       |sd AS (SELECT media_id,
+       |  list_reduce(list_prepend(pseed, [CAST(1 AS HUGEINT),2,3,4,5]),
+       |    $fmix) AS seed
+       |  FROM ps),
+       |px AS (SELECT media_id,
+       |  list_transform(range(0, 72), i ->
+       |    list_reduce(list_prepend(
+       |        xor(seed, (CAST(i AS HUGEINT) * 11400714819323198485) % 18446744073709551616),
+       |        [CAST(1 AS HUGEINT),2,3,4,5]),
+       |      $fmix) % 256) AS pxs
+       |  FROM sd),
+       |hw AS (SELECT media_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(0, 32), b ->
+       |      CASE WHEN pxs[(b // 8) * 9 + (b % 8) + 1] > pxs[(b // 8) * 9 + (b % 8) + 2]
+       |        THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE CAST(0 AS BIGINT) END)),
+       |    (a, v) -> a + v) AS lo,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(32, 64), b ->
+       |      CASE WHEN pxs[(b // 8) * 9 + (b % 8) + 1] > pxs[(b // 8) * 9 + (b % 8) + 2]
+       |        THEN CAST(1 AS BIGINT) << CAST(b - 32 AS INT) ELSE CAST(0 AS BIGINT) END)),
+       |    (a, v) -> a + v) AS hi
+       |  FROM px),
+       |ph AS (SELECT media_id,
+       |  CAST(CAST(hi AS HUGEINT) * 4294967296 + lo
+       |    - CASE WHEN hi >= 2147483648 THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS phash,
+       |  lo, hi FROM hw),
+       |bands AS (SELECT media_id, phash, b.b,
+       |    CASE b.b WHEN 0 THEN lo % 65536 WHEN 1 THEN (lo // 65536) % 65536
+       |             WHEN 2 THEN hi % 65536 ELSE (hi // 65536) % 65536 END AS bv
+       |  FROM ph, range(0, 4) b(b)),
+       |cand AS (SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id,
+       |    a.phash AS pa, b.phash AS pb
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.bv = b.bv AND a.media_id < b.media_id)
+       |SELECT a_id, b_id, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   private val phashIncrSql: String =
     """WITH delta AS (
       |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 3),
@@ -216,13 +282,28 @@ object Media {
     // corpus shuffles once as slim (media_id, 8 B hash) band rows on
     // uniform 16-bit keys; within-bucket pairs are quadratic in BUCKET
     // size only (random hashes → 2¹⁶ uniform buckets); the payload
-    // never moves. Rows-only (the hash is codec output);
-    // `inv_phash_neardup_sound` recomputes every emitted pair's
-    // distance independently AND demands every exact-dup pair (from
-    // the oracle-gated C13d groups) appear — soundness + the hamming-0
-    // completeness witness; MediaHammingSpec drives a planted codec
-    // through distances 1/3 (caught) and 4 (verified away).
-    Q.noOracle("media_phash_neardup") { (s, dir) =>
+    // never moves.
+    //
+    // FULL HASH GATE (r12, the dedup_simhash_int discipline on the
+    // media key): the dHash is already a 64-bit integer, and the whole
+    // stub chain — payloadSeed's 31-multiplier byte fold, the fmix64
+    // xorshift-multiply cascade, the 9×8 brighter-than-right-neighbor
+    // bit grid — is wrapping unsigned-64 arithmetic, which DuckDB
+    // restates exactly in HUGEINT: the two fmix64 multiplier constants
+    // split into 32-bit halves so x·c mod 2⁶⁴ =
+    // (x·c_lo + ((x·c_hi) mod 2³²)·2³²) mod 2⁶⁴ stays inside
+    // signed-128 (x·c directly would need 2¹²⁸), x >>> 33 is
+    // `x // 2³³` on the non-negative representation, and the final
+    // signed Long assembles from two BIGINT half-words (`**` returns
+    // DOUBLE and drops low bits) with a −2⁶⁴ shift past the sign bit.
+    // The oracle then mines the SAME 4×16-bit pigeonhole bands and
+    // verifies bit_count(xor) ≤ 3 — signature, candidates, and
+    // verification all bit-identical across engines.
+    // `inv_phash_neardup_sound` stays as the independent per-pair
+    // distance recheck + hamming-0 completeness witness;
+    // MediaHammingSpec drives a planted codec through distances 1/3
+    // (caught) and 4 (verified away).
+    Q("media_phash_neardup", phashNearDupSql) { (s, dir) =>
       phashNearDupPairs(
           Multimodal.dHash(Multimodal.mediaFromDocuments(s, dir)).toDF())
         .orderBy(col("a_id"), col("b_id"))

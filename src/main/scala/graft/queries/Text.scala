@@ -3751,9 +3751,14 @@ object Text {
     // (phase = (4·(rn−1)) div n + 1 — no float quantile can flip a
     // boundary row between engines), then shuffle WITHIN each phase by
     // the deterministic Knuth coin so consecutive training batches stay
-    // diverse while the phase progression holds. seq restarts per phase
-    // via the closed-form offset (n·(p−1)) div 4 — phases are contiguous
-    // under the (phase, coin) sort, so no per-phase window is needed.
+    // diverse while the phase progression holds. seq restarts at 1 per
+    // phase via the closed-form offset ceil(n·(p−1)/4) = (n·(p−1)+3)
+    // div 4 — the exact count of rows in phases < p under
+    // phase(rn) = (4·(rn−1)) div n + 1, for EVERY n, not just n ≡ 0
+    // mod 4 (r12 ADVICE fix: the floor form under-subtracted when
+    // n·(p−1) % 4 ≠ 0, e.g. n=10 gave phase-2 seqs 2..3). Phases are
+    // contiguous under the (phase, coin) sort, so no per-phase window
+    // is needed.
     // 100 TB shape: the C23 discipline twice — NO global window
     // function; each global ordering is a range-partitioned sort +
     // zipWithIndex (per-partition offsets from one count job), and both
@@ -3782,7 +3787,7 @@ object Text {
         |      FROM r CROSS JOIN n),
         |o AS (SELECT phase, doc_id, quality_bp,
         |        CAST(row_number() OVER (ORDER BY phase, coin, doc_id)
-        |          - (n.n * (phase - 1)) // 4 AS BIGINT) AS seq
+        |          - (n.n * (phase - 1) + 3) // 4 AS BIGINT) AS seq
         |      FROM p CROSS JOIN n)
         |SELECT phase, seq, doc_id, quality_bp
         |FROM o ORDER BY phase, seq""".stripMargin) { (s, dir) =>
@@ -3814,7 +3819,7 @@ object Text {
             r.getLong(0), r.getLong(1), r.getLong(2), i + 1L)
         }, posSchema)
       positioned.select(col("phase"),
-          expr(s"cast(pos - ($n * (phase - 1)) div 4 as bigint)").as("seq"),
+          expr(s"cast(pos - ($n * (phase - 1) + 3) div 4 as bigint)").as("seq"),
           col("doc_id"), col("quality_bp"))
         .orderBy(col("phase"), col("seq"))
     },
@@ -3827,7 +3832,10 @@ object Text {
     // re-serialized in PSM order '<PRE>'+prefix+'<SUF>'+suffix+'<MID>'+
     // middle, with the two cut points derived from doc_id by integer
     // arithmetic guaranteeing three NON-EMPTY spans (a ∈ [1, len−2],
-    // b ∈ [a+1, len−1]); the rest pass through unchanged. Both engines
+    // b ∈ [a+1, len−1]); the rest — including NULL-text docs, whose len
+    // is NULL and so satisfies neither coin branch — route explicitly to
+    // the orig pass-through (r12 ADVICE fix: previously a NULL-text doc
+    // with coin=0 vanished from the output). Both engines
     // slice with character-based substr on the same integer offsets ⇒
     // hash-gated end-to-end, span-length audit columns included.
     // 100 TB shape: a pure stateless projection — zero shuffles except
@@ -3856,7 +3864,7 @@ object Text {
         |  UNION ALL
         |  SELECT doc_id, 'orig' AS mode, 0 AS n_prefix,
         |    CAST(len AS BIGINT) AS n_middle, 0 AS n_suffix, text AS out_text
-        |  FROM d WHERE coin = 1 OR len < 3)
+        |  FROM d WHERE coin = 1 OR len < 3 OR len IS NULL)
         |SELECT doc_id, mode, n_prefix, n_middle, n_suffix, out_text
         |FROM out ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val d = docs(s, dir).select(col("doc_id"), col("text"),
@@ -3872,7 +3880,7 @@ object Text {
           concat(lit("<PRE>"), expr("substring(text, 1, cast(a as int))"),
             lit("<SUF>"), expr("substring(text, cast(b + 1 as int), cast(len - b as int))"),
             lit("<MID>"), expr("substring(text, cast(a + 1 as int), cast(b - a as int))")).as("out_text"))
-      val orig = d.where(col("coin") === 1 || col("len") < 3)
+      val orig = d.where(col("coin") === 1 || col("len") < 3 || col("len").isNull)
         .select(col("doc_id"), lit("orig").as("mode"), lit(0L).as("n_prefix"),
           col("len").as("n_middle"), lit(0L).as("n_suffix"), col("text").as("out_text"))
       fim.unionAll(orig).orderBy(col("doc_id"))

@@ -47,19 +47,73 @@ class BenchReportSpec extends AnyFunSuite {
     assert(m("q01_agg") == 0.35, "sf1 section must not override the record")
   }
 
-  test("r10 shape: 198 arms + 26 suspects all fit, suspect map complete") {
-    val line = Bench.renderRecordLine(results(198), suspects(26), 3, "/x/sf0.1")
-    assert(line.length <= budget, s"line ${line.length} chars exceeds budget")
-    val j = parse(line)
+  /** Suspect accounting is COMPLETE when every fired suspect is either
+    * a verbatim (base, med, rerun) entry or counted by
+    * suspect_cleared_n (cleared = rerun returned ≤ trigger×baseline;
+    * full triples persist in target/bench_full.json).
+    */
+  private def assertSuspectsAccounted(j: JValue,
+      sus: Seq[(String, Double, Double, Double)]): Unit = {
     val JInt(n) = j \ "suspect_n"
-    assert(n == 26)
+    assert(n == sus.size)
     val JObject(entries) = j \ "suspect_rerun"
-    assert(entries.size == 26, s"suspect_rerun carries ${entries.size}/26")
-    // every entry resolves base/med/rerun (long or short keys)
+    val unresolvedNames = sus.collect {
+      case (name, b, _, r) if r > (if (b < 5.0) 1.5 else 2.0) * b => name
+    }.toSet
+    val shown = entries.map(_._1).toSet
+    assert(unresolvedNames.subsetOf(shown),
+      s"missing unresolved suspects: ${(unresolvedNames -- shown).take(3)}")
     entries.foreach { case (_, v) =>
       val keys = v.asInstanceOf[JObject].obj.map(_._1).toSet
       assert(keys == Set("base", "med", "rerun") || keys == Set("b", "m", "r"))
     }
+    if (entries.size < sus.size) {
+      val JInt(clearedN) = j \ "suspect_cleared_n"
+      assert(clearedN.toInt + entries.size == sus.size,
+        s"accounting gap: $clearedN cleared + ${entries.size} shown != ${sus.size}")
+    }
+  }
+
+  /** The r12 contract: the heaviest named arms survive ANY fold
+    * pressure — a record with "queries":{} (the r11 driver run) is a
+    * regression even when every suspect triple is verbatim.
+    */
+  private def assertHeavyArmsNamed(j: JValue,
+      rs: Seq[(String, Double, Int)], atLeast: Int = 15): Unit = {
+    val JObject(qs) = j \ "queries"
+    assert(qs.size >= atLeast, s"only ${qs.size} named arms survived the fold")
+    val heaviest = rs.filter(_._2 >= 0).sortBy(-_._2).take(atLeast).map(_._1).toSet
+    val named = qs.map(_._1).toSet
+    assert(heaviest.subsetOf(named),
+      s"heaviest arms folded away: ${(heaviest -- named).take(3)}")
+  }
+
+  test("r10 shape: 198 arms + 26 suspects — accounted, heavy arms named") {
+    val rs = results(198)
+    val sus = suspects(26)
+    val line = Bench.renderRecordLine(rs, sus, 3, "/x/sf0.1")
+    assert(line.length <= budget, s"line ${line.length} chars exceeds budget")
+    val j = parse(line)
+    assertSuspectsAccounted(j, sus)
+    assertHeavyArmsNamed(j, rs)
+  }
+
+  test("r11 driver shape: 219 arms + 36 suspects (1 unresolved) keeps " +
+      "≥15 named arms AND full suspect accounting") {
+    val rs = results(219)
+    // 35 cleared + the view_list_range shape: rerun WORSE than median
+    val sus = (1 to 35).map { i =>
+      val base = 0.5 + i * 0.07
+      (s"query_arm_name_number_$i", base, base * 2.2, base * 1.01)
+    } :+ ("view_list_range_shape_arm", 0.15, 0.276, 0.712)
+    val line = Bench.renderRecordLine(rs, sus, 3, "/x/sf0.1")
+    assert(line.length <= budget, s"line ${line.length} chars exceeds budget")
+    val j = parse(line)
+    assertSuspectsAccounted(j, sus)
+    assertHeavyArmsNamed(j, rs)
+    // the unresolved triple is the grading evidence: verbatim, always
+    val JObject(entries) = j \ "suspect_rerun"
+    assert(entries.exists(_._1 == "view_list_range_shape_arm"))
   }
 
   test("pathological: 60 suspects still parse; unresolved entries survive") {
@@ -69,24 +123,12 @@ class BenchReportSpec extends AnyFunSuite {
       val rerun = if (i % 3 == 0) base * 3.0 else base * 1.01
       (s"query_arm_name_number_$i", base, base * 2.5, rerun)
     }
-    val line = Bench.renderRecordLine(results(198), sus, 3, "/x/sf0.1")
+    val rs = results(198)
+    val line = Bench.renderRecordLine(rs, sus, 3, "/x/sf0.1")
     assert(line.length <= budget, s"line ${line.length} chars exceeds budget")
     val j = parse(line)
-    val JInt(n) = j \ "suspect_n"
-    assert(n == 60)
-    val JObject(entries) = j \ "suspect_rerun"
-    // if folding kicked in, ONLY cleared suspects folded: all 20
-    // unresolved names must still be present verbatim
-    val unresolvedNames = sus.collect {
-      case (name, b, _, r) if r > (if (b < 5.0) 1.5 else 2.0) * b => name
-    }.toSet
-    val shown = entries.map(_._1).toSet
-    assert(unresolvedNames.subsetOf(shown),
-      s"missing unresolved suspects: ${(unresolvedNames -- shown).take(3)}")
-    if (entries.size < 60) {
-      val JInt(clearedN) = j \ "suspect_cleared_n"
-      assert(clearedN.toInt + entries.size == 60)
-    }
+    assertSuspectsAccounted(j, sus)
+    assertHeavyArmsNamed(j, rs)
   }
 
   test("failed rows are named in failed[] but absent from the queries map") {
