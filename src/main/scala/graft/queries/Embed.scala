@@ -152,6 +152,113 @@ object Embed {
       .select(col("d1"), col("d2"), col("sprod"), col("sd1"), col("sd2"), col("n"))
   }
 
+  /** C40c squarings (≈ C^(2^NSQ) direction-wise) and vector steps. */
+  private val PcaIntSquarings = 7
+  private val PcaIntIters = 8
+
+  /** C40c driver-side solve: integer covariance from the gated moment
+    * rows, 7 REPEATED MATRIX SQUARINGS (each renormalized to
+    * max|entry| = 2¹⁸ by truncating division), then 8 vector steps with
+    * the squared operator — effective C^1024, which is what makes the
+    * direction converge on this corpus's nearly flat spectrum
+    * (λ2/λ1 ≈ 0.99 at sf0.1: plain power iteration was still at
+    * cos 0.66 after 16 steps). Truncating division throughout, matching
+    * DuckDB `//`. Returns (direction v with max|v| = 1024, per-dim
+    * sums sd, n).
+    */
+  private[graft] def pcaIntPower(moment: Array[org.apache.spark.sql.Row])
+      : (Array[Long], Array[Long], Long) = {
+    require(moment.nonEmpty, "pcaIntPower: empty moment frame")
+    val d = moment.iterator.map(_.getInt(1)).max + 1
+    val n = moment.head.getLong(5)
+    val sd = new Array[Long](d)
+    val cov = Array.ofDim[Long](d, d)
+    moment.foreach { r =>
+      val (d1, d2) = (r.getInt(0), r.getInt(1))
+      // BigInt quot truncates toward zero — DuckDB `//` semantics
+      val num = BigInt(n) * r.getLong(2) - BigInt(r.getLong(3)) * r.getLong(4)
+      val cv = (num / (BigInt(n) * n)).toLong
+      cov(d1)(d2) = cv
+      cov(d2)(d1) = cv
+      if (d1 == d2) sd(d1) = r.getLong(3)
+    }
+    val S = 262144L // 2^18: |entry| ≤ 2^18 keeps sq products ≤ 2^60
+    def rescale(m: Array[Array[Long]]): Array[Array[Long]] = {
+      val mx = math.max(m.iterator.flatMap(_.iterator).map(math.abs).max, 1L)
+      m.map(_.map(x => x * S / mx))
+    }
+    var b = rescale(cov)
+    var sq = 0
+    while (sq < PcaIntSquarings) {
+      b = rescale(Array.tabulate(d, d)((i, j) =>
+        (0 until d).foldLeft(0L)((a, k) => a + b(i)(k) * b(k)(j))))
+      sq += 1
+    }
+    var v = Array.fill(d)(1024L)
+    var it = 0
+    while (it < PcaIntIters) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).foldLeft(0L)((a, j) => a + b(i)(j) * v(j)))
+      val mx = math.max(w.iterator.map(math.abs).max, 1L)
+      val ref = (0 until d).maxBy(j => (math.abs(w(j)), -j))
+      val sg = if (w(ref) < 0) -1L else 1L
+      v = Array.tabulate(d)(i => sg * (w(i) * 1024L / mx))
+      it += 1
+    }
+    (v, sd, n)
+  }
+
+  /** C40c oracle: the moment CTEs of emb_covariance, the integer
+    * covariance quotient, the 7 squarings and 8 vector steps unrolled
+    * as generated MATERIALIZED CTEs (inlined CTEs re-scan the parquet
+    * per reference and exhaust file handles), and the closed-form
+    * projection. Generated, like the C13f fmix ladder.
+    */
+  private[graft] val pcaIntSql: String = {
+    val sqCtes = (1 to PcaIntSquarings).map { t =>
+      val p = t - 1
+      s"""p$t AS MATERIALIZED (SELECT a.d1, b.d2, sum(a.v * b.v) AS p
+         |  FROM b$p a JOIN b$p b ON b.d1 = a.d2 GROUP BY a.d1, b.d2),
+         |q$t AS MATERIALIZED (SELECT greatest(max(abs(p)), 1) AS mx FROM p$t),
+         |b$t AS MATERIALIZED (SELECT d1, d2, (p * 262144) // mx AS v FROM p$t, q$t)""".stripMargin
+    }.mkString(",\n")
+    val iterCtes = (1 to PcaIntIters).map { t =>
+      val p = t - 1
+      s"""w$t AS MATERIALIZED (SELECT c.d1 AS d, sum(c.v * v$p.v) AS w
+         |  FROM b$PcaIntSquarings c JOIN v$p ON v$p.d = c.d2 GROUP BY c.d1),
+         |m$t AS MATERIALIZED (SELECT greatest(max(abs(w)), 1) AS mx,
+         |    (CASE WHEN first(w ORDER BY abs(w) DESC, d) < 0 THEN -1 ELSE 1 END) AS sg
+         |  FROM w$t),
+         |v$t AS MATERIALIZED (SELECT d, sg * ((w * 1024) // mx) AS v FROM w$t, m$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS MATERIALIZED (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+       |         CAST(floor(unnest(embedding)::DOUBLE * 1000) AS BIGINT) AS m
+       |  FROM embeddings),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |s AS MATERIALIZED (SELECT d, CAST(sum(m) AS BIGINT) AS sd FROM x GROUP BY d),
+       |mom AS MATERIALIZED (
+       |  SELECT a.d AS d1, b.d AS d2, CAST(sum(a.m * b.m) AS BIGINT) AS sprod
+       |  FROM x a JOIN x b ON b.vec_id = a.vec_id AND b.d >= a.d GROUP BY a.d, b.d),
+       |covu AS MATERIALIZED (SELECT d1, d2,
+       |    CAST((CAST(n AS HUGEINT) * sprod - CAST(s1.sd AS HUGEINT) * s2.sd)
+       |         // (CAST(n AS HUGEINT) * n) AS BIGINT) AS cv
+       |  FROM mom JOIN s s1 ON s1.d = mom.d1 JOIN s s2 ON s2.d = mom.d2, nn),
+       |cov AS MATERIALIZED (SELECT d1, d2, cv FROM covu
+       |        UNION ALL SELECT d2, d1, cv FROM covu WHERE d1 != d2),
+       |c0 AS MATERIALIZED (SELECT greatest(max(abs(cv)), 1) AS mx FROM cov),
+       |b0 AS MATERIALIZED (SELECT d1, d2, (cv * 262144) // mx AS v FROM cov, c0),
+       |$sqCtes,
+       |v0 AS MATERIALIZED (SELECT t.d, CAST(1024 AS BIGINT) AS v FROM range(0, 64) t(d)),
+       |$iterCtes,
+       |pr AS (SELECT x.vec_id, sum(x.m * vk.v) AS mv
+       |       FROM x JOIN v$PcaIntIters vk ON vk.d = x.d GROUP BY x.vec_id),
+       |sv AS (SELECT sum(s.sd * vk.v) AS svdot
+       |       FROM s JOIN v$PcaIntIters vk ON vk.d = s.d)
+       |SELECT vec_id, CAST(n * mv - svdot AS BIGINT) AS pc0
+       |FROM pr, nn, sv ORDER BY vec_id""".stripMargin
+  }
+
   /** A fitted PCA basis: `mean(d)` and `basis(j)(d)` in original float
     * units, `eigenvalues(j)` = Var of component j, descending.
     */
@@ -341,6 +448,48 @@ object Embed {
     Q.noOracle("emb_pca_project") { (s, dir) =>
       val m = pcaFit(s, dir, P)
       pcaProject(s, quantized(s, dir), m).orderBy(col("vec_id"))
+    },
+
+    // C40c (r12): the INTEGER-DETERMINISM twin of the PCA projection —
+    // the C8l/C4e scheme extended to the PCA family (r11 verdict #8).
+    // Same production split as C40b: ONE distributed moment pass (the
+    // C40-gated sufficient statistics), a BOUNDED driver-side solve,
+    // then a map-only projection with the direction riding along as d
+    // literals. The solve is a FIXED-POINT POWER METHOD WITH REPEATED
+    // SQUARING: scaled integer covariance cv = (n·sprod − sd1·sd2)
+    // quot n² (exact in BigInt/HUGEINT, quotient |cv| ≤ 10⁶ —
+    // population covariance in micro units), the matrix squared 7
+    // times (each renormalized to max|entry| = 2¹⁸, keeping products
+    // ≤ 2⁶⁰) ≈ C^128 direction-wise, then 8 vector steps — effective
+    // C^1024, needed because this corpus's spectrum is nearly flat
+    // (λ2/λ1 ≈ 0.99 at sf0.1; plain 16-step iteration converged to
+    // only cos 0.66). The vector renormalizes to max|v| = 1024 by
+    // integer division, sign-anchored at the largest-|w| slot (lowest
+    // index on ties), so every intermediate is a pure function of the
+    // gated moments.
+    // Truncating division is the ONE semantic to pin: Scala Long `/`
+    // and BigInt `/` truncate toward zero and DuckDB `//` does too
+    // (−7//2 = −3 — floor-vs-truncate only differs on negatives, and
+    // w·1024/mx goes negative on every anti-aligned component, so a
+    // floor-semantics engine WOULD diverge here). The projection emits
+    // pc0 = n·⟨m,v⟩ − ⟨sd,v⟩ = n²·⟨(m − μ), v⟩ — the mean-centered
+    // dominant-component coordinate with no division at all (|pc0| ≤
+    // 64·2000·1024·n stays in BIGINT past 10¹¹ rows). The oracle
+    // unrolls the 16 iterations as generated MATERIALIZED CTEs
+    // (inlined CTEs re-scan the parquet per iteration and exhaust file
+    // handles). PcaIntSpec binds the integer direction to the float
+    // eigenbasis (|cos| > 0.99) so the arm gates PCA, not just a
+    // self-consistent fold. 100 TB shape: identical to C40b — the
+    // corpus is touched by exactly two map-side-combinable passes
+    // (moments, projection); the iteration runs on d² numbers.
+    Q("emb_pca_project_int", pcaIntSql) { (s, dir) =>
+      val (v, sd, n) = pcaIntPower(moments(quantized(s, dir)).collect())
+      val svdot = v.indices.foldLeft(0L)((a, i) => a + sd(i) * v(i))
+      quantized(s, dir).select(col("vec_id"),
+          (lit(n) * aggregate(
+            zip_with(col("q"), typedLit(v.toSeq), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x) - lit(svdot)).as("pc0"))
+        .orderBy(col("vec_id"))
     },
 
     // D25 (r9): C40b at INGEST — dimensionality reduction with a

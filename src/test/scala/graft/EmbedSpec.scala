@@ -116,6 +116,30 @@ class EmbedSpec extends SparkSpec {
     assert(st.count() > 0 && st.columns.head == "vec_id")
   }
 
+  test("C40c emb_pca_project_int: integer direction tracks the float " +
+      "top eigenvector; projection matches the closed form") {
+    // the arm must gate PCA, not just a self-consistent integer fold:
+    // the power-iteration direction and pcaFit's basis(0) must align
+    val moment = Embed.moments(Embed.quantized(spark, sf())).collect()
+    val (v, sd, n) = Embed.pcaIntPower(moment)
+    val m = Embed.pcaFit(spark, sf(), 1)
+    val b0 = m.basis(0)
+    assert(v.length == b0.length)
+    val dot = v.indices.foldLeft(0.0)((a, i) => a + v(i) * b0(i))
+    val nv = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+    val cos = math.abs(dot) / nv // b0 is unit-norm
+    assert(cos > 0.99, s"integer direction diverged from eigenbasis: cos=$cos")
+    assert(v.map(math.abs).max == 1024L, "renormalization invariant broken")
+    // projection: spot-check pc0 = n·⟨m,v⟩ − ⟨sd,v⟩ on a collected row
+    val svdot = v.indices.foldLeft(0L)((a, i) => a + sd(i) * v(i))
+    val q0 = Embed.quantized(spark, sf()).orderBy(col("vec_id")).first()
+    val m0 = q0.getSeq[Long](1)
+    val want = n * v.indices.foldLeft(0L)((a, i) => a + m0(i) * v(i)) - svdot
+    val got = SparkEntry.queries("emb_pca_project_int")(spark, sf())
+      .orderBy(col("vec_id")).first()
+    assert(got.getLong(0) == q0.getLong(0) && got.getLong(1) == want)
+  }
+
   test("C41 emb_quantize: hand cases incl. saturation ends") {
     // m=-1000 → code 0 → recon -1000, err 0
     // m= 1000 → code 255 → recon 1000, err 0
