@@ -594,8 +594,11 @@ class Graft(val spark: SparkSession, val stateRoot: String,
     * in range order (reversed if asked). The kb bounds push down to the
     * parquet scan.
     *
-    * Lazy, EXCEPT for Fold views: constructing a Fold read runs the
-    * cardinality-cap probe eagerly (see [[reduceEntries]]).
+    * Lazy, EXCEPT for Fold views (constructing a Fold read runs the
+    * cardinality-cap probe eagerly, see [[reduceEntries]]) and for
+    * limited map views with limit ≤ [[Graft.listKeyInlineMax]], which
+    * resolve their ≤ limit winning keys eagerly through
+    * [[boundedCollect]] so the main read is one In-pushdown scan.
     */
   def list(view: String, opts: ListOpts = ListOpts()): DataFrame = {
     val vd = viewDef(view)
@@ -624,7 +627,20 @@ class Graft(val spark: SparkSession, val stateRoot: String,
         // Limit counts keys, then multi-values flatten (view.js:73-82).
         val keyOrd = if (opts.reverse) col("kb").desc else col("kb").asc
         val topKeys = reduced.select(col("kb")).distinct().orderBy(keyOrd).limit(n)
-        reduced.join(broadcast(topKeys), "kb")
+        if (n <= Graft.listKeyInlineMax) {
+          // r12: the winning key set is BOUNDED by n — resolve it once
+          // (a distributed TopK, ≤ n kbs back to the driver) and push
+          // it into the main scan as an In(kb) literal filter. One
+          // state scan instead of two plus a broadcast exchange, and
+          // the In predicate prunes parquet row-groups — strictly
+          // better at 100 TB than joining against a 50-row frame.
+          // boundedCollect gives the overwrite-race retry (the frame
+          // was lazy before; a limited list now resolves keys eagerly).
+          val keys = boundedCollect(topKeys, s"list($view) limit keys",
+              s"list($view)").map(_.getAs[Array[Byte]]("kb"))
+          if (keys.isEmpty) reduced.where(lit(false))
+          else reduced.where(col("kb").isin(keys: _*))
+        } else reduced.join(broadcast(topKeys), "kb")
       case Some(n) => reduced.orderBy(ord: _*).limit(n)
       case None => reduced
     }
@@ -1222,4 +1238,10 @@ object Graft {
     * stay unbounded — distributing big results is Spark's job.
     */
   val defaultDriverCollectMax: Int = 100000
+
+  /** list(limit=n) resolves its winning keys driver-side (one scan +
+    * In-pushdown) up to this n; larger limits keep the broadcast-join
+    * plan so the driver never materializes an unbounded key set.
+    */
+  val listKeyInlineMax: Int = 1000
 }

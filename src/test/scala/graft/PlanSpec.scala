@@ -150,6 +150,10 @@ class PlanSpec extends SparkSpec {
     assert(scanLine.isDefined &&
       (scanLine.get.contains("GreaterThanOrEqual(kb") || scanLine.get.contains("LessThan(kb")),
       s"kb range not pushed to scan:\n$p")
+    // r12: a bounded limit resolves its winning keys driver-side and
+    // pushes them as In(kb) — the final read is ONE scan, no join
+    assert(scanLine.get.contains("In(kb"), s"limit keys not In-pushed:\n$p")
+    assert(!p.contains("Join"), s"bounded-limit list must be join-free:\n$p")
   }
 
   test("q22 as-of join: one shuffle on user_id, no pair-space join") {
