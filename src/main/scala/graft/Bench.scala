@@ -268,11 +268,11 @@ object Bench {
           val deadline = System.currentTimeMillis() + 60000
           var seen = false
           while (!seen && System.currentTimeMillis() < deadline) {
-            // map views read back as Some(Vector(v)); a read racing the
-            // watcher's partition overwrite can transiently throw (file
-            // listed, then replaced) — that's "not yet"
-            seen = (try db.getValue("bench-watch", s"edit$r")
-                    catch { case _: Throwable => None }) == Some(Vector(100.0 + r))
+            // map views read back as Some(Vector(v)). No catch-all:
+            // r12's snapshot-pinned state commits mean a poll can no
+            // longer race a merge's partition overwrite into
+            // FILE_NOT_EXIST — a throw here is a real bug now
+            seen = db.getValue("bench-watch", s"edit$r") == Some(Vector(100.0 + r))
             if (!seen) Thread.sleep(20)
           }
           if (!seen) throw new IllegalStateException("watch edit never became visible")

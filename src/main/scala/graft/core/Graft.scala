@@ -380,8 +380,13 @@ class Graft(val spark: SparkSession, val stateRoot: String,
     unwatch(origin)
     indexLock.synchronized {
       viewNames.foreach { name =>
-        deleteDir(s"${viewDir(name)}/ob=${escape(origin)}")
-        deleteDir(s"${foldsDir(name)}/ob=${escape(origin)}")
+        // snapshot retraction: the manifest stops serving the origin
+        // immediately; its last generation's files linger as the grace
+        // generation (purged by the next commit or compact())
+        Seq(viewDir(name), foldsDir(name)).foreach { dir =>
+          if (Files.exists(Paths.get(dir)))
+            commitObs(dir, Map(escape(origin) -> Seq.empty[String]))
+        }
         bumpStateGen(name)
       }
       deleteDir(fileVersionsDir(origin))
@@ -459,16 +464,8 @@ class Graft(val spark: SparkSession, val stateRoot: String,
       // exactly ONE origin's entries (the documented sizing invariant) —
       // compacting the whole view in one pass would materialize every
       // origin at once
-      val stream = Files.list(Paths.get(dir))
-      val obs =
-        try {
-          import scala.jdk.CollectionConverters._
-          stream.iterator().asScala.map(_.getFileName.toString)
-            .filter(_.startsWith("ob=")).toList
-        } finally stream.close()
-      obs.foreach { ob =>
-        val obVal = ob.stripPrefix("ob=")
-        val rows = spark.read.schema(Graft.entrySchemaWithPartition).parquet(dir)
+      liveObs(dir).toList.sorted.foreach { obVal =>
+        val rows = stateFrame(dir, Graft.entrySchemaWithPartition)
           .filter(col("ob") === obVal)
           .repartition(col("ob"))
           // kb-clustered layout (see scaladoc); (file_url, seq) as
@@ -476,8 +473,41 @@ class Graft(val spark: SparkSession, val stateRoot: String,
           .sortWithinPartitions(col("kb"), col("file_url"), col("seq"))
         writeOriginPartition(view, origin = "", rows, readsState = true)
       }
+      // compaction is also the GC hook of the snapshot discipline: drop
+      // files no generation references (retired grace generations,
+      // unindexed-origin leftovers) and manifest rows that serve nothing
+      purgeUnreferenced(dir)
+      bumpStateGen(view)
     }
   }
+
+  /** Delete data files referenced by NO generation of the manifest
+    * (retired garbage, unindexed-origin leftovers) and drop
+    * fully-empty origins from it. Files of the current AND grace
+    * generations are preserved — pinned readers stay safe through a
+    * compact().
+    */
+  private def purgeUnreferenced(dir: String): Unit =
+    loadManifest(dir).foreach { m =>
+      val referenced = m.valuesIterator.flatMap { case (c, p) => c ++ p }.toSet
+      listObs(dir).foreach { seg =>
+        val od = Paths.get(dir, s"ob=$seg")
+        val s = Files.list(od)
+        val names =
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.map(_.getFileName.toString)
+              .filter(n => !n.startsWith("_") && !n.startsWith(".")).toList
+          } finally s.close()
+        names.filterNot(n => referenced(s"ob=$seg/$n"))
+          .foreach(n => Files.deleteIfExists(od.resolve(n)))
+        val remaining = Files.list(od)
+        val empty = try !remaining.iterator().hasNext finally remaining.close()
+        if (empty) Files.deleteIfExists(od)
+      }
+      saveManifest(dir, m.filter { case (_, (c, p)) => c.nonEmpty || p.nonEmpty })
+      spark.catalog.refreshByPath(dir)
+    }
 
   /** `damr.reset(view)` — clear a view's materialized state (and its
     * per-origin index versions, so the next index() rebuilds it fully —
@@ -537,17 +567,17 @@ class Graft(val spark: SparkSession, val stateRoot: String,
   /** Raw entry state of a view:
     * (kb, key_json, file_url, pathname, seq, value_json, ob).
     *
-    * Reads are not coordinated with in-flight merge passes: a query
-    * executing exactly while an origin partition is overwritten can
-    * transiently fail (file listed, then replaced) — retry, or pair
-    * with a transactional table format in deployments that need
-    * concurrent readers during continuous maintenance.
+    * SNAPSHOT-PINNED (r12): the frame resolves the state manifest at
+    * construction and scans an explicit file list, so a merge pass
+    * committing mid-query cannot delete the files under it — the pin
+    * survives one subsequent commit per origin (the grace generation;
+    * see the manifest block comment at [[commitStateWrite]]). Only a
+    * frame held across TWO commits of the same origin can still lose
+    * files — retry, or re-construct the frame.
     */
   def entries(view: String): DataFrame = {
     viewDef(view) // existence check
-    val dir = viewDir(view)
-    if (!Files.exists(Paths.get(dir))) emptyEntries()
-    else spark.read.schema(Graft.entrySchemaWithPartition).parquet(dir)
+    stateFrame(viewDir(view), Graft.entrySchemaWithPartition)
   }
 
   /** `damr.get(view, key)` as a DataFrame of (key_json, value_json):
@@ -861,15 +891,12 @@ class Graft(val spark: SparkSession, val stateRoot: String,
         val folded = reduceEntries(entries(name).filter(col("ob") === ob), r, keepKb = true)
           .withColumn("ob", lit(ob))
           .localCheckpoint(true)
-        if (folded.isEmpty) deleteDir(s"${foldsDir(name)}/ob=$ob")
-        else {
-          folded.write
-            .partitionBy("ob")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(foldsDir(name))
-          spark.catalog.refreshByPath(foldsDir(name))
-        }
+        if (folded.isEmpty) {
+          // retraction: snapshot-commit an empty generation (the stale
+          // folds keep serving pinned frames for one grace generation)
+          if (Files.exists(Paths.get(foldsDir(name))))
+            commitObs(foldsDir(name), Map(ob -> Seq.empty[String]))
+        } else commitStateWrite(foldsDir(name), folded, retractIfAbsent = Some(ob))
       case _ => ()
     }
 
@@ -903,12 +930,23 @@ class Graft(val spark: SparkSession, val stateRoot: String,
     if (!view.materialize || view.reduce.isEmpty) {
       if (Files.exists(Paths.get(fd))) deleteDir(fd)
     } else {
-      val entryObs = listObs(viewDir(name))
-      val foldObs = listObs(fd)
-      (foldObs -- entryObs).foreach(ob => deleteDir(s"$fd/ob=$ob"))
+      val entryObs = liveObs(viewDir(name))
+      val foldObs = liveObs(fd)
+      (foldObs -- entryObs).foreach(ob =>
+        commitObs(fd, Map(ob -> Seq.empty[String])))
       (entryObs -- foldObs).foreach(ob => refoldOb(name, view, ob))
     }
   }
+
+  /** Origins currently SERVED from a state dir: manifest origins with a
+    * non-empty current generation, or the raw `ob=` listing for legacy
+    * dirs that predate the manifest.
+    */
+  private def liveObs(dir: String): Set[String] =
+    loadManifest(dir) match {
+      case Some(m) => m.collect { case (ob, (cur, _)) if cur.nonEmpty => ob }.toSet
+      case None => listObs(dir)
+    }
 
   private def foldsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("kb", org.apache.spark.sql.types.BinaryType),
@@ -921,7 +959,7 @@ class Graft(val spark: SparkSession, val stateRoot: String,
     vd.materialize && vd.reduce.isDefined && Files.exists(Paths.get(foldsDir(name)))
 
   private def folds(name: String): DataFrame =
-    spark.read.schema(foldsSchema).parquet(foldsDir(name))
+    stateFrame(foldsDir(name), foldsSchema)
 
   /** Merge per-origin PARTIAL folds into the final per-key value — the
     * combine side of the classic partial aggregation split. Only Count
@@ -999,42 +1037,211 @@ class Graft(val spark: SparkSession, val stateRoot: String,
     spark.catalog.refreshByPath(fileVersionsDir(origin))
   }
 
-  /** Dynamic partition overwrite of exactly the origin partitions present
-    * in `rows` — the incremental-maintenance primitive.
+  // --- snapshot-pinned state commits (r12) ----------------------------
+  //
+  // The Iceberg/Delta snapshot idea in one file, applied to view state
+  // (r11 verdict #3). The OLD commit was Spark's dynamic partition
+  // overwrite: it deletes the origin's previous files in place, so any
+  // frame mid-scan over them died with FILE_NOT_EXIST — tolerable for a
+  // sub-second bench poll (retry), fatal for a long query racing a
+  // watch tick at 100 TB. NOW every state dir carries a `_manifest.txt`
+  // (atomically renamed into place) mapping each origin segment to its
+  // CURRENT and PREVIOUS generation of data files; writers stage new
+  // files beside the old ones (never touching them), flip the manifest,
+  // and physically delete only the generation BEFORE the one being
+  // retired. Readers resolve the manifest once at frame construction
+  // and read an explicit pinned file list (`basePath` keeps the ob=
+  // partition column) — a commit that lands mid-query cannot remove the
+  // files that query is scanning. The pin survives exactly one
+  // subsequent commit of the same origin (the grace generation); a
+  // frame held across two commits can still lose files, which is the
+  // same bounded retention contract every snapshot store has.
+  // boundedCollect keeps its retry as defense in depth for that tail
+  // and for legacy (pre-manifest) state dirs, which read whole-dir as
+  // before and are upgraded in place by their next commit.
+
+  /** origin segment → (current files, grace-generation files); paths
+    * relative to the state dir ("ob=xxxx/part-....parquet").
+    */
+  private type Manifest = Map[String, (Seq[String], Seq[String])]
+
+  private def manifestPath(dir: String) = Paths.get(dir, "_manifest.txt")
+
+  /** Parse `_manifest.txt`: one line per origin, three TAB-separated
+    * fields (segment, current files comma-joined, previous files
+    * comma-joined; empty string = none). Underscore prefix keeps Spark's
+    * legacy whole-dir fallback from reading it as data.
+    */
+  private[graft] def loadManifest(dir: String): Option[Manifest] = {
+    val p = manifestPath(dir)
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).map { ln =>
+        val f = ln.split("\t", -1)
+        require(f.length == 3, s"corrupt state manifest line in $p: $ln")
+        def files(s: String) = if (s.isEmpty) Nil else s.split(",", -1).toSeq
+        f(0) -> ((files(f(1)), files(f(2))))
+      }.toMap)
+  }
+
+  private def saveManifest(dir: String, m: Manifest): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val body = m.toSeq.sortBy(_._1).map { case (ob, (cur, prev)) =>
+      s"$ob\t${cur.mkString(",")}\t${prev.mkString(",")}"
+    }.mkString("\n")
+    val tmp = Paths.get(dir, s"._manifest.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Adopt a legacy (pre-manifest) state dir: every existing data file
+    * becomes the current generation of its origin. Runs BEFORE staged
+    * files land so the whole-dir fallback is never consulted once mixed
+    * generations exist.
+    */
+  private def bootstrapManifest(dir: String): Manifest =
+    listObs(dir).map { seg =>
+      val od = Paths.get(dir, s"ob=$seg")
+      val s = Files.list(od)
+      val files =
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filter(n => !n.startsWith("_") && !n.startsWith("."))
+            .toSeq.sorted
+        } finally s.close()
+      seg -> ((files.map(n => s"ob=$seg/$n"), Seq.empty[String]))
+    }.toMap
+
+  private def manifestOrBootstrap(dir: String): Manifest =
+    loadManifest(dir).getOrElse(
+      if (Files.exists(Paths.get(dir))) bootstrapManifest(dir)
+      else Map.empty)
+
+  /** Flip origin generations: each updated origin's grace files are
+    * physically deleted, its current files become the grace generation,
+    * `files` becomes current. An empty `files` is a retraction (served
+    * as no rows; the retired files linger one generation).
+    */
+  private def commitObs(dir: String, updates: Map[String, Seq[String]]): Unit =
+    commitObsFrom(dir, manifestOrBootstrap(dir), updates)
+
+  /** Core generation flip against an EXPLICIT pre-write manifest `m0` —
+    * the writer captures m0 BEFORE staged files land (a bootstrap taken
+    * after the move would read the just-written generation as an
+    * existing one and schedule it as its own grace-deletion: the gen-1
+    * files would die at the gen-2 commit, exactly the pin-break this
+    * layer exists to prevent).
+    */
+  private def commitObsFrom(dir: String, m0: Manifest,
+      updates: Map[String, Seq[String]]): Unit = {
+    updates.foreach { case (ob, _) =>
+      m0.get(ob).foreach(_._2.foreach(f =>
+        Files.deleteIfExists(Paths.get(dir, f))))
+    }
+    val m1 = m0 ++ updates.map { case (ob, files) =>
+      ob -> ((files, m0.get(ob).map(_._1).getOrElse(Seq.empty)))
+    }
+    saveManifest(dir, m1)
+  }
+
+  /** Write `out` (carrying an `ob` column) to a hidden staging dir,
+    * move the produced part files into their `ob=` dirs under new names
+    * no reader references yet, and return segment → relative new files.
+    */
+  private def stageAndMove(dir: String, out: DataFrame): Map[String, Seq[String]] = {
+    Files.createDirectories(Paths.get(dir))
+    val staging = Paths.get(dir,
+      s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      out.write.partitionBy("ob").mode("overwrite").parquet(staging.toString)
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(staging)
+      val obDirs =
+        try s.iterator().asScala.filter(_.getFileName.toString.startsWith("ob=")).toList
+        finally s.close()
+      obDirs.map { od =>
+        val seg = od.getFileName.toString.stripPrefix("ob=")
+        val target = Paths.get(dir, s"ob=$seg")
+        Files.createDirectories(target)
+        val fs = Files.list(od)
+        val names =
+          try fs.iterator().asScala.map(_.getFileName.toString)
+            .filter(n => !n.startsWith("_") && !n.startsWith("."))
+            .toList.sorted
+          finally fs.close()
+        names.foreach(n => Files.move(od.resolve(n), target.resolve(n)))
+        seg -> names.map(n => s"ob=$seg/$n")
+      }.toMap
+    } finally deleteDir(staging.toString)
+  }
+
+  /** Pinned read of a manifest-managed state dir (current generations
+    * only, explicit file list); legacy dirs without a manifest read
+    * whole-dir exactly as before their first snapshot commit.
+    */
+  private def stateFrame(dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    loadManifest(dir) match {
+      case Some(m) =>
+        val files = m.valuesIterator.flatMap(_._1).toSeq.sorted
+        if (files.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        else spark.read.schema(schema).option("basePath", dir)
+          .parquet(files.map(f => s"$dir/$f"): _*)
+      case None =>
+        if (!Files.exists(Paths.get(dir)))
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        else spark.read.schema(schema).parquet(dir)
+    }
+
+  /** Snapshot-commit of exactly the origin partitions present in
+    * `rows` — the incremental-maintenance primitive (see the block
+    * comment above for the manifest discipline).
     *
     * When `rows` derives from the view's own current state (incremental
-    * merge), Spark refuses to overwrite a path it is reading; the carried
-    * rows are materialized first (localCheckpoint — executor-local, sized
-    * to ONE origin's entries, the incremental unit, never the whole view).
+    * merge), the carried rows are materialized first (localCheckpoint —
+    * executor-local, sized to ONE origin's entries, the incremental
+    * unit, never the whole view); staged files never overwrite the
+    * files the plan reads, but the checkpoint also bounds how long the
+    * commit holds the prior generation's file handles.
     */
   private def writeOriginPartition(
       view: String, origin: String, rows: DataFrame,
       readsState: Boolean = false): Unit = {
     val out = if (readsState) rows.localCheckpoint(true) else rows
-    if (readsState && origin.nonEmpty && out.isEmpty) {
-      // dynamic partition overwrite with ZERO rows writes nothing — when a
-      // merge retracts an origin's LAST entries (unindexFile of its only
-      // matching file; every file deleted), the stale ob= partition must
-      // be deleted explicitly or retraction silently fails
-      deleteDir(s"${viewDir(view)}/ob=${escape(origin)}")
-      spark.catalog.refreshByPath(viewDir(view))
-      // AFTER the state change lands (a bump before it would let a
-      // racing Fold probe cache a pass under the NEW generation while
-      // reading the OLD files — permanently skipping the cap probe for
-      // state it never saw)
-      bumpStateGen(view)
-      return
-    }
-    out.write
-      .partitionBy("ob")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite")
-      .parquet(viewDir(view))
-    // the session-shared FileStatusCache would otherwise serve the old
-    // file listing to the next read of this path
-    spark.catalog.refreshByPath(viewDir(view))
-    // see the early-return branch: the bump must follow the commit
+    commitStateWrite(viewDir(view), out,
+      retractIfAbsent = if (origin.nonEmpty) Some(escape(origin)) else None)
+    // AFTER the state change lands (a bump before it would let a
+    // racing Fold probe cache a pass under the NEW generation while
+    // reading the OLD files — permanently skipping the cap probe for
+    // state it never saw)
     bumpStateGen(view)
+  }
+
+  /** Stage, move, flip the manifest. `retractIfAbsent`: an origin this
+    * write was FOR that produced zero files is a retraction (a merge
+    * that dropped the origin's last entries) — the manifest must say so
+    * or the stale generation keeps serving.
+    */
+  private def commitStateWrite(dir: String, out: DataFrame,
+      retractIfAbsent: Option[String]): Unit = {
+    // resolve the pre-write generation map and adopt legacy dirs BEFORE
+    // new files land beside the old ones (see commitObsFrom)
+    val m0 = manifestOrBootstrap(dir)
+    if (loadManifest(dir).isEmpty && Files.exists(Paths.get(dir)))
+      saveManifest(dir, m0)
+    val moved = stageAndMove(dir, out)
+    val updates = retractIfAbsent match {
+      case Some(seg) if !moved.contains(seg) => moved + (seg -> Seq.empty[String])
+      case _ => moved
+    }
+    if (updates.nonEmpty) commitObsFrom(dir, m0, updates)
+    // the session-shared FileStatusCache would otherwise serve the old
+    // file listing to the next legacy-fallback read of this path
+    spark.catalog.refreshByPath(dir)
   }
 
   private def reduceEntries(df: DataFrame, r: Reduce, keepKb: Boolean = false,
@@ -1143,9 +1350,6 @@ class Graft(val spark: SparkSession, val stateRoot: String,
   }
 
   private val udfRenderNum = udf { (d: Double) => Json.renderNum(d) }
-
-  private def emptyEntries(): DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Graft.entrySchemaWithPartition)
 
   private def escape(origin: String): String = {
     // must match the `ob` column produced in mapEntries

@@ -16,23 +16,34 @@ import graft.core._
   */
 class CompactLayoutSpec extends SparkSpec {
 
-  /** (overlapping, total) row groups under `dir` whose kb min/max range
-    * intersects [lo, hi] — the reader's stats test, unsigned-lexicographic
-    * like the BinaryType ordering kb is built for.
+  /** (overlapping, total) row groups among the files a reader is SERVED
+    * from `dir` — the manifest's current generation (r12 snapshot
+    * commits leave the grace generation on disk beside it; counting
+    * those would measure garbage a scan never touches), or the whole
+    * dir for legacy pre-manifest state — whose kb min/max range
+    * intersects [lo, hi]: the reader's stats test,
+    * unsigned-lexicographic like the BinaryType ordering kb is built
+    * for.
     */
-  private def kbOverlap(dir: String, lo: Array[Byte], hi: Array[Byte]): (Int, Int) = {
+  private def kbOverlap(db: Graft, dir: String,
+      lo: Array[Byte], hi: Array[Byte]): (Int, Int) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(conf)
-    def parquetFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    def allFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
       fs.listStatus(p).toSeq.flatMap { st =>
-        if (st.isDirectory) parquetFiles(st.getPath)
+        if (st.isDirectory) allFiles(st.getPath)
         else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
         else Seq.empty
       }
+    val served = db.loadManifest(dir) match {
+      case Some(m) => m.valuesIterator.flatMap(_._1)
+        .map(rel => new org.apache.hadoop.fs.Path(s"$dir/$rel")).toSeq
+      case None => allFiles(root)
+    }
     var total = 0
     var overlap = 0
-    parquetFiles(root).foreach { f =>
+    served.foreach { f =>
       val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
         conf, f, org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
       footer.getBlocks.asScala.foreach { b =>
@@ -76,9 +87,9 @@ class CompactLayoutSpec extends SparkSpec {
         lt = Some(KeyCodec.asKey("k02000")))
       val before = db.list("v", opts).collect()
         .map(_.getAs[String]("key_json")).toVector
-      val (preHit, preTotal) = kbOverlap(entriesDir, lo, hi)
+      val (preHit, preTotal) = kbOverlap(db, entriesDir, lo, hi)
       db.compact("v")
-      val (postHit, postTotal) = kbOverlap(entriesDir, lo, hi)
+      val (postHit, postTotal) = kbOverlap(db, entriesDir, lo, hi)
       info(s"kb-slab overlap: fresh $preHit/$preTotal row groups, compacted $postHit/$postTotal")
       assert(preTotal >= 8 && postTotal >= 8,
         s"too few row groups for the comparison to mean anything ($preTotal/$postTotal)")

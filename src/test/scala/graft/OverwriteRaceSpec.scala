@@ -72,6 +72,38 @@ class OverwriteRaceSpec extends SparkSpec {
     assert(calls == 6) // initial + 5 retries
   }
 
+  test("snapshot pinning: a frame constructed before a re-index commit " +
+      "reads the OLD generation WITHOUT retry") {
+    // r12 (r11 verdict #3): the real read-during-overwrite case. The
+    // commit used to be a dynamic partition overwrite that deleted the
+    // pinned frame's files in place; with the manifest discipline the
+    // new generation lands beside the old one and the old frame's
+    // explicit file list stays fully readable — a PLAIN collect (no
+    // boundedCollect retry) must succeed and serve the pinned snapshot.
+    val dir = Files.createTempDirectory("graft-pin-arch")
+    def write(name: String, v: Long): Unit = {
+      val p = dir.resolve(name)
+      Files.write(p, s"""{"k":"a","v":$v}""".getBytes("UTF-8"))
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 5))
+    }
+    write("f.json", 1L)
+    val g = db()
+    g.define("pin", ViewDef("/*.json",
+      MapFn((v, _) => Seq(OverwriteRaceSpec.parseV(v) -> OverwriteRaceSpec.parseV(v)))))
+    val arch = new DirArchive("dat://pin-origin", dir.toString)
+    g.index(arch)
+    val pinned = g.list("pin") // resolves the manifest NOW — generation 1
+    write("f.json", 2L) // changed content, mtime forced forward
+    g.index(arch) // generation-2 commit: old files must survive it
+    val rows = pinned.collect() // no retry wrapper anywhere
+    assert(rows.map(_.getString(1)).toSeq == Seq("1"),
+      "pinned frame must serve the generation it resolved")
+    val fresh = g.list("pin").collect()
+    assert(fresh.map(_.getString(1)).toSeq == Seq("2"),
+      "a frame constructed after the commit must serve the new generation")
+  }
+
   test("unrelated failures are NOT retried") {
     val g = db()
     var calls = 0
@@ -83,4 +115,10 @@ class OverwriteRaceSpec extends SparkSpec {
     }
     assert(calls == 1)
   }
+}
+
+object OverwriteRaceSpec extends Serializable {
+  // map lambdas must not capture the (non-serializable) suite instance
+  def parseV(value: String): Any =
+    core.Json.parse(value).asInstanceOf[Map[String, Any]]("v")
 }
