@@ -760,6 +760,49 @@ object Dedup {
   def semanticCellCount(n: Long): Int =
     math.max(8, math.min(1024, math.ceil(math.sqrt(n / 2.0)).toInt))
 
+  /** C32b oracle: the C39 kmeans chain (shifted kilo quantization,
+    * verbatim `Cluster.kmeansChainCtes`) for cells, signed kilo codes
+    * for the square-free τ = 0.5 test, the C17 recursive
+    * min-reachability for the closure. WITH RECURSIVE heads the whole
+    * chain (DuckDB requires it when ANY cte recurses).
+    */
+  private val semanticIntSql: String =
+    s"""WITH RECURSIVE x AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+      |    CAST(floor((unnest(embedding)::DOUBLE + 1.0) * 1000) AS BIGINT) AS m
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id AS cluster, d, m AS cent FROM x WHERE vec_id < 8),
+      |${Cluster.kmeansChainCtes},
+      |cellv AS (SELECT vec_id, cluster FROM aF WHERE rn = 1),
+      |sq AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+      |    CAST(floor(unnest(embedding)::DOUBLE * 1000) AS BIGINT) AS m
+      |  FROM embeddings),
+      |nrm AS (SELECT vec_id, CAST(sum(m * m) AS BIGINT) AS vv FROM sq GROUP BY vec_id),
+      |dots AS (
+      |  SELECT p.a_id, p.b_id, CAST(sum(xa.m * xb.m) AS BIGINT) AS dot
+      |  FROM (SELECT ca.vec_id AS a_id, cb.vec_id AS b_id
+      |        FROM cellv ca JOIN cellv cb
+      |          ON cb.cluster = ca.cluster AND cb.vec_id > ca.vec_id) p
+      |  JOIN sq xa ON xa.vec_id = p.a_id
+      |  JOIN sq xb ON xb.vec_id = p.b_id AND xb.d = xa.d
+      |  GROUP BY p.a_id, p.b_id),
+      |sim AS (
+      |  SELECT d.a_id, d.b_id FROM dots d
+      |  JOIN nrm na ON na.vec_id = d.a_id
+      |  JOIN nrm nb ON nb.vec_id = d.b_id
+      |  WHERE d.dot > 0 AND 4 * d.dot * d.dot >= na.vv * nb.vv),
+      |edges AS (SELECT a_id, b_id FROM sim
+      |          UNION SELECT b_id AS a_id, a_id AS b_id FROM sim),
+      |nodes AS (SELECT DISTINCT a_id AS id FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.b_id AS id, reach.r FROM reach JOIN edges e ON e.a_id = reach.id),
+      |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+      |SELECT id AS removed_id, label AS rep_id FROM labels
+      |WHERE id != label ORDER BY removed_id""".stripMargin
+
   def semanticDedup(s: SparkSession, e: DataFrame, k: Int, tau: Double,
       knownCount: Long = -1L): DataFrame = {
     ensureLocalCkptDir(s)
@@ -2038,6 +2081,49 @@ object Dedup {
       val e = Ann.embsWithNorm(s, dir)
       val n = e.count() // one metadata-cheap scan; reused as knownCount
       semanticDedup(s, e, semanticCellCount(n), tau = 0.5, knownCount = n)
+        .orderBy(col("removed_id"))
+    },
+
+    // C32b (r12): the HASH-GATED SemDeDup — the integer-determinism
+    // scheme applied to cluster-then-dedup (Abbas et al. 2023,
+    // arXiv:2303.09540). Same staged semantics as C32 (cells → within-
+    // cell τ-pairs → CC → keep the component-min representative), every
+    // stage integer-decidable: cells from the SAME gated K=8 Lloyd run
+    // as C39 (the oracle replays Cluster.kmeansChainCtes verbatim — a
+    // third gate pinning that chain), the τ = 0.5 cosine test evaluated
+    // SQUARE-FREE on signed kilo codes (near-dup ⟺ dot > 0 ∧ 4·dot² ≥
+    // |a|²·|b|², the C53 trick per-pair: dot ≤ 64·10⁶ so 4·dot² ≤
+    // 1.7e16 stays in plain BIGINT — no DECIMAL widening needed), and
+    // the closure replayed by the C17 WITH RECURSIVE min-reachability.
+    // The production form stays C32 (adaptive k ≈ √(n/2) cells, float
+    // cosine); this twin runs the identical rule at the gate operating
+    // point where every arithmetic step restates in DuckDB — the
+    // C4e/C5b division of labor applied to embedding-space dedup.
+    // 100 TB shape: one corpus pass to assign (map-only against k·d
+    // broadcast literals), pairs bucket-local per cell (quadratic in
+    // CELL size only), CC over the verified sliver.
+    Q("dedup_semantic_int", semanticIntSql) { (s, dir) =>
+      ensureLocalCkptDir(s)
+      val (assign, _, _) = Cluster.fit(s, dir)
+      val q = Embed.quantized(s, dir) // signed kilo codes (vec_id, q)
+      val withCell = q.join(assign.select(col("vec_id"), col("cluster")), "vec_id")
+        .select(col("vec_id"), col("cluster"), col("q"),
+          aggregate(zip_with(col("q"), col("q"), (x, y) => x * y),
+            lit(0L), (acc, v) => acc + v).as("vv"))
+      val a = withCell.select(col("cluster"), col("vec_id").as("a_id"),
+        col("q").as("qa"), col("vv").as("va"))
+      val b = withCell.select(col("cluster"), col("vec_id").as("b_id"),
+        col("q").as("qb"), col("vv").as("vb"))
+      val pairs = a.join(b, Seq("cluster")).where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+            lit(0L), (acc, v) => acc + v).as("dot"),
+          col("va"), col("vb"))
+        .where(col("dot") > 0 &&
+          lit(4L) * col("dot") * col("dot") >= col("va") * col("vb"))
+      connectedComponents(pairs.select(col("a_id"), col("b_id")))
+        .where(col("id") =!= col("label"))
+        .select(col("id").as("removed_id"), col("label").as("rep_id"))
         .orderBy(col("removed_id"))
     },
 

@@ -492,6 +492,36 @@ object Embed {
         .orderBy(col("vec_id"))
     },
 
+    // D34 (r12): C40c at INGEST — the integer projection with a FROZEN
+    // integer direction as embeddings land (the D25 deployment shape on
+    // the hash-gated twin): the direction fits once batch-side from the
+    // gated moments (the D11/D17/D25 frozen-model discipline), rides as
+    // d literals in a stateless per-row integer fold — append mode, no
+    // state store, no join. Unlike D25 (float ⇒ rows-only + bitwise
+    // parity gate), every streamed value is integer, so this arm gates
+    // against the SAME DuckDB oracle as batch C40c — full
+    // rows+schema+hash driver-checked batch/stream parity, the D33
+    // pattern on the PCA family.
+    Q("emb_pca_int_stream", pcaIntSql) { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        val (v, sd, n) = pcaIntPower(moments(quantized(s, dir)).collect())
+        val svdot = v.indices.foldLeft(0L)((a, i) => a + sd(i) * v(i))
+        val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet")
+          .parquet(dir)
+        val q = stream.select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000).cast("long")).as("q"))
+        Events.runToAppendSink(s, "pcai_sink_",
+            q.select(col("vec_id"),
+              (lit(n) * aggregate(
+                zip_with(col("q"), typedLit(v.toSeq), (a, b) => a * b),
+                lit(0L), (acc, x) => acc + x) - lit(svdot)).as("pc0")))
+          .orderBy(col("vec_id"))
+      }
+    },
+
     // D25 (r9): C40b at INGEST — dimensionality reduction with a
     // FROZEN basis as embeddings land (the deployment shape: PCA fits
     // once on the corpus snapshot; reducing a 100 TB stream must not

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.SparkException
 import org.apache.spark.sql.DataFrame
@@ -102,6 +103,70 @@ class OverwriteRaceSpec extends SparkSpec {
     val fresh = g.list("pin").collect()
     assert(fresh.map(_.getString(1)).toSeq == Seq("2"),
       "a frame constructed after the commit must serve the new generation")
+  }
+
+  test("snapshot commits keep a bounded TWO generations per origin — " +
+      "state does not grow across ticks") {
+    // at 100 TB a watch tick every few seconds must not accumulate
+    // file generations: commit N deletes generation N−2, so steady
+    // state is current + grace, nothing more
+    val dir = Files.createTempDirectory("graft-gen-arch")
+    def write(v: Long): Unit = {
+      val p = dir.resolve("f.json")
+      Files.write(p, s"""{"k":"a","v":$v}""".getBytes("UTF-8"))
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 5))
+    }
+    write(1L)
+    val g = db()
+    g.define("gen", ViewDef("/*.json",
+      MapFn((v, _) => Seq(OverwriteRaceSpec.parseV(v) -> OverwriteRaceSpec.parseV(v)))))
+    val arch = new DirArchive("dat://gen-origin", dir.toString)
+    g.index(arch)
+    val obDir = java.nio.file.Paths.get(
+      g.stateRoot, "gen", "entries").toFile.listFiles()
+      .filter(_.getName.startsWith("ob=")).head.toPath
+    def dataFiles(): Int = {
+      val s = Files.list(obDir)
+      try s.iterator().asScala.count { p =>
+        val n = p.getFileName.toString
+        !n.startsWith("_") && !n.startsWith(".")
+      } finally s.close()
+    }
+    (2L to 6L).foreach { v => write(v); g.index(arch) }
+    assert(dataFiles() <= 2,
+      s"expected current + grace generations only, found ${dataFiles()} files")
+    // and the served read is the latest value
+    assert(g.list("gen").collect().map(_.getString(1)).toSeq == Seq("6"))
+  }
+
+  test("a legacy pre-manifest state dir reads whole-dir and upgrades in " +
+      "place on its next commit") {
+    val dir = Files.createTempDirectory("graft-legacy-arch")
+    def write(name: String, k: String, v: Long): Unit = {
+      val p = dir.resolve(name)
+      Files.write(p, s"""{"k":"$k","v":$v}""".getBytes("UTF-8"))
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 5))
+    }
+    write("a.json", "a", 1L)
+    val g = db()
+    g.define("leg", ViewDef("/*.json",
+      MapFn((v, _) => Seq(OverwriteRaceSpec.parseV(v) -> OverwriteRaceSpec.parseV(v)))))
+    val arch = new DirArchive("dat://leg-origin", dir.toString)
+    g.index(arch)
+    val entriesDir = java.nio.file.Paths.get(g.stateRoot, "leg", "entries")
+    // simulate state written by a pre-manifest build
+    Files.delete(entriesDir.resolve("_manifest.txt"))
+    assert(g.list("leg").collect().map(_.getString(1)).toSeq == Seq("1"),
+      "legacy fallback must read the whole dir")
+    // next commit bootstraps: the pre-existing file becomes the grace
+    // generation (NOT its own deletion target — the r12 ordering bug)
+    write("b.json", "b", 2L)
+    g.index(arch)
+    assert(Files.exists(entriesDir.resolve("_manifest.txt")),
+      "a commit into a legacy dir must adopt it")
+    assert(g.list("leg").collect().map(_.getString(1)).toSeq == Seq("1", "2"))
   }
 
   test("unrelated failures are NOT retried") {

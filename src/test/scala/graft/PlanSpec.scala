@@ -228,6 +228,14 @@ class PlanSpec extends SparkSpec {
       s"scan should read only (source, lang, text): $readSchema")
   }
 
+  test("dedup_semantic_int: pairs mine through the cell equi-join, never a cross join") {
+    val p = planStr("dedup_semantic_int")
+    // SemDeDup's whole point is that candidates are quadratic in CELL
+    // size only — the pair self-join must key on cluster, not cartesian
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"within-cell pair mining degraded to an all-pairs join:\n$p")
+  }
+
   test("ann_filtered: label predicate joins by broadcast hash probe; corpus never shuffles or cross-joins") {
     val p = planStr("ann_filtered")
     // filter-before-distance: the label equi-join must be a (broadcast)
