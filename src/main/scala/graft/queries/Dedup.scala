@@ -760,6 +760,87 @@ object Dedup {
   def semanticCellCount(n: Long): Int =
     math.max(8, math.min(1024, math.ceil(math.sqrt(n / 2.0)).toInt))
 
+  /** C6c integer hyperplane-LSH geometry (mirrors the float C6b: 24
+    * tables; 6 bits = 64 buckets/table).
+    */
+  private val EmbLshIntTables = 24
+  private val EmbLshIntBits = 6
+
+  /** C6c core: signed integer codes v = floor((e+1)·1000) − 1000 (the
+    * ann_lsh_int quantization), per-table signatures from the shared
+    * [[Ann.lshW]] planes, bucket-equality pairs, square-free τ = 0.5
+    * verify. Returns (a_id, b_id, dot, va, vb) — all BIGINT.
+    */
+  private[graft] def embeddingLshIntPairs(s: SparkSession, dir: String): DataFrame = {
+    val signed = graft.core.Tables(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          v => (floor((v.cast("double") + 1.0d) * 1000) - 1000.0d)).as("v"))
+    val sigCols: Column = array((0 until EmbLshIntTables).map { t =>
+      val sig = (0 until EmbLshIntBits).map { b =>
+        val w = typedLit((1 to 64).map(j => Ann.lshW(t, b, j).toDouble))
+        when(graft.functions.Native.dot(s, col("v"), w) >= 0,
+          lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), sig.as("sig"))
+    }: _*)
+    val tabled = signed
+      .select(col("vec_id"), explode(sigCols).as("ts"))
+      .select(col("vec_id"), col("ts").as("tk"))
+    val cands = tabled.as("a").join(tabled.as("b"),
+        col("a.tk") === col("b.tk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    val q = signed.select(col("vec_id"),
+      transform(col("v"), _.cast("long")).as("q"))
+      .select(col("vec_id"), col("q"),
+        aggregate(zip_with(col("q"), col("q"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).as("vv"))
+    cands
+      .join(q.select(col("vec_id").as("a_id"), col("q").as("qa"), col("vv").as("va")), "a_id")
+      .join(q.select(col("vec_id").as("b_id"), col("q").as("qb"), col("vv").as("vb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).as("dot"),
+        col("va"), col("vb"))
+      .where(col("dot") > 0 &&
+        lit(4L) * col("dot") * col("dot") >= col("va") * col("vb"))
+  }
+
+  /** C6c oracle: the ann_lsh_int signature CTEs with self-pair
+    * candidates and the square-free verify, emitting raw stats.
+    */
+  private val embLshIntSql: String =
+    s"""WITH x AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+      |    CAST(floor((unnest(embedding)::DOUBLE + 1.0) * 1000) AS BIGINT) - 1000 AS v
+      |  FROM embeddings),
+      |nrm AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS vv FROM x GROUP BY vec_id),
+      |w AS (SELECT t.t, b.b, j.j,
+      |        CAST((t.t * 2654435761 + b.b * 2246822519 + j.j * 3266489917)
+      |          % 1000003 % 13 AS BIGINT) - 6 AS w
+      |      FROM range(0, $EmbLshIntTables) t(t), range(0, $EmbLshIntBits) b(b),
+      |           range(1, 65) j(j)),
+      |bits AS (
+      |  SELECT x.vec_id, w.t, w.b,
+      |    CASE WHEN sum(w.w * x.v) >= 0 THEN 1 ELSE 0 END AS bit
+      |  FROM x JOIN w ON w.j = x.d
+      |  GROUP BY x.vec_id, w.t, w.b),
+      |sig AS (SELECT vec_id, t, CAST(sum(bit << b) AS BIGINT) AS sig
+      |        FROM bits GROUP BY vec_id, t),
+      |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      |         FROM sig a JOIN sig b
+      |           ON b.t = a.t AND b.sig = a.sig AND b.vec_id > a.vec_id),
+      |dots AS (SELECT c.a_id, c.b_id, CAST(sum(xa.v * xb.v) AS BIGINT) AS dot
+      |         FROM cand c JOIN x xa ON xa.vec_id = c.a_id
+      |                     JOIN x xb ON xb.vec_id = c.b_id AND xb.d = xa.d
+      |         GROUP BY c.a_id, c.b_id)
+      |SELECT d.a_id, d.b_id, d.dot, na.vv AS va, nb.vv AS vb
+      |FROM dots d
+      |JOIN nrm na ON na.vec_id = d.a_id
+      |JOIN nrm nb ON nb.vec_id = d.b_id
+      |WHERE d.dot > 0 AND 4 * d.dot * d.dot >= na.vv * nb.vv
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** C32b oracle: the C39 kmeans chain (shifted kilo quantization,
     * verbatim `Cluster.kmeansChainCtes`) for cells, signed kilo codes
     * for the square-free τ = 0.5 test, the C17 recursive
@@ -2125,6 +2206,27 @@ object Dedup {
         .where(col("id") =!= col("label"))
         .select(col("id").as("removed_id"), col("label").as("rep_id"))
         .orderBy(col("removed_id"))
+    },
+
+    // C6c (r12): the HASH-GATED embedding-LSH near-dup miner — the last
+    // near-dup family member without an integer twin (exact C1, minhash
+    // C4e, simhash C5b, semantic C32b — now the hyperplane miner too).
+    // C6b's exact shape at the gate operating point: 24 tables × 6
+    // integer hyperplanes (`Ann.lshW` — the large-prime-decorrelated
+    // formula both engines restate literally; capture at cos 0.5 ≈
+    // 1−(1−(2/3)⁶)²⁴ ≈ 0.89, ≈1 on the near-1 template dups dedup
+    // actually hunts), bucket-equality candidate pairs, τ = 0.5
+    // verified SQUARE-FREE on the signed integer codes (dot > 0 ∧
+    // 4·dot² ≥ |a|²·|b|² — per-pair ≤ 1.7e16, plain BIGINT). The
+    // output is the RAW sufficient statistics (dot, va, vb) per
+    // surviving pair, the C40 discipline — every emitted value integer
+    // ⇒ full rows+schema+hash gate; DedupAnnSpec pins recall against
+    // the exact integer all-pairs test. 100 TB shape: signatures are
+    // one map-only pass (144 codegen'd dots/row), candidates
+    // bucket-local on (table, sig), text/embeddings join back only for
+    // the surviving sliver.
+    Q("dedup_embedding_lsh_int", embLshIntSql) { (s, dir) =>
+      embeddingLshIntPairs(s, dir).orderBy(col("a_id"), col("b_id"))
     },
 
     // C33: incremental NEAR-dup dedup — C30's MinHash analogue, the

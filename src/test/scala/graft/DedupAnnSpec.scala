@@ -73,6 +73,44 @@ class DedupAnnSpec extends SparkSpec {
     assert(intPairs == exact, s"missed=${exact -- intPairs} extra=${intPairs -- exact}")
   }
 
+  test("C6c dedup_embedding_lsh_int: sound vs exact integer all-pairs; " +
+      "strong pairs (cos>=0.9) fully captured") {
+    val dir = sf("sf0.01")
+    // exact integer all-pairs baseline, driver-side (500 vecs = 125k
+    // pairs): same signed codes v = floor((e+1)*1000) - 1000, same
+    // square-free tau = 0.5 test
+    val vecs = graft.core.Tables(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(v => math.floor((v.toDouble + 1.0) * 1000).toLong - 1000L).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.foldLeft(0L)((acc, i) => acc + a(i) * b(i))
+    val exact = scala.collection.mutable.Set.empty[(Long, Long)]
+    val strong = scala.collection.mutable.Set.empty[(Long, Long)]
+    for (i <- vecs.indices; j <- i + 1 until vecs.length) {
+      val (ia, va) = vecs(i); val (ib, vb) = vecs(j)
+      val d = dot(va, vb); val na = dot(va, va); val nb = dot(vb, vb)
+      if (d > 0 && 4L * d * d >= na * nb) {
+        exact += ((ia, ib))
+        if (100L * d * d >= 81L * na * nb) strong += ((ia, ib))
+      }
+    }
+    val mined = q("dedup_embedding_lsh_int", dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain tau=0.5 pairs")
+    // soundness: verification is the exact test, so mined ⊆ exact always
+    assert((mined -- exact).isEmpty, s"unsound pairs: ${(mined -- exact).take(3)}")
+    // capture at cos 0.9 across 24 tables: miss ≈ (1-0.857^6)^24 ≈ 6e-6
+    // — the near-identical pairs dedup actually hunts must ALL surface
+    assert(strong.subsetOf(mined),
+      s"missed strong pairs: ${(strong.toSet -- mined).take(3)}")
+    // boundary-band recall (capture ≈ 0.89 at cos exactly 0.5 rises
+    // steeply with cos): well above a 0.6 floor on this corpus
+    val recall = (exact.toSet & mined).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall vs exact tau=0.5 pairs")
+  }
+
   test("C5b dedup_simhash_int blocked join == brute-force hamming<=1 over int signatures") {
     val dir = sf("sf0.01")
     val sigs = spark.read.parquet(s"$dir/documents.parquet")
