@@ -154,6 +154,20 @@ class ClassifierTrainSpec extends SparkSpec {
     assert(SparkEntry.queries("inv_classifier_distill_accuracy")(spark, sf()).count() == 0)
   }
 
+  test("C31d text_quality_regressor_int: the Cramer-trained model " +
+      "imitates the C10 teacher (accuracy >= 0.90 at sf0.01)") {
+    // the hash gate pins the ARITHMETIC; this pins that the trained
+    // model is a real distillation, not a constant predictor
+    // (measured 0.942 sf0.01 / 0.978 sf0.1 / 0.967 sf1)
+    val out = SparkEntry.queries("text_quality_regressor_int")(spark, sf("sf0.01"))
+      .collect()
+    val acc = out.count(r => r.getLong(1) == r.getLong(2)).toDouble / out.length
+    assert(acc >= 0.90, s"distillation accuracy $acc")
+    // anti-collapse: both classes must actually be predicted
+    assert(out.exists(_.getLong(2) == 0L) && out.exists(_.getLong(2) == 1L),
+      "regressor collapsed to a constant predictor")
+  }
+
   // ---- r8: distributed params + softmax ------------------------------
 
   /** r7 verdict #6: training must not collect the per-bucket gradient
