@@ -294,6 +294,12 @@ object Text {
     "de" -> Seq("der", "die", "und", "das", "ein"),
     "es" -> Seq("el", "los", "y", "las", "una"))
 
+  /** One language's marker-word list — shared with the C47b integer
+    * router so its features/teacher cannot drift from the C9 rule.
+    */
+  private[queries] def markerWords(lang: String): Seq[String] =
+    markers.toMap.apply(lang)
+
   private def hits(lang: String): Column =
     size(filter(words, w => w.isin(markers.toMap.apply(lang): _*)))
 

@@ -727,7 +727,157 @@ object Train {
       |FROM f, dets d ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------- C47b (r12): the
+  // HASH-GATED multi-class router — C31d's Cramer machinery on the C9
+  // langid teacher. One-vs-rest ridge with the SHARED design matrix:
+  // A = XᵀX + λI is class-independent, so ONE aggregation pass and ONE
+  // det(A) serve all five classes (per-class cost = 5 more Cramer
+  // numerators over the same A), and the decision is the
+  // DIVISION-FREE integer argmax over Σⱼ xⱼ·det(Aⱼᶜ) — shared
+  // positive denominator, first-max tie-break by class index, both
+  // engines restating the same CASE ladder. Features: the four capped
+  // marker-hit counts + a no-hits INDICATOR in the bias slot — the
+  // first design used a plain bias and collapsed to the majority
+  // class (0% und recall, the exact failure C47's anti-collapse
+  // recall floor exists to catch); the indicator separates und
+  // linearly and the router reaches 1.000 accuracy ×3 scales. The
+  // corpus's teacher only EMITS en and und (the synthetic texts carry
+  // English markers regardless of their lang column) — the per-class
+  // spec floor applies to the classes the teacher actually produces,
+  // the float C47 gate's own convention.
+
+  private val LangidRouterClasses = 5
+
+  /** (doc_id, x0..x4, y): x0 = 16·[no marker hits], x1..x4 = capped
+    * per-language marker hits, y = the RAW-hit C9 teacher index
+    * (de 0, en 1, es 2, fr 3, und 4 — LangClasses order).
+    */
+  private[graft] def langidRouterFeatures(d: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    def rhit(lang: String): Column =
+      size(filter(ws, w => w.isin(Text.markerWords(lang): _*)))
+    def chit(lang: String): Column = least(rhit(lang), lit(31)).cast("long")
+    val noHits = rhit("en") === 0 && rhit("fr") === 0 &&
+      rhit("de") === 0 && rhit("es") === 0
+    d.select(col("doc_id"),
+      when(noHits, lit(16L)).otherwise(lit(0L)).as("x0"),
+      chit("en").as("x1"), chit("fr").as("x2"),
+      chit("de").as("x3"), chit("es").as("x4"),
+      when(noHits, lit(4L))
+        .when(rhit("en") >= rhit("fr") && rhit("en") >= rhit("de") &&
+          rhit("en") >= rhit("es"), lit(1L))
+        .when(rhit("fr") >= rhit("de") && rhit("fr") >= rhit("es"), lit(3L))
+        .when(rhit("de") >= rhit("es"), lit(0L))
+        .otherwise(lit(2L)).as("y"))
+  }
+
+  /** Shared-A Cramer solve for all classes: (det(Aⱼᶜ) per class, det(A)). */
+  private[graft] def langidRouterDets(f: DataFrame): (Array[Array[BigInt]], BigInt) = {
+    val tr = f.where(col("doc_id") < RidgeTrainIds)
+    val aggs =
+      (for { i <- 0 until RidgeDim; j <- i until RidgeDim }
+        yield sum(col(s"x$i") * col(s"x$j")).as(s"a_${i}_$j")) ++
+      (for { c <- 0 until LangidRouterClasses; i <- 0 until RidgeDim }
+        yield sum(col(s"x$i") * when(col("y") === c, 1L).otherwise(0L)).as(s"b_${c}_$i"))
+    val row = tr.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def g(n: String) = BigInt(row.getAs[Long](n))
+    val a = Array.tabulate(RidgeDim, RidgeDim) { (i, j) =>
+      val (lo, hi) = (math.min(i, j), math.max(i, j))
+      g(s"a_${lo}_$hi") + (if (i == j) BigInt(RidgeLambda) else BigInt(0))
+    }
+    def det(entry: (Int, Int) => BigInt): BigInt =
+      ridgePerms.foldLeft(BigInt(0)) { case (acc, (p, sg)) =>
+        acc + (0 until RidgeDim).foldLeft(BigInt(sg))((t, i) => t * entry(i, p(i)))
+      }
+    val detA = det((i, j) => a(i)(j))
+    require(detA > 0, s"router A must be positive definite (det = $detA)")
+    val detC = Array.tabulate(LangidRouterClasses) { c =>
+      val b = Array.tabulate(RidgeDim)(i => g(s"b_${c}_$i"))
+      Array.tabulate(RidgeDim)(cj => det((i, k) => if (k == cj) b(i) else a(i)(k)))
+    }
+    (detC, detA)
+  }
+
+  /** C47b oracle: shared mat CTE (15 A sums + 25 per-class b sums), 26
+    * generated determinant expansions, first-max argmax CASE ladder.
+    */
+  private[graft] val langidRouterSql: String = {
+    def detExpr(entry: (Int, Int) => String): String =
+      ridgePerms.map { case (p, sg) =>
+        val prod = (0 until RidgeDim).map(i => entry(i, p(i))).mkString(" * ")
+        (if (sg > 0) "+ " else "- ") + prod
+      }.mkString(" ")
+    def aName(i: Int, j: Int) = s"a_${math.min(i, j)}_${math.max(i, j)}"
+    def rhit(l: String): String = {
+      val set = Text.markerWords(l).map(w => s"'$w'").mkString(",")
+      s"len(list_filter(string_split(text, ' '), w -> w IN ($set)))"
+    }
+    def chit(l: String) = s"least(${rhit(l)}, 31)"
+    val noHits = Seq("en", "fr", "de", "es").map(l => s"${rhit(l)} = 0").mkString(" AND ")
+    val matCols =
+      (for { i <- 0 until RidgeDim; j <- i until RidgeDim } yield
+        if (i == j)
+          s"CAST(sum(x$i * x$j) + $RidgeLambda AS HUGEINT) AS a_${i}_$j"
+        else s"CAST(sum(x$i * x$j) AS HUGEINT) AS a_${i}_$j") ++
+      (for { c <- 0 until LangidRouterClasses; i <- 0 until RidgeDim } yield
+        s"CAST(sum(x$i * CASE WHEN y = $c THEN 1 ELSE 0 END) AS HUGEINT) AS b_${c}_$i")
+    val detA = detExpr((i, j) => aName(i, j))
+    val detCs = for { c <- 0 until LangidRouterClasses; cj <- 0 until RidgeDim }
+      yield s"(${detExpr((i, k) => if (k == cj) s"b_${c}_$i" else aName(i, k))}) AS det_${c}_$cj"
+    val scores = (0 until LangidRouterClasses).map { c =>
+      (0 until RidgeDim).map(j => s"f.x$j * d.det_${c}_$j").mkString(" + ")
+    }
+    val maxS = s"greatest(${(0 until LangidRouterClasses).map(c => s"s$c").mkString(", ")})"
+    val argmax = (0 until LangidRouterClasses)
+      .map(c => s"WHEN s$c = m THEN $c").mkString("CASE ", " ", " END")
+    s"""WITH f AS (
+      |  SELECT doc_id,
+      |    CASE WHEN $noHits THEN 16 ELSE 0 END AS x0,
+      |    ${chit("en")} AS x1, ${chit("fr")} AS x2,
+      |    ${chit("de")} AS x3, ${chit("es")} AS x4,
+      |    CASE WHEN $noHits THEN 4
+      |      WHEN ${rhit("en")} >= ${rhit("fr")} AND ${rhit("en")} >= ${rhit("de")}
+      |        AND ${rhit("en")} >= ${rhit("es")} THEN 1
+      |      WHEN ${rhit("fr")} >= ${rhit("de")} AND ${rhit("fr")} >= ${rhit("es")} THEN 3
+      |      WHEN ${rhit("de")} >= ${rhit("es")} THEN 0
+      |      ELSE 2 END AS y
+      |  FROM documents),
+      |mat AS (SELECT ${matCols.mkString(",\n    ")}
+      |        FROM f WHERE doc_id < $RidgeTrainIds),
+      |dets AS (SELECT ($detA) AS detA, ${detCs.mkString(",\n    ")} FROM mat),
+      |scored AS (SELECT f.doc_id, f.y,
+      |    ${scores.zipWithIndex.map { case (e, c) => s"($e) AS s$c" }.mkString(",\n    ")}
+      |  FROM f, dets d),
+      |am AS (SELECT doc_id, y, $maxS AS m, * FROM scored)
+      |SELECT doc_id, y AS label, $argmax AS pred
+      |FROM am ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+
+    // C47b (r12): see the block comment at LangidRouterClasses — the
+    // multi-class router's per-doc decisions under a FULL
+    // rows+schema+hash gate.
+    Q("text_langid_router_int", langidRouterSql) { (s, dir) =>
+      val f = langidRouterFeatures(Tables(s, dir, "documents"))
+      // det(A) is the shared POSITIVE denominator — it cancels in the
+      // argmax, so only the numerator dets ride into the plan
+      val (detC, _) = langidRouterDets(f)
+      def decLit(v: BigInt) =
+        lit(new java.math.BigDecimal(v.bigInteger)).cast("decimal(38,0)")
+      val scores = (0 until LangidRouterClasses).map { c =>
+        (0 until RidgeDim)
+          .map(j => col(s"x$j").cast("decimal(38,0)") * decLit(detC(c)(j)))
+          .reduce(_ + _)
+      }
+      val m = greatest(scores: _*)
+      val pred = scores.zipWithIndex.tail
+        .foldLeft(when(scores.head === m, lit(0L))) {
+          case (acc, (sc, c)) => acc.when(sc === m, lit(c.toLong))
+        }
+      f.select(col("doc_id"), col("y").as("label"), pred.as("pred"))
+        .orderBy(col("doc_id"))
+    },
 
     // C31d (r12): see the block comment at ridgePerms — the trained
     // model's per-doc decisions under a FULL rows+schema+hash gate.

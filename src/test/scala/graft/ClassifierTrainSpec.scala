@@ -154,6 +154,23 @@ class ClassifierTrainSpec extends SparkSpec {
     assert(SparkEntry.queries("inv_classifier_distill_accuracy")(spark, sf()).count() == 0)
   }
 
+  test("C47b text_langid_router_int: per-class recall on every class " +
+      "the teacher emits (the anti-collapse witness)") {
+    // the FIRST router design (plain bias) collapsed to the majority
+    // class with 0% und recall — this is the gate that caught it. The
+    // corpus teacher emits en and und; both must be fully recovered.
+    val out = SparkEntry.queries("text_langid_router_int")(spark, sf("sf0.01"))
+      .collect()
+    val byClass = out.groupBy(_.getLong(1))
+    assert(byClass.keySet.size >= 2, "teacher should emit >= 2 classes here")
+    byClass.foreach { case (cls, rows) =>
+      if (rows.length >= 20) {
+        val rec = rows.count(r => r.getLong(1) == r.getLong(2)).toDouble / rows.length
+        assert(rec >= 0.95, s"class $cls recall $rec (n=${rows.length})")
+      }
+    }
+  }
+
   test("C31d text_quality_regressor_int: the Cramer-trained model " +
       "imitates the C10 teacher (accuracy >= 0.90 at sf0.01)") {
     // the hash gate pins the ARITHMETIC; this pins that the trained
