@@ -848,7 +848,7 @@ object Train {
       |scored AS (SELECT f.doc_id, f.y,
       |    ${scores.zipWithIndex.map { case (e, c) => s"($e) AS s$c" }.mkString(",\n    ")}
       |  FROM f, dets d),
-      |am AS (SELECT doc_id, y, $maxS AS m, * FROM scored)
+      |am AS (SELECT *, $maxS AS m FROM scored)
       |SELECT doc_id, y AS label, $argmax AS pred
       |FROM am ORDER BY doc_id""".stripMargin
   }
