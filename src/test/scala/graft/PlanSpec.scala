@@ -228,6 +228,19 @@ class PlanSpec extends SparkSpec {
       s"scan should read only (source, lang, text): $readSchema")
   }
 
+  test("integer-trained predict paths are map-only: no join, no shuffle " +
+      "except the presentation sort") {
+    // C31d/C47b: training aggregates in a separate bounded job; the
+    // RETURNED frame must be a pure projection with the det literals
+    // riding along — the 100 TB predict shape
+    Seq("text_quality_regressor_int", "text_langid_router_int").foreach { q =>
+      val p = planStr(q)
+      assert(!p.contains("Join"), s"$q predict must not join:\n$p")
+      assert(p.linesIterator.count(_.contains("Exchange")) <= 1,
+        s"$q predict shuffles beyond the presentation sort:\n$p")
+    }
+  }
+
   test("dedup_semantic_int: pairs mine through the cell equi-join, never a cross join") {
     val p = planStr("dedup_semantic_int")
     // SemDeDup's whole point is that candidates are quadratic in CELL
