@@ -24,7 +24,8 @@ object Bench {
       "text_url_dedup_stream", "media_text_pair_stream",
       "ann_probe_stream", "inv_ann_probe_stream_parity",
       "pipeline_dedup_cascade_stream", "inv_cascade_stream_parity",
-      "pipeline_rag_assign_stream")
+      "pipeline_rag_assign_stream",
+      "emb_pca_int_stream", "text_langid_router_stream")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -879,6 +879,41 @@ object Train {
         .orderBy(col("doc_id"))
     },
 
+    // D35 (r12): C47b at INGEST — the trained router with FROZEN
+    // Cramer numerators as documents land (train once on the corpus
+    // snapshot, route the stream: THE deployment shape for a langid
+    // router). Dets fit batch-side pre-start (the D34/D11 frozen-model
+    // discipline), ride as 25 integer literals in a stateless per-row
+    // projection — append mode, no state store, no join. Every
+    // streamed value integer ⇒ gated by the SAME oracle as batch C47b:
+    // full rows+schema+hash batch/stream parity.
+    Q("text_langid_router_stream", langidRouterSql) { (s, dir) =>
+      Events.withStreamPartitions(s) {
+        val (detC, _) = langidRouterDets(
+          langidRouterFeatures(Tables(s, dir, "documents")))
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        def decLit(v: BigInt) =
+          lit(new java.math.BigDecimal(v.bigInteger)).cast("decimal(38,0)")
+        val f = langidRouterFeatures(stream)
+        val scores = (0 until LangidRouterClasses).map { c =>
+          (0 until RidgeDim)
+            .map(j => col(s"x$j").cast("decimal(38,0)") * decLit(detC(c)(j)))
+            .reduce(_ + _)
+        }
+        val m = greatest(scores: _*)
+        val pred = scores.zipWithIndex.tail
+          .foldLeft(when(scores.head === m, lit(0L))) {
+            case (acc, (sc, c)) => acc.when(sc === m, lit(c.toLong))
+          }
+        Events.runToAppendSink(s, "router_sink_",
+            f.select(col("doc_id"), col("y").as("label"), pred.as("pred")))
+          .orderBy(col("doc_id"))
+      }
+    },
+
     // C31d (r12): see the block comment at ridgePerms — the trained
     // model's per-doc decisions under a FULL rows+schema+hash gate.
     Q("text_quality_regressor_int", ridgeIntSql) { (s, dir) =>
