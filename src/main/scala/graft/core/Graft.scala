@@ -67,8 +67,10 @@ object GraftEvent {
   *
   * Scale design:
   *   - State is partitioned by origin (`ob=` dirs): (re-)indexing an
-  *     origin is a partition-local dynamic overwrite — never a full
-  *     table rewrite; origins index in parallel trivially.
+  *     origin is a partition-local SNAPSHOT COMMIT (staged files + an
+  *     atomically-renamed manifest, r12 — see [[Graft.commitStateWrite]])
+  *     — never a full table rewrite; origins index in parallel
+  *     trivially, and readers pin the generation they resolved.
   *   - `list` range bounds compile to BinaryType comparisons on `kb`
   *     that push into the parquet scan (row-group pruning via min/max).
   *   - Reduced views aggregate AT QUERY TIME with partial aggregation:
@@ -201,10 +203,12 @@ class Graft(val spark: SparkSession, val stateRoot: String,
       case _ => None
     }
     // Index passes SERIALIZE on indexLock — the reference's indexer is an
-    // explicit one-at-a-time queue, and two concurrent dynamic partition
-    // overwrites into the same view dir would race their committer
-    // staging. Watch ticks of different origins queue here too. (The
-    // per-view parallelism below still applies inside each pass.)
+    // explicit one-at-a-time queue, and two concurrent snapshot commits
+    // into the same view dir would interleave their manifest
+    // read-modify-write (the flip is atomic; the read-update cycle is
+    // not). Watch ticks of different origins queue here too. (The
+    // per-view parallelism below still applies inside each pass —
+    // different views, different dirs, different manifests.)
     indexLock.synchronized {
     // one listing/content read SHARED by all view jobs (spill-safe
     // cache, dropped at the end of the pass): unshared, each of N views
@@ -693,15 +697,19 @@ class Graft(val spark: SparkSession, val stateRoot: String,
   /** Collect with the driver-OOM guard: one extra row past the cap is
     * fetched to distinguish "exactly cap" from "over cap".
     *
-    * `df` is BY-NAME and may run more than once: a read that races a
-    * concurrent watch-merge's dynamic partition overwrite can list state
-    * files that the commit then replaces (`FAILED_READ_FILE.FILE_NOT_EXIST`
-    * mid-collect). The writer refreshes the shared file-status cache after
-    * every commit, so re-building the frame lists the NEW files — retry a
-    * bounded number of times before giving up, so driver-side point reads
-    * (`getValue`/`listEntries`) are safe to call while watches merge.
-    * DataFrame-returning forms stay lazy and keep the caller-visible race
-    * (documented on [[entries]]); only the engine's own collects retry.
+    * `df` is BY-NAME and may run more than once. Since r12 the snapshot
+    * manifest is the primary read-vs-commit defense (a pinned frame's
+    * files survive one subsequent commit per origin — see
+    * [[commitStateWrite]]); this retry remains as defense in depth for
+    * the two tails pinning doesn't cover — a frame held across TWO
+    * commits of the same origin, and legacy pre-manifest dirs reading
+    * whole-dir — where `FAILED_READ_FILE.FILE_NOT_EXIST` can still
+    * surface mid-collect. Re-building the frame re-resolves the CURRENT
+    * manifest (or re-lists, for legacy dirs), so driver-side point
+    * reads (`getValue`/`listEntries`) stay safe under any commit
+    * cadence. DataFrame-returning forms stay lazy and keep the bounded
+    * caller-visible tail (documented on [[entries]]); only the engine's
+    * own collects retry.
     */
   private[graft] def boundedCollect(df: => DataFrame, what: String, dfForm: String): Seq[Row] = {
     val cap = spark.conf.getOption("graft.driverCollect.maxRows")

@@ -8,19 +8,24 @@ import org.apache.spark.sql.DataFrame
 
 import graft.core._
 
-/** Deterministic coverage for the driver-read-vs-merge-overwrite retry
-  * ([[Graft.boundedCollect]]): a `getValue`/`listEntries` collect that
-  * races a watch-merge's dynamic partition overwrite sees
-  * `FAILED_READ_FILE.FILE_NOT_EXIST` (file listed, then replaced by the
-  * commit). The collect takes its frame BY-NAME and rebuilds it on that
-  * failure class — the 1M-file ScaleSmoke hit exactly this with every
-  * origin already converged.
+/** The read-vs-commit story in both eras. Since r12 the PRIMARY defense
+  * is snapshot pinning ([[Graft.entries]]/`_manifest.txt`): a frame
+  * resolves an explicit file list at construction and a commit landing
+  * mid-query cannot delete the files under it — the pinning specs below
+  * prove that with PLAIN collects, plus the bounded-two-generations and
+  * legacy-upgrade invariants of the manifest layer.
   *
-  * The race window itself is sub-second and scheduler-dependent, so the
-  * specs inject the failure instead: a by-name frame whose first
-  * evaluations throw the two observed shapes (raw FileNotFoundException
-  * cause chain; error-classed FILE_NOT_EXIST message with a null-message
-  * link in the chain), then yield the real frame.
+  * [[Graft.boundedCollect]]'s retry remains as defense in depth for the
+  * two tails pinning doesn't cover (a frame held across TWO commits of
+  * one origin; legacy pre-manifest dirs reading whole-dir) — before
+  * r12 it was the ONLY defense, and the 1M-file ScaleSmoke hit the
+  * `FAILED_READ_FILE.FILE_NOT_EXIST` race with every origin already
+  * converged. That window is sub-second and scheduler-dependent, so
+  * the retry specs inject the failure instead: a by-name frame whose
+  * first evaluations throw the two observed shapes (raw
+  * FileNotFoundException cause chain; error-classed FILE_NOT_EXIST
+  * message with a null-message link in the chain), then yield the
+  * real frame.
   */
 class OverwriteRaceSpec extends SparkSpec {
 
