@@ -386,7 +386,8 @@ class Graft(val spark: SparkSession, val stateRoot: String,
       viewNames.foreach { name =>
         // snapshot retraction: the manifest stops serving the origin
         // immediately; its last generation's files linger as the grace
-        // generation (purged by the next commit or compact())
+        // generation until compact() retires them (no later commit ever
+        // targets a removed origin, so compact is the designated GC)
         Seq(viewDir(name), foldsDir(name)).foreach { dir =>
           if (Files.exists(Paths.get(dir)))
             commitObs(dir, Map(escape(origin) -> Seq.empty[String]))
@@ -479,20 +480,28 @@ class Graft(val spark: SparkSession, val stateRoot: String,
       }
       // compaction is also the GC hook of the snapshot discipline: drop
       // files no generation references (retired grace generations,
-      // unindexed-origin leftovers) and manifest rows that serve nothing
+      // unindexed-origin leftovers, crashed-commit staging dirs) and
+      // manifest rows that serve nothing
+      sweepStaleStaging(dir)
       purgeUnreferenced(dir)
       bumpStateGen(view)
     }
   }
 
   /** Delete data files referenced by NO generation of the manifest
-    * (retired garbage, unindexed-origin leftovers) and drop
-    * fully-empty origins from it. Files of the current AND grace
-    * generations are preserved — pinned readers stay safe through a
-    * compact().
+    * (retired garbage, crashed-commit staging leftovers) and drop dead
+    * origins from it. LIVE origins keep current AND grace files —
+    * pinned readers stay safe through a compact(). RETIRED origins
+    * (empty current: unindex/merge-to-zero retractions that no later
+    * commit will ever target) are treated as a retirement commit here:
+    * their grace files are deleted and the manifest row dropped —
+    * compact() counts as the "one subsequent commit" of the grace
+    * contract, exactly as a writer-side flip would (r12 advice: these
+    * otherwise leaked their last generation forever).
     */
   private def purgeUnreferenced(dir: String): Unit =
-    loadManifest(dir).foreach { m =>
+    loadManifest(dir).foreach { m0 =>
+      val m = m0.filter { case (_, (c, _)) => c.nonEmpty }
       val referenced = m.valuesIterator.flatMap { case (c, p) => c ++ p }.toSet
       listObs(dir).foreach { seg =>
         val od = Paths.get(dir, s"ob=$seg")
@@ -509,7 +518,7 @@ class Graft(val spark: SparkSession, val stateRoot: String,
         val empty = try !remaining.iterator().hasNext finally remaining.close()
         if (empty) Files.deleteIfExists(od)
       }
-      saveManifest(dir, m.filter { case (_, (c, p)) => c.nonEmpty || p.nonEmpty })
+      saveManifest(dir, m)
       spark.catalog.refreshByPath(dir)
     }
 
@@ -637,19 +646,26 @@ class Graft(val spark: SparkSession, val stateRoot: String,
   def list(view: String, opts: ListOpts = ListOpts()): DataFrame = {
     val vd = viewDef(view)
     val fromFolds = useFolds(view, vd)
-    // the kb range bounds push into whichever state is being scanned —
-    // folds for materialized reduced views, raw entries otherwise
-    var df = if (fromFolds) folds(view) else entries(view)
-    opts.gt.foreach(k => df = df.filter(col("kb") > lit(KeyCodec.encode(k))))
-    opts.gte.foreach(k => df = df.filter(col("kb") >= lit(KeyCodec.encode(k))))
-    opts.lt.foreach(k => df = df.filter(col("kb") < lit(KeyCodec.encode(k))))
-    opts.lte.foreach(k => df = df.filter(col("kb") <= lit(KeyCodec.encode(k))))
-
-    val reduced = vd.reduce match {
-      case Some(r) if fromFolds => mergeFolds(df, r, keepKb = true)
-      case Some(r) => reduceEntries(df, r, keepKb = true, probeCacheView = Some(view))
-      case None => df.select(col("kb"), col("key_json"), col("file_url"), col("seq"), col("value_json"))
+    // frame construction is a def: each call pins a FRESH manifest
+    // resolution, so the eager limited path below can genuinely retry
+    // the two-commit overwrite tail (r12 advice: a val here made
+    // boundedCollect's by-name retry replay the same pinned file list
+    // five times). The kb range bounds push into whichever state is
+    // being scanned — folds for materialized reduced views, raw
+    // entries otherwise.
+    def buildReduced(): DataFrame = {
+      var df = if (fromFolds) folds(view) else entries(view)
+      opts.gt.foreach(k => df = df.filter(col("kb") > lit(KeyCodec.encode(k))))
+      opts.gte.foreach(k => df = df.filter(col("kb") >= lit(KeyCodec.encode(k))))
+      opts.lt.foreach(k => df = df.filter(col("kb") < lit(KeyCodec.encode(k))))
+      opts.lte.foreach(k => df = df.filter(col("kb") <= lit(KeyCodec.encode(k))))
+      vd.reduce match {
+        case Some(r) if fromFolds => mergeFolds(df, r, keepKb = true)
+        case Some(r) => reduceEntries(df, r, keepKb = true, probeCacheView = Some(view))
+        case None => df.select(col("kb"), col("key_json"), col("file_url"), col("seq"), col("value_json"))
+      }
     }
+    val reduced = buildReduced()
 
     val ordCols: Seq[Column] =
       if (vd.reduce.isDefined) Seq(col("kb"))
@@ -660,7 +676,7 @@ class Graft(val spark: SparkSession, val stateRoot: String,
       case Some(n) if vd.reduce.isEmpty =>
         // Limit counts keys, then multi-values flatten (view.js:73-82).
         val keyOrd = if (opts.reverse) col("kb").desc else col("kb").asc
-        val topKeys = reduced.select(col("kb")).distinct().orderBy(keyOrd).limit(n)
+        def topKeys = buildReduced().select(col("kb")).distinct().orderBy(keyOrd).limit(n)
         if (n <= Graft.listKeyInlineMax) {
           // r12: the winning key set is BOUNDED by n — resolve it once
           // (a distributed TopK, ≤ n kbs back to the driver) and push
@@ -668,8 +684,9 @@ class Graft(val spark: SparkSession, val stateRoot: String,
           // state scan instead of two plus a broadcast exchange, and
           // the In predicate prunes parquet row-groups — strictly
           // better at 100 TB than joining against a 50-row frame.
-          // boundedCollect gives the overwrite-race retry (the frame
-          // was lazy before; a limited list now resolves keys eagerly).
+          // boundedCollect retries against a FRESH buildReduced() frame
+          // per attempt (topKeys is a def), so the overwrite-race
+          // defense re-resolves the manifest, not the stale pin.
           val keys = boundedCollect(topKeys, s"list($view) limit keys",
               s"list($view)").map(_.getAs[Array[Byte]]("kb"))
           if (keys.isEmpty) reduced.where(lit(false))
@@ -1145,14 +1162,40 @@ class Graft(val spark: SparkSession, val stateRoot: String,
     */
   private def commitObsFrom(dir: String, m0: Manifest,
       updates: Map[String, Seq[String]]): Unit = {
+    val m1 = m0 ++ updates.map { case (ob, files) =>
+      ob -> ((files, m0.get(ob).map(_._1).getOrElse(Seq.empty)))
+    }
+    // manifest FIRST, retired-generation delete SECOND: a crash between
+    // the two leaves only unreferenced garbage (compact GC's it); the
+    // reverse order would leave a live manifest pointing at deleted
+    // grace files (r12 advice)
+    saveManifest(dir, m1)
     updates.foreach { case (ob, _) =>
       m0.get(ob).foreach(_._2.foreach(f =>
         Files.deleteIfExists(Paths.get(dir, f))))
     }
-    val m1 = m0 ++ updates.map { case (ob, files) =>
-      ob -> ((files, m0.get(ob).map(_._1).getOrElse(Seq.empty)))
+  }
+
+  /** Delete stale `.staging-*` dirs left by a commit that died
+    * mid-stageAndMove (JVM crash — the in-process finally never ran).
+    * Safe: all writers serialize on indexLock, so any staging dir that
+    * exists when a NEW commit starts belongs to no live writer. Runs at
+    * every commit and at compact(), bounding crash garbage to one
+    * generation (r12 advice: these accumulated forever under watch
+    * cadence).
+    */
+  private def sweepStaleStaging(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p)) {
+      val s = Files.list(p)
+      val stale =
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(_.getFileName.toString.startsWith(".staging-")).toList
+        } finally s.close()
+      stale.foreach(d => deleteDir(d.toString))
     }
-    saveManifest(dir, m1)
   }
 
   /** Write `out` (carrying an `ob` column) to a hidden staging dir,
@@ -1161,6 +1204,7 @@ class Graft(val spark: SparkSession, val stateRoot: String,
     */
   private def stageAndMove(dir: String, out: DataFrame): Map[String, Seq[String]] = {
     Files.createDirectories(Paths.get(dir))
+    sweepStaleStaging(dir)
     val staging = Paths.get(dir,
       s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
     try {

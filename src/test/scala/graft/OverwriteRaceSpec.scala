@@ -174,6 +174,41 @@ class OverwriteRaceSpec extends SparkSpec {
     assert(g.list("leg").collect().map(_.getString(1)).toSeq == Seq("1", "2"))
   }
 
+  test("compact() retires unindexed origins: grace files reclaimed, manifest row dropped, stale staging swept") {
+    val root = Files.createTempDirectory("graft-retire")
+    def mkArch(i: Int): DirArchive = {
+      val d = root.resolve(s"a$i")
+      Files.createDirectories(d)
+      Files.write(d.resolve("doc.json"), s"""{"v":$i}""".getBytes("UTF-8"))
+      new DirArchive(s"dat://retire-$i", d.toString)
+    }
+    val g = new Graft(spark, root.resolve("state").toString)
+    g.define("rv", ViewDef("/doc.json",
+      MapFn((v, m) => Seq(m.origin -> OverwriteRaceSpec.parseV(v)))))
+    g.index(mkArch(0)); g.index(mkArch(1))
+    val dir = java.nio.file.Paths.get(g.stateRoot, "rv", "entries").toString
+    g.unindex("dat://retire-1")
+    // the retraction commit leaves the origin's last generation as grace
+    // (empty current) — no later commit ever targets a removed origin
+    val m1 = g.loadManifest(dir).get
+    val retired = m1.collect { case (ob, (cur, grace)) if cur.isEmpty => (ob, grace) }
+    assert(retired.size == 1 && retired.head._2.nonEmpty,
+      "unindex must leave the last generation pinned as grace")
+    val graceFiles = retired.head._2.map(f => java.nio.file.Paths.get(dir, f))
+    assert(graceFiles.forall(Files.exists(_)))
+    // plus a crashed commit's staging leftovers
+    val stale = java.nio.file.Paths.get(dir, ".staging-deadbeef")
+    Files.createDirectories(stale)
+    Files.write(stale.resolve("junk.parquet"), Array[Byte](1, 2, 3))
+    g.compact("rv")
+    val m2 = g.loadManifest(dir).get
+    assert(!m2.contains(retired.head._1), "retired origin's manifest row must be dropped")
+    assert(graceFiles.forall(f => !Files.exists(f)), "retired grace generation must be reclaimed")
+    assert(!Files.exists(stale), "crashed-commit staging dir must be swept")
+    assert(g.getValue("rv", "dat://retire-0").isDefined, "survivor origin still served")
+    assert(g.getValue("rv", "dat://retire-1").isEmpty)
+  }
+
   test("unrelated failures are NOT retried") {
     val g = db()
     var calls = 0
