@@ -266,6 +266,98 @@ object Ann {
     (codebooks, root.resolve("encoded.parquet").toString)
   }
 
+  /** The ONE DuckDB restatement of the integer-IVF probe (C8l):
+    * quantizer = the chained-CTE integer Lloyd loop, probe = 4 nearest
+    * cells per query, score = exact integer dot over signed kilo codes.
+    * Shared by `ann_ivf_int` (fresh build), `ann_ivf_int_probe`
+    * (persisted artifact) and `ann_probe_stream` (streaming serve) —
+    * all three MUST produce identical rows, so they share one oracle
+    * and the driver hash-gates the whole deployment read path.
+    */
+  private lazy val ivfIntSql: String =
+    s"""${Cluster.kmeansCtes},
+       |iv AS (SELECT vec_id, d, m - 1000 AS v FROM x),
+       |nrm AS (SELECT vec_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS nrm
+       |        FROM iv GROUP BY vec_id),
+       |probe AS (SELECT vec_id AS q_id, cluster FROM aF
+       |          WHERE vec_id < $NQ AND rn <= 4),
+       |cells AS (SELECT vec_id AS n_id, cluster FROM aF
+       |          WHERE vec_id >= $NQ AND rn = 1),
+       |cand AS (SELECT p.q_id, c.n_id
+       |         FROM probe p JOIN cells c ON c.cluster = p.cluster),
+       |dots AS (SELECT cand.q_id, cand.n_id,
+       |           CAST(sum(q.v * c.v) AS DOUBLE) AS dot
+       |         FROM cand JOIN iv q ON q.vec_id = cand.q_id
+       |                   JOIN iv c ON c.vec_id = cand.n_id AND c.d = q.d
+       |         GROUP BY cand.q_id, cand.n_id),
+       |scored AS (SELECT d.q_id, d.n_id, d.dot / (nq.nrm * nc.nrm) AS cos
+       |           FROM dots d JOIN nrm nq ON nq.vec_id = d.q_id
+       |                       JOIN nrm nc ON nc.vec_id = d.n_id
+       |           WHERE nq.nrm > 0 AND nc.nrm > 0),
+       |ranked AS (SELECT q_id, n_id, cos, row_number() OVER (
+       |             PARTITION BY q_id ORDER BY round(cos, 6) DESC, n_id) AS rank
+       |           FROM scored)
+       |SELECT q_id, rank, n_id, round(cos, 4) AS cos
+       |FROM ranked WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** (vec_id, q kilo codes) — the C8l/C39 integer quantization of the
+    * embeddings table, the ONE cast the integer-IVF build, probe and
+    * stream share.
+    */
+  private def kiloCodes(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"),
+        v => floor((v.cast("double") + 1.0d) * 1000).cast("long")).as("q"))
+
+  private def signedOf(q: Column): Column =
+    transform(q, m => (m - lit(1000L)).cast("double"))
+
+  /** Per-query probe cells against FROZEN integer centroids — C8l's
+    * driver-side (dist, idx)-sorted 4-nearest computation as a
+    * stateless per-row kernel, which is what lets the STREAM serve
+    * path compute its probe set per arriving vector with zero state
+    * (the D35 frozen-model discipline). Distances are exact longs
+    * (diff ≤ 2e3, sq ≤ 4e6, ×64 dims ≤ 2.6e8), ties break on cell id —
+    * bit-identical to the collected batch form and the oracle's rn ≤ p.
+    */
+  private def argmaxCellsInt(cents: Array[Array[Long]], p: Int) = udf { q: Seq[Long] =>
+    cents.zipWithIndex.map { case (c, ci) =>
+      (c.iterator.zip(q.iterator).map { case (cv, mv) =>
+        val dd = mv - cv; dd * dd
+      }.sum, ci)
+    }.sorted.take(p).map(_._2).toSeq
+  }
+
+  /** Ensure the persisted INTEGER IVF index (r12 verdict #6) exists and
+    * return (integer centroids, cell-partitioned assigned path). Same
+    * artifact discipline as [[ivfArtifact]] (fingerprint key, atomic
+    * publish, cell-partitioned layout so probes prune at file-listing
+    * time) over the C8l quantizer — the integer values make the
+    * DEPLOYMENT read path fully hash-gateable: load, prune, probe all
+    * restate in [[ivfIntSql]].
+    */
+  private def ivfIntArtifact(s: SparkSession, dir: String): (Array[Array[Long]], String) = {
+    val root = java.nio.file.Paths.get(
+      s"target/ann_index/${artifactKey(s, dir)}/ivf_int_k8")
+    Artifact.publish(root) { tmp =>
+      val cents = Cluster.fit(s, dir)._3
+      val corpus = Cluster.assigned(s, Cluster.withDerived(s, kiloCodes(s, dir)), cents)
+        .where(col("vec_id") >= NQ)
+        .select(col("vec_id").as("n_id"), col("cluster").as("cell"),
+          signedOf(col("q")).as("nemb"))
+        .withColumn("nnrm",
+          sqrt(graft.functions.Native.dot(s, col("nemb"), col("nemb"))))
+      corpus.write.mode("overwrite").partitionBy("cell")
+        .parquet(tmp.resolve("assigned.parquet").toString)
+      java.nio.file.Files.writeString(tmp.resolve("cents.txt"),
+        cents.map(_.mkString(",")).mkString("\n"))
+    }
+    val cents = java.nio.file.Files.readString(root.resolve("cents.txt"))
+      .split("\n").map(_.split(",").map(_.toLong))
+    (cents, root.resolve("assigned.parquet").toString)
+  }
+
   // --------------------------------- C8i/C8j incremental index lifecycle
 
   /** Per-cell assignment statistics of an assigned table against its
@@ -784,32 +876,7 @@ object Ann {
     // rows into an EQUI-join on cell id — only probed cells' rows are
     // scored, the ann_ivf partition-pruning story with the quantizer's
     // determinism making it gateable.
-    Q("ann_ivf_int",
-      s"""${Cluster.kmeansCtes},
-         |iv AS (SELECT vec_id, d, m - 1000 AS v FROM x),
-         |nrm AS (SELECT vec_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS nrm
-         |        FROM iv GROUP BY vec_id),
-         |probe AS (SELECT vec_id AS q_id, cluster FROM aF
-         |          WHERE vec_id < $NQ AND rn <= 4),
-         |cells AS (SELECT vec_id AS n_id, cluster FROM aF
-         |          WHERE vec_id >= $NQ AND rn = 1),
-         |cand AS (SELECT p.q_id, c.n_id
-         |         FROM probe p JOIN cells c ON c.cluster = p.cluster),
-         |dots AS (SELECT cand.q_id, cand.n_id,
-         |           CAST(sum(q.v * c.v) AS DOUBLE) AS dot
-         |         FROM cand JOIN iv q ON q.vec_id = cand.q_id
-         |                   JOIN iv c ON c.vec_id = cand.n_id AND c.d = q.d
-         |         GROUP BY cand.q_id, cand.n_id),
-         |scored AS (SELECT d.q_id, d.n_id, d.dot / (nq.nrm * nc.nrm) AS cos
-         |           FROM dots d JOIN nrm nq ON nq.vec_id = d.q_id
-         |                       JOIN nrm nc ON nc.vec_id = d.n_id
-         |           WHERE nq.nrm > 0 AND nc.nrm > 0),
-         |ranked AS (SELECT q_id, n_id, cos, row_number() OVER (
-         |             PARTITION BY q_id ORDER BY round(cos, 6) DESC, n_id) AS rank
-         |           FROM scored)
-         |SELECT q_id, rank, n_id, round(cos, 4) AS cos
-         |FROM ranked WHERE rank <= $K
-         |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    Q("ann_ivf_int", ivfIntSql) { (s, dir) =>
       val cents = Cluster.fit(s, dir)._3
       val x = Tables(s, dir, "embeddings").select(col("vec_id"),
         transform(col("embedding"),
@@ -1124,6 +1191,48 @@ object Ann {
       ivfProbe(s, IvfIndex(cents, assigned), queries, p = 4)
     },
 
+    // C8g, INTEGER family (r12 verdict #6): probe the PERSISTED integer
+    // IVF — C8l's deployment read path. The artifact's frozen integer
+    // quantizer resolves each query's 4 probe cells driver-side (a
+    // bounded NQ×k computation), their union lands as a PARTITION
+    // filter on the cell-partitioned index scan (AnnBuildScanSpec pins
+    // PartitionFilters non-empty), and the per-query (q_id, cell) pairs
+    // broadcast into the cell equi-join exactly as in the fresh build.
+    // Because every quantity is integer-decidable, the probe result
+    // must be BIT-IDENTICAL to ann_ivf_int — the two share [[ivfIntSql]]
+    // and the driver hash-gates the serve path a production vector
+    // store actually runs (load + prune + probe), not just the build.
+    Q("ann_ivf_int_probe", ivfIntSql) { (s, dir) =>
+      val (cents, path) = ivfIntArtifact(s, dir)
+      val x = kiloCodes(s, dir)
+      val queries = x.where(col("vec_id") < NQ)
+        .select(col("vec_id").as("q_id"), col("q"), signedOf(col("q")).as("qemb"))
+        .withColumn("qnrm",
+          sqrt(graft.functions.Native.dot(s, col("qemb"), col("qemb"))))
+      val qRows = queries.select(col("q_id"), col("q")).collect()
+      val probe: Seq[(Long, Int)] = qRows.toSeq.flatMap { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Long](1).toArray
+        cents.zipWithIndex.map { case (c, ci) =>
+          (c.iterator.zip(qv.iterator).map { case (cv, mv) =>
+            val dd = mv - cv; dd * dd
+          }.sum, ci)
+        }.sorted.take(4).map { case (_, ci) => (qid, ci) }
+      }
+      val sess = s
+      import sess.implicits._
+      val assigned = s.read.parquet(path)
+        .where(col("cell").isInCollection(probe.map(_._2).distinct))
+      val probeDf = probe.toDF("q_id", "cell")
+      val scored = assigned
+        .join(broadcast(probeDf.join(queries.drop("q"), "q_id")), "cell")
+        .where(col("qnrm") > 0 && col("nnrm") > 0)
+        .select(col("q_id"), col("n_id"),
+          (graft.functions.Native.dot(s, col("qemb"), col("nemb")) /
+            (col("qnrm") * col("nnrm"))).as("cos"))
+      topK(scored)
+    },
+
     // D31 (r11): STREAMING ANN serving — query vectors arrive as a
     // stream and are answered against the PERSISTED IVF artifact (the
     // C8g probe read path at ingest time: the real-time vector-search
@@ -1138,24 +1247,36 @@ object Ann {
     // a production micro-batch would push its batch's probe cells into
     // the static read (foreachBatch + partition filter — the
     // ivfProbeCells pruning per batch); the gate keeps the declarative
-    // join so the parity invariant covers the whole path. Rows-only
-    // (float k-means); inv_ann_probe_stream_parity pins stream ≡ batch
-    // probe EXACTLY (same persisted artifact, same p, same rounding).
-    Q.noOracle("ann_probe_stream") { (s, dir) =>
+    // join so the parity invariant covers the whole path. r13: serves
+    // the INTEGER IVF artifact (C8l quantizer, the r12-verdict #5
+    // conversion) — probe cells come from a stateless per-row kernel
+    // over FROZEN integer centroid literals ([[argmaxCellsInt]], the
+    // D35 discipline), so the whole streaming serve path is
+    // integer-decidable and carries the full [[ivfIntSql]] hash gate
+    // (was rows-only on the float artifact);
+    // inv_ann_probe_stream_parity additionally pins stream ≡ the
+    // persisted-probe batch path.
+    Q("ann_probe_stream", ivfIntSql) { (s, dir) =>
       Events.withStreamPartitions(s) {
-        val (cents, path) = ivfArtifact(s, dir)
+        val (cents, path) = ivfIntArtifact(s, dir)
         val assigned = s.read.parquet(path)
         val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
         val stream = s.readStream.schema(schema)
           .option("pathGlobFilter", "embeddings.parquet")
           .parquet(dir)
-        val queries = withNorm(embCast(stream)).where(col("vec_id") < NQ)
-        val probed = queries.select(col("vec_id").as("q_id"),
-          col("emb").as("qemb"), col("nrm").as("qnrm"),
-          explode(argmaxCells(cents, 4)(col("emb"))).as("cell"))
+        val queries = stream.where(col("vec_id") < NQ)
+          .select(col("vec_id").as("q_id"),
+            transform(col("embedding"),
+              v => floor((v.cast("double") + 1.0d) * 1000).cast("long")).as("q"))
+          .select(col("q_id"), col("q"), signedOf(col("q")).as("qemb"))
+          .withColumn("qnrm",
+            sqrt(graft.functions.Native.dot(s, col("qemb"), col("qemb"))))
+        val probed = queries.select(col("q_id"), col("qemb"), col("qnrm"),
+          explode(argmaxCellsInt(cents, 4)(col("q"))).as("cell"))
         val scored = probed.join(assigned, "cell")
+          .where(col("qnrm") > 0 && col("nnrm") > 0)
           .select(col("q_id"), col("n_id"),
-            cosine(s, col("qemb"), col("emb"), col("qnrm"), col("nrm")).as("cos"))
+            cosine(s, col("qemb"), col("nemb"), col("qnrm"), col("nnrm")).as("cos"))
         topK(Events.runToAppendSink(s, "annprobe_sink_", scored))
       }
     },

@@ -129,6 +129,56 @@ object Dedup {
           b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows)).as("bsig")))).as("bk"))
   }
 
+  /** [[bandedMinhashKeys]] with the SQL-restatable integer sketch
+    * (Kernels.minhashInt128 over the hashCp gram hash) — identical
+    * 32×4 band layout, every slot value integer-decidable by DuckDB,
+    * which is what lets the STREAM near-dup arms (D19/D32) carry full
+    * rows+schema+hash gates (r12 verdict #4/#5): the ingest filter's
+    * entire decision — signature, banding, candidate set, exact
+    * verification — restates in the oracle via [[minhashIntCtes]].
+    */
+  def bandedMinhashIntKeys(d: DataFrame): DataFrame = {
+    val nPerm = 128; val bands = 32; val rows = nPerm / bands
+    d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.Kernels.minhashInt128(gramsOf(col("ws"))).as("sig"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows)).as("bsig")))).as("bk"))
+  }
+
+  /** The ONE DuckDB restatement of the integer MinHash machinery —
+    * word 3-grams, the hashCp codepoint polynomial, 128 affine
+    * permutations, 32×4 band keys, per-doc gram counts — spliced into
+    * every oracle that bands (C4e, D19, D32) so the SQL twins cannot
+    * drift from each other. Yields CTEs `grams(doc_id, g)`,
+    * `bands(doc_id, band, bk)` and `cnt(doc_id, c)` over `documents`.
+    */
+  private[queries] val minhashIntCtes: String =
+    """docs_ws AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM docs_ws),
+      |grams AS (
+      |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+      |  FROM w a
+      |  JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |  JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+      |gh AS (SELECT doc_id,
+      |         list_reduce(list_transform(range(1, length(g) + 1),
+      |             i -> CAST(ord(substr(g, i, 1)) AS BIGINT)),
+      |           (h, c) -> (h * 31 + c) % 2147483647) AS h
+      |       FROM grams),
+      |mh AS (SELECT doc_id, p.i,
+      |         min((gh.h * (2 * p.i + 1) + 40503 * p.i) % 2147483647) AS mv
+      |       FROM gh, range(0, 128) p(i)
+      |       GROUP BY doc_id, p.i),
+      |bands AS (SELECT doc_id, i // 4 AS band,
+      |            string_agg(mv::VARCHAR, ':' ORDER BY i) AS bk
+      |          FROM mh GROUP BY doc_id, i // 4),
+      |cnt AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id)""".stripMargin
+
   /** Batch-vs-corpus candidate pairs (a_id = batch doc, b_id = corpus
     * doc): the corpus signature scan streams through a BROADCAST join on
     * the batch's band keys — zero corpus exchange, the C30b trade at
@@ -1348,31 +1398,10 @@ object Dedup {
     // buckets, candidates never leave a bucket, text joins back only for
     // the surviving sliver.
     Q("dedup_minhash_int",
-      """WITH docs_ws AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM docs_ws),
-        |grams AS (
-        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
-        |  FROM w a
-        |  JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
-        |  JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
-        |gh AS (SELECT doc_id,
-        |         list_reduce(list_transform(range(1, length(g) + 1),
-        |             i -> CAST(ord(substr(g, i, 1)) AS BIGINT)),
-        |           (h, c) -> (h * 31 + c) % 2147483647) AS h
-        |       FROM grams),
-        |mh AS (SELECT doc_id, p.i,
-        |         min((gh.h * (2 * p.i + 1) + 40503 * p.i) % 2147483647) AS mv
-        |       FROM gh, range(0, 128) p(i)
-        |       GROUP BY doc_id, p.i),
-        |bands AS (SELECT doc_id, i // 4 AS band,
-        |            string_agg(mv::VARCHAR, ':' ORDER BY i) AS bk
-        |          FROM mh GROUP BY doc_id, i // 4),
+      s"""WITH $minhashIntCtes,
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         |         FROM bands a JOIN bands b
         |           ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
-        |cnt AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
         |inter AS (
         |  SELECT c.a_id, c.b_id, count(*) AS i
         |  FROM cand c
@@ -2338,17 +2367,38 @@ object Dedup {
     // reduction happens batch-side over the sink (the D15 discipline).
     // Batch-internal near-dup CC stays the C33 batch path — this is
     // deliberately the ingest FILTER, not the clustering step.
-    // Rows-only (banding isn't SQL); `inv_minhash_stream_parity` pins
-    // stream ≡ the batch replay of the same rule, whose own pieces
-    // DedupAnnSpec pins against the exact miner.
-    Q.noOracle("dedup_minhash_stream") { (s, dir) =>
+    // r13: the sketch is the INTEGER minhash (Kernels.minhashInt128
+    // over hashCp — the C4e miner), so the whole ingest decision is
+    // SQL-restatable and this arm carries a FULL rows+schema+hash gate
+    // (was rows-only on the float sketch); `inv_minhash_stream_parity`
+    // additionally pins stream ≡ the Spark batch replay.
+    Q("dedup_minhash_stream",
+      s"""WITH $minhashIntCtes,
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bk = b.bk
+        |         WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 != 0),
+        |inter AS (
+        |  SELECT c.a_id, c.b_id, count(*) AS i
+        |  FROM cand c
+        |  JOIN grams ga ON ga.doc_id = c.a_id
+        |  JOIN grams gb ON gb.doc_id = c.b_id AND gb.g = ga.g
+        |  GROUP BY c.a_id, c.b_id),
+        |dropped AS (
+        |  SELECT DISTINCT i.a_id FROM inter i
+        |  JOIN cnt ca ON ca.doc_id = i.a_id
+        |  JOIN cnt cb ON cb.doc_id = i.b_id
+        |  WHERE i.i / (ca.c + cb.c - i.i) >= 0.8)
+        |SELECT doc_id AS keep_id FROM documents
+        |WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT a_id FROM dropped)
+        |ORDER BY keep_id""".stripMargin) { (s, dir) =>
       Events.withStreamPartitions(s) {
         val d = docs(s, dir)
         val isBatch = pmod(col("doc_id"), lit(3)) === 0
         // static probe tables, materialized ONCE (a stream-static join
         // re-evaluates the static side per micro-batch otherwise)
         val corpusB = Pinned.track(
-          bandedMinhashKeys(d.where(!isBatch))
+          bandedMinhashIntKeys(d.where(!isBatch))
             .select(col("doc_id").as("c_id"), col("bk"))
             .localCheckpoint(true))
         val corpusG = Pinned.track(
@@ -2365,7 +2415,7 @@ object Dedup {
         val sw = stream.select(col("doc_id"), split(col("text"), " ").as("ws"))
         val banded = sw.where(size(col("ws")) >= 3)
           .select(col("doc_id"), gramsOf(col("ws")).as("ga"),
-            graft.functions.Kernels.minhash128(gramsOf(col("ws"))).as("sig"))
+            graft.functions.Kernels.minhashInt128(gramsOf(col("ws"))).as("sig"))
           .select(col("doc_id"), col("ga"),
             explode(transform(sequence(lit(0), lit(31)),
               b => struct(b.as("band"), slice(col("sig"), b * 4 + 1, lit(4)).as("bsig")))).as("bk"))
@@ -2396,9 +2446,9 @@ object Dedup {
         |FROM documents WHERE 1=0""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
       val isBatch = pmod(col("doc_id"), lit(3)) === 0
-      val corpusB = bandedMinhashKeys(d.where(!isBatch))
+      val corpusB = bandedMinhashIntKeys(d.where(!isBatch))
         .select(col("doc_id").as("c_id"), col("bk"))
-      val batchB = bandedMinhashKeys(d.where(isBatch))
+      val batchB = bandedMinhashIntKeys(d.where(isBatch))
       val dropped = verifyJaccard(crossBandCands(corpusB, batchB), d, 0.8)
         .select(col("a_id").as("doc_id")).distinct()
       val batchKeep = d.where(isBatch).select(col("doc_id"))
@@ -2414,34 +2464,71 @@ object Dedup {
     },
 
     // D32 (r11): the FULL cascade decision AT INGEST — every incoming
-    // doc (doc_id % 3 = 0, the ingest convention) gets its C68 stage
-    // verdict against the RETAINED corpus as it lands: url (canon ∈
-    // corpus canon set) → exact (digest ∈ corpus digest set) → neardup
-    // (minhash-banded corpus candidate verified at gram-Jaccard ≥ 0.8,
-    // the C76 at-scale miner) → kept, first stage wins. The contract
-    // is CORPUS-RELATIVE (is this doc redundant vs what we keep?) —
-    // within-increment duplicates are the batch cascade's job on the
-    // next compaction, the C30/C33/D19 incremental discipline. Shape:
-    // three corpus probe tables materialize ONCE (canon + digest sets
-    // as slim distinct columns, band keys + gram sets for the verify),
-    // the stream is a stateless per-row projection into stream-static
-    // joins — zero stream state, and the probes are exactly what a
-    // 100 TB ingest holds beside the corpus (the persisted-signature
-    // index C33 documents). Union sink carries per-stage hit bits; the
-    // batch rollup folds them by stage priority. Rows-only (banding
-    // isn't SQL); inv_cascade_stream_parity is the named evidence.
-    Q.noOracle("pipeline_dedup_cascade_stream") { (s, dir) =>
+    // doc (doc_id % 7 IN (2,4), the cascadeCompactStages increment
+    // convention — NOT %3: the synthetic messy URLs key fetch variants
+    // on doc_id%3, so a %3 ingest split made EVERY arriving canon
+    // collide with a corpus sibling and the url stage swallowed the
+    // whole verdict, see the scaladoc at cascadeCompactStages) gets its
+    // C68 stage verdict against the RETAINED corpus as it lands: url
+    // (canon ∈ corpus canon set) → exact (digest ∈ corpus digest set)
+    // → neardup (minhash-banded corpus candidate verified at
+    // gram-Jaccard ≥ 0.8, the C76 at-scale miner) → kept, first stage
+    // wins. The contract is CORPUS-RELATIVE (is this doc redundant vs
+    // what we keep?) — within-increment duplicates are the batch
+    // cascade's job on the next compaction, the C30/C33/D19
+    // incremental discipline. Shape: three corpus probe tables
+    // materialize ONCE (canon + digest sets as slim distinct columns,
+    // band keys + gram sets for the verify), the stream is a stateless
+    // per-row projection into stream-static joins — zero stream state,
+    // and the probes are exactly what a 100 TB ingest holds beside the
+    // corpus (the persisted-signature index C33 documents). Union sink
+    // carries per-stage hit bits; the batch rollup folds them by stage
+    // priority. r13: the miner is the INTEGER minhash (C4e), so the
+    // whole staged verdict is SQL-restatable — full rows+schema+hash
+    // gate (was rows-only); inv_cascade_stream_parity additionally
+    // pins stream ≡ the Spark batch replay.
+    Q("pipeline_dedup_cascade_stream",
+      s"""WITH u AS (SELECT doc_id, (${Text.messyUrlSql}) AS url FROM documents),
+        |${Text.urlCanonCtes},
+        |$minhashIntCtes,
+        |base AS (SELECT d.doc_id, c4.canon,
+        |    lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g')) AS k,
+        |    d.doc_id % 7 IN (2, 4) AS is_incr
+        |  FROM documents d JOIN c4 ON c4.doc_id = d.doc_id),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bk = b.bk
+        |         WHERE a.doc_id % 7 IN (2, 4) AND b.doc_id % 7 NOT IN (2, 4)),
+        |inter AS (
+        |  SELECT c.a_id, c.b_id, count(*) AS i
+        |  FROM cand c
+        |  JOIN grams ga ON ga.doc_id = c.a_id
+        |  JOIN grams gb ON gb.doc_id = c.b_id AND gb.g = ga.g
+        |  GROUP BY c.a_id, c.b_id),
+        |near AS (
+        |  SELECT DISTINCT i.a_id AS doc_id FROM inter i
+        |  JOIN cnt ca ON ca.doc_id = i.a_id
+        |  JOIN cnt cb ON cb.doc_id = i.b_id
+        |  WHERE i.i / (ca.c + cb.c - i.i) >= 0.8)
+        |SELECT b.doc_id,
+        |  CASE WHEN b.canon IN (SELECT canon FROM base WHERE NOT is_incr) THEN 'url'
+        |       WHEN b.k IN (SELECT k FROM base WHERE NOT is_incr) THEN 'exact'
+        |       WHEN near.doc_id IS NOT NULL THEN 'neardup'
+        |       ELSE 'kept' END AS stage
+        |FROM base b LEFT JOIN near ON near.doc_id = b.doc_id
+        |WHERE b.is_incr
+        |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
       Events.withStreamPartitions(s) {
         val d = docs(s, dir)
-        val isBatch = pmod(col("doc_id"), lit(3)) === 0
-        val corpus = d.where(!isBatch)
+        val isIncr = (col("doc_id") % 7).isin(2L, 4L)
+        val corpus = d.where(!isIncr)
         val corpusCanon = Pinned.track(corpus
           .select(Text.canonicalUrlCol(Text.messyUrlCol).as("canon"))
           .distinct().withColumn("u", lit(1)).localCheckpoint(true))
         val corpusH = Pinned.track(corpus
           .select(unhex(sha2(normText, 256)).as("h"))
           .distinct().withColumn("e", lit(1)).localCheckpoint(true))
-        val corpusB = Pinned.track(bandedMinhashKeys(corpus)
+        val corpusB = Pinned.track(bandedMinhashIntKeys(corpus)
           .select(col("doc_id").as("c_id"), col("bk")).localCheckpoint(true))
         val corpusG = Pinned.track(corpus
           .select(col("doc_id").as("c_id"), split(col("text"), " ").as("ws"))
@@ -2452,7 +2539,7 @@ object Dedup {
         val stream = s.readStream.schema(schema)
           .option("pathGlobFilter", "documents.parquet")
           .parquet(dir)
-          .where(pmod(col("doc_id"), lit(3)) === 0)
+          .where((col("doc_id") % 7).isin(2L, 4L))
         val sw = stream.select(col("doc_id"), col("text"),
           Text.canonicalUrlCol(Text.messyUrlCol).as("canon"),
           unhex(sha2(normText, 256)).as("h"))
@@ -2464,7 +2551,7 @@ object Dedup {
         val swg = sw.select(col("doc_id"), split(col("text"), " ").as("ws"))
         val near = swg.where(size(col("ws")) >= 3)
           .select(col("doc_id"), gramsOf(col("ws")).as("ga"),
-            graft.functions.Kernels.minhash128(gramsOf(col("ws"))).as("sig"))
+            graft.functions.Kernels.minhashInt128(gramsOf(col("ws"))).as("sig"))
           .select(col("doc_id"), col("ga"),
             explode(transform(sequence(lit(0), lit(31)),
               b => struct(b.as("band"), slice(col("sig"), b * 4 + 1, lit(4)).as("bsig")))).as("bk"))
@@ -2497,9 +2584,9 @@ object Dedup {
       """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS st_stage,
         |  CAST(NULL AS VARCHAR) AS ba_stage FROM documents WHERE 1=0""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
-      val isBatch = pmod(col("doc_id"), lit(3)) === 0
-      val corpus = d.where(!isBatch)
-      val batch = d.where(isBatch)
+      val isIncr = (col("doc_id") % 7).isin(2L, 4L)
+      val corpus = d.where(!isIncr)
+      val batch = d.where(isIncr)
       val canonOf = (df: DataFrame) => df.select(col("doc_id"),
         Text.canonicalUrlCol(Text.messyUrlCol).as("canon"),
         unhex(sha2(normText, 256)).as("h"))
@@ -2508,9 +2595,9 @@ object Dedup {
         .select(col("doc_id"))
       val eIds = bk.join(canonOf(corpus).select(col("h")).distinct(), Seq("h"), "left_semi")
         .select(col("doc_id"))
-      val corpusB = bandedMinhashKeys(corpus)
+      val corpusB = bandedMinhashIntKeys(corpus)
         .select(col("doc_id").as("c_id"), col("bk"))
-      val nIds = verifyJaccard(crossBandCands(corpusB, bandedMinhashKeys(batch)), d, 0.8)
+      val nIds = verifyJaccard(crossBandCands(corpusB, bandedMinhashIntKeys(batch)), d, 0.8)
         .select(col("a_id").as("doc_id")).distinct()
       val ba = batch.select(col("doc_id"))
         .join(uIds.withColumn("u", lit(1)), Seq("doc_id"), "left")

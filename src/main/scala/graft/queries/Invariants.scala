@@ -814,7 +814,7 @@ object Invariants {
       val st = run("ann_probe_stream")(s, dir)
         .select(col("q_id"), col("rank"), col("n_id").as("st_n"), col("cos").as("st_cos"))
         .localCheckpoint(true)
-      val ba = run("ann_ivf_probe")(s, dir)
+      val ba = run("ann_ivf_int_probe")(s, dir)
         .select(col("q_id"), col("rank"), col("n_id").as("ba_n"), col("cos").as("ba_cos"))
         .localCheckpoint(true)
       releasing(st, ba)(

@@ -119,4 +119,23 @@ class AnnBuildScanSpec extends SparkSpec {
       !scanLine.get.replaceAll(".*PartitionFilters: \\[", "").startsWith("]"),
       s"probed cells must prune partitions at the index scan:\n${scanLine.get}")
   }
+
+  /** Same pin for the INTEGER family's persisted probe (r12 verdict
+    * #6): the hash-gated deployment read path must prune the
+    * cell-partitioned integer index at file-listing time too.
+    */
+  test("ann_ivf_int_probe prunes the cell-partitioned integer index read") {
+    val dir = sf("sf0.001")
+    val df = SparkEntry.queries("ann_ivf_int_probe")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // match on ann_index (the path truncates before the ivf_int_k8
+    // subdir in plan strings); this query scans only its own artifact
+    val scanLine = p.linesIterator
+      .find(l => l.contains("Scan parquet") && l.contains("ann_index"))
+    assert(scanLine.isDefined, s"expected a persisted integer-index scan:\n$p")
+    assert(scanLine.get.contains("PartitionFilters: [") &&
+      !scanLine.get.replaceAll(".*PartitionFilters: \\[", "").startsWith("]"),
+      s"probed cells must prune partitions at the integer index scan:\n${scanLine.get}")
+  }
 }
