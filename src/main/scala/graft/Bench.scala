@@ -305,15 +305,35 @@ object Bench {
             ("watch_latency", -1.0, 0)
         })
     val results = pureResults ++ mutResults ++ watchRow
-    val suspects = pureSuspects ++ mutSuspects
-    val drift = pureDrift ++ mutDrift
+    // END-OF-RUN spaced rerun (r12 verdict #2): any suspect/drift arm
+    // whose immediate rerun failed, cleared nothing, or came back WORSE
+    // than its median gets ONE more measurement here — after the
+    // session-mutating tail and the watch pass, outside the contention
+    // window the first two readings shared — and the record carries a
+    // cleared/regressed/contended verdict instead of an ambiguous
+    // rerun-worse triple.
+    val byNameAll = ordered.map(q => q.name -> q).toMap
+    def spaced(entries: Seq[(String, Double, Double, Double)],
+        bar: Double => Double): Seq[Bench.Rerun] =
+      entries.map { case (n, b, m, r) =>
+        val r2 =
+          if (Bench.needsSecondRerun(b, m, r, bar(b))) {
+            val (times, _) = timeQuery(byNameAll(n))
+            Some(if (times.nonEmpty) median(times) else -1.0)
+          } else None
+        Bench.Rerun(n, b, m, r, r2, bar(b))
+      }
+    val suspects = spaced(pureSuspects ++ mutSuspects,
+      b => if (b < 5.0) 1.5 else 2.0)
+    val drift = spaced(pureDrift ++ mutDrift, _ => 1.3)
     val out = renderRecordLine(results, suspects, repeats, sfDir,
       driftN = drift.size)
     val full = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    def tripleMap(xs: Seq[(String, Double, Double, Double)]): String =
-      xs.map { case (n, b, m, r) =>
-        s""""$n":{"base":$b,"med":$m,"rerun":$r}"""
+    def tripleMap(xs: Seq[Bench.Rerun]): String =
+      xs.map { s =>
+        val r2 = s.rerun2.map(v => s""","rerun2":$v""").getOrElse("")
+        s""""${s.name}":{"base":${s.base},"med":${s.med},"rerun":${s.rerun}$r2,"verdict":"${s.verdict}"}"""
       }.mkString("{", ",", "}")
     val failedNames = results.filter(_._2 < 0).map(_._1)
     val flakyNames = results.filter(r => r._2 >= 0 && r._3 < repeats).map(_._1)
@@ -328,6 +348,49 @@ object Bench {
 
   private def jsonNames(names: Seq[String]): String =
     names.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+  /** One suspect/drift arm's complete rerun evidence (r12 verdict #2:
+    * 7 of 20 suspects came back from rerun WORSE than their median —
+    * the rerun pass shared the contention window it was adjudicating,
+    * and the durable record could not distinguish a regression from a
+    * contended rerun). `rerun` is the immediate post-group rerun;
+    * `rerun2` is the SPACED rerun fired at the very end of the run
+    * (after the session-mutating tail and the watch-latency pass —
+    * minutes away from the original window) whenever the first rerun
+    * failed to clear the arm or made it look WORSE. `clearBar` is the
+    * arm's own clearing multiple (suspect trigger, or the 1.3 drift
+    * band).
+    */
+  private[graft] case class Rerun(name: String, base: Double, med: Double,
+      rerun: Double, rerun2: Option[Double], clearBar: Double) {
+    /** Best defensible reading across the reruns (−1 if every rerun failed). */
+    def best: Double = {
+      val valid = (Seq(rerun) ++ rerun2).filter(_ >= 0)
+      if (valid.isEmpty) -1.0 else valid.min
+    }
+    def cleared: Boolean = best >= 0 && best <= clearBar * base
+    /** cleared / regressed / contended — the three outcomes the record
+      * must distinguish: `regressed` = even the best reading repeats
+      * the WORST elevated evidence (≥ 0.8 × max(med, rerun) — multiple
+      * independent high readings are regression evidence, not noise);
+      * `contended` = the spaced rerun improved materially below the
+      * elevated readings but still sits above the clearing bar — the
+      * ambiguous case, named as such instead of masquerading as either.
+      */
+    def verdict: String =
+      if (cleared) "cleared"
+      else if (best < 0) "contended"
+      else if (best >= 0.8 * math.max(med, rerun)) "regressed"
+      else "contended"
+  }
+
+  /** Whether an arm's first rerun demands the end-of-run SPACED rerun:
+    * it failed outright, came back WORSE than the median it was meant
+    * to adjudicate, or still sits above the arm's clearing bar.
+    */
+  private[graft] def needsSecondRerun(base: Double, med: Double,
+      rerun: Double, clearBar: Double): Boolean =
+    rerun < 0 || rerun > med || rerun > clearBar * base
 
   /** The ONE line of driver record. The harness that records it keeps
     * only the LAST ~2000 chars of output, and sbt appends a ~75-char
@@ -372,7 +435,7 @@ object Bench {
     */
   private[graft] def renderRecordLine(
       results: Seq[(String, Double, Int)],
-      suspects: Seq[(String, Double, Double, Double)],
+      suspects: Seq[Rerun],
       repeats: Int, sfDir: String, budget: Int = 1880,
       driftN: Int = 0): String = {
     def fmt(v: Double, decimals: Int): String = {
@@ -403,9 +466,8 @@ object Bench {
     val (foldable, rest) = results.partition(r => r._2 >= 0 && r._3 == repeats)
     val pinned = rest.filter(_._2 >= 0) // flaky: real median, fewer repeats
     val byCost = foldable.sortBy(_._2)
-    def suspectTrigger(b: Double): Double = if (b < 5.0) 1.5 else 2.0
     def line(nFold: Int, decimals: Int, shortKeys: Boolean,
-        foldCleared: Boolean): String = {
+        foldCleared: Boolean, slimSuspects: Boolean = false): String = {
       val (folded, kept) = byCost.splitAt(nFold)
       val qs = (kept ++ pinned).map { case (k, v, _) => "\"" + k + "\":" + fmt(v, decimals) }
         .mkString("{", ",", "}")
@@ -415,15 +477,27 @@ object Bench {
       val suspectJson =
         if (suspects.isEmpty) ""
         else {
-          val (cleared, unresolved) = suspects.partition { case (_, b, _, r) =>
-            r >= 0 && r <= suspectTrigger(b) * b
-          }
+          // cleared by the BEST reading across both reruns (a spaced
+          // rerun that lands at baseline clears an arm whose first
+          // rerun was contention-poisoned)
+          val (cleared, unresolved) = suspects.partition(_.cleared)
           val shown0 = if (foldCleared) unresolved else suspects
           val (kb, km, kr) =
             if (shortKeys) ("b", "m", "r") else ("base", "med", "rerun")
-          val shown = shown0.map { case (n, b, m, r) =>
-            "\"" + n + "\":{\"" + kb + "\":" + fmt(b, decimals) + ",\"" + km + "\":" + fmt(m, decimals) +
-              ",\"" + kr + "\":" + fmt(r, decimals) + "}"
+          val shown = shown0.map { s =>
+            // spaced-rerun evidence rides verbatim: r2 + the verdict
+            // (cleared/regressed/contended) — the distinction the r12
+            // record could not make for its 7 rerun-worse arms.
+            // slimSuspects (mass-pathology rung only) drops the extras
+            // to protect the top-15 named arms; full evidence persists
+            // in target/bench_full.json.
+            val extra =
+              if (slimSuspects) ""
+              else s.rerun2.map(r2 =>
+                ",\"r2\":" + fmt(r2, decimals) + ",\"v\":\"" + s.verdict + "\"")
+                .getOrElse("")
+            "\"" + s.name + "\":{\"" + kb + "\":" + fmt(s.base, decimals) + ",\"" + km + "\":" + fmt(s.med, decimals) +
+              ",\"" + kr + "\":" + fmt(s.rerun, decimals) + extra + "}"
           }.mkString(",")
           val clearedNote =
             if (foldCleared && cleared.nonEmpty)
@@ -452,10 +526,16 @@ object Bench {
       // named arms as fit — never fewer than the top 15
       .orElse((0 to maxFold).iterator.map(line(_, 2, true, true))
         .find(_.length <= budget))
+      // many long unresolved entries: drop their r2/v extras (they
+      // persist in bench_full.json) before sacrificing named arms
+      .orElse((0 to maxFold).iterator
+        .map(line(_, 2, true, true, slimSuspects = true))
+        .find(_.length <= budget))
       // pathological (mass-failure name lists): parseability wins
       .getOrElse(
-        (maxFold to byCost.size).iterator.map(line(_, 2, true, true))
+        (maxFold to byCost.size).iterator
+          .map(line(_, 2, true, true, slimSuspects = true))
           .find(_.length <= budget)
-          .getOrElse(line(byCost.size, 2, true, true)))
+          .getOrElse(line(byCost.size, 2, true, true, slimSuspects = true)))
   }
 }

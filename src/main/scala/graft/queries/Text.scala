@@ -149,6 +149,114 @@ object Text {
       |       CAST((removed * 10000) // n_tokens AS BIGINT) AS removed_bp
       |FROM cov ORDER BY doc_id""".stripMargin
 
+  /** C83's DuckDB twin — the END-TO-END pretraining chain restated as
+    * one CTE composition of the proven per-stage fragments (quality
+    * battery = C18's, url/exact windows = C68's, miner+CC =
+    * [[Dedup.minerCtes]]/[[Dedup.ccClosureCtes]] spliced verbatim,
+    * span coverage = C43's, mixture = C42's, shard prefix = C45's
+    * single-level restatement of the two-level Spark scan). Each CTE
+    * consumes the PREVIOUS stage's survivors — the composition, not
+    * the stages, is what this oracle uniquely attests. Multiply-
+    * referenced CTEs are AS MATERIALIZED: DuckDB inlines plain CTEs
+    * per reference, and re-evaluating the gram streams once per
+    * consumer blew the sf1 run's temp-spill budget (the C13f lesson).
+    */
+  // lazy: splices messyUrlSql/urlCanonCtes (defined LATER in this
+  // object body) and Dedup CTEs (a mutually-referencing object) — an
+  // eager val here reads nulls mid-initialization
+  private lazy val pretrainE2eSql: String =
+    s"""WITH RECURSIVE f AS (
+      |  SELECT doc_id, source, lang, text,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |    len(list_filter(string_split(text, ' '),
+      |        w -> w IN ('the','a','of','and','to'))) AS n_stop
+      |  FROM documents),
+      |q AS MATERIALIZED (
+      |  SELECT *, CAST(least(n_words, 100) * 40
+      |    + (least(n_stop * 10, n_words) * 3000) // n_words
+      |    + (n_distinct * 3000) // n_words AS BIGINT) AS quality_bp
+      |  FROM f),
+      |qs AS MATERIALIZED (SELECT * FROM q WHERE doc_id % 20 <> 0 AND quality_bp >= 5000),
+      |u AS (SELECT doc_id, ($messyUrlSql) AS url FROM qs),
+      |$urlCanonCtes,
+      |s1 AS MATERIALIZED (SELECT qs.doc_id, qs.source, qs.lang, qs.text, qs.n_words,
+      |  CASE WHEN qs.doc_id = min(qs.doc_id) OVER (PARTITION BY c4.canon)
+      |    THEN 1 ELSE 0 END AS url_keep
+      |  FROM qs JOIN c4 ON c4.doc_id = qs.doc_id),
+      |s2 AS MATERIALIZED (SELECT doc_id, source, lang, text, n_words,
+      |  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY k) THEN 1 ELSE 0 END AS exact_keep
+      |  FROM (SELECT *, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS k
+      |        FROM s1 WHERE url_keep = 1)),
+      |docs_ws AS MATERIALIZED (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM s2
+      |  WHERE exact_keep = 1 AND len(string_split(text, ' ')) >= 3),
+      |${Dedup.minerCtes},
+      |${Dedup.ccClosureCtes},
+      |s3 AS MATERIALIZED (SELECT doc_id, source, lang, n_words FROM s2
+      |       WHERE exact_keep = 1 AND doc_id NOT IN (SELECT doc_id FROM nd)),
+      |dw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g4 AS MATERIALIZED (SELECT doc_id, gs-1 AS pos, array_to_string(ws[gs:gs+3], ' ') AS gram
+      |       FROM dw, UNNEST(generate_series(1, len(ws)-3)) AS t(gs)),
+      |bprobe AS (SELECT DISTINCT gram FROM g4 WHERE doc_id % 20 = 0),
+      |hit AS (SELECT g4.doc_id, g4.pos FROM g4 JOIN bprobe USING (gram)
+      |        WHERE g4.doc_id IN (SELECT doc_id FROM s3)),
+      |hm AS (SELECT doc_id, pos,
+      |        coalesce(max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_end
+      |       FROM hit),
+      |cov AS (SELECT doc_id,
+      |        CAST(sum(greatest(0, pos + 4 - greatest(prev_end, pos))) AS BIGINT) AS removed
+      |        FROM hm GROUP BY doc_id),
+      |s4 AS MATERIALIZED (SELECT s3.doc_id, s3.source, s3.lang,
+      |        CAST(s3.n_words AS BIGINT) - coalesce(cov.removed, 0) AS clean_tokens
+      |       FROM s3 LEFT JOIN cov ON cov.doc_id = s3.doc_id),
+      |mc AS (SELECT source, lang, count(*) AS n_docs,
+      |        CAST(sum(clean_tokens) AS BIGINT) AS n_tokens
+      |       FROM s4 WHERE clean_tokens > 0 GROUP BY source, lang),
+      |mw AS (SELECT source, lang, n_tokens,
+      |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_sqrt
+      |       FROM mc),
+      |mt AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 2 AS budget,
+      |              CAST(sum(w_sqrt) AS BIGINT) AS wsum FROM mw),
+      |mr AS (SELECT mw.source, mw.lang,
+      |  CAST((CAST((CAST(mt.budget AS HUGEINT) * mw.w_sqrt) // mt.wsum AS HUGEINT) * 10000)
+      |    // mw.n_tokens AS BIGINT) AS rate_bp
+      |  FROM mw CROSS JOIN mt),
+      |s5 AS MATERIALIZED (SELECT s4.doc_id, s4.clean_tokens,
+      |        CAST(mr.rate_bp // 10000
+      |          + CASE WHEN ((s4.doc_id % 1000003) * 131071 + 99991) % 1000003 % 10000
+      |                      < mr.rate_bp % 10000 THEN 1 ELSE 0 END AS BIGINT) AS copies
+      |       FROM s4 JOIN mr ON mr.source = s4.source AND mr.lang = s4.lang
+      |       WHERE s4.clean_tokens > 0),
+      |skept AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+      |           clean_tokens * copies AS tok
+      |          FROM s5 WHERE copies >= 1),
+      |sp AS (SELECT doc_id, coalesce(sum(tok) OVER (ORDER BY h, doc_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+      |       FROM skept)
+      |SELECT d.doc_id,
+      |  CASE WHEN d.doc_id % 20 = 0 THEN 'benchmark'
+      |       WHEN coalesce(q.quality_bp, 0) < 5000 THEN 'quality'
+      |       WHEN s1.url_keep = 0 THEN 'url'
+      |       WHEN s2.exact_keep = 0 THEN 'exact'
+      |       WHEN nd.doc_id IS NOT NULL THEN 'neardup'
+      |       WHEN s4.clean_tokens = 0 THEN 'contaminated'
+      |       WHEN s5.copies = 0 THEN 'mixture'
+      |       ELSE 'kept' END AS stage,
+      |  s4.clean_tokens, s5.copies,
+      |  CAST(sp.pre // 4096 AS BIGINT) AS shard,
+      |  CAST((sp.pre % 4096) // 512 AS BIGINT) AS first_block
+      |FROM documents d
+      |JOIN q ON q.doc_id = d.doc_id
+      |LEFT JOIN s1 ON s1.doc_id = d.doc_id
+      |LEFT JOIN s2 ON s2.doc_id = d.doc_id
+      |LEFT JOIN nd ON nd.doc_id = d.doc_id
+      |LEFT JOIN s4 ON s4.doc_id = d.doc_id
+      |LEFT JOIN s5 ON s5.doc_id = d.doc_id
+      |LEFT JOIN sp ON sp.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** C42b's realization body over any documents frame (batch or stream)
     * and a schedule frame — ONE definition shared by
     * `text_mixture_apply` and D13 `text_mixture_apply_stream`: each doc
@@ -2529,6 +2637,124 @@ object Text {
         .select(col("doc_id"),
           md5(col("doc_id").cast("string").cast("binary")).as("h"),
           col("n_words").cast("long").as("tokens")))
+    },
+
+    // C83 (r13): the END-TO-END pretraining-data arm — the r12 verdict's
+    // #1 gap: every stage existed and every PAIR was gated, but no one
+    // query chained them, and composition (whose keep-sets feed whose
+    // inputs) is where real pipelines break unobserved. ONE query runs
+    // the full nightly chain and emits the per-doc FINAL disposition:
+    // benchmark reserve (doc_id % 20 = 0 — the C21/C43 probe split;
+    // those docs never train) → quality battery (C18's, < 5000 dies
+    // 'quality') → the C68 cascade IN STAGE ORDER over quality
+    // survivors (url canon keep-first → exact digest keep-first →
+    // neardup CC over the exact τ=0.8 miner — each window scoped to the
+    // PREVIOUS stage's survivors, the CascadeSpec discipline) → span
+    // decontamination vs the benchmark probe (C43's interval union;
+    // fully-covered docs die 'contaminated', others carry clean_tokens)
+    // → temperature mixture over the POST-decontamination strata
+    // (C42's schedule on clean tokens; zero-copy draws die 'mixture')
+    // → shard assignment + pack attribution for the kept set (C45's
+    // md5-order token-budget prefix over clean_tokens × copies; shard =
+    // pre div 4096, first_block = the C59 concat-and-chunk block the
+    // doc's tokens start in). Per-doc output: the stage that killed it
+    // or the (shard, first_block) that got it.
+    // 100 TB shape: quality is per-row scan work; url/exact are slim
+    // key windows (canon strings, 32 B digests — text never moves);
+    // the miner is the prefix-filtered exact form (swap in C76's
+    // banded miner at raw-crawl scale, the same seam cascadeStages
+    // documents); decontamination broadcast-joins the bounded benchmark
+    // probe; the mixture schedule is a |strata|-row broadcast; the
+    // shard prefix is the C45 two-level scan (no global sort). The
+    // final assembly joins slim per-stage verdict columns back on
+    // doc_id — each carries one row per doc at most, co-partitioned on
+    // the same key.
+    Q("pipeline_pretrain_e2e", pretrainE2eSql) { (s, dir) =>
+      Dedup.ensureLocalCkptDir(s)
+      val d = docs(s, dir)
+      val isBench = col("doc_id") % 20 === 0
+      val q = d.select(col("doc_id"), col("source"), col("lang"), col("text"),
+          size(words).as("n_words"),
+          size(array_distinct(words)).as("n_distinct"),
+          size(filter(words, w => w.isin("the", "a", "of", "and", "to"))).as("n_stop"))
+        .withColumn("quality_bp",
+          (least(col("n_words"), lit(100)) * 40
+            + expr("(least(n_stop * 10, n_words) * 3000) div n_words")
+            + expr("(n_distinct * 3000) div n_words")).cast("long"))
+      val qs = q.where(!isBench && col("quality_bp") >= 5000)
+      val keyed = qs.select(col("doc_id"), col("source"), col("lang"),
+        col("text"), col("n_words"),
+        canonicalUrlCol(messyUrlCol).as("canon"),
+        unhex(sha2(Dedup.normText, 256)).as("h"))
+      val W = org.apache.spark.sql.expressions.Window
+      val s1 = keyed.withColumn("url_keep",
+        col("doc_id") === min(col("doc_id")).over(W.partitionBy(col("canon"))))
+      val s2 = s1.where(col("url_keep")).withColumn("exact_keep",
+        col("doc_id") === min(col("doc_id")).over(W.partitionBy(col("h"))))
+      val surv2 = s2.where(col("exact_keep"))
+      val pairs = Dedup.ngramJaccardPairs(
+        surv2.select(col("doc_id"), col("text")), 4, 5)
+      val nd = Dedup.connectedComponents(pairs)
+        .where(col("id") =!= col("label"))
+        .select(col("id").as("doc_id"), lit(1L).as("ndf"))
+      val surv3 = surv2.select(col("doc_id"), col("source"), col("lang"), col("n_words"))
+        .join(nd, Seq("doc_id"), "left_anti")
+      val grams = Dedup.substringGrams(d, 4)
+      val bprobe = grams.where(isBench).select(col("h")).distinct()
+      val hits = grams
+        .join(surv3.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .join(broadcast(bprobe), Seq("h"), "left_semi")
+      val cov = Dedup.spanCoverage(hits, 4).select(col("doc_id"), col("covered"))
+      val s4 = surv3.join(cov, Seq("doc_id"), "left_outer")
+        .withColumn("clean_tokens",
+          col("n_words").cast("long") - coalesce(col("covered"), lit(0L)))
+      val s4pos = s4.where(col("clean_tokens") > 0)
+      val sched = mixtureAlloc(
+        s4pos.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("clean_tokens")).as("n_tokens")),
+        Seq("source", "lang"))
+      val s5 = s4pos
+        .join(broadcast(sched.select(col("source"), col("lang"), col("rate_bp"))),
+          Seq("source", "lang"))
+        .withColumn("copies",
+          (expr("rate_bp div 10000") +
+            when(keepCoin(10000) < col("rate_bp") % 10000, 1L).otherwise(0L)).cast("long"))
+      val kept = s5.where(col("copies") >= 1)
+        .select(col("doc_id"),
+          md5(col("doc_id").cast("string").cast("binary")).as("sh"),
+          (col("clean_tokens") * col("copies")).as("tok"))
+      val b = kept.withColumn("bk", substring(col("sh"), 1, 2))
+      val off = b.groupBy(col("bk")).agg(sum(col("tok")).as("bt"))
+        .select(col("bk"), coalesce(
+          sum(col("bt")).over(
+            W.orderBy(col("bk")).rowsBetween(W.unboundedPreceding, -1)),
+          lit(0L)).as("boff"))
+      val pre = b.join(broadcast(off), Seq("bk"))
+        .withColumn("pre", col("boff") + coalesce(
+          sum(col("tok")).over(
+            W.partitionBy(col("bk")).orderBy(col("sh"), col("doc_id"))
+              .rowsBetween(W.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("doc_id"), expr("pre div 4096").as("shard"),
+          expr("(pre % 4096) div 512").as("first_block"))
+      q.select(col("doc_id"), col("quality_bp"))
+        .join(s1.select(col("doc_id"), col("url_keep")), Seq("doc_id"), "left_outer")
+        .join(s2.select(col("doc_id"), col("exact_keep")), Seq("doc_id"), "left_outer")
+        .join(nd, Seq("doc_id"), "left_outer")
+        .join(s4.select(col("doc_id"), col("clean_tokens")), Seq("doc_id"), "left_outer")
+        .join(s5.select(col("doc_id"), col("copies")), Seq("doc_id"), "left_outer")
+        .join(pre, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          when(col("doc_id") % 20 === 0, lit("benchmark"))
+            .when(coalesce(col("quality_bp"), lit(0L)) < 5000, lit("quality"))
+            .when(!col("url_keep"), lit("url"))
+            .when(!col("exact_keep"), lit("exact"))
+            .when(col("ndf") === 1, lit("neardup"))
+            .when(col("clean_tokens") === 0, lit("contaminated"))
+            .when(col("copies") === 0, lit("mixture"))
+            .otherwise(lit("kept")).as("stage"),
+          col("clean_tokens"), col("copies"), col("shard"), col("first_block"))
+        .orderBy(col("doc_id"))
     },
 
     // C18-stream: the SAME curation pipeline run at INGEST time — the

@@ -19,9 +19,22 @@ class BenchReportSpec extends AnyFunSuite {
   private def results(n: Int): Seq[(String, Double, Int)] =
     (1 to n).map(i => (s"query_arm_name_number_$i", 0.1 + (i % 37) * 0.13, 3))
 
-  private def suspects(n: Int): Seq[(String, Double, Double, Double)] =
+  /** Build a Rerun the way main() does: clearBar = the suspect trigger,
+    * rerun2 present exactly when needsSecondRerun says so (simulated at
+    * ~baseline — the contention-cleared case — unless overridden).
+    */
+  private def mk(name: String, b: Double, m: Double, r: Double,
+      r2: Option[Double] = None): Bench.Rerun = {
+    val bar = if (b < 5.0) 1.5 else 2.0
+    val second =
+      if (Bench.needsSecondRerun(b, m, r, bar)) r2.orElse(Some(b * 1.02))
+      else None
+    Bench.Rerun(name, b, m, r, second, bar)
+  }
+
+  private def suspects(n: Int): Seq[Bench.Rerun] =
     (1 to n).map(i =>
-      (s"query_arm_name_number_$i", 0.5 + i * 0.11, 1.9 + i * 0.3, 0.52 + i * 0.1))
+      mk(s"query_arm_name_number_$i", 0.5 + i * 0.11, 1.9 + i * 0.3, 0.52 + i * 0.1))
 
   private def parse(line: String): JValue = JsonMethods.parse(line)
 
@@ -53,19 +66,19 @@ class BenchReportSpec extends AnyFunSuite {
     * full triples persist in target/bench_full.json).
     */
   private def assertSuspectsAccounted(j: JValue,
-      sus: Seq[(String, Double, Double, Double)]): Unit = {
+      sus: Seq[Bench.Rerun]): Unit = {
     val JInt(n) = j \ "suspect_n"
     assert(n == sus.size)
     val JObject(entries) = j \ "suspect_rerun"
-    val unresolvedNames = sus.collect {
-      case (name, b, _, r) if r > (if (b < 5.0) 1.5 else 2.0) * b => name
-    }.toSet
+    val unresolvedNames = sus.filterNot(_.cleared).map(_.name).toSet
     val shown = entries.map(_._1).toSet
     assert(unresolvedNames.subsetOf(shown),
       s"missing unresolved suspects: ${(unresolvedNames -- shown).take(3)}")
     entries.foreach { case (_, v) =>
       val keys = v.asInstanceOf[JObject].obj.map(_._1).toSet
-      assert(keys == Set("base", "med", "rerun") || keys == Set("b", "m", "r"))
+      assert(keys -- Set("r2", "v") == Set("base", "med", "rerun") ||
+        keys -- Set("r2", "v") == Set("b", "m", "r"),
+        s"unexpected suspect keys: $keys")
     }
     if (entries.size < sus.size) {
       val JInt(clearedN) = j \ "suspect_cleared_n"
@@ -101,11 +114,12 @@ class BenchReportSpec extends AnyFunSuite {
   test("r11 driver shape: 219 arms + 36 suspects (1 unresolved) keeps " +
       "≥15 named arms AND full suspect accounting") {
     val rs = results(219)
-    // 35 cleared + the view_list_range shape: rerun WORSE than median
+    // 35 cleared + the view_list_range shape: rerun WORSE than median,
+    // spaced rerun still elevated -> 'regressed', verbatim in the line
     val sus = (1 to 35).map { i =>
       val base = 0.5 + i * 0.07
-      (s"query_arm_name_number_$i", base, base * 2.2, base * 1.01)
-    } :+ ("view_list_range_shape_arm", 0.15, 0.276, 0.712)
+      mk(s"query_arm_name_number_$i", base, base * 2.2, base * 1.01)
+    } :+ mk("view_list_range_shape_arm", 0.15, 0.276, 0.712, r2 = Some(0.69))
     val line = Bench.renderRecordLine(rs, sus, 3, "/x/sf0.1")
     assert(line.length <= budget, s"line ${line.length} chars exceeds budget")
     val j = parse(line)
@@ -116,12 +130,45 @@ class BenchReportSpec extends AnyFunSuite {
     assert(entries.exists(_._1 == "view_list_range_shape_arm"))
   }
 
+  test("r12 shape: rerun-worse arms carry spaced-rerun evidence and a verdict") {
+    // the 7-arm r12 signature: med ~3.7x base, first rerun WORSE than
+    // med. Three spaced outcomes: back at baseline (cleared), repeated
+    // high (regressed), improved-but-above-bar (contended).
+    val clearedArm = mk("worse_then_cleared", 0.64, 1.02, 2.36, r2 = Some(0.66))
+    val regressedArm = mk("worse_then_regressed", 0.64, 1.02, 2.36, r2 = Some(2.20))
+    val contendedArm = mk("worse_then_contended", 0.64, 1.02, 2.36, r2 = Some(0.995))
+    assert(Bench.needsSecondRerun(0.64, 1.02, 2.36, 1.5),
+      "a rerun worse than its median must fire the spaced rerun")
+    assert(!Bench.needsSecondRerun(0.64, 1.02, 0.65, 1.5),
+      "a clearing rerun below the median needs no second pass")
+    assert(clearedArm.cleared && clearedArm.verdict == "cleared")
+    assert(regressedArm.verdict == "regressed")
+    assert(contendedArm.verdict == "contended")
+    val sus = Seq(clearedArm, regressedArm, contendedArm)
+    val line = Bench.renderRecordLine(results(226), sus, 3, "/x/sf0.1")
+    assert(line.length <= budget)
+    val j = parse(line)
+    assertSuspectsAccounted(j, sus)
+    val JObject(entries) = j \ "suspect_rerun"
+    // both unresolved entries are verbatim with their r2 + verdict
+    Seq("worse_then_regressed" -> "regressed",
+        "worse_then_contended" -> "contended").foreach { case (nm, v) =>
+      val e = entries.find(_._1 == nm).map(_._2.asInstanceOf[JObject])
+      assert(e.isDefined, s"$nm must stay verbatim")
+      assert(e.get.obj.exists { case (k, jv) => k == "v" && jv == JString(v) },
+        s"$nm must carry verdict $v in the line of record")
+      assert(e.get.obj.exists(_._1 == "r2"), s"$nm must carry its spaced rerun")
+    }
+  }
+
   test("pathological: 60 suspects still parse; unresolved entries survive") {
     // every third suspect's rerun stays above trigger (unresolved)
     val sus = (1 to 60).map { i =>
       val base = 0.5 + i * 0.07
       val rerun = if (i % 3 == 0) base * 3.0 else base * 1.01
-      (s"query_arm_name_number_$i", base, base * 2.5, rerun)
+      // unresolved arms' spaced rerun repeats the high reading
+      mk(s"query_arm_name_number_$i", base, base * 2.5, rerun,
+        r2 = if (i % 3 == 0) Some(base * 2.9) else None)
     }
     val rs = results(198)
     val line = Bench.renderRecordLine(rs, sus, 3, "/x/sf0.1")

@@ -67,6 +67,39 @@ class SourcesSpec extends SparkSpec {
     assert(back.toSeq == Seq((1L, "x", Seq[Byte](1, 2)), (2L, "y", Seq[Byte](3))))
   }
 
+  test("avro round-trip: container files read distributed via AvroKeyInputFormat") {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericDatumWriter, GenericRecord, GenericRecordBuilder}
+    val dir = Files.createTempDirectory("graft-avro")
+    val schema: Schema = SchemaBuilder.record("doc").fields()
+      .requiredLong("id").requiredString("s").optionalDouble("d")
+      .endRecord()
+    def writeFile(name: String, rows: Seq[(Long, String, Option[Double])]): Unit = {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, dir.resolve(name).toFile)
+      rows.foreach { case (id, s, d) =>
+        val b = new GenericRecordBuilder(schema).set("id", id).set("s", s)
+        d.foreach(v => b.set("d", v))
+        w.append(b.build()); ()
+      }
+      w.close()
+    }
+    // two container files — the directory-of-files lake layout
+    writeFile("part-0.avro", Seq((1L, "x", Some(0.5)), (2L, "y", None)))
+    writeFile("part-1.avro", Seq((3L, "z", Some(1.25))))
+    val df = graft.core.Avro.read(spark, dir.toString,
+      StructType(Seq(StructField("id", LongType), StructField("s", StringType),
+        StructField("d", DoubleType))))
+    val back = df.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(back.toSeq == Seq(
+      (1L, "x", Some(0.5)), (2L, "y", None), (3L, "z", Some(1.25))))
+    // DataFrame surface composes: ordinary codegen'd transforms downstream
+    assert(df.where(col("d").isNotNull).agg(sum(col("id"))).head().getLong(0) == 4L)
+  }
+
   test("dynamic partition overwrite rewrites only the partitions present in the batch") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-dpo").toString + "/t"
