@@ -476,15 +476,36 @@ object Dedup {
     */
   private[queries] def cascadeCompactStages(s: SparkSession, dir: String,
       miner: DataFrame => DataFrame = ngramJaccardPairs(_, 4, 5)): DataFrame = {
-    ensureLocalCkptDir(s)
     val d = docs(s, dir)
-    val coinIncr = (c: Column) => (c % 7).isin(2L, 4L)
-    val isIncr = coinIncr(col("doc_id"))
+    val isIncr = (col("doc_id") % 7).isin(2L, 4L)
     val keyed = (df: DataFrame) => df.select(col("doc_id"),
       Text.canonicalUrlCol(Text.messyUrlCol).as("canon"),
       unhex(sha2(normText, 256)).as("h"))
-    val corpusK = keyed(d.where(!isIncr))
-    val ik = keyed(d.where(isIncr))
+    compactStagedVerdicts(s,
+      keyed(d.where(!isIncr)).select(col("canon"), col("h")),
+      keyed(d.where(isIncr)),
+      d.where(!isIncr).select(col("doc_id"), col("text")),
+      d.where(isIncr).select(col("doc_id"), col("text")), miner)
+  }
+
+  /** The staged two-rung compaction fold itself, over prepared frames —
+    * factored from [[cascadeCompactStages]] (r13) so C84
+    * `pipeline_pretrain_compact` can run the IDENTICAL rule with the
+    * corpus side replaced by the e2e-RETAINED set and the increment
+    * side scoped to quality survivors: the staged rule cannot drift
+    * between the cascade-only and e2e compactions. `corpusK` = (canon,
+    * h) of the corpus side, `ik` = (doc_id, canon, h) increment
+    * candidates, `corpusText`/`incrText` = (doc_id, text) miner inputs
+    * (increment side is filtered to stage-2 survivors here). Increment
+    * membership inside mined pairs uses the shared doc_id % 7 ∈ {2, 4}
+    * convention (both callers' split).
+    */
+  private[queries] def compactStagedVerdicts(s: SparkSession,
+      corpusK: DataFrame, ik: DataFrame,
+      corpusText: DataFrame, incrText: DataFrame,
+      miner: DataFrame => DataFrame = ngramJaccardPairs(_, 4, 5)): DataFrame = {
+    ensureLocalCkptDir(s)
+    val coinIncr = (c: Column) => (c % 7).isin(2L, 4L)
     // stage 1: url — corpus membership first, then min-id per canon
     // within the increment (slim key columns only; text never moves)
     val s1 = ik
@@ -505,9 +526,8 @@ object Dedup {
     val survivors = s2.where(col("exact_vs").isNull).select(col("doc_id"))
     // stage 3: the miner over corpus ∪ surviving increment; only pairs
     // touching an increment doc matter downstream
-    val minedInput = d.where(!isIncr).select(col("doc_id"), col("text"))
-      .unionByName(d.join(survivors, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("text")))
+    val minedInput = corpusText
+      .unionByName(incrText.join(survivors, Seq("doc_id"), "left_semi"))
     val pairs = Pinned.track(
       miner(minedInput).localCheckpoint(true)) // feeds 3 consumers
     val aIncr = coinIncr(col("a_id"))

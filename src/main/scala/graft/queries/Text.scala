@@ -257,6 +257,389 @@ object Text {
       |LEFT JOIN sp ON sp.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** D36's DuckDB twin — the ingest-time pretraining disposition fully
+    * restated: the corpus replay (quality battery, url/exact keep-first
+    * windows, exact-miner CC — C83's staged rule over the non-arriving
+    * split), membership probes against the retained set, the INTEGER
+    * minhash banding for the arrival near-dup decision
+    * ([[Dedup.minhashIntCtes]] spliced verbatim, the D19/D32
+    * restatement), and C43's interval-union coverage vs the FROZEN
+    * corpus-side benchmark probe. The corpus miner reuses the minhash
+    * CTEs' `grams`/`cnt` streams (a doc's grams don't depend on the
+    * rest of the corpus, so filtering all-docs grams to corpus
+    * survivors in the pair join ≡ mining over survivor grams — and one
+    * gram materialization serves corpus mining, arrival verification
+    * and banding alike).
+    */
+  private lazy val pretrainIngestSql: String =
+    s"""WITH RECURSIVE ${Dedup.minhashIntCtes},
+      |f AS (
+      |  SELECT doc_id, text,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |    len(list_filter(string_split(text, ' '),
+      |        w -> w IN ('the','a','of','and','to'))) AS n_stop
+      |  FROM documents),
+      |q AS MATERIALIZED (
+      |  SELECT *, CAST(least(n_words, 100) * 40
+      |    + (least(n_stop * 10, n_words) * 3000) // n_words
+      |    + (n_distinct * 3000) // n_words AS BIGINT) AS quality_bp
+      |  FROM f),
+      |u AS (SELECT doc_id, ($messyUrlSql) AS url FROM documents),
+      |$urlCanonCtes,
+      |kq AS MATERIALIZED (
+      |  SELECT q.doc_id, q.text, q.n_words, q.quality_bp, c4.canon,
+      |    lower(regexp_replace(trim(q.text), '\\s+', ' ', 'g')) AS k,
+      |    q.doc_id % 7 IN (2, 4) AS is_incr
+      |  FROM q JOIN c4 ON c4.doc_id = q.doc_id),
+      |cq AS (SELECT * FROM kq
+      |       WHERE NOT is_incr AND doc_id % 20 <> 0 AND quality_bp >= 5000),
+      |cs1 AS (SELECT *, CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canon)
+      |        THEN 1 ELSE 0 END AS url_keep FROM cq),
+      |cs2 AS (SELECT *, CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY k)
+      |        THEN 1 ELSE 0 END AS exact_keep FROM cs1 WHERE url_keep = 1),
+      |csurv AS MATERIALIZED (SELECT doc_id, canon, k FROM cs2 WHERE exact_keep = 1),
+      |cinter AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  WHERE a.doc_id IN (SELECT doc_id FROM csurv)
+      |    AND b.doc_id IN (SELECT doc_id FROM csurv)
+      |  GROUP BY a.doc_id, b.doc_id),
+      |pairs AS (
+      |  SELECT a_id, b_id FROM cinter
+      |  JOIN cnt ca ON ca.doc_id = a_id
+      |  JOIN cnt cb ON cb.doc_id = b_id
+      |  WHERE i / (ca.c + cb.c - i) >= 0.8),
+      |${Dedup.ccClosureCtes},
+      |retained AS MATERIALIZED (SELECT doc_id, canon, k FROM csurv
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+      |asurv AS MATERIALIZED (SELECT doc_id, text, n_words FROM kq
+      |  WHERE is_incr AND doc_id % 20 <> 0 AND quality_bp >= 5000
+      |    AND canon NOT IN (SELECT canon FROM retained)
+      |    AND k NOT IN (SELECT k FROM retained)),
+      |acand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+      |  WHERE a.doc_id IN (SELECT doc_id FROM asurv)
+      |    AND b.doc_id IN (SELECT doc_id FROM retained)),
+      |ainter AS (
+      |  SELECT c.a_id, c.b_id, count(*) AS i
+      |  FROM acand c
+      |  JOIN grams ga ON ga.doc_id = c.a_id
+      |  JOIN grams gb ON gb.doc_id = c.b_id AND gb.g = ga.g
+      |  GROUP BY c.a_id, c.b_id),
+      |anear AS (
+      |  SELECT DISTINCT i.a_id AS doc_id FROM ainter i
+      |  JOIN cnt ca ON ca.doc_id = i.a_id
+      |  JOIN cnt cb ON cb.doc_id = i.b_id
+      |  WHERE i.i / (ca.c + cb.c - i.i) >= 0.8),
+      |dw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g4 AS MATERIALIZED (SELECT doc_id, gs-1 AS pos, array_to_string(ws[gs:gs+3], ' ') AS gram
+      |  FROM dw, UNNEST(generate_series(1, len(ws)-3)) AS t(gs)),
+      |bprobe AS (SELECT DISTINCT gram FROM g4
+      |  WHERE doc_id % 20 = 0 AND doc_id % 7 NOT IN (2, 4)),
+      |hit AS (SELECT g4.doc_id, g4.pos FROM g4 JOIN bprobe USING (gram)
+      |  WHERE g4.doc_id IN (SELECT doc_id FROM asurv)),
+      |hm AS (SELECT doc_id, pos,
+      |    coalesce(max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_end
+      |  FROM hit),
+      |cov AS (SELECT doc_id,
+      |    CAST(sum(greatest(0, pos + 4 - greatest(prev_end, pos))) AS BIGINT) AS removed
+      |  FROM hm GROUP BY doc_id)
+      |SELECT kq.doc_id,
+      |  CASE WHEN kq.doc_id % 20 = 0 THEN 'benchmark'
+      |       WHEN kq.quality_bp < 5000 THEN 'quality'
+      |       WHEN kq.canon IN (SELECT canon FROM retained) THEN 'url'
+      |       WHEN kq.k IN (SELECT k FROM retained) THEN 'exact'
+      |       WHEN anear.doc_id IS NOT NULL THEN 'neardup'
+      |       WHEN CAST(kq.n_words AS BIGINT) - coalesce(cov.removed, 0) = 0
+      |         THEN 'contaminated'
+      |       ELSE 'kept' END AS stage,
+      |  CASE WHEN kq.doc_id IN (SELECT doc_id FROM asurv) AND anear.doc_id IS NULL
+      |    THEN CAST(kq.n_words AS BIGINT) - coalesce(cov.removed, 0) END AS clean_tokens
+      |FROM kq
+      |LEFT JOIN anear ON anear.doc_id = kq.doc_id
+      |LEFT JOIN cov ON cov.doc_id = kq.doc_id
+      |WHERE kq.is_incr
+      |ORDER BY kq.doc_id""".stripMargin
+
+  /** C84's DuckDB twin — the e2e COMPACTION fully restated: the corpus
+    * cascade replay (C83's staged rule → retained), the two-rung
+    * url/exact increment verdicts with vs attribution (C79's CTE
+    * shape), ONE all-docs pair stream serving both the corpus-internal
+    * CC and the compact miner (a doc's grams are doc-local, so
+    * filtering all-docs pairs to a subset ≡ mining the subset — the
+    * D36 argument at pair grain; `apairs` is MATERIALIZED because
+    * three consumers would otherwise re-evaluate the gram self-join,
+    * the C13f lesson), two inline recursive closures (corpus-wide and
+    * increment-scoped — C79's increment-scoped form keeps the sf3
+    * monolithic-closure blowup away from the increment side), and
+    * C83's coverage/mixture/shard fragments over the MERGED kept set
+    * with the UPDATED all-benchmark probe.
+    */
+  private lazy val pretrainCompactSql: String =
+    s"""WITH RECURSIVE f AS (
+      |  SELECT doc_id, source, lang, text,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |    len(list_filter(string_split(text, ' '),
+      |        w -> w IN ('the','a','of','and','to'))) AS n_stop
+      |  FROM documents),
+      |q AS MATERIALIZED (
+      |  SELECT *, CAST(least(n_words, 100) * 40
+      |    + (least(n_stop * 10, n_words) * 3000) // n_words
+      |    + (n_distinct * 3000) // n_words AS BIGINT) AS quality_bp
+      |  FROM f),
+      |u AS (SELECT doc_id, ($messyUrlSql) AS url FROM documents),
+      |$urlCanonCtes,
+      |kq AS MATERIALIZED (
+      |  SELECT q.doc_id, q.source, q.lang, q.text, q.n_words, q.quality_bp, c4.canon,
+      |    lower(regexp_replace(trim(q.text), '\\s+', ' ', 'g')) AS k,
+      |    q.doc_id % 7 IN (2, 4) AS is_incr
+      |  FROM q JOIN c4 ON c4.doc_id = q.doc_id),
+      |cq AS (SELECT * FROM kq
+      |       WHERE NOT is_incr AND doc_id % 20 <> 0 AND quality_bp >= 5000),
+      |cs1 AS (SELECT *, CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canon)
+      |        THEN 1 ELSE 0 END AS url_keep FROM cq),
+      |cs2 AS (SELECT *, CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY k)
+      |        THEN 1 ELSE 0 END AS exact_keep FROM cs1 WHERE url_keep = 1),
+      |csurv AS MATERIALIZED (SELECT doc_id, canon, k FROM cs2 WHERE exact_keep = 1),
+      |docs_ws AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |${Dedup.minerCtes},
+      |apairs AS MATERIALIZED (SELECT a_id, b_id FROM pairs),
+      |cpair AS (SELECT a_id, b_id FROM apairs
+      |  WHERE a_id IN (SELECT doc_id FROM csurv)
+      |    AND b_id IN (SELECT doc_id FROM csurv)),
+      |cedges AS (SELECT a_id, b_id FROM cpair
+      |           UNION SELECT b_id AS a_id, a_id AS b_id FROM cpair),
+      |cnodes AS (SELECT DISTINCT a_id AS id FROM cedges),
+      |creach(id, r) AS (
+      |  SELECT id, id FROM cnodes
+      |  UNION
+      |  SELECT e.b_id AS id, creach.r FROM creach JOIN cedges e ON e.a_id = creach.id),
+      |cnd AS (SELECT id AS doc_id FROM
+      |  (SELECT id, min(r) AS label FROM creach GROUP BY id) WHERE id <> label),
+      |retained AS MATERIALIZED (SELECT doc_id, canon, k FROM csurv
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM cnd)),
+      |ipass AS MATERIALIZED (SELECT doc_id, canon, k FROM kq
+      |  WHERE is_incr AND doc_id % 20 <> 0 AND quality_bp >= 5000),
+      |i1 AS (SELECT doc_id, k,
+      |    CASE WHEN canon IN (SELECT canon FROM retained) THEN 'corpus'
+      |         WHEN doc_id <> min(doc_id) OVER (PARTITION BY canon) THEN 'increment'
+      |    END AS url_vs
+      |  FROM ipass),
+      |i2 AS (SELECT doc_id, k,
+      |    CASE WHEN k IN (SELECT k FROM retained) THEN 'corpus'
+      |         WHEN doc_id <> min(doc_id) OVER (PARTITION BY k) THEN 'increment'
+      |    END AS exact_vs
+      |  FROM i1 WHERE url_vs IS NULL),
+      |isurv AS MATERIALIZED (SELECT doc_id FROM i2 WHERE exact_vs IS NULL),
+      |nc AS (SELECT DISTINCT doc_id FROM (
+      |    SELECT a_id AS doc_id FROM apairs
+      |      WHERE a_id IN (SELECT doc_id FROM isurv)
+      |        AND b_id IN (SELECT doc_id FROM retained)
+      |    UNION ALL
+      |    SELECT b_id AS doc_id FROM apairs
+      |      WHERE b_id IN (SELECT doc_id FROM isurv)
+      |        AND a_id IN (SELECT doc_id FROM retained))),
+      |rem AS MATERIALIZED (SELECT doc_id FROM isurv
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM nc)),
+      |iip AS (SELECT a_id, b_id FROM apairs
+      |  WHERE a_id IN (SELECT doc_id FROM rem)
+      |    AND b_id IN (SELECT doc_id FROM rem)),
+      |iedges AS (SELECT a_id, b_id FROM iip
+      |           UNION SELECT b_id AS a_id, a_id AS b_id FROM iip),
+      |inodes AS (SELECT DISTINCT a_id AS id FROM iedges),
+      |ireach(id, r) AS (
+      |  SELECT id, id FROM inodes
+      |  UNION
+      |  SELECT e.b_id AS id, ireach.r FROM ireach JOIN iedges e ON e.a_id = ireach.id),
+      |ini AS (SELECT id AS doc_id FROM
+      |  (SELECT id, min(r) AS label FROM ireach GROUP BY id) WHERE id <> label),
+      |mkeep AS MATERIALIZED (
+      |  SELECT doc_id, source, lang, n_words FROM kq
+      |  WHERE doc_id IN (SELECT doc_id FROM retained)
+      |  UNION ALL
+      |  SELECT doc_id, source, lang, n_words FROM kq
+      |  WHERE doc_id IN (SELECT doc_id FROM rem)
+      |    AND doc_id NOT IN (SELECT doc_id FROM ini)),
+      |dw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g4 AS MATERIALIZED (SELECT doc_id, gs-1 AS pos, array_to_string(ws[gs:gs+3], ' ') AS gram
+      |  FROM dw, UNNEST(generate_series(1, len(ws)-3)) AS t(gs)),
+      |bprobe AS (SELECT DISTINCT gram FROM g4 WHERE doc_id % 20 = 0),
+      |hit AS (SELECT g4.doc_id, g4.pos FROM g4 JOIN bprobe USING (gram)
+      |  WHERE g4.doc_id IN (SELECT doc_id FROM mkeep)),
+      |hm AS (SELECT doc_id, pos,
+      |    coalesce(max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_end
+      |  FROM hit),
+      |cov AS (SELECT doc_id,
+      |    CAST(sum(greatest(0, pos + 4 - greatest(prev_end, pos))) AS BIGINT) AS removed
+      |  FROM hm GROUP BY doc_id),
+      |s4 AS MATERIALIZED (SELECT m.doc_id, m.source, m.lang,
+      |    CAST(m.n_words AS BIGINT) - coalesce(cov.removed, 0) AS clean_tokens
+      |  FROM mkeep m LEFT JOIN cov ON cov.doc_id = m.doc_id),
+      |mc AS (SELECT source, lang, count(*) AS n_docs,
+      |        CAST(sum(clean_tokens) AS BIGINT) AS n_tokens
+      |       FROM s4 WHERE clean_tokens > 0 GROUP BY source, lang),
+      |mw AS (SELECT source, lang, n_tokens,
+      |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_sqrt
+      |       FROM mc),
+      |mt AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 2 AS budget,
+      |              CAST(sum(w_sqrt) AS BIGINT) AS wsum FROM mw),
+      |mr AS (SELECT mw.source, mw.lang,
+      |  CAST((CAST((CAST(mt.budget AS HUGEINT) * mw.w_sqrt) // mt.wsum AS HUGEINT) * 10000)
+      |    // mw.n_tokens AS BIGINT) AS rate_bp
+      |  FROM mw CROSS JOIN mt),
+      |s5 AS MATERIALIZED (SELECT s4.doc_id, s4.clean_tokens,
+      |        CAST(mr.rate_bp // 10000
+      |          + CASE WHEN ((s4.doc_id % 1000003) * 131071 + 99991) % 1000003 % 10000
+      |                      < mr.rate_bp % 10000 THEN 1 ELSE 0 END AS BIGINT) AS copies
+      |       FROM s4 JOIN mr ON mr.source = s4.source AND mr.lang = s4.lang
+      |       WHERE s4.clean_tokens > 0),
+      |skept AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+      |           clean_tokens * copies AS tok
+      |          FROM s5 WHERE copies >= 1),
+      |sp AS (SELECT doc_id, coalesce(sum(tok) OVER (ORDER BY h, doc_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+      |       FROM skept)
+      |SELECT kq.doc_id,
+      |  CASE WHEN kq.doc_id % 20 = 0 THEN 'benchmark'
+      |       WHEN kq.quality_bp < 5000 THEN 'quality'
+      |       WHEN i1.url_vs IS NOT NULL THEN 'url'
+      |       WHEN i2.exact_vs IS NOT NULL THEN 'exact'
+      |       WHEN nc.doc_id IS NOT NULL OR ini.doc_id IS NOT NULL THEN 'neardup'
+      |       WHEN s4.clean_tokens = 0 THEN 'contaminated'
+      |       WHEN s5.copies = 0 THEN 'mixture'
+      |       ELSE 'kept' END AS stage,
+      |  coalesce(i1.url_vs, i2.exact_vs,
+      |    CASE WHEN nc.doc_id IS NOT NULL THEN 'corpus'
+      |         WHEN ini.doc_id IS NOT NULL THEN 'increment' END) AS vs,
+      |  s4.clean_tokens, s5.copies,
+      |  CAST(sp.pre // 4096 AS BIGINT) AS shard,
+      |  CAST((sp.pre % 4096) // 512 AS BIGINT) AS first_block
+      |FROM kq
+      |LEFT JOIN i1 ON i1.doc_id = kq.doc_id
+      |LEFT JOIN i2 ON i2.doc_id = kq.doc_id
+      |LEFT JOIN nc ON nc.doc_id = kq.doc_id
+      |LEFT JOIN ini ON ini.doc_id = kq.doc_id
+      |LEFT JOIN s4 ON s4.doc_id = kq.doc_id
+      |LEFT JOIN s5 ON s5.doc_id = kq.doc_id
+      |LEFT JOIN sp ON sp.doc_id = kq.doc_id
+      |WHERE kq.is_incr
+      |ORDER BY kq.doc_id""".stripMargin
+
+  /** The staged frames of C83's cascade prefix — quality-scored docs,
+    * the url/exact keep-first windows, the neardup CC drop set, and the
+    * cascade-RETAINED frame (doc_id, source, lang, text, n_words,
+    * canon, h).
+    */
+  private case class PretrainStages(q: DataFrame, s1: DataFrame,
+      s2: DataFrame, nd: DataFrame, retained: DataFrame)
+
+  /** C83's benchmark→quality→url→exact→neardup cascade prefix over any
+    * documents frame — ONE definition shared by batch
+    * `pipeline_pretrain_e2e` and D36 `pipeline_pretrain_ingest`'s
+    * corpus replay (the cascadeCompactStages discipline applied to the
+    * chain: the ingest twin's corpus probe index derives from the SAME
+    * staged rule the nightly batch runs, so the two can never disagree
+    * on what the corpus retained).
+    */
+  /** C18's quality battery over any documents frame — (doc_id, source,
+    * lang, text, n_words, n_distinct, n_stop, quality_bp). ONE
+    * definition shared by [[pretrainCascade]] and C84's increment
+    * battery.
+    */
+  private def pretrainQuality(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("source"), col("lang"), col("text"),
+        size(words).as("n_words"),
+        size(array_distinct(words)).as("n_distinct"),
+        size(filter(words, w => w.isin("the", "a", "of", "and", "to"))).as("n_stop"))
+      .withColumn("quality_bp",
+        (least(col("n_words"), lit(100)) * 40
+          + expr("(least(n_stop * 10, n_words) * 3000) div n_words")
+          + expr("(n_distinct * 3000) div n_words")).cast("long"))
+
+  private def pretrainCascade(d: DataFrame): PretrainStages = {
+    val isBench = col("doc_id") % 20 === 0
+    val q = pretrainQuality(d)
+    val qs = q.where(!isBench && col("quality_bp") >= 5000)
+    val keyed = qs.select(col("doc_id"), col("source"), col("lang"),
+      col("text"), col("n_words"),
+      canonicalUrlCol(messyUrlCol).as("canon"),
+      unhex(sha2(Dedup.normText, 256)).as("h"))
+    val W = org.apache.spark.sql.expressions.Window
+    val s1 = keyed.withColumn("url_keep",
+      col("doc_id") === min(col("doc_id")).over(W.partitionBy(col("canon"))))
+    val s2 = s1.where(col("url_keep")).withColumn("exact_keep",
+      col("doc_id") === min(col("doc_id")).over(W.partitionBy(col("h"))))
+    val surv2 = s2.where(col("exact_keep"))
+    val pairs = Dedup.ngramJaccardPairs(
+      surv2.select(col("doc_id"), col("text")), 4, 5)
+    val nd = Dedup.connectedComponents(pairs)
+      .where(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"), lit(1L).as("ndf"))
+    PretrainStages(q, s1, s2, nd,
+      surv2.join(nd, Seq("doc_id"), "left_anti"))
+  }
+
+  /** C83's post-cascade tail over any survivor frame (doc_id, source,
+    * lang, n_words) — span decontamination vs the benchmark probe of
+    * `d` (ALL doc_id % 20 = 0 docs in `d`), temperature mixture over
+    * the post-decontamination strata, md5-order token-budget shard
+    * prefix. Returns (s4 with clean_tokens, s5 with copies, pre with
+    * shard/first_block). ONE definition shared by batch
+    * `pipeline_pretrain_e2e` and C84 `pipeline_pretrain_compact`
+    * (which feeds it the MERGED corpus-retained ∪ increment-kept set):
+    * the decontamination/mixture/shard rules cannot drift between the
+    * full rebuild and the compaction.
+    */
+  private def pretrainTail(d: DataFrame, surv: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val W = org.apache.spark.sql.expressions.Window
+    val grams = Dedup.substringGrams(d, 4)
+    val bprobe = grams.where(col("doc_id") % 20 === 0).select(col("h")).distinct()
+    val hits = grams
+      .join(surv.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .join(broadcast(bprobe), Seq("h"), "left_semi")
+    val cov = Dedup.spanCoverage(hits, 4).select(col("doc_id"), col("covered"))
+    val s4 = surv.join(cov, Seq("doc_id"), "left_outer")
+      .withColumn("clean_tokens",
+        col("n_words").cast("long") - coalesce(col("covered"), lit(0L)))
+    val s4pos = s4.where(col("clean_tokens") > 0)
+    val sched = mixtureAlloc(
+      s4pos.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("clean_tokens")).as("n_tokens")),
+      Seq("source", "lang"))
+    val s5 = s4pos
+      .join(broadcast(sched.select(col("source"), col("lang"), col("rate_bp"))),
+        Seq("source", "lang"))
+      .withColumn("copies",
+        (expr("rate_bp div 10000") +
+          when(keepCoin(10000) < col("rate_bp") % 10000, 1L).otherwise(0L)).cast("long"))
+    val kept = s5.where(col("copies") >= 1)
+      .select(col("doc_id"),
+        md5(col("doc_id").cast("string").cast("binary")).as("sh"),
+        (col("clean_tokens") * col("copies")).as("tok"))
+    val b = kept.withColumn("bk", substring(col("sh"), 1, 2))
+    val off = b.groupBy(col("bk")).agg(sum(col("tok")).as("bt"))
+      .select(col("bk"), coalesce(
+        sum(col("bt")).over(
+          W.orderBy(col("bk")).rowsBetween(W.unboundedPreceding, -1)),
+        lit(0L)).as("boff"))
+    val pre = b.join(broadcast(off), Seq("bk"))
+      .withColumn("pre", col("boff") + coalesce(
+        sum(col("tok")).over(
+          W.partitionBy(col("bk")).orderBy(col("sh"), col("doc_id"))
+            .rowsBetween(W.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("doc_id"), expr("pre div 4096").as("shard"),
+        expr("(pre % 4096) div 512").as("first_block"))
+    (s4, s5, pre)
+  }
+
   /** C42b's realization body over any documents frame (batch or stream)
     * and a schedule frame — ONE definition shared by
     * `text_mixture_apply` and D13 `text_mixture_apply_stream`: each doc
@@ -2672,71 +3055,10 @@ object Text {
     Q("pipeline_pretrain_e2e", pretrainE2eSql) { (s, dir) =>
       Dedup.ensureLocalCkptDir(s)
       val d = docs(s, dir)
-      val isBench = col("doc_id") % 20 === 0
-      val q = d.select(col("doc_id"), col("source"), col("lang"), col("text"),
-          size(words).as("n_words"),
-          size(array_distinct(words)).as("n_distinct"),
-          size(filter(words, w => w.isin("the", "a", "of", "and", "to"))).as("n_stop"))
-        .withColumn("quality_bp",
-          (least(col("n_words"), lit(100)) * 40
-            + expr("(least(n_stop * 10, n_words) * 3000) div n_words")
-            + expr("(n_distinct * 3000) div n_words")).cast("long"))
-      val qs = q.where(!isBench && col("quality_bp") >= 5000)
-      val keyed = qs.select(col("doc_id"), col("source"), col("lang"),
-        col("text"), col("n_words"),
-        canonicalUrlCol(messyUrlCol).as("canon"),
-        unhex(sha2(Dedup.normText, 256)).as("h"))
-      val W = org.apache.spark.sql.expressions.Window
-      val s1 = keyed.withColumn("url_keep",
-        col("doc_id") === min(col("doc_id")).over(W.partitionBy(col("canon"))))
-      val s2 = s1.where(col("url_keep")).withColumn("exact_keep",
-        col("doc_id") === min(col("doc_id")).over(W.partitionBy(col("h"))))
-      val surv2 = s2.where(col("exact_keep"))
-      val pairs = Dedup.ngramJaccardPairs(
-        surv2.select(col("doc_id"), col("text")), 4, 5)
-      val nd = Dedup.connectedComponents(pairs)
-        .where(col("id") =!= col("label"))
-        .select(col("id").as("doc_id"), lit(1L).as("ndf"))
-      val surv3 = surv2.select(col("doc_id"), col("source"), col("lang"), col("n_words"))
-        .join(nd, Seq("doc_id"), "left_anti")
-      val grams = Dedup.substringGrams(d, 4)
-      val bprobe = grams.where(isBench).select(col("h")).distinct()
-      val hits = grams
-        .join(surv3.select(col("doc_id")), Seq("doc_id"), "left_semi")
-        .join(broadcast(bprobe), Seq("h"), "left_semi")
-      val cov = Dedup.spanCoverage(hits, 4).select(col("doc_id"), col("covered"))
-      val s4 = surv3.join(cov, Seq("doc_id"), "left_outer")
-        .withColumn("clean_tokens",
-          col("n_words").cast("long") - coalesce(col("covered"), lit(0L)))
-      val s4pos = s4.where(col("clean_tokens") > 0)
-      val sched = mixtureAlloc(
-        s4pos.groupBy(col("source"), col("lang"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("clean_tokens")).as("n_tokens")),
-        Seq("source", "lang"))
-      val s5 = s4pos
-        .join(broadcast(sched.select(col("source"), col("lang"), col("rate_bp"))),
-          Seq("source", "lang"))
-        .withColumn("copies",
-          (expr("rate_bp div 10000") +
-            when(keepCoin(10000) < col("rate_bp") % 10000, 1L).otherwise(0L)).cast("long"))
-      val kept = s5.where(col("copies") >= 1)
-        .select(col("doc_id"),
-          md5(col("doc_id").cast("string").cast("binary")).as("sh"),
-          (col("clean_tokens") * col("copies")).as("tok"))
-      val b = kept.withColumn("bk", substring(col("sh"), 1, 2))
-      val off = b.groupBy(col("bk")).agg(sum(col("tok")).as("bt"))
-        .select(col("bk"), coalesce(
-          sum(col("bt")).over(
-            W.orderBy(col("bk")).rowsBetween(W.unboundedPreceding, -1)),
-          lit(0L)).as("boff"))
-      val pre = b.join(broadcast(off), Seq("bk"))
-        .withColumn("pre", col("boff") + coalesce(
-          sum(col("tok")).over(
-            W.partitionBy(col("bk")).orderBy(col("sh"), col("doc_id"))
-              .rowsBetween(W.unboundedPreceding, -1)),
-          lit(0L)))
-        .select(col("doc_id"), expr("pre div 4096").as("shard"),
-          expr("(pre % 4096) div 512").as("first_block"))
+      val st = pretrainCascade(d)
+      val (q, s1, s2, nd) = (st.q, st.s1, st.s2, st.nd)
+      val surv3 = st.retained.select(col("doc_id"), col("source"), col("lang"), col("n_words"))
+      val (s4, s5, pre) = pretrainTail(d, surv3)
       q.select(col("doc_id"), col("quality_bp"))
         .join(s1.select(col("doc_id"), col("url_keep")), Seq("doc_id"), "left_outer")
         .join(s2.select(col("doc_id"), col("exact_keep")), Seq("doc_id"), "left_outer")
@@ -2755,6 +3077,204 @@ object Text {
             .otherwise(lit("kept")).as("stage"),
           col("clean_tokens"), col("copies"), col("shard"), col("first_block"))
         .orderBy(col("doc_id"))
+    },
+
+    // C84 (r13): e2e COMPACTION — the nightly fold D36's ingest
+    // contract explicitly defers to, completing the pretrain trilogy
+    // (C83 full rebuild / D36 ingest / C84 compaction — the three jobs
+    // a production pretraining pipeline actually schedules). Every
+    // increment doc (doc_id % 7 ∈ {2,4}) gets its FINAL e2e
+    // disposition: benchmark reserve → quality battery → the C79
+    // two-rung staged cascade with `vs` attribution (corpus membership
+    // against the e2e-RETAINED set first, then min-id keep-first
+    // WITHIN the increment — `Dedup.compactStagedVerdicts`, the ONE
+    // staged-rule implementation shared with C79, fed the retained
+    // corpus keys instead of raw corpus keys) → decontamination /
+    // mixture / shard RECOMPUTED over the MERGED kept set
+    // (corpus-retained ∪ increment-kept) with the UPDATED all-benchmark
+    // probe (C83's pretrainTail, shared verbatim). The contract split
+    // is the point: RETENTION verdicts freeze (corpus docs are never
+    // re-judged — D32/C79's corpus-relative discipline), while
+    // DECONTAMINATION is retroactive (a benchmark item that arrived in
+    // this increment must scrub already-retained corpus docs too — the
+    // FineWeb-style requirement; D36 froze the probe at ingest, this
+    // fold is where the update lands) and mixture rates/shard layout
+    // re-derive from the merged totals (they are corpus-global
+    // quantities, not per-doc verdicts). vs='increment' rows are
+    // exactly what D36 admitted provisionally and this fold catches.
+    // Output per increment doc: stage, vs (corpus|increment for
+    // url/exact/neardup), clean_tokens, copies, (shard, first_block)
+    // for the kept. 100 TB shape: all stages inherit their proven
+    // per-stage shapes (slim key windows, the C76 banded-miner seam at
+    // stage 3, broadcast probe, |strata|-row schedule, two-level shard
+    // prefix); corpus docs contribute keys/grams once and their text
+    // never re-shuffles.
+    Q("pipeline_pretrain_compact", pretrainCompactSql) { (s, dir) =>
+      Dedup.ensureLocalCkptDir(s)
+      val d = docs(s, dir)
+      val isIncr = (col("doc_id") % 7).isin(2L, 4L)
+      val retained = pretrainCascade(d.where(!isIncr)).retained
+      val iq = pretrainQuality(d.where(isIncr))
+      val iPass = iq.where(col("doc_id") % 20 =!= 0 && col("quality_bp") >= 5000)
+      val ik = iPass.select(col("doc_id"),
+        canonicalUrlCol(messyUrlCol).as("canon"),
+        unhex(sha2(Dedup.normText, 256)).as("h"))
+      val verdicts = Dedup.compactStagedVerdicts(s,
+        retained.select(col("canon"), col("h")), ik,
+        retained.select(col("doc_id"), col("text")),
+        iPass.select(col("doc_id"), col("text")))
+      val iKept = iPass.select(col("doc_id"), col("source"), col("lang"), col("n_words"))
+        .join(verdicts.where(col("stage") === "kept").select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+      val merged = retained
+        .select(col("doc_id"), col("source"), col("lang"), col("n_words"))
+        .unionByName(iKept)
+      val (s4, s5, pre) = pretrainTail(d, merged)
+      iq.select(col("doc_id"), col("quality_bp"))
+        .join(verdicts, Seq("doc_id"), "left_outer")
+        .join(s4.select(col("doc_id"), col("clean_tokens")), Seq("doc_id"), "left_outer")
+        .join(s5.select(col("doc_id"), col("copies")), Seq("doc_id"), "left_outer")
+        .join(pre, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          when(col("doc_id") % 20 === 0, lit("benchmark"))
+            .when(col("quality_bp") < 5000, lit("quality"))
+            .when(col("stage").isin("url", "exact", "neardup"), col("stage"))
+            .when(col("clean_tokens") === 0, lit("contaminated"))
+            .when(col("copies") === 0, lit("mixture"))
+            .otherwise(lit("kept")).as("stage"),
+          col("vs"), col("clean_tokens"), col("copies"),
+          col("shard"), col("first_block"))
+        .orderBy(col("doc_id"))
+    },
+
+    // D36 (r13): the e2e pretraining chain AT INGEST — C83's per-doc-
+    // decidable prefix as documents land, against the FROZEN corpus
+    // (the composition counterpart of D32: that arm streams the
+    // cascade alone; this one streams the chain a crawl front door
+    // actually runs — benchmark reserve → quality battery → cascade
+    // verdict vs the corpus's own e2e-RETAINED set → span
+    // decontamination vs the frozen benchmark probe). Stage priority
+    // per arriving doc, first stage wins: 'benchmark' (reserved, never
+    // trains) → 'quality' → 'url'/'exact' (canon/digest ∈ the retained
+    // corpus — the corpus-relative contract; within-increment dups are
+    // the next compaction's job) → 'neardup' (INTEGER minhash-banded
+    // corpus candidate verified at gram-Jaccard ≥ 0.8, the D19/D32
+    // miner) → 'contaminated' (every token covered by benchmark
+    // 4-gram spans) → 'kept' with clean_tokens. The composition is the
+    // point: the probe index is the corpus's OWN cascade output
+    // (pretrainCascade — ONE definition with batch C83), so e.g. a
+    // canon whose only corpus holder died at quality correctly does
+    // NOT block the arrival (a membership probe built from raw corpus
+    // canons would). Mixture/pack/shard need corpus-global totals and
+    // stay the nightly batch's job (C83) — the ingest-decidable prefix
+    // is exactly what streams. Decontamination probe FREEZES pre-start
+    // (corpus-side benchmark docs; arriving benchmark items extend it
+    // at the next nightly build — the D11/D17 frozen-artifact stance;
+    // deliberate divergence from C83, where the probe spans all
+    // benchmark docs). Shape: corpus replay + four slim probe tables
+    // materialize ONCE batch-side (canon/digest distinct sets, band
+    // keys + gram sets — the persisted signature index C33 documents);
+    // the stream is stateless projections into stream-static joins —
+    // zero stream state; coverage hit positions append to the sink and
+    // interval-union BATCH-side over the completed sink
+    // (Dedup.spanFold, the D9 fold). Every quantity integer/string-
+    // decidable ⇒ FULL rows+schema+hash gate (pretrainIngestSql).
+    Q("pipeline_pretrain_ingest", pretrainIngestSql) { (s, dir) =>
+      Dedup.ensureLocalCkptDir(s)
+      Events.withStreamPartitions(s) {
+        val d = docs(s, dir)
+        val isIncr = (col("doc_id") % 7).isin(2L, 4L)
+        val retained = pretrainCascade(d.where(!isIncr)).retained
+        val retC = Pinned.track(retained.select(col("canon")).distinct()
+          .withColumn("u", lit(1)).localCheckpoint(true))
+        val retH = Pinned.track(retained.select(col("h")).distinct()
+          .withColumn("e", lit(1)).localCheckpoint(true))
+        val retB = Pinned.track(Dedup.bandedMinhashIntKeys(retained)
+          .select(col("doc_id").as("c_id"), col("bk")).localCheckpoint(true))
+        val retG = Pinned.track(retained
+          .select(col("doc_id").as("c_id"), split(col("text"), " ").as("ws"))
+          .where(size(col("ws")) >= 3)
+          .select(col("c_id"), graft.functions.Kernels.grams3(col("ws")).as("gb"))
+          .localCheckpoint(true))
+        val bprobe = Pinned.track(Dedup.substringGrams(
+            d.where(!isIncr && col("doc_id") % 20 === 0), 4)
+          .select(col("h")).distinct().localCheckpoint(true))
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+          .where((col("doc_id") % 7).isin(2L, 4L))
+        val fq = stream.select(col("doc_id"), col("text"),
+            size(words).as("n_words"),
+            size(array_distinct(words)).as("n_distinct"),
+            size(filter(words, w => w.isin("the", "a", "of", "and", "to"))).as("n_stop"))
+          .withColumn("quality_bp",
+            (least(col("n_words"), lit(100)) * 40
+              + expr("(least(n_stop * 10, n_words) * 3000) div n_words")
+              + expr("(n_distinct * 3000) div n_words")).cast("long"))
+          .select(col("doc_id"), col("text"), col("n_words"), col("quality_bp"),
+            canonicalUrlCol(messyUrlCol).as("canon"),
+            unhex(sha2(Dedup.normText, 256)).as("h"))
+        val base = fq
+          .join(retC, Seq("canon"), "left")
+          .join(retH, Seq("h"), "left")
+          .select(col("doc_id"), col("quality_bp").as("qbp"),
+            col("n_words").as("nw"),
+            coalesce(col("u"), lit(0)).as("u"),
+            coalesce(col("e"), lit(0)).as("e"),
+            lit(0).as("n"), lit(-1).as("pos"))
+        // cascade scoping is stateless here: benchmark/quality are
+        // per-row, url/exact are the static membership joins — so the
+        // near-dup probe and the coverage grams run only for arrivals
+        // still alive after those four stages, exactly like C83
+        val surv = fq.where(col("doc_id") % 20 =!= 0 && col("quality_bp") >= 5000)
+          .join(retC.select(col("canon")), Seq("canon"), "left_anti")
+          .join(retH.select(col("h")), Seq("h"), "left_anti")
+        val swg = surv.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        val near = swg.where(size(col("ws")) >= 3)
+          .select(col("doc_id"),
+            graft.functions.Kernels.grams3(col("ws")).as("ga"),
+            graft.functions.Kernels.minhashInt128(
+              graft.functions.Kernels.grams3(col("ws"))).as("sig"))
+          .select(col("doc_id"), col("ga"),
+            explode(transform(sequence(lit(0), lit(31)),
+              b => struct(b.as("band"), slice(col("sig"), b * 4 + 1, lit(4)).as("bsig")))).as("bk"))
+          .join(retB, "bk")
+          .join(retG, "c_id")
+          .select(col("doc_id"),
+            size(array_intersect(col("ga"), col("gb"))).as("ni"),
+            size(col("ga")).as("na"), size(col("gb")).as("nb"))
+          .where(col("ni") / (col("na") + col("nb") - col("ni")) >= 0.8)
+          .select(col("doc_id"), lit(0L).as("qbp"), lit(0).as("nw"),
+            lit(0).as("u"), lit(0).as("e"), lit(1).as("n"), lit(-1).as("pos"))
+        val hits = Dedup.substringGrams(surv.select(col("doc_id"), col("text")), 4)
+          .join(broadcast(bprobe), Seq("h"), "left_semi")
+          .select(col("doc_id"), lit(0L).as("qbp"), lit(0).as("nw"),
+            lit(0).as("u"), lit(0).as("e"), lit(0).as("n"), col("pos"))
+        val agg = Events.runToAppendSink(s, "pretrain_ingest_sink_",
+            base.unionByName(near).unionByName(hits))
+          .groupBy(col("doc_id")).agg(
+            max(col("qbp")).as("qbp"), max(col("nw")).as("nw"),
+            max(col("u")).as("u"), max(col("e")).as("e"), max(col("n")).as("n"),
+            collect_list(when(col("pos") >= 0, col("pos"))).as("ps"))
+        val cov = Dedup.spanFold(agg.select(col("doc_id"), col("nw").as("nt"),
+            size(col("ps")).as("dup_gram_hits"), col("ps")), 4)
+          .select(col("doc_id"), col("covered"))
+        agg.join(cov, Seq("doc_id"))
+          .select(col("doc_id"),
+            when(col("doc_id") % 20 === 0, lit("benchmark"))
+              .when(col("qbp") < 5000, lit("quality"))
+              .when(col("u") === 1, lit("url"))
+              .when(col("e") === 1, lit("exact"))
+              .when(col("n") === 1, lit("neardup"))
+              .when(col("nw").cast("long") - col("covered") === 0, lit("contaminated"))
+              .otherwise(lit("kept")).as("stage"),
+            col("nw"), col("covered"))
+          .select(col("doc_id"), col("stage"),
+            when(col("stage").isin("contaminated", "kept"),
+              col("nw").cast("long") - col("covered")).as("clean_tokens"))
+          .orderBy(col("doc_id"))
+      }
     },
 
     // C18-stream: the SAME curation pipeline run at INGEST time — the
