@@ -3147,6 +3147,36 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // Cross-arm gate for D36 ↔ C84 (r13): the ingest/compaction
+    // COHERENCE contract — ingest admits provisionally, compaction
+    // only TIGHTENS. Every doc D36 drops must also be dropped by C84:
+    // benchmark/quality are the identical per-row rules; url/exact
+    // probe the same retained membership (corpus rung checked before
+    // the within-increment rung in both CASE folds); the banded
+    // ingest miner's candidates are a subset of the compact fold's
+    // exact miner at the same τ (the C76 soundness theorem); and the
+    // frozen ingest probe is a subset of the updated compaction probe,
+    // so ingest-contaminated ⇒ compaction clean_tokens = 0. The
+    // reverse direction is legitimately open — within-increment
+    // keep-first, probe updates, and the mixture stage all let C84
+    // drop MORE; that asymmetry IS the deployment contract. A
+    // violation row = a doc the ingest pass dropped that the
+    // compaction fold let through to mixture/kept.
+    Q("inv_pretrain_ingest_compact_monotone",
+      """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS ingest_stage,
+        |  CAST(NULL AS VARCHAR) AS compact_stage FROM documents WHERE 1=0""".stripMargin) { (s, dir) =>
+      val ing = graft.SparkEntry.queries("pipeline_pretrain_ingest")(s, dir)
+        .select(col("doc_id"), col("stage").as("ingest_stage"))
+      val comp = graft.SparkEntry.queries("pipeline_pretrain_compact")(s, dir)
+        .select(col("doc_id"), col("stage").as("compact_stage"))
+      ing.where(col("ingest_stage").isin(
+          "benchmark", "quality", "url", "exact", "neardup", "contaminated"))
+        .join(comp, Seq("doc_id"))
+        .where(col("compact_stage").isin("mixture", "kept"))
+        .select(col("doc_id"), col("ingest_stage"), col("compact_stage"))
+        .orderBy(col("doc_id"))
+    },
+
     // D36 (r13): the e2e pretraining chain AT INGEST — C83's per-doc-
     // decidable prefix as documents land, against the FROZEN corpus
     // (the composition counterpart of D32: that arm streams the

@@ -17,10 +17,18 @@ class PretrainCompactSpec extends SparkSpec {
 
   private def corpus(rows: Seq[(Long, String, String)]): String = {
     import spark.implicits._
-    val dir = "target/tmp/pretrain_compact"
+    // absolute path + single-FILE documents.parquet so the SAME fixture
+    // also drives D36's file-stream source in the monotone-gate test
+    // (the MinhashStreamSpec discipline)
+    val dir = new java.io.File("target/tmp/pretrain_compact").getAbsolutePath
     rows.map { case (id, t, lang) => (id, t, lang, "synth", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stage")
+    val part = new java.io.File(s"$dir/stage").listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get.toPath
+    java.nio.file.Files.copy(part,
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     dir
   }
 
@@ -28,7 +36,7 @@ class PretrainCompactSpec extends SparkSpec {
   private def coin(id: Long): Long =
     ((id % 1000003L) * 131071L + 99991L) % 1000003L % 10000L
 
-  test("C84: every disposition fires; retained-set probes and probe-update semantics hold") {
+  private lazy val fixtureDir: String = {
     val bt = "the quick brown fox jumps of benchmark item alpha beta gamma delta"
     val bt2 = "the of bench two item kappa lambda mu nu xi omicron pi"
     val e = "the of alpha one two three four five six seven eight nine"
@@ -37,7 +45,7 @@ class PretrainCompactSpec extends SparkSpec {
     val t16 = "the of q16a q16b q16c q16d q16e q16f q16g q16h q16i q16j"
     def xxDoc(id: Long): String = // 500 words: 5 stopwords + 495 unique
       "the a of and to " + (1 to 495).map(j => s"x${id}w$j").mkString(" ")
-    val dir = corpus(Seq(
+    corpus(Seq(
       // corpus side (doc_id % 7 not in {2,4}):
       (0L, bt, "en"),        // corpus benchmark (probe item A)
       (1L, e, "en"),         // retained en
@@ -66,6 +74,10 @@ class PretrainCompactSpec extends SparkSpec {
       (44L, t16, "en"),        // digest twin of 16, min-id 16 wins -> ('exact','increment')
       (46L, xxDoc(46), "xx"),  // coin 9239 >= rate_xx 4326 -> 'mixture'
       (60L, bt2, "en")))       // 60 % 20 = 0 -> 'benchmark' (and probe item B)
+  }
+
+  test("C84: every disposition fires; retained-set probes and probe-update semantics hold") {
+    val dir = fixtureDir
     // mixture arithmetic (hand-derived): merged kept = retained corpus
     // {1,8,15,19,21} + increment kept {16,18,25}; en strata 6 docs x 12
     // clean = 72 tokens, xx = 1500; budget 786, w_sqrt 8/38, wsum 46
@@ -99,5 +111,21 @@ class PretrainCompactSpec extends SparkSpec {
       (44L, "exact", "increment", -1L, -1L, -1L, -1L),
       (46L, "mixture", "-", 500L, 0L, -1L, -1L),
       (60L, "benchmark", "-", -1L, -1L, -1L, -1L)))
+  }
+
+  test("D36/C84 monotone gate: empty, while compaction visibly tightens") {
+    val dir = fixtureDir
+    // the gate: no doc the ingest pass dropped reaches mixture/kept in
+    // the compaction fold
+    val inv = SparkEntry.queries("inv_pretrain_ingest_compact_monotone")(spark, dir)
+    assert(inv.collect().isEmpty)
+    // non-vacuity: the TIGHTENING direction actually occurs on this
+    // corpus — D36 admits these provisionally, C84 kills them:
+    // 11/44/30 at the within-increment rungs, 39 via the probe UPDATE
+    // (its benchmark twin 60 arrived in the increment, invisible to
+    // D36's frozen probe), 46 at the mixture stage D36 doesn't run
+    val ing = SparkEntry.queries("pipeline_pretrain_ingest")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Seq(11L, 44L, 30L, 39L, 46L).forall(ing(_) == "kept"))
   }
 }
