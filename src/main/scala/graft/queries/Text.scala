@@ -562,7 +562,13 @@ object Text {
           + expr("(least(n_stop * 10, n_words) * 3000) div n_words")
           + expr("(n_distinct * 3000) div n_words")).cast("long"))
 
-  private def pretrainCascade(d: DataFrame): PretrainStages = {
+  /** The benchmark/quality/url/exact KEY stages of [[pretrainCascade]]
+    * — (q, s1, s2), factored (r13) so `pretrain_stage_keys` can gate
+    * exactly these windows at sf3 without the miner/CC whose oracle
+    * closure exceeds the box there (the C68b stage-composition
+    * discipline applied to the e2e chain).
+    */
+  private def pretrainKeys(d: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val isBench = col("doc_id") % 20 === 0
     val q = pretrainQuality(d)
     val qs = q.where(!isBench && col("quality_bp") >= 5000)
@@ -575,6 +581,11 @@ object Text {
       col("doc_id") === min(col("doc_id")).over(W.partitionBy(col("canon"))))
     val s2 = s1.where(col("url_keep")).withColumn("exact_keep",
       col("doc_id") === min(col("doc_id")).over(W.partitionBy(col("h"))))
+    (q, s1, s2)
+  }
+
+  private def pretrainCascade(d: DataFrame): PretrainStages = {
+    val (q, s1, s2) = pretrainKeys(d)
     val surv2 = s2.where(col("exact_keep"))
     val pairs = Dedup.ngramJaccardPairs(
       surv2.select(col("doc_id"), col("text")), 4, 5)
@@ -3174,6 +3185,88 @@ object Text {
         .join(comp, Seq("doc_id"))
         .where(col("compact_stage").isin("mixture", "kept"))
         .select(col("doc_id"), col("ingest_stage"), col("compact_stage"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C83b (r13): the e2e chain's STAGE-COMPOSED sf3 gate — the C68b
+    // discipline applied to the flagship: C83's monolithic oracle ends
+    // at sf1 because the recursive CC closure's Σ|C|² working set
+    // exceeds the oracle box at sf3, so the per-doc KEY stages
+    // (quality battery, url/exact keep-first windows — pretrainKeys,
+    // the ONE definition C83/D36/C84 all build on) and the doc-LOCAL
+    // coverage stage (clean_tokens is a function of the doc and the
+    // probe alone, so gating it over exact-survivors gates the same
+    // values the e2e chain uses for its post-neardup set) gate
+    // separately at any scale. The remaining e2e stages already carry
+    // their own sf3 evidence: the neardup pair set via C68b's
+    // stage-composed pairs + inv_cascade_cc_parity + C4e's sf3 hash
+    // gate; the mixture/shard arithmetic via C42/C42b/C45's gates.
+    Q("pretrain_stage_keys",
+      s"""WITH f AS (
+        |  SELECT doc_id, text,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the','a','of','and','to'))) AS n_stop
+        |  FROM documents),
+        |q AS MATERIALIZED (
+        |  SELECT *, CAST(least(n_words, 100) * 40
+        |    + (least(n_stop * 10, n_words) * 3000) // n_words
+        |    + (n_distinct * 3000) // n_words AS BIGINT) AS quality_bp
+        |  FROM f),
+        |u AS (SELECT doc_id, ($messyUrlSql) AS url FROM documents),
+        |$urlCanonCtes,
+        |qs AS (SELECT q.doc_id, q.n_words, q.quality_bp, c4.canon,
+        |    lower(regexp_replace(trim(q.text), '\\s+', ' ', 'g')) AS k
+        |  FROM q JOIN c4 ON c4.doc_id = q.doc_id
+        |  WHERE q.doc_id % 20 <> 0 AND q.quality_bp >= 5000),
+        |s1 AS (SELECT *, CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canon)
+        |        THEN 1 ELSE 0 END AS url_keep FROM qs),
+        |s2 AS (SELECT *, CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY k)
+        |        THEN 1 ELSE 0 END AS exact_keep FROM s1 WHERE url_keep = 1),
+        |dw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g4 AS MATERIALIZED (SELECT doc_id, gs-1 AS pos, array_to_string(ws[gs:gs+3], ' ') AS gram
+        |  FROM dw, UNNEST(generate_series(1, len(ws)-3)) AS t(gs)),
+        |bprobe AS (SELECT DISTINCT gram FROM g4 WHERE doc_id % 20 = 0),
+        |hit AS (SELECT g4.doc_id, g4.pos FROM g4 JOIN bprobe USING (gram)
+        |  WHERE g4.doc_id IN (SELECT doc_id FROM s2 WHERE exact_keep = 1)),
+        |hm AS (SELECT doc_id, pos,
+        |    coalesce(max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_end
+        |  FROM hit),
+        |cov AS (SELECT doc_id,
+        |    CAST(sum(greatest(0, pos + 4 - greatest(prev_end, pos))) AS BIGINT) AS removed
+        |  FROM hm GROUP BY doc_id)
+        |SELECT q.doc_id, q.quality_bp,
+        |  CAST(s1.url_keep AS BIGINT) AS url_keep,
+        |  CAST(s2.exact_keep AS BIGINT) AS exact_keep,
+        |  CASE WHEN s2.exact_keep = 1
+        |    THEN CAST(q.n_words AS BIGINT) - coalesce(cov.removed, 0) END AS clean_tokens
+        |FROM q
+        |LEFT JOIN s1 ON s1.doc_id = q.doc_id
+        |LEFT JOIN s2 ON s2.doc_id = q.doc_id
+        |LEFT JOIN cov ON cov.doc_id = q.doc_id
+        |WHERE q.doc_id % 20 <> 0
+        |ORDER BY q.doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val (q, s1, s2) = pretrainKeys(d)
+      val surv2ids = s2.where(col("exact_keep")).select(col("doc_id"))
+      val grams = Dedup.substringGrams(d, 4)
+      val bprobe = grams.where(col("doc_id") % 20 === 0).select(col("h")).distinct()
+      val hits = grams
+        .join(surv2ids, Seq("doc_id"), "left_semi")
+        .join(broadcast(bprobe), Seq("h"), "left_semi")
+      val cov = Dedup.spanCoverage(hits, 4).select(col("doc_id"), col("covered"))
+      q.where(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"), col("n_words"), col("quality_bp"))
+        .join(s1.select(col("doc_id"), col("url_keep").cast("long").as("url_keep")),
+          Seq("doc_id"), "left_outer")
+        .join(s2.select(col("doc_id"), col("exact_keep").cast("long").as("exact_keep")),
+          Seq("doc_id"), "left_outer")
+        .join(cov, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("quality_bp"), col("url_keep"), col("exact_keep"),
+          when(col("exact_keep") === 1,
+            col("n_words").cast("long") - coalesce(col("covered"), lit(0L))).as("clean_tokens"))
         .orderBy(col("doc_id"))
     },
 

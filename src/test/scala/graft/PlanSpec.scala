@@ -835,6 +835,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no pair-space join:\n$p")
   }
 
+  test("pipeline_pretrain_compact: the staged fold is join-keyed end to end — no cartesian") {
+    // the e2e compaction composes two miners, two CCs and the
+    // coverage/mixture/shard tail: the 100 TB failure mode is any one
+    // of those stages degenerating into a pair-space cartesian (the
+    // only sanctioned unkeyed join is mixtureAlloc's 1-row scalar
+    // broadcast, which plans as BroadcastNestedLoopJoin, not
+    // CartesianProduct)
+    val p = planStr("pipeline_pretrain_compact")
+    assert(!p.contains("CartesianProduct"), s"pair-space join in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast probe/schedule joins:\n$p")
+  }
+
   test("gramsMultiN keeps multiplicity where gramsN dedups") {
     import spark.implicits._
     val df = Seq(Tuple1(Seq("a", "b", "a", "b", "c"))).toDF("ws")
