@@ -214,6 +214,93 @@ object Kernels extends Serializable {
     (c, n) => f(c, org.apache.spark.sql.functions.lit(n))
   }
 
+  /** 128-bit digests of ALL adjacent word n-grams, WITH multiplicity —
+    * the digest-only companion of [[gramsMultiN]] for consumers that
+    * never look at gram TEXT (substring dedup, decontamination probes:
+    * the digest is an engine-internal join/group key, no oracle
+    * restates it and no query outputs it, so equality-of-results only
+    * needs collision-freeness — two independent mix64-finalized
+    * polynomial lanes give ~2⁻¹²⁸ pair odds, the same class of
+    * argument the previous sha2-256 string key relied on).
+    *
+    * r13 OPT (guide §1.2 per-task work): each word hashes ONCE
+    * (hashStr) and the gram digest is a rolling polynomial over the
+    * word-hash array — O(len) total vs O(len·n) string assembly + hash
+    * per position, with zero gram-string allocation. Returns one
+    * (h1, h2) struct per position 0..len−n, the exact position layout
+    * of [[gramsMultiN]] under posexplode.
+    */
+  val wordGramHashes: (Column, Int) => Column = {
+    val f = udf { (ws: Seq[String], n: Int) =>
+      val len = ws.size
+      if (len < n) Array.empty[(Long, Long)]
+      else {
+        val wh = new Array[Long](len)
+        var i = 0
+        while (i < len) { wh(i) = hashStr(ws(i)); i += 1 }
+        val B1 = 0x9E3779B97F4A7C15L; val B2 = 0xC4CEB9FE1A85EC53L
+        var p1 = 1L; var p2 = 1L
+        i = 0
+        while (i < n - 1) { p1 *= B1; p2 *= B2; i += 1 } // B^(n-1)
+        val out = new Array[(Long, Long)](len - n + 1)
+        var h1 = 0L; var h2 = 0L
+        i = 0
+        while (i < n) { h1 = h1 * B1 + wh(i); h2 = h2 * B2 + wh(i); i += 1 }
+        out(0) = (mix64(h1), mix64(h2))
+        var s0 = 1
+        while (s0 <= len - n) {
+          val hOut = wh(s0 - 1); val hIn = wh(s0 + n - 1)
+          h1 = (h1 - hOut * p1) * B1 + hIn
+          h2 = (h2 - hOut * p2) * B2 + hIn
+          out(s0) = (mix64(h1), mix64(h2))
+          s0 += 1
+        }
+        out
+      }
+    }
+    (c, n) => f(c, org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** 128-bit digests of ALL n-CHARACTER grams of a string, one (h1, h2)
+    * struct per char position 0..len−n — the character-grain companion
+    * of [[wordGramHashes]] (same two-lane rolling polynomial + mix64,
+    * same internal-key-only justification). Replaces the
+    * substring(i, n) → sha2 per char position chain: no 50-char gram
+    * strings are ever materialized and the hash work is O(len), not
+    * O(len·n).
+    */
+  val charGramHashes: (Column, Int) => Column = {
+    val f = udf { (text: String, n: Int) =>
+      val len = text.length
+      if (len < n) Array.empty[(Long, Long)]
+      else {
+        val B1 = 0x9E3779B97F4A7C15L; val B2 = 0xC4CEB9FE1A85EC53L
+        var p1 = 1L; var p2 = 1L
+        var i = 0
+        while (i < n - 1) { p1 *= B1; p2 *= B2; i += 1 } // B^(n-1)
+        val out = new Array[(Long, Long)](len - n + 1)
+        var h1 = 0L; var h2 = 0L
+        i = 0
+        while (i < n) {
+          val c = text.charAt(i).toLong
+          h1 = h1 * B1 + c; h2 = h2 * B2 + c; i += 1
+        }
+        out(0) = (mix64(h1), mix64(h2))
+        var s0 = 1
+        while (s0 <= len - n) {
+          val cOut = text.charAt(s0 - 1).toLong
+          val cIn = text.charAt(s0 + n - 1).toLong
+          h1 = (h1 - cOut * p1) * B1 + cIn
+          h2 = (h2 - cOut * p2) * B2 + cIn
+          out(s0) = (mix64(h1), mix64(h2))
+          s0 += 1
+        }
+        out
+      }
+    }
+    (c, n) => f(c, org.apache.spark.sql.functions.lit(n))
+  }
+
   /** 64-bit simhash over a word array: bit k is the sign of the ±1 votes
     * of each word-hash's bit k.
     */

@@ -52,13 +52,34 @@ object Dedup {
   private def gramsOf(words: Column): Column =
     graft.functions.Kernels.grams3(words)
 
+  /** (doc_id, gs) distinct-3-gram sets of a (doc_id, text) frame,
+    * CHECKPOINTED (eager, Pinned-tracked): every miner references its
+    * gram sets 2-4× (df-count build, prefix window, both verify sides)
+    * and none of those branches canonicalize to a reusable exchange —
+    * measured r13: the composed pretrain/compact plans re-ran the FULL
+    * upstream lineage per branch (400 parquet scans / 1258 Exchanges in
+    * pipeline_pretrain_compact's before-plan, plans/r13). One gram-
+    * kernel pass lands in executor-local blocks; every consumer reads
+    * those. Guide §2.4 (remove shuffles/passes outright) — the blocks
+    * live one query run (Pinned contract, drained by Verify/Bench).
+    */
+  private def gramSetsCkpt(d: DataFrame): DataFrame = Pinned.track(
+    d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("doc_id"), gramsOf(col("ws")).as("gs"))
+      .localCheckpoint(true))
+
   /** Exact 3-gram Jaccard for a candidate pair set (a_id, b_id):
     * joins gram SETS back per side and verifies |∩|/|∪| >= tau.
     */
-  private def verifyJaccard(cands: DataFrame, d: DataFrame, tau: Double): DataFrame = {
-    val gsets = d.select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .where(size(col("ws")) >= 3)
-      .select(col("doc_id"), gramsOf(col("ws")).as("gs"))
+  private def verifyJaccard(cands: DataFrame, d: DataFrame, tau: Double): DataFrame =
+    verifyJaccardOn(cands, gramSetsCkpt(d), tau)
+
+  /** [[verifyJaccard]] over an already-built (doc_id, gs) gram-set frame
+    * — the miners pass their checkpointed [[gramSetsCkpt]] so the gram
+    * kernel never re-runs for verification.
+    */
+  private def verifyJaccardOn(cands: DataFrame, gsets: DataFrame, tau: Double): DataFrame = {
     cands
       .join(gsets.select(col("doc_id").as("a_id"), col("gs").as("ga")), "a_id")
       .join(gsets.select(col("doc_id").as("b_id"), col("gs").as("gb")), "b_id")
@@ -84,25 +105,45 @@ object Dedup {
     * is exactly the pairs with jaccard ≥ tau (property-specd in
     * DedupAnnSpec against brute force on random corpora).
     */
-  def ngramJaccardPairs(d: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
+  def ngramJaccardPairs(d: DataFrame, tauNum: Int, tauDen: Int): DataFrame =
+    ngramJaccardPairs(d, tauNum, tauDen, materialize = true)
+
+  /** r13 OPT (guide §2.4): with `materialize` on (the default), gram
+    * sets checkpoint once (see gramSetsCkpt) and the prefix sliver
+    * checkpoints once — before, each self-join side re-ran gram explode
+    * + df-count join + window, and each verify side re-ran the gram
+    * kernel, so one miner call executed its input lineage ~5×; on the
+    * composed compact/e2e arms that lineage was itself the full cascade
+    * (35.5 s → 8.7 s measured at sf0.1). Both slivers are slim and
+    * release at the consumer's Pinned.drain. `materialize = false` is
+    * for single-consumption callers over RAW parquet scans
+    * (dedup_ngram_jaccard, dedup_pairs_exact): there a re-scan is
+    * cheaper than serializing the gram arrays into block storage, and
+    * the ckpt barrier was a measured +0.8-1.0 s pure regression.
+    */
+  def ngramJaccardPairs(d: DataFrame, tauNum: Int, tauDen: Int,
+      materialize: Boolean): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen, "tau in (0, 1]")
     val tau = tauNum.toDouble / tauDen
-    val g = d.select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .where(size(col("ws")) >= 3)
-      .select(col("doc_id"), gramsOf(col("ws")).as("gs"))
-      .select(col("doc_id"), size(col("gs")).as("c"), explode(col("gs")).as("g"))
+    def mat(df: DataFrame): DataFrame =
+      if (materialize) Pinned.track(df.localCheckpoint(true)) else df
+    val gsets = mat(
+      d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .where(size(col("ws")) >= 3)
+        .select(col("doc_id"), gramsOf(col("ws")).as("gs")))
+    val g = gsets.select(col("doc_id"), size(col("gs")).as("c"), explode(col("gs")).as("g"))
     val gdf = g.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
-    val prefix = g.join(gdf, "g")
+    val prefix = mat(g.join(gdf, "g")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("gdf"), col("g"))))
       .where(expr(s"rn <= c - (($tauNum * c + $tauDen - 1) div $tauDen) + 1"))
-      .select(col("doc_id"), col("c"), col("g"))
+      .select(col("doc_id"), col("c"), col("g")))
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
           expr(s"$tauDen * least(a.c, b.c) >= $tauNum * greatest(a.c, b.c)"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    verifyJaccard(cands, d, tau)
+    verifyJaccardOn(cands, gsets, tau)
   }
 
   /** MinHash(128) + 32×4 LSH banding near-dup pairs at rational
@@ -118,12 +159,22 @@ object Dedup {
     * index: write it partitioned/bucketed by bk once, probe it per
     * increment.
     */
-  def bandedMinhashKeys(d: DataFrame): DataFrame = {
+  def bandedMinhashKeys(d: DataFrame): DataFrame =
+    bandedMinhashKeysOf(
+      d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .where(size(col("ws")) >= 3)
+        .select(col("doc_id"), gramsOf(col("ws")).as("gs")))
+
+  /** [[bandedMinhashKeys]] over an already-built (doc_id, gs) gram-set
+    * frame — STILL the one banding implementation (r13: factored so
+    * [[minhashLshPairs]] can feed its checkpointed gram sets and run the
+    * gram kernel once for banding + verification).
+    */
+  private def bandedMinhashKeysOf(gsets: DataFrame): DataFrame = {
     val nPerm = 128; val bands = 32; val rows = nPerm / bands
-    d.select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .where(size(col("ws")) >= 3)
+    gsets
       .select(col("doc_id"),
-        graft.functions.Kernels.minhash128(gramsOf(col("ws"))).as("sig"))
+        graft.functions.Kernels.minhash128(col("gs")).as("sig"))
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows)).as("bsig")))).as("bk"))
@@ -207,12 +258,20 @@ object Dedup {
 
   def minhashLshPairs(d: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
     requireBandingRange(tauNum, tauDen)
-    val banded = bandedMinhashKeys(d)
+    // r13 OPT: one gram-kernel pass feeds signature banding AND exact
+    // verification (before: banding re-split/re-grammed the corpus, and
+    // each self-join/verify side repeated it — the minhash128 kernel is
+    // the dominant per-row cost here). Band keys derive from the
+    // checkpointed gram sets; the banded sliver itself checkpoints so
+    // the 128-permutation kernel runs once, not once per join side.
+    val gsets = gramSetsCkpt(d)
+    val banded = Pinned.track(
+      bandedMinhashKeysOf(gsets).localCheckpoint(true))
     val cands = banded.as("a").join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    verifyJaccard(cands, d, tauNum.toDouble / tauDen)
+    verifyJaccardOn(cands, gsets, tauNum.toDouble / tauDen)
   }
 
   /** Connected components over an arbitrary near-dup pair source —
@@ -443,8 +502,20 @@ object Dedup {
 
   private[queries] def cascadeStages(s: SparkSession, dir: String,
       miner: DataFrame => DataFrame = ngramJaccardPairs(_, 4, 5)): DataFrame = {
-    val (s1, s2) = cascadeKeyFrames(s, dir)
-    val pairs = miner(cascadeSurvivorDocs(s, dir))
+    // r13 OPT (guide §2.4): the stage-key frames checkpoint once —
+    // before, the url/exact windows (canon + sha2 over the full corpus,
+    // two window exchanges) re-ran for the s1 assembly branch, the s2
+    // branch, AND the survivor set feeding the miner (cascadeSurvivorDocs
+    // built its own copy). Slim rows (id + keep bits), one run each,
+    // released at the consumer's Pinned.drain.
+    val (s1f, s2f) = cascadeKeyFrames(s, dir)
+    val s1 = Pinned.track(
+      s1f.select(col("doc_id"), col("url_keep")).localCheckpoint(true))
+    val s2 = Pinned.track(
+      s2f.select(col("doc_id"), col("exact_keep")).localCheckpoint(true))
+    val survivorDocs = docs(s, dir).join(
+      s2.where(col("exact_keep")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val pairs = miner(survivorDocs)
     val nd = connectedComponents(pairs)
       .where(col("id") =!= col("label"))
       .select(col("id").as("doc_id"), lit(1L).as("nd"))
@@ -507,22 +578,30 @@ object Dedup {
     ensureLocalCkptDir(s)
     val coinIncr = (c: Column) => (c % 7).isin(2L, 4L)
     // stage 1: url — corpus membership first, then min-id per canon
-    // within the increment (slim key columns only; text never moves)
-    val s1 = ik
+    // within the increment (slim key columns only; text never moves).
+    // r13 OPT (guide §2.4): both stage frames checkpoint — each is
+    // consumed 2-3× below (next stage, survivor set, final assembly)
+    // and every consumer re-ran the increment's quality/canon/digest
+    // lineage plus the stage windows otherwise (the compact arm's
+    // before-plan carried 400 parquet scans). Slim rows (id + digest +
+    // verdict), released at the consumer's Pinned.drain.
+    val s1 = Pinned.track(ik
       .join(corpusK.select(col("canon")).distinct().withColumn("uc", lit(1)),
         Seq("canon"), "left")
       .withColumn("minc", min(col("doc_id")).over(Window.partitionBy(col("canon"))))
       .select(col("doc_id"), col("h"),
         when(col("uc") === 1, lit("corpus"))
           .when(col("doc_id") =!= col("minc"), lit("increment")).as("url_vs"))
+      .localCheckpoint(true))
     // stage 2: exact over url survivors — same two-rung rule on digests
-    val s2 = s1.where(col("url_vs").isNull)
+    val s2 = Pinned.track(s1.where(col("url_vs").isNull)
       .join(corpusK.select(col("h")).distinct().withColumn("ec", lit(1)),
         Seq("h"), "left")
       .withColumn("minh", min(col("doc_id")).over(Window.partitionBy(col("h"))))
       .select(col("doc_id"),
         when(col("ec") === 1, lit("corpus"))
           .when(col("doc_id") =!= col("minh"), lit("increment")).as("exact_vs"))
+      .localCheckpoint(true))
     val survivors = s2.where(col("exact_vs").isNull).select(col("doc_id"))
     // stage 3: the miner over corpus ∪ surviving increment; only pairs
     // touching an increment doc matter downstream
@@ -541,7 +620,9 @@ object Dedup {
       .join(remaining.select(col("doc_id").as("b_id")), Seq("b_id"), "left_semi")
     val ni = connectedComponents(ii.select(col("a_id"), col("b_id")))
       .where(col("id") =!= col("label")).select(col("id").as("doc_id"))
-    ik.select(col("doc_id"))
+    // s1 carries exactly one row per ik row, so the assembly spine reads
+    // the checkpointed stage-1 frame instead of replaying ik's lineage
+    s1.select(col("doc_id"))
       .join(s1.select(col("doc_id"), col("url_vs")), Seq("doc_id"), "left")
       .join(s2.select(col("doc_id"), col("exact_vs")), Seq("doc_id"), "left")
       .join(nc.withColumn("ncf", lit(1)), Seq("doc_id"), "left")
@@ -853,24 +934,32 @@ object Dedup {
       }.reduce(_ + _)
       struct(lit(t).as("t"), sig.as("sig"))
     }: _*)
-    val tabled = signed
+    // r13 OPT: the signature table checkpoints once (before, each
+    // self-join side re-ran the 144-hyperplane signature kernel), and
+    // the verify side checkpoints once (each of the two cands joins
+    // re-ran the parquet scan + quantization). The per-pair dot moves
+    // from the interpreted aggregate(zip_with(...)) fold (one
+    // Expression.eval + boxing per element — the Kernels.scala measured
+    // 30× gap) onto the codegen'd graft_dot over the double view:
+    // components are integers ≤ 1000, so dot ≤ 6.4e7 is exactly
+    // representable and the long cast reproduces the integer fold
+    // bit-for-bit (the Cluster.scala exact-arithmetic envelope).
+    val tabled = Pinned.track(signed
       .select(col("vec_id"), explode(sigCols).as("ts"))
       .select(col("vec_id"), col("ts").as("tk"))
+      .localCheckpoint(true))
     val cands = tabled.as("a").join(tabled.as("b"),
         col("a.tk") === col("b.tk") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
-    val q = signed.select(col("vec_id"),
-      transform(col("v"), _.cast("long")).as("q"))
-      .select(col("vec_id"), col("q"),
-        aggregate(zip_with(col("q"), col("q"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x).as("vv"))
+    val q = Pinned.track(signed.select(col("vec_id"), col("v"),
+        graft.functions.Native.dot(s, col("v"), col("v")).cast("long").as("vv"))
+      .localCheckpoint(true))
     cands
-      .join(q.select(col("vec_id").as("a_id"), col("q").as("qa"), col("vv").as("va")), "a_id")
-      .join(q.select(col("vec_id").as("b_id"), col("q").as("qb"), col("vv").as("vb")), "b_id")
+      .join(q.select(col("vec_id").as("a_id"), col("v").as("qa"), col("vv").as("va")), "a_id")
+      .join(q.select(col("vec_id").as("b_id"), col("v").as("qb"), col("vv").as("vb")), "b_id")
       .select(col("a_id"), col("b_id"),
-        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x).as("dot"),
+        graft.functions.Native.dot(s, col("qa"), col("qb")).cast("long").as("dot"),
         col("va"), col("vb"))
       .where(col("dot") > 0 &&
         lit(4L) * col("dot") * col("dot") >= col("va") * col("vb"))
@@ -982,13 +1071,23 @@ object Dedup {
     * digest-keyed. Shared by the shipped operator and
     * SubstringShuffleSpec's window-form comparator.
     */
+  /** r13 OPT (guide §1.2 per-task work): the per-position gram key is a
+    * 128-bit rolling digest (Kernels.wordGramHashes) instead of the
+    * previous gram-string assembly + SHA-256 + hex + unhex — that chain
+    * was the dominant per-row cost of every substring-dedup /
+    * decontamination arm (one 32 B digest per corpus token position).
+    * The digest is an ENGINE-INTERNAL join/group key: no oracle
+    * restates it and no query outputs it, so equality-of-results only
+    * needs collision-freeness — at 10⁹ gram positions the 128-bit
+    * collision odds are ~10⁻²⁰, the same class of argument the sha2
+    * key relied on — and the 16 B struct key shuffles half the bytes
+    * of the 32 B digest (guide §2.3, narrower keys).
+    */
   private[graft] def substringGrams(d: DataFrame, n: Int): DataFrame = {
     val ws = split(col("text"), " ")
     d.where(size(ws) >= n)
       .select(col("doc_id"), size(ws).as("n_tokens"),
-        posexplode(graft.functions.Kernels.gramsMultiN(ws, n)).as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("n_tokens"), col("pos"),
-        unhex(sha2(col("gram"), 256)).as("h"))
+        posexplode(graft.functions.Kernels.wordGramHashes(ws, n)).as(Seq("pos", "h")))
   }
 
   /** C37c core over any (doc_id, text) frame — see the query scaladoc
@@ -1127,11 +1226,10 @@ object Dedup {
   private[graft] def substringCharGrams(d: DataFrame, n: Int): DataFrame =
     d.where(length(col("text")) >= n)
       .select(col("doc_id"), length(col("text")).as("n_tokens"),
-        posexplode(expr(
-          s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, CAST(i AS INT), $n))"))
-          .as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("n_tokens"), col("pos"),
-        unhex(sha2(col("gram"), 256)).as("h"))
+        // rolling 128-bit digests per char position — no n-char gram
+        // strings materialize (see substringGrams's key rationale)
+        posexplode(graft.functions.Kernels.charGramHashes(col("text"), n))
+          .as(Seq("pos", "h")))
 
   /** C37b `dedup_substring_chars` core — [[substringSpans]]'s
     * sliver/adaptive-semi/interval-union shape on CHARACTER k-grams.
@@ -1368,8 +1466,10 @@ object Dedup {
         |WHERE i / (ca.c + cb.c - i) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       // prefix-filtered AllPairs join at tau = 4/5 — see
-      // [[ngramJaccardPairs]] for the skew/exactness story
-      ngramJaccardPairs(docs(s, dir), 4, 5).orderBy(col("a_id"), col("b_id"))
+      // [[ngramJaccardPairs]] for the skew/exactness story; single
+      // consumption over a raw scan → no internal materialization (r13)
+      ngramJaccardPairs(docs(s, dir), 4, 5, materialize = false)
+        .orderBy(col("a_id"), col("b_id"))
     },
 
     // C4: MinHash(128) + 32×4 LSH banding; candidates only meet inside a
@@ -1743,7 +1843,8 @@ object Dedup {
          |$minerCtes
          |SELECT a_id, b_id, jacc FROM pairs
          |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      ngramJaccardPairs(docs(s, dir), 4, 5)
+      // single consumption over a raw scan → no internal materialization
+      ngramJaccardPairs(docs(s, dir), 4, 5, materialize = false)
         .orderBy(col("a_id"), col("b_id"))
     },
 
@@ -2236,18 +2337,29 @@ object Dedup {
       ensureLocalCkptDir(s)
       val (assign, _, _) = Cluster.fit(s, dir)
       val q = Embed.quantized(s, dir) // signed kilo codes (vec_id, q)
-      val withCell = q.join(assign.select(col("vec_id"), col("cluster")), "vec_id")
-        .select(col("vec_id"), col("cluster"), col("q"),
-          aggregate(zip_with(col("q"), col("q"), (x, y) => x * y),
-            lit(0L), (acc, v) => acc + v).as("vv"))
+      // r13 OPT: the celled frame checkpoints once (both self-join
+      // sides re-ran the scan + assignment join before), and the
+      // within-cell pair dot moves from the interpreted
+      // aggregate(zip_with(...)) fold to the codegen'd graft_dot over
+      // the double view — codes are ≤ |1000|, dot ≤ 6.4e7: exactly
+      // representable in double, so the long cast is bit-equal to the
+      // integer fold (the Cluster.scala exact-arithmetic envelope).
+      val withCell = Pinned.track(
+        q.join(assign.select(col("vec_id"), col("cluster")), "vec_id")
+          .select(col("vec_id"), col("cluster"),
+            transform(col("q"), _.cast("double")).as("qd"))
+          .select(col("vec_id"), col("cluster"), col("qd"),
+            graft.functions.Native.dot(s, col("qd"), col("qd"))
+              .cast("long").as("vv"))
+          .localCheckpoint(true))
       val a = withCell.select(col("cluster"), col("vec_id").as("a_id"),
-        col("q").as("qa"), col("vv").as("va"))
+        col("qd").as("qa"), col("vv").as("va"))
       val b = withCell.select(col("cluster"), col("vec_id").as("b_id"),
-        col("q").as("qb"), col("vv").as("vb"))
+        col("qd").as("qb"), col("vv").as("vb"))
       val pairs = a.join(b, Seq("cluster")).where(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
-          aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-            lit(0L), (acc, v) => acc + v).as("dot"),
+          graft.functions.Native.dot(s, col("qa"), col("qb"))
+            .cast("long").as("dot"),
           col("va"), col("vb"))
         .where(col("dot") > 0 &&
           lit(4L) * col("dot") * col("dot") >= col("va") * col("vb"))

@@ -569,18 +569,30 @@ object Text {
     * discipline applied to the e2e chain).
     */
   private def pretrainKeys(d: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    // r13 OPT (guide §2.4): every stage frame checkpoints once —
+    // the e2e/compact/ingest composites reference q/s1/s2 from 2 to 5
+    // branches each (next stage, miner input, retained set, final
+    // assembly spine), none of which canonicalize to a shared exchange:
+    // the compact arm's before-plan re-ran this chain per branch (400
+    // parquet scans / 1258 Exchanges, plans/r13). Progressive ckpts make
+    // the quality battery, canon/digest projection and the two keep
+    // windows each run exactly once; blocks release at the consumer's
+    // Pinned.drain. At cluster scale these are the stage tables a
+    // nightly pretrain pipeline persists between stages anyway.
     val isBench = col("doc_id") % 20 === 0
-    val q = pretrainQuality(d)
+    val q = Pinned.track(pretrainQuality(d).localCheckpoint(true))
     val qs = q.where(!isBench && col("quality_bp") >= 5000)
     val keyed = qs.select(col("doc_id"), col("source"), col("lang"),
       col("text"), col("n_words"),
       canonicalUrlCol(messyUrlCol).as("canon"),
       unhex(sha2(Dedup.normText, 256)).as("h"))
     val W = org.apache.spark.sql.expressions.Window
-    val s1 = keyed.withColumn("url_keep",
+    val s1 = Pinned.track(keyed.withColumn("url_keep",
       col("doc_id") === min(col("doc_id")).over(W.partitionBy(col("canon"))))
-    val s2 = s1.where(col("url_keep")).withColumn("exact_keep",
+      .localCheckpoint(true))
+    val s2 = Pinned.track(s1.where(col("url_keep")).withColumn("exact_keep",
       col("doc_id") === min(col("doc_id")).over(W.partitionBy(col("h"))))
+      .localCheckpoint(true))
     (q, s1, s2)
   }
 
@@ -592,8 +604,10 @@ object Text {
     val nd = Dedup.connectedComponents(pairs)
       .where(col("id") =!= col("label"))
       .select(col("id").as("doc_id"), lit(1L).as("ndf"))
-    PretrainStages(q, s1, s2, nd,
-      surv2.join(nd, Seq("doc_id"), "left_anti"))
+    // retained is the composites' corpus-side probe base (compact reads
+    // it 3×, ingest 4×) — one more slim ckpt ends the lineage here
+    PretrainStages(q, s1, s2, nd, Pinned.track(
+      surv2.join(nd, Seq("doc_id"), "left_anti").localCheckpoint(true)))
   }
 
   /** C83's post-cascade tail over any survivor frame (doc_id, source,
@@ -616,25 +630,33 @@ object Text {
       .join(surv.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .join(broadcast(bprobe), Seq("h"), "left_semi")
     val cov = Dedup.spanCoverage(hits, 4).select(col("doc_id"), col("covered"))
-    val s4 = surv.join(cov, Seq("doc_id"), "left_outer")
+    // r13 OPT (guide §2.4): s4 checkpoints — its coverage join embeds
+    // the decontamination gram stream (sha-per-position over the full
+    // corpus) and is consumed by the mixture schedule, the realization
+    // join AND the assembly spine; s5 and the shard-prefix base b
+    // likewise each feed 2 consumers. Slim per-doc rows; one run each.
+    val s4 = Pinned.track(surv.join(cov, Seq("doc_id"), "left_outer")
       .withColumn("clean_tokens",
         col("n_words").cast("long") - coalesce(col("covered"), lit(0L)))
+      .localCheckpoint(true))
     val s4pos = s4.where(col("clean_tokens") > 0)
     val sched = mixtureAlloc(
       s4pos.groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("clean_tokens")).as("n_tokens")),
       Seq("source", "lang"))
-    val s5 = s4pos
+    val s5 = Pinned.track(s4pos
       .join(broadcast(sched.select(col("source"), col("lang"), col("rate_bp"))),
         Seq("source", "lang"))
       .withColumn("copies",
         (expr("rate_bp div 10000") +
           when(keepCoin(10000) < col("rate_bp") % 10000, 1L).otherwise(0L)).cast("long"))
+      .localCheckpoint(true))
     val kept = s5.where(col("copies") >= 1)
       .select(col("doc_id"),
         md5(col("doc_id").cast("string").cast("binary")).as("sh"),
         (col("clean_tokens") * col("copies")).as("tok"))
-    val b = kept.withColumn("bk", substring(col("sh"), 1, 2))
+    val b = Pinned.track(
+      kept.withColumn("bk", substring(col("sh"), 1, 2)).localCheckpoint(true))
     val off = b.groupBy(col("bk")).agg(sum(col("tok")).as("bt"))
       .select(col("bk"), coalesce(
         sum(col("bt")).over(
@@ -1885,11 +1907,26 @@ object Text {
     * the C54 query scaladoc for the per-stage scale reasoning.
     */
   private[queries] def curateWebFrames(
-      s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+      s: SparkSession, dir: String): Seq[(String, DataFrame)] =
+    curateWebFrames(s, dir, materialize = false)
+
+  /** r13 OPT (guide §2.4): with `materialize` on, each stage frame
+    * checkpoints progressively — the ablation consumer aggregates ALL
+    * SIX staged frames, and stage k's lazy plan re-ran stages 1..k−1
+    * (an O(stages²) replay of the base projection's per-doc sha2 +
+    * the cap/reputation windows). Single-stage consumers (C54 reads
+    * only the last frame, D24 streams) keep the lazy chain — for one
+    * pass the ckpt barriers are pure overhead.
+    */
+  private[queries] def curateWebFrames(
+      s: SparkSession, dir: String,
+      materialize: Boolean): Seq[(String, DataFrame)] = {
     val sess = s
     import sess.implicits._
+    def m(df: DataFrame): DataFrame =
+      if (materialize) Pinned.track(df.localCheckpoint(true)) else df
     // ONE text-bearing projection: every downstream row is slim
-    val base = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"),
+    val base = m(docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"),
       domainCol.as("domain"),
       size(words).as("n_words"),
       size(array_distinct(words)).as("n_distinct"),
@@ -1898,9 +1935,9 @@ object Text {
       .withColumn("qbp",
         (least(col("n_words"), lit(100)) * 40
           + expr("(least(n_stop * 10, n_words) * 3000) div n_words")
-          + expr("(n_distinct * 3000) div n_words")).cast("long"))
-    val f = base.join(broadcast(BlockedDomains.toDF("domain")),
-      Seq("domain"), "left_anti")
+          + expr("(n_distinct * 3000) div n_words")).cast("long")))
+    val f = m(base.join(broadcast(BlockedDomains.toDF("domain")),
+      Seq("domain"), "left_anti"))
     val overB = Dedup.adaptiveBuild(
       f.groupBy(col("domain")).agg(count(lit(1)).as("n"))
         .where(col("n") > DomainCap).select(col("domain")))
@@ -1909,18 +1946,18 @@ object Text {
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("domain")).orderBy(col("doc_id"))))
       .where(col("rk") <= DomainCap).drop("rk")
-    val v1 = f.join(overB, Seq("domain"), "left_anti").unionAll(capped)
+    val v1 = m(f.join(overB, Seq("domain"), "left_anti").unionAll(capped))
     // reputation judged on the RAW corpus (pre-filter, as RefinedWeb
     // does) — its keep-set joins back size-adaptively like any sliver
     val repKeep = Dedup.adaptiveBuild(
       domainReputation(docs(s, dir))
         .where(col("verdict") === "keep").select(col("domain")))
-    val v2a = v1.join(repKeep, Seq("domain"), "left_semi")
+    val v2a = m(v1.join(repKeep, Seq("domain"), "left_semi"))
     val v2b = v2a.where(col("qbp") >= 5000)
-    val kept = v2b.withColumn("rn", row_number().over(
+    val kept = m(v2b.withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("h")).orderBy(col("doc_id"))))
-      .where(col("rn") === 1)
+      .where(col("rn") === 1))
     Seq("raw" -> base, "blocklist" -> f, "domain_cap" -> v1,
       "reputation" -> v2a, "quality" -> v2b, "dedup" -> kept)
   }
@@ -3125,21 +3162,28 @@ object Text {
       val d = docs(s, dir)
       val isIncr = (col("doc_id") % 7).isin(2L, 4L)
       val retained = pretrainCascade(d.where(!isIncr)).retained
-      val iq = pretrainQuality(d.where(isIncr))
+      // r13 OPT (guide §2.4): the increment battery (iq) feeds the
+      // verdict stages, the kept set AND the assembly spine; the
+      // verdict frame feeds the kept set and the assembly; the merged
+      // survivor set is read twice by the tail. One ckpt each (slim
+      // rows) — before, each branch re-ran the increment quality pass
+      // and the staged-verdict joins.
+      val iq = Pinned.track(
+        pretrainQuality(d.where(isIncr)).localCheckpoint(true))
       val iPass = iq.where(col("doc_id") % 20 =!= 0 && col("quality_bp") >= 5000)
       val ik = iPass.select(col("doc_id"),
         canonicalUrlCol(messyUrlCol).as("canon"),
         unhex(sha2(Dedup.normText, 256)).as("h"))
-      val verdicts = Dedup.compactStagedVerdicts(s,
+      val verdicts = Pinned.track(Dedup.compactStagedVerdicts(s,
         retained.select(col("canon"), col("h")), ik,
         retained.select(col("doc_id"), col("text")),
-        iPass.select(col("doc_id"), col("text")))
+        iPass.select(col("doc_id"), col("text"))).localCheckpoint(true))
       val iKept = iPass.select(col("doc_id"), col("source"), col("lang"), col("n_words"))
         .join(verdicts.where(col("stage") === "kept").select(col("doc_id")),
           Seq("doc_id"), "left_semi")
-      val merged = retained
+      val merged = Pinned.track(retained
         .select(col("doc_id"), col("source"), col("lang"), col("n_words"))
-        .unionByName(iKept)
+        .unionByName(iKept).localCheckpoint(true))
       val (s4, s5, pre) = pretrainTail(d, merged)
       iq.select(col("doc_id"), col("quality_bp"))
         .join(verdicts, Seq("doc_id"), "left_outer")
@@ -3748,7 +3792,7 @@ object Text {
         |  CAST(coalesce(lag(tokens_out) OVER (ORDER BY ord) - tokens_out, 0) AS BIGINT) AS tokens_removed
         |FROM a ORDER BY ord""".stripMargin) { (s, dir) =>
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("ord"))
-      curateWebFrames(s, dir).zipWithIndex.map { case ((name, df), i) =>
+      curateWebFrames(s, dir, materialize = true).zipWithIndex.map { case ((name, df), i) =>
         df.agg(count(lit(1)).as("docs_out"),
             sum(col("n_words").cast("long")).as("tokens_out"))
           .select(lit(i + 1L).as("ord"), lit(name).as("stage"),
@@ -4297,10 +4341,14 @@ object Text {
     // probed cells are scanned (the C8g partition-prune discipline),
     // the corpus never re-shuffles per query batch.
     Q("pipeline_rag_probe", ragProbeSql) { (s, dir) =>
-      val ch = chunkSplit(docs(s, dir))
+      // r13 OPT: the chunk/embed frame checkpoints once — it feeds the
+      // quantizer fit, the corpus probe side AND the final id join-back,
+      // and each branch re-ran chunkSplit + the hash-embed kernel before
+      val ch = Pinned.track(chunkSplit(docs(s, dir))
         .select((col("doc_id") * 4096 + col("chunk_id")).as("vec_id"),
           col("doc_id"), col("chunk_id"),
           graft.functions.Kernels.featureHashVec(16)(split(col("chunk_text"), " ")).as("hv"))
+        .localCheckpoint(true))
       val x = ch.select(col("vec_id"),
         transform(col("hv"), v => v + lit(32L)).as("q"))
       val (assign, _, cents) = Cluster.fitOn(s, x)
@@ -5135,9 +5183,16 @@ object Text {
           col("w2").isNotNull && col("w3").isNotNull)
         .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
         .agg(count(lit(1)).as("nd"))
+        // r13 OPT (guide §2.4): every count table below is consumed
+        // twice (its marginalization child + the probe spine) and the
+        // lazy plan re-ran the whole explode/agg chain per branch —
+        // each level checkpoints once (vocab-bounded slivers, Pinned)
+        .localCheckpoint(true).transform(Pinned.track)
       val c3 = tgc.groupBy(col("w1"), col("w2"), col("w3"))
         .agg(sum(col("nd")).as("c3"))
+        .localCheckpoint(true).transform(Pinned.track)
       val cp3 = c3.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("cp3"))
+        .localCheckpoint(true).transform(Pinned.track)
       val tails = base.select(explode(array(
           struct(element_at(ws, -2).as("wa"), element_at(ws, -1).as("wb")),
           struct(element_at(ws, -2).as("wa"), lit(null).cast("string").as("wb")),
@@ -5150,11 +5205,14 @@ object Text {
         .unionAll(tails.where(col("wb").isNotNull)
           .select(col("wa"), col("wb"), col("tc").as("c")))
         .groupBy(col("wa"), col("wb")).agg(sum(col("c")).as("c2"))
+        .localCheckpoint(true).transform(Pinned.track)
       val cp2 = c2.groupBy(col("wa")).agg(sum(col("c2")).as("cp2"))
+        .localCheckpoint(true).transform(Pinned.track)
       val c1 = cp3.groupBy(col("w1")).agg(sum(col("cp3")).as("c"))
         .select(col("w1").as("wa"), col("c"))
         .unionAll(tails.where(col("wb").isNull).select(col("wa"), col("tc").as("c")))
         .groupBy(col("wa")).agg(sum(col("c")).as("c1"))
+        .localCheckpoint(true).transform(Pinned.track)
       val nTot = c1.agg(sum(col("c1")).as("n"))
       tgc.join(c3, Seq("w1", "w2", "w3")).join(cp3, Seq("w1", "w2"))
         .join(c2.select(col("wa").as("w2"), col("wb").as("w3"), col("c2")), Seq("w2", "w3"))
@@ -5251,9 +5309,14 @@ object Text {
           col("w2").isNotNull && col("w3").isNotNull && col("w4").isNotNull)
         .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"), col("w4"))
         .agg(count(lit(1)).as("nd"))
+        // r13 OPT: every count level is consumed twice (marginalization
+        // child + probe spine) — checkpoint each once (see text_lm_trigram)
+        .localCheckpoint(true).transform(Pinned.track)
       val c4 = fgc.groupBy(col("w1"), col("w2"), col("w3"), col("w4"))
         .agg(sum(col("nd")).as("c4"))
+        .localCheckpoint(true).transform(Pinned.track)
       val cp4 = c4.groupBy(col("w1"), col("w2"), col("w3")).agg(sum(col("c4")).as("cp4"))
+        .localCheckpoint(true).transform(Pinned.track)
       // per-doc boundary rows: tail trigram, tail bigram, tail unigram
       val tails = base.select(explode(array(
           struct(element_at(ws, -3).as("ta"), element_at(ws, -2).as("tb"),
@@ -5271,15 +5334,20 @@ object Text {
         .unionAll(tails.where(col("tc").isNotNull)
           .select(col("ta"), col("tb"), col("tc"), col("tn").as("c")))
         .groupBy(col("ta"), col("tb"), col("tc")).agg(sum(col("c")).as("c3"))
+        .localCheckpoint(true).transform(Pinned.track)
       val cp3 = c3.groupBy(col("ta"), col("tb")).agg(sum(col("c3")).as("cp3"))
+        .localCheckpoint(true).transform(Pinned.track)
       val c2 = cp3.select(col("ta"), col("tb"), col("cp3").as("c"))
         .unionAll(tails.where(col("tc").isNull && col("tb").isNotNull)
           .select(col("ta"), col("tb"), col("tn").as("c")))
         .groupBy(col("ta"), col("tb")).agg(sum(col("c")).as("c2"))
+        .localCheckpoint(true).transform(Pinned.track)
       val cp2 = c2.groupBy(col("ta")).agg(sum(col("c2")).as("cp2"))
+        .localCheckpoint(true).transform(Pinned.track)
       val c1 = cp2.select(col("ta"), col("cp2").as("c"))
         .unionAll(tails.where(col("tb").isNull).select(col("ta"), col("tn").as("c")))
         .groupBy(col("ta")).agg(sum(col("c")).as("c1"))
+        .localCheckpoint(true).transform(Pinned.track)
       val nTot = c1.agg(sum(col("c1")).as("n"))
       fgc.join(c4, Seq("w1", "w2", "w3", "w4")).join(cp4, Seq("w1", "w2", "w3"))
         .join(c3.select(col("ta").as("w2"), col("tb").as("w3"),
