@@ -261,6 +261,48 @@ object Kernels extends Serializable {
     (c, n) => f(c, org.apache.spark.sql.functions.lit(n))
   }
 
+  /** Per-bigram DSIR bucket ids of a word array — bucket of bigram
+    * (w_i, w_{i+1}) is (Σ_p ascii(c_p)·(1 + (131·p) % 997)) % 4096 over
+    * the characters of "w_i w_{i+1}" at 1-based positions p, the exact
+    * arithmetic of the C46/D14 oracle (`dsirOracleSql`'s ch/fb CTEs).
+    * r13 OPT (guide §1.2): the previous form evaluated this as a nested
+    * transform→aggregate→zip_with→split expression chain — interpreted
+    * Catalyst evaluation per character per bigram (the measured ~30×
+    * class this object exists for). The kernel walks the two words'
+    * chars directly; no bigram string is ever allocated. Positions
+    * iterate UTF-16 units exactly like the expression's split('') did,
+    * and the corpus contract (lowercase-ASCII tokens, Tokenizer.scala)
+    * keeps ascii()/charAt agreement exact.
+    */
+  val dsirBucketIds: Column => Column = {
+    val f = udf { ws: Seq[String] =>
+      val n = ws.size
+      if (n < 2) Array.empty[Long]
+      else {
+        val out = new Array[Long](n - 1)
+        var i = 0
+        while (i < n - 1) {
+          var s = 0L
+          var p = 1
+          val a = ws(i); val b = ws(i + 1)
+          var j = 0
+          while (j < a.length) {
+            s += a.charAt(j).toLong * (1 + (131 * p) % 997); p += 1; j += 1
+          }
+          s += 32L * (1 + (131 * p) % 997); p += 1 // the joining space
+          j = 0
+          while (j < b.length) {
+            s += b.charAt(j).toLong * (1 + (131 * p) % 997); p += 1; j += 1
+          }
+          out(i) = s % 4096
+          i += 1
+        }
+        out
+      }
+    }
+    c => f(c)
+  }
+
   /** 128-bit digests of ALL n-CHARACTER grams of a string, one (h1, h2)
     * struct per char position 0..len−n — the character-grain companion
     * of [[wordGramHashes]] (same two-lane rolling polynomial + mix64,

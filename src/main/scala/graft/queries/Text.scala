@@ -568,31 +568,36 @@ object Text {
     * closure exceeds the box there (the C68b stage-composition
     * discipline applied to the e2e chain).
     */
-  private def pretrainKeys(d: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    // r13 OPT (guide §2.4): every stage frame checkpoints once —
-    // the e2e/compact/ingest composites reference q/s1/s2 from 2 to 5
-    // branches each (next stage, miner input, retained set, final
-    // assembly spine), none of which canonicalize to a shared exchange:
-    // the compact arm's before-plan re-ran this chain per branch (400
-    // parquet scans / 1258 Exchanges, plans/r13). Progressive ckpts make
-    // the quality battery, canon/digest projection and the two keep
-    // windows each run exactly once; blocks release at the consumer's
-    // Pinned.drain. At cluster scale these are the stage tables a
-    // nightly pretrain pipeline persists between stages anyway.
+  /** r13 OPT (guide §2.4): with `materialize` on, every stage frame
+    * checkpoints once — the e2e/compact/ingest composites reference
+    * q/s1/s2 from 2 to 5 branches each (next stage, miner input,
+    * retained set, final assembly spine), none of which canonicalize to
+    * a shared exchange: the compact arm's before-plan re-ran this chain
+    * per branch (400 parquet scans / 1258 Exchanges, plans/r13).
+    * Progressive ckpts make the quality battery, canon/digest projection
+    * and the two keep windows each run exactly once; blocks release at
+    * the consumer's Pinned.drain. At cluster scale these are the stage
+    * tables a nightly pretrain pipeline persists between stages anyway.
+    * The slim `pretrain_stage_keys` gate passes `materialize = false`:
+    * it reads each frame ~twice and the three corpus-sized ckpt barriers
+    * were a measured 2× regression on that arm alone.
+    */
+  private def pretrainKeys(d: DataFrame,
+      materialize: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
+    def mat(df: DataFrame): DataFrame =
+      if (materialize) Pinned.track(df.localCheckpoint(true)) else df
     val isBench = col("doc_id") % 20 === 0
-    val q = Pinned.track(pretrainQuality(d).localCheckpoint(true))
+    val q = mat(pretrainQuality(d))
     val qs = q.where(!isBench && col("quality_bp") >= 5000)
     val keyed = qs.select(col("doc_id"), col("source"), col("lang"),
       col("text"), col("n_words"),
       canonicalUrlCol(messyUrlCol).as("canon"),
       unhex(sha2(Dedup.normText, 256)).as("h"))
     val W = org.apache.spark.sql.expressions.Window
-    val s1 = Pinned.track(keyed.withColumn("url_keep",
-      col("doc_id") === min(col("doc_id")).over(W.partitionBy(col("canon"))))
-      .localCheckpoint(true))
-    val s2 = Pinned.track(s1.where(col("url_keep")).withColumn("exact_keep",
-      col("doc_id") === min(col("doc_id")).over(W.partitionBy(col("h"))))
-      .localCheckpoint(true))
+    val s1 = mat(keyed.withColumn("url_keep",
+      col("doc_id") === min(col("doc_id")).over(W.partitionBy(col("canon")))))
+    val s2 = mat(s1.where(col("url_keep")).withColumn("exact_keep",
+      col("doc_id") === min(col("doc_id")).over(W.partitionBy(col("h")))))
     (q, s1, s2)
   }
 
@@ -1497,7 +1502,11 @@ object Text {
       bench.select(col("doc_id").as("bench_id"), col("h")).distinct()
         .localCheckpoint(true))
     val benchCnt = benchSets.groupBy(col("bench_id")).agg(count(lit(1)).as("cb"))
-    val trainSets = train.select(col("doc_id"), col("h")).distinct()
+    // r13 OPT: three consumers (per-doc counts, gram-probe candidates,
+    // intersection counts) each re-ran the gram pass + the corpus-scale
+    // distinct shuffle — checkpoint the distinct digest set once
+    val trainSets = Pinned.track(
+      train.select(col("doc_id"), col("h")).distinct().localCheckpoint(true))
     val cntTrain = trainSets.groupBy(col("doc_id")).agg(count(lit(1)).as("ct"))
     // candidate stage: minhash bands for the near-dup decision (32
     // broadcast keys per bench item) ∪ gram probe for containment
@@ -1690,19 +1699,16 @@ object Text {
     */
   private def dsirBuckets(d: DataFrame): DataFrame = {
     val ws = split(col("text"), " ")
+    // r13 OPT: bucket arithmetic moved into the JIT kernel
+    // (Kernels.dsirBucketIds — same ascii·position polynomial mod 4096,
+    // previously an interpreted transform/aggregate/zip_with chain per
+    // bigram). The kernel never emits NULL (split() yields no null
+    // elements and null/short texts fail the size filter), so the old
+    // b-IS-NOT-NULL guard — which existed to keep both consumers'
+    // subtrees canonically identical — is vacuous and dropped with it.
     d.where(size(ws) >= 2).select(col("doc_id"), ws.as("ws"))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, size(ws) - 2),
-          |  i -> aggregate(
-          |         zip_with(split(concat(ws[i], ' ', ws[i+1]), ''),
-          |                  sequence(1, length(ws[i]) + length(ws[i+1]) + 1),
-          |                  (c, p) -> CAST(ascii(c) * (1 + (131 * p) % 997) AS BIGINT)),
-          |         0L, (acc, x) -> acc + x) % 4096)""".stripMargin)).as("b"))
-      // the null-guard lives HERE, not as the probe join's inferred
-      // constraint: the model's totals window blocks filter pushdown on
-      // its side, and two canonically different subtrees defeat the
-      // exchange reuse (the C38b failure class)
-      .where(col("b").isNotNull)
+      .select(col("doc_id"),
+        explode(graft.functions.Kernels.dsirBucketIds(col("ws"))).as("b"))
   }
 
   /** Both bucket models out of ONE aggregate above fbc's exchange (a
@@ -3161,15 +3167,20 @@ object Text {
       Dedup.ensureLocalCkptDir(s)
       val d = docs(s, dir)
       val isIncr = (col("doc_id") % 7).isin(2L, 4L)
-      val retained = pretrainCascade(d.where(!isIncr)).retained
-      // r13 OPT (guide §2.4): the increment battery (iq) feeds the
+      // r13 OPT (guide §2.4/§2.6): the increment battery (iq) feeds the
       // verdict stages, the kept set AND the assembly spine; the
       // verdict frame feeds the kept set and the assembly; the merged
       // survivor set is read twice by the tail. One ckpt each (slim
       // rows) — before, each branch re-ran the increment quality pass
-      // and the staged-verdict joins.
-      val iq = Pinned.track(
-        pretrainQuality(d.where(isIncr)).localCheckpoint(true))
+      // and the staged-verdict joins. iq is independent of the corpus
+      // cascade, so its materialization job overlaps it (§2.6).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fIq = Future(Pinned.track(
+        pretrainQuality(d.where(isIncr)).localCheckpoint(true)))
+      val retained = pretrainCascade(d.where(!isIncr)).retained
+      val iq = Await.result(fIq, Duration.Inf)
       val iPass = iq.where(col("doc_id") % 20 =!= 0 && col("quality_bp") >= 5000)
       val ik = iPass.select(col("doc_id"),
         canonicalUrlCol(messyUrlCol).as("canon"),
@@ -3293,7 +3304,7 @@ object Text {
         |WHERE q.doc_id % 20 <> 0
         |ORDER BY q.doc_id""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
-      val (q, s1, s2) = pretrainKeys(d)
+      val (q, s1, s2) = pretrainKeys(d, materialize = false)
       val surv2ids = s2.where(col("exact_keep")).select(col("doc_id"))
       val grams = Dedup.substringGrams(d, 4)
       val bprobe = grams.where(col("doc_id") % 20 === 0).select(col("h")).distinct()
@@ -3352,20 +3363,35 @@ object Text {
         val d = docs(s, dir)
         val isIncr = (col("doc_id") % 7).isin(2L, 4L)
         val retained = pretrainCascade(d.where(!isIncr)).retained
-        val retC = Pinned.track(retained.select(col("canon")).distinct()
-          .withColumn("u", lit(1)).localCheckpoint(true))
-        val retH = Pinned.track(retained.select(col("h")).distinct()
-          .withColumn("e", lit(1)).localCheckpoint(true))
-        val retB = Pinned.track(Dedup.bandedMinhashIntKeys(retained)
-          .select(col("doc_id").as("c_id"), col("bk")).localCheckpoint(true))
-        val retG = Pinned.track(retained
+        // r13 OPT (guide §2.6): the five probe tables are independent
+        // derivations (four off the checkpointed retained frame, one off
+        // the raw benchmark docs) — their eager materialization jobs ran
+        // strictly serially before, each paying its own scheduling floor
+        // and leaving the tail of the previous job's stage idle. Submit
+        // them concurrently (Spark's FIFO scheduler back-fills freed
+        // cores); each future only builds + checkpoints its own frame.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val fC = Future(Pinned.track(retained.select(col("canon")).distinct()
+          .withColumn("u", lit(1)).localCheckpoint(true)))
+        val fH = Future(Pinned.track(retained.select(col("h")).distinct()
+          .withColumn("e", lit(1)).localCheckpoint(true)))
+        val fB = Future(Pinned.track(Dedup.bandedMinhashIntKeys(retained)
+          .select(col("doc_id").as("c_id"), col("bk")).localCheckpoint(true)))
+        val fG = Future(Pinned.track(retained
           .select(col("doc_id").as("c_id"), split(col("text"), " ").as("ws"))
           .where(size(col("ws")) >= 3)
           .select(col("c_id"), graft.functions.Kernels.grams3(col("ws")).as("gb"))
-          .localCheckpoint(true))
-        val bprobe = Pinned.track(Dedup.substringGrams(
+          .localCheckpoint(true)))
+        val fP = Future(Pinned.track(Dedup.substringGrams(
             d.where(!isIncr && col("doc_id") % 20 === 0), 4)
-          .select(col("h")).distinct().localCheckpoint(true))
+          .select(col("h")).distinct().localCheckpoint(true)))
+        val retC = Await.result(fC, Duration.Inf)
+        val retH = Await.result(fH, Duration.Inf)
+        val retB = Await.result(fB, Duration.Inf)
+        val retG = Await.result(fG, Duration.Inf)
+        val bprobe = Await.result(fP, Duration.Inf)
         val schema = s.read.parquet(s"$dir/documents.parquet").schema
         val stream = s.readStream.schema(schema)
           .option("pathGlobFilter", "documents.parquet")
