@@ -658,37 +658,40 @@ class PlanSpec extends SparkSpec {
       s"bucket offsets must broadcast back, not shuffle the corpus:\n$p")
   }
 
-  test("text_lm_trigram: ONE corpus scan — tgc exchange reused, tails behind the checkpoint") {
-    // the per-doc trigram count is THE corpus-scale aggregation; c3 and
-    // the scoring probe both sit above its exchange, and the boundary
-    // items live behind the eager checkpoint — a second documents scan
-    // in the final plan means a consumer re-tokenized the corpus (the
-    // C38b RemoveRedundantAggregates / inferred-filter failure class)
+  test("text_lm_trigram: ZERO corpus scans in the probe plan — count tables behind checkpoints") {
+    // the per-doc trigram count is THE corpus-scale aggregation and it
+    // (plus every marginalized count table) is an eager checkpoint
+    // (r13 OPT): the ONE corpus scan happens inside tgc's
+    // materialization job, so the executed probe plan must contain NO
+    // documents scan at all — one would mean a consumer re-tokenized
+    // the corpus (the C38b RemoveRedundantAggregates / inferred-filter
+    // failure class, which the pre-r13 pin caught as a SECOND scan).
+    // The count tables read back as ExistingRDD checkpoint scans.
     val df = SparkEntry.queries("text_lm_trigram")(spark, sf())
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
     assert(p.linesIterator.count(l =>
-      l.contains("Scan parquet") && l.contains("documents")) == 1,
-      s"trigram source must scan documents exactly once:\n$p")
-    assert(p.linesIterator.count(_.contains("ReusedExchange")) >= 2,
-      s"tgc/type-table exchange reuse did not fire:\n$p")
+      l.contains("Scan parquet") && l.contains("documents")) == 0,
+      s"trigram probe plan must not re-scan documents:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan ExistingRDD")) >= 5,
+      s"checkpointed count tables missing from the probe plan:\n$p")
   }
 
-  test("text_lm_backoff: ONE corpus scan — fgc exchange reused, boundary tails behind the checkpoint") {
-    // the per-doc 4-gram count is THE corpus-scale aggregation; c4 and
-    // the scoring probe both sit above its exchange, and the three
-    // boundary items live behind the eager checkpoint — a second
-    // documents scan in the final plan means a lower-order model table
-    // re-tokenized the corpus instead of marginalizing the 4-gram type
-    // table (the C38d identity, one level deeper)
+  test("text_lm_backoff: ZERO corpus scans in the probe plan — count tables behind checkpoints") {
+    // the per-doc 4-gram count is THE corpus-scale aggregation; it and
+    // every lower-order table marginalized from it (the C38d identity)
+    // are eager checkpoints (r13 OPT) — the ONE corpus scan happens
+    // inside fgc's materialization job, so a documents scan in the
+    // executed probe plan means a lower-order model table re-tokenized
+    // the corpus instead of marginalizing the 4-gram type table.
     val df = SparkEntry.queries("text_lm_backoff")(spark, sf())
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
     assert(p.linesIterator.count(l =>
-      l.contains("Scan parquet") && l.contains("documents")) == 1,
-      s"backoff source must scan documents exactly once:\n$p")
-    assert(p.linesIterator.count(_.contains("ReusedExchange")) >= 2,
-      s"fgc/type-table exchange reuse did not fire:\n$p")
+      l.contains("Scan parquet") && l.contains("documents")) == 0,
+      s"backoff probe plan must not re-scan documents:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan ExistingRDD")) >= 7,
+      s"checkpointed count tables missing from the probe plan:\n$p")
   }
 
   test("text_importance_resample: one corpus scan, broadcast model, partial agg") {
