@@ -1535,20 +1535,25 @@ object Dedup {
         |WHERE i.i / (ca.c + cb.c - i.i) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
-      val banded = d.select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .where(size(col("ws")) >= 3)
+      // r13 OPT: one gram pass feeds the integer signature AND the exact
+      // verification, and the banded sliver checkpoints so the
+      // 128-permutation kernel runs once, not once per self-join side
+      // (the minhashLshPairs treatment applied to the integer twin)
+      val gsets = gramSetsCkpt(d)
+      val banded = Pinned.track(gsets
         .select(col("doc_id"),
-          graft.functions.Kernels.minhashInt128(gramsOf(col("ws"))).as("sig"))
+          graft.functions.Kernels.minhashInt128(col("gs")).as("sig"))
         .select(col("doc_id"),
           explode(transform(sequence(lit(0), lit(31)),
             b => struct(b.as("band"),
               array_join(transform(slice(col("sig"), b * 4 + 1, lit(4)),
                 _.cast("string")), ":").as("bsig")))).as("bk"))
+        .localCheckpoint(true))
       val cands = banded.as("a").join(banded.as("b"),
           col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
-      verifyJaccard(cands, d, 0.8).orderBy(col("a_id"), col("b_id"))
+      verifyJaccardOn(cands, gsets, 0.8).orderBy(col("a_id"), col("b_id"))
     },
 
     // C5b (r11): the HASH-GATED SimHash — 48 single-bit hashes derived
