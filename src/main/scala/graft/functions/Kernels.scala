@@ -219,9 +219,17 @@ object Kernels extends Serializable {
     * never look at gram TEXT (substring dedup, decontamination probes:
     * the digest is an engine-internal join/group key, no oracle
     * restates it and no query outputs it, so equality-of-results only
-    * needs collision-freeness — two independent mix64-finalized
-    * polynomial lanes give ~2⁻¹²⁸ pair odds, the same class of
-    * argument the previous sha2-256 string key relied on).
+    * needs collision-freeness. The two differently-seeded polynomial
+    * lanes share the input sequence, so the honest argument is the
+    * BOUNDED-DEGREE one, not an ideal 2⁻¹²⁸: two distinct grams collide
+    * on a lane only if their word-hash sequences make the lane's
+    * degree-≤n difference polynomial vanish mod 2⁶⁴ — with pre-hashed
+    * 64-bit word inputs and small n the per-pair odds are ≤ n·2⁻⁶⁴ per
+    * lane and the lanes multiply under independent seeds; mix64
+    * finalization only de-correlates banding, it cannot repair an
+    * internal-state collision. For internal keys over realistic gram
+    * populations this sits in the same practical no-collision class
+    * the previous sha2-256 key occupied.
     *
     * r13 OPT (guide §1.2 per-task work): each word hashes ONCE
     * (hashStr) and the gram digest is a rolling polynomial over the
@@ -310,6 +318,15 @@ object Kernels extends Serializable {
     * substring(i, n) → sha2 per char position chain: no 50-char gram
     * strings are ever materialized and the hash work is O(len), not
     * O(len·n).
+    *
+    * POSITION UNIT CAVEAT (r13 advice): positions iterate UTF-16 code
+    * units (charAt) exactly like the substring(i, n) expression this
+    * replaced — Spark's substring counts codepoints, but the two agree
+    * on BMP text, and the corpus contract (lowercase-ASCII tokens,
+    * Tokenizer.scala) keeps them identical here. Feeding supplementary-
+    * plane text would shift gram positions relative to a codepoint
+    * oracle; a caller outside the ASCII contract must iterate
+    * codePointAt/charCount instead.
     */
   val charGramHashes: (Column, Int) => Column = {
     val f = udf { (text: String, n: Int) =>

@@ -52,22 +52,31 @@ object Dedup {
   private def gramsOf(words: Column): Column =
     graft.functions.Kernels.grams3(words)
 
-  /** (doc_id, gs) distinct-3-gram sets of a (doc_id, text) frame,
-    * CHECKPOINTED (eager, Pinned-tracked): every miner references its
-    * gram sets 2-4× (df-count build, prefix window, both verify sides)
-    * and none of those branches canonicalize to a reusable exchange —
-    * measured r13: the composed pretrain/compact plans re-ran the FULL
-    * upstream lineage per branch (400 parquet scans / 1258 Exchanges in
-    * pipeline_pretrain_compact's before-plan, plans/r13). One gram-
-    * kernel pass lands in executor-local blocks; every consumer reads
-    * those. Guide §2.4 (remove shuffles/passes outright) — the blocks
-    * live one query run (Pinned contract, drained by Verify/Bench).
+  /** (doc_id, gs) distinct-3-gram sets of a (doc_id, text) frame — the
+    * LAZY builder behind every miner. private[queries] (r14) so the
+    * pretrain compaction can build the INCREMENT side's gram sets fresh
+    * while reusing the cascade's already-materialized corpus gram sets
+    * (VERDICT #1 — one gram-kernel pass feeds both exact miners).
     */
-  private def gramSetsCkpt(d: DataFrame): DataFrame = Pinned.track(
+  private[queries] def gramSets(d: DataFrame): DataFrame =
     d.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .where(size(col("ws")) >= 3)
       .select(col("doc_id"), gramsOf(col("ws")).as("gs"))
-      .localCheckpoint(true))
+
+  /** [[gramSets]] MATERIALIZED (eager, Pinned-tracked): every miner
+    * references its gram sets 2-4× (df-count build, prefix window, both
+    * verify sides) and none of those branches canonicalize to a reusable
+    * exchange — measured r13: the composed pretrain/compact plans re-ran
+    * the FULL upstream lineage per branch (400 parquet scans / 1258
+    * Exchanges in pipeline_pretrain_compact's before-plan, plans/r13).
+    * One gram-kernel pass; every consumer reads the materialization.
+    * Guide §2.4 (remove shuffles/passes outright) — lives one query run
+    * (Pinned contract, drained by Verify/Bench). r14: the gram arrays
+    * are corpus-FAT (≈3× text bytes), so the materialization is
+    * [[Pinned.fat]] (lineage-retaining persist) rather than
+    * localCheckpoint — VERDICT #1's fault-tolerance hole.
+    */
+  private def gramSetsCkpt(d: DataFrame): DataFrame = Pinned.fat(gramSets(d))
 
   /** Exact 3-gram Jaccard for a candidate pair set (a_id, b_id):
     * joins gram SETS back per side and verifies |∩|/|∪| >= tau.
@@ -104,6 +113,14 @@ object Dedup {
     * pairs. Candidates are re-verified on full gram sets, so the result
     * is exactly the pairs with jaccard ≥ tau (property-specd in
     * DedupAnnSpec against brute force on random corpora).
+    *
+    * DRAIN OBLIGATION (r13 advice): the default `materialize = true`
+    * eagerly materializes the gram-set frame at CONSTRUCTION time and
+    * registers it with [[Pinned]] — the caller (or its harness) must
+    * call `Pinned.drain()` after its one consuming action, or the
+    * blocks outlive the query (Verify/Bench/SparkSpec all drain). A
+    * returned plan must not be re-executed after drain. Callers without
+    * a draining harness should pass `materialize = false`.
     */
   def ngramJaccardPairs(d: DataFrame, tauNum: Int, tauDen: Int): DataFrame =
     ngramJaccardPairs(d, tauNum, tauDen, materialize = true)
@@ -122,22 +139,35 @@ object Dedup {
     * the ckpt barrier was a measured +0.8-1.0 s pure regression.
     */
   def ngramJaccardPairs(d: DataFrame, tauNum: Int, tauDen: Int,
-      materialize: Boolean): DataFrame = {
+      materialize: Boolean): DataFrame =
+    if (materialize)
+      ngramJaccardPairsOnGsets(gramSetsCkpt(d), tauNum, tauDen)
+    else
+      ngramJaccardPairsOnGsets(gramSets(d), tauNum, tauDen,
+        materializePrefix = false)
+
+  /** The AllPairs/PPJoin mining + exact verification over an
+    * already-built (doc_id, gs) gram-set frame — factored (r14) so the
+    * pretrain compaction's second miner can feed a gram-set frame
+    * ASSEMBLED from the cascade's materialized corpus gram sets plus a
+    * fresh increment pass (VERDICT #1). The df-count/prefix sliver is
+    * rebuilt per call — the prefix filter's global gram df is a
+    * property of THIS miner's input set, never shareable across inputs.
+    */
+  private[queries] def ngramJaccardPairsOnGsets(gsets: DataFrame,
+      tauNum: Int, tauDen: Int, materializePrefix: Boolean = true): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen, "tau in (0, 1]")
     val tau = tauNum.toDouble / tauDen
-    def mat(df: DataFrame): DataFrame =
-      if (materialize) Pinned.track(df.localCheckpoint(true)) else df
-    val gsets = mat(
-      d.select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .where(size(col("ws")) >= 3)
-        .select(col("doc_id"), gramsOf(col("ws")).as("gs")))
     val g = gsets.select(col("doc_id"), size(col("gs")).as("c"), explode(col("gs")).as("g"))
     val gdf = g.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
-    val prefix = mat(g.join(gdf, "g")
+    val prefix0 = g.join(gdf, "g")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("gdf"), col("g"))))
       .where(expr(s"rn <= c - (($tauNum * c + $tauDen - 1) div $tauDen) + 1"))
-      .select(col("doc_id"), col("c"), col("g")))
+      .select(col("doc_id"), col("c"), col("g"))
+    val prefix =
+      if (materializePrefix) Pinned.track(prefix0.localCheckpoint(true))
+      else prefix0
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
           expr(s"$tauDen * least(a.c, b.c) >= $tauNum * greatest(a.c, b.c)"))

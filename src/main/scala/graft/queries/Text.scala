@@ -532,12 +532,17 @@ object Text {
       |ORDER BY kq.doc_id""".stripMargin
 
   /** The staged frames of C83's cascade prefix — quality-scored docs,
-    * the url/exact keep-first windows, the neardup CC drop set, and the
+    * the url/exact keep-first windows, the neardup CC drop set, the
     * cascade-RETAINED frame (doc_id, source, lang, text, n_words,
-    * canon, h).
+    * canon, h), and (r14) `gsets`: the miner's MATERIALIZED (doc_id, gs)
+    * gram-set frame over the exact-dup survivors, carried so
+    * `pipeline_pretrain_compact`'s second exact miner reuses it instead
+    * of re-running the gram kernel over the retained corpus (VERDICT #1
+    * — retained ⊂ exact survivors, so gsets ∖ nd IS the retained side's
+    * gram sets).
     */
   private case class PretrainStages(q: DataFrame, s1: DataFrame,
-      s2: DataFrame, nd: DataFrame, retained: DataFrame)
+      s2: DataFrame, nd: DataFrame, retained: DataFrame, gsets: DataFrame)
 
   /** C83's benchmark→quality→url→exact→neardup cascade prefix over any
     * documents frame — ONE definition shared by batch
@@ -581,12 +586,20 @@ object Text {
     * The slim `pretrain_stage_keys` gate passes `materialize = false`:
     * it reads each frame ~twice and the three corpus-sized ckpt barriers
     * were a measured 2× regression on that arm alone.
+    * r14 (VERDICT #1/#3): q/s1/s2 carry the TEXT column — corpus-fat —
+    * so they materialize via [[Pinned.fat]] (lineage-retaining persist),
+    * not localCheckpoint.
     */
   private def pretrainKeys(d: DataFrame,
       materialize: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
     def mat(df: DataFrame): DataFrame =
-      if (materialize) Pinned.track(df.localCheckpoint(true)) else df
+      if (materialize) Pinned.fat(df) else df
     val isBench = col("doc_id") % 20 === 0
+    // r14 NOTE: de-materializing the narrow-recompute frames (q here,
+    // iq/retained/merged in the compact arm) was A/B-measured and LOST
+    // 6/8 interleaved pairs (+0.2-0.4 s median on compact) — the saved
+    // barrier jobs cost less than the consumers' sha2/canon/scan
+    // re-runs. The r13 barrier placement stands.
     val q = mat(pretrainQuality(d))
     val qs = q.where(!isBench && col("quality_bp") >= 5000)
     val keyed = qs.select(col("doc_id"), col("source"), col("lang"),
@@ -604,15 +617,29 @@ object Text {
   private def pretrainCascade(d: DataFrame): PretrainStages = {
     val (q, s1, s2) = pretrainKeys(d)
     val surv2 = s2.where(col("exact_keep"))
-    val pairs = Dedup.ngramJaccardPairs(
-      surv2.select(col("doc_id"), col("text")), 4, 5)
+    // r14 OPT (VERDICT #1): the miner's gram-set build is hoisted out of
+    // ngramJaccardPairs and CARRIED in the stages, so the compaction's
+    // second exact miner (retained ∪ increment) reuses this one
+    // gram-kernel pass instead of re-running it over the retained corpus
+    // — only the df-count/prefix sliver is per-miner (the prefix
+    // filter's global gram df is a property of each miner's input set).
+    val gsets = Pinned.fat(
+      Dedup.gramSets(surv2.select(col("doc_id"), col("text"))))
+    val pairs = Dedup.ngramJaccardPairsOnGsets(gsets, 4, 5)
     val nd = Dedup.connectedComponents(pairs)
       .where(col("id") =!= col("label"))
       .select(col("id").as("doc_id"), lit(1L).as("ndf"))
     // retained is the composites' corpus-side probe base (compact reads
-    // it 3×, ingest 4×) — one more slim ckpt ends the lineage here
-    PretrainStages(q, s1, s2, nd, Pinned.track(
-      surv2.join(nd, Seq("doc_id"), "left_anti").localCheckpoint(true)))
+    // it 3×, ingest 4×) — one more materialization ends the lineage
+    // here (text-bearing ⇒ corpus-fat ⇒ Pinned.fat, VERDICT #1/#3).
+    // r14: the anti join broadcasts the CC loser set explicitly — nd is
+    // post-verification output, orders of magnitude smaller than the
+    // corpus (the connectedComponents smallGraphThreshold argument),
+    // and its checkpoint-scan stats would otherwise default to huge and
+    // plan a corpus-side shuffle.
+    PretrainStages(q, s1, s2, nd,
+      Pinned.fat(surv2.join(broadcast(nd.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")), gsets)
   }
 
   /** C83's post-cascade tail over any survivor frame (doc_id, source,
@@ -3173,22 +3200,51 @@ object Text {
       // survivor set is read twice by the tail. One ckpt each (slim
       // rows) — before, each branch re-ran the increment quality pass
       // and the staged-verdict joins. iq is independent of the corpus
-      // cascade, so its materialization job overlaps it (§2.6).
+      // cascade, so its materialization job overlaps it (§2.6; r14:
+      // on the BOUNDED MatPool, VERDICT #6).
       import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
-      val fIq = Future(Pinned.track(
-        pretrainQuality(d.where(isIncr)).localCheckpoint(true)))
-      val retained = pretrainCascade(d.where(!isIncr)).retained
+      import MatPool.ec
+      val fIq = Future(Pinned.fat(pretrainQuality(d.where(isIncr))))
+      val stages = pretrainCascade(d.where(!isIncr))
+      val retained = stages.retained
       val iq = Await.result(fIq, Duration.Inf)
       val iPass = iq.where(col("doc_id") % 20 =!= 0 && col("quality_bp") >= 5000)
       val ik = iPass.select(col("doc_id"),
         canonicalUrlCol(messyUrlCol).as("canon"),
         unhex(sha2(Dedup.normText, 256)).as("h"))
+      // r14 OPT (VERDICT #1, guide §2.4): the verdict miner's input is
+      // retained-text ∪ increment stage-2 survivors
+      // (compactStagedVerdicts' construction; the two sides partition
+      // exactly on the doc_id % 7 increment coin). The retained side's
+      // gram sets are the cascade's materialized gsets MINUS its
+      // near-dup losers (retained = surv2 ∖ nd), so ONLY the increment
+      // side runs the gram kernel here; nd is the post-verification
+      // near-dup loser set — orders of magnitude smaller than the
+      // corpus (the connectedComponents smallGraphThreshold argument) —
+      // so the anti join broadcasts instead of shuffling gram arrays.
+      // Each miner still builds its own df-count/prefix sliver: the
+      // prefix filter's global gram df differs between the two inputs.
+      val compactMiner: DataFrame => DataFrame = { mi =>
+        // only the INCREMENT side materializes (2/7-scale) — the corpus
+        // side stays a LAZY broadcast-anti-join over the cascade's
+        // already-materialized gsets blocks, so no corpus-scale gram
+        // bytes are ever re-serialized for the second miner (the lazy
+        // union re-reads the pinned blocks per consumer, which measures
+        // cheaper than writing the union once)
+        val incrGs = Pinned.fat(Dedup.gramSets(
+          mi.where((col("doc_id") % 7).isin(2L, 4L))))
+        val gs = stages.gsets
+          .join(broadcast(stages.nd.select(col("doc_id"))),
+            Seq("doc_id"), "left_anti")
+          .unionByName(incrGs)
+        Dedup.ngramJaccardPairsOnGsets(gs, 4, 5)
+      }
       val verdicts = Pinned.track(Dedup.compactStagedVerdicts(s,
         retained.select(col("canon"), col("h")), ik,
         retained.select(col("doc_id"), col("text")),
-        iPass.select(col("doc_id"), col("text"))).localCheckpoint(true))
+        iPass.select(col("doc_id"), col("text")),
+        compactMiner).localCheckpoint(true))
       val iKept = iPass.select(col("doc_id"), col("source"), col("lang"), col("n_words"))
         .join(verdicts.where(col("stage") === "kept").select(col("doc_id")),
           Seq("doc_id"), "left_semi")
@@ -3370,20 +3426,24 @@ object Text {
         // and leaving the tail of the previous job's stage idle. Submit
         // them concurrently (Spark's FIFO scheduler back-fills freed
         // cores); each future only builds + checkpoints its own frame.
+        // r14 (VERDICT #6): on the BOUNDED MatPool — at most 3 in
+        // flight, so the probe builds back-fill each other's tails
+        // without five jobs fighting for executors at once; the
+        // corpus-fat gram-set frame (fG) persists with lineage retained
+        // (VERDICT #1) instead of localCheckpoint.
         import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
+        import MatPool.ec
         val fC = Future(Pinned.track(retained.select(col("canon")).distinct()
           .withColumn("u", lit(1)).localCheckpoint(true)))
         val fH = Future(Pinned.track(retained.select(col("h")).distinct()
           .withColumn("e", lit(1)).localCheckpoint(true)))
         val fB = Future(Pinned.track(Dedup.bandedMinhashIntKeys(retained)
           .select(col("doc_id").as("c_id"), col("bk")).localCheckpoint(true)))
-        val fG = Future(Pinned.track(retained
+        val fG = Future(Pinned.fat(retained
           .select(col("doc_id").as("c_id"), split(col("text"), " ").as("ws"))
           .where(size(col("ws")) >= 3)
-          .select(col("c_id"), graft.functions.Kernels.grams3(col("ws")).as("gb"))
-          .localCheckpoint(true)))
+          .select(col("c_id"), graft.functions.Kernels.grams3(col("ws")).as("gb"))))
         val fP = Future(Pinned.track(Dedup.substringGrams(
             d.where(!isIncr && col("doc_id") % 20 === 0), 4)
           .select(col("h")).distinct().localCheckpoint(true)))
@@ -4367,14 +4427,16 @@ object Text {
     // probed cells are scanned (the C8g partition-prune discipline),
     // the corpus never re-shuffles per query batch.
     Q("pipeline_rag_probe", ragProbeSql) { (s, dir) =>
-      // r13 OPT: the chunk/embed frame checkpoints once — it feeds the
+      // r13 OPT: the chunk/embed frame materializes once — it feeds the
       // quantizer fit, the corpus probe side AND the final id join-back,
-      // and each branch re-ran chunkSplit + the hash-embed kernel before
-      val ch = Pinned.track(chunkSplit(docs(s, dir))
+      // and each branch re-ran chunkSplit + the hash-embed kernel before.
+      // r14: corpus-fat (chunk text fan-out × 16-dim vectors) ⇒
+      // Pinned.fat — lineage-retaining persist, not localCheckpoint
+      // (VERDICT #1).
+      val ch = Pinned.fat(chunkSplit(docs(s, dir))
         .select((col("doc_id") * 4096 + col("chunk_id")).as("vec_id"),
           col("doc_id"), col("chunk_id"),
-          graft.functions.Kernels.featureHashVec(16)(split(col("chunk_text"), " ")).as("hv"))
-        .localCheckpoint(true))
+          graft.functions.Kernels.featureHashVec(16)(split(col("chunk_text"), " ")).as("hv")))
       val x = ch.select(col("vec_id"),
         transform(col("hv"), v => v + lit(32L)).as("q"))
       val (assign, _, cents) = Cluster.fitOn(s, x)
@@ -5195,6 +5257,17 @@ object Text {
         |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val ws = split(col("text"), " ")
       val base = docs(s, dir).where(size(ws) >= 3)
+      // r14 OPT (VERDICT #2 applied one order down, guide §2.3): dense
+      // word-id dictionary — the probe spine joins five count tables on
+      // 1-3 word STRING keys; ids make every downstream key an int (see
+      // text_lm_backoff for the injectivity argument and A/B evidence)
+      val dict = Pinned.track(
+        base.select(explode(ws).as("w")).distinct()
+          .withColumn("wid", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("w"))))
+          .localCheckpoint(true))
+      def wid(slot: String, out: String) =
+        broadcast(dict.select(col("w").as(slot), col("wid").as(out)))
       val tgc = base
         .select(col("doc_id"), explode(zip_with(
           zip_with(
@@ -5203,10 +5276,12 @@ object Text {
           slice(ws, lit(3), size(ws) - 2),
           (p, c) => struct(p.getField("w1").as("w1"),
             p.getField("w2").as("w2"), c.as("w3")))).as("tg"))
-        .select(col("doc_id"), col("tg.w1").as("w1"),
-          col("tg.w2").as("w2"), col("tg.w3").as("w3"))
-        .where(col("doc_id").isNotNull && col("w1").isNotNull &&
-          col("w2").isNotNull && col("w3").isNotNull)
+        .select(col("doc_id"), col("tg.w1").as("s1"),
+          col("tg.w2").as("s2"), col("tg.w3").as("s3"))
+        .where(col("doc_id").isNotNull && col("s1").isNotNull &&
+          col("s2").isNotNull && col("s3").isNotNull)
+        .join(wid("s1", "w1"), "s1").join(wid("s2", "w2"), "s2")
+        .join(wid("s3", "w3"), "s3")
         .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
         .agg(count(lit(1)).as("nd"))
         // r13 OPT (guide §2.4): every count table below is consumed
@@ -5220,11 +5295,16 @@ object Text {
       val cp3 = c3.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("cp3"))
         .localCheckpoint(true).transform(Pinned.track)
       val tails = base.select(explode(array(
-          struct(element_at(ws, -2).as("wa"), element_at(ws, -1).as("wb")),
-          struct(element_at(ws, -2).as("wa"), lit(null).cast("string").as("wb")),
-          struct(element_at(ws, -1).as("wa"), lit(null).cast("string").as("wb")))).as("t"))
-        .select(col("t.wa").as("wa"), col("t.wb").as("wb"))
-        .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("tc"))
+          struct(element_at(ws, -2).as("sa"), element_at(ws, -1).as("sb")),
+          struct(element_at(ws, -2).as("sa"), lit(null).cast("string").as("sb")),
+          struct(element_at(ws, -1).as("sa"), lit(null).cast("string").as("sb")))).as("t"))
+        .select(col("t.sa").as("sa"), col("t.sb").as("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("tc"))
+        // boundary words are base tokens (inner sa map drops nothing);
+        // sb maps through a LEFT join so arity-marking nulls survive
+        .join(wid("sa", "wa"), Seq("sa"))
+        .join(wid("sb", "wb"), Seq("sb"), "left")
+        .select(col("wa"), col("wb"), col("tc"))
         .localCheckpoint(true) // vocab-bounded sliver; two arity-filtered consumers
         .transform(Pinned.track) // released by the consumer's drain (r8 advice)
       val c2 = cp3.select(col("w1").as("wa"), col("w2").as("wb"), col("cp3").as("c"))
@@ -5324,15 +5404,43 @@ object Text {
         |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val ws = split(col("text"), " ")
       val base = docs(s, dir).where(size(ws) >= 4)
-      val fgc = base.select(col("doc_id"), ws.as("ws"))
+      // r14 OPT (VERDICT #2, guide §2.3 — shuffle fewer bytes): the
+      // probe spine joins SEVEN count tables on 1-4 word STRING keys,
+      // and every count-table groupBy shuffled those strings too. A
+      // dense word-id dictionary (distinct tokens → row_number) makes
+      // every downstream key an int: the mapping is injective, so every
+      // group, every count and every join match is IDENTICAL to the
+      // string form, and ids never reach the output (doc_id + counts +
+      // score only — the oracle gates that unchanged). The dictionary
+      // is the vocab sliver (the KenLM vocab-table shape) and
+      // broadcasts into the one gram-assembly pass; at cluster scale
+      // that one token-keyed hash join replaces seven string-keyed
+      // corpus shuffles.
+      val dict = Pinned.track(
+        base.select(explode(ws).as("w")).distinct()
+          // vocab-bounded single-partition window (the bounded-model-
+          // frame class — unpartitioned-Window audit, OPTIMIZATION_r14)
+          .withColumn("wid", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("w"))))
+          .localCheckpoint(true))
+      def wid(slot: String, out: String) =
+        broadcast(dict.select(col("w").as(slot), col("wid").as(out)))
+      val fg0 = base.select(col("doc_id"), ws.as("ws"))
         .select(col("doc_id"), explode(expr(
           """transform(sequence(0, size(ws) - 4),
             |  i -> named_struct('w1', ws[i], 'w2', ws[i+1],
             |                    'w3', ws[i+2], 'w4', ws[i+3]))""".stripMargin)).as("g"))
-        .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
-          col("g.w3").as("w3"), col("g.w4").as("w4"))
-        .where(col("doc_id").isNotNull && col("w1").isNotNull &&
-          col("w2").isNotNull && col("w3").isNotNull && col("w4").isNotNull)
+        .select(col("doc_id"), col("g.w1").as("s1"), col("g.w2").as("s2"),
+          col("g.w3").as("s3"), col("g.w4").as("s4"))
+        .where(col("doc_id").isNotNull && col("s1").isNotNull &&
+          col("s2").isNotNull && col("s3").isNotNull && col("s4").isNotNull)
+      // every gram word is a base token ⇒ the inner dict joins drop
+      // nothing; after them the corpus-scale groupBy shuffles ints
+      // (A/B-measured: the id spine won 7/8 interleaved pairs, median
+      // 5.22 vs 5.84 s in the same window)
+      val fgc = fg0
+        .join(wid("s1", "w1"), "s1").join(wid("s2", "w2"), "s2")
+        .join(wid("s3", "w3"), "s3").join(wid("s4", "w4"), "s4")
         .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"), col("w4"))
         .agg(count(lit(1)).as("nd"))
         // r13 OPT: every count level is consumed twice (marginalization
@@ -5343,16 +5451,25 @@ object Text {
         .localCheckpoint(true).transform(Pinned.track)
       val cp4 = c4.groupBy(col("w1"), col("w2"), col("w3")).agg(sum(col("c4")).as("cp4"))
         .localCheckpoint(true).transform(Pinned.track)
-      // per-doc boundary rows: tail trigram, tail bigram, tail unigram
-      val tails = base.select(explode(array(
-          struct(element_at(ws, -3).as("ta"), element_at(ws, -2).as("tb"),
-            element_at(ws, -1).as("tc")),
-          struct(element_at(ws, -2).as("ta"), element_at(ws, -1).as("tb"),
-            lit(null).cast("string").as("tc")),
-          struct(element_at(ws, -1).as("ta"), lit(null).cast("string").as("tb"),
-            lit(null).cast("string").as("tc")))).as("t"))
-        .select(col("t.ta").as("ta"), col("t.tb").as("tb"), col("t.tc").as("tc"))
-        .groupBy(col("ta"), col("tb"), col("tc")).agg(count(lit(1)).as("tn"))
+      // per-doc boundary rows: tail trigram, tail bigram, tail unigram —
+      // grouped on strings (3 rows/doc), then mapped to ids: ta is
+      // always a base token (inner join drops nothing); tb/tc map
+      // through LEFT joins so the arity-marking nulls survive (null
+      // word → null id, non-null boundary words always hit the dict)
+      val tl0 = base.select(explode(array(
+          struct(element_at(ws, -3).as("sa"), element_at(ws, -2).as("sb"),
+            element_at(ws, -1).as("sc")),
+          struct(element_at(ws, -2).as("sa"), element_at(ws, -1).as("sb"),
+            lit(null).cast("string").as("sc")),
+          struct(element_at(ws, -1).as("sa"), lit(null).cast("string").as("sb"),
+            lit(null).cast("string").as("sc")))).as("t"))
+        .select(col("t.sa").as("sa"), col("t.sb").as("sb"), col("t.sc").as("sc"))
+        .groupBy(col("sa"), col("sb"), col("sc")).agg(count(lit(1)).as("tn"))
+      val tails = tl0
+        .join(wid("sa", "ta"), Seq("sa"))
+        .join(wid("sb", "tb"), Seq("sb"), "left")
+        .join(wid("sc", "tc"), Seq("sc"), "left")
+        .select(col("ta"), col("tb"), col("tc"), col("tn"))
         .localCheckpoint(true) // vocab-bounded sliver; three arity-filtered consumers
         .transform(Pinned.track) // released by the consumer's drain (r8 advice)
       val c3 = cp4.select(col("w1").as("ta"), col("w2").as("tb"),

@@ -201,4 +201,30 @@ class BenchReportSpec extends AnyFunSuite {
     val JArray(flaky) = j \ "flaky"
     assert(flaky.contains(JString("flaky_one")))
   }
+
+  test("r14: CLEARED suspects carry their rerun value in the queries map; " +
+      "unresolved keep the median (VERDICT #5)") {
+    val rs = Seq(("cleared_arm", 20.7, 3), ("regressed_arm", 8.0, 3),
+      ("untouched_arm", 0.4, 3))
+    // cleared: med 20.7 >> base 1.57, immediate rerun 1.77 ≤ 2×base
+    val cleared = Bench.Rerun("cleared_arm", 1.57, 20.7, 1.77, None, 2.0)
+    assert(cleared.cleared)
+    // regressed: both readings repeat the elevated value
+    val regressed = Bench.Rerun("regressed_arm", 2.0, 8.0, 7.9, Some(7.8), 2.0)
+    assert(!regressed.cleared && regressed.verdict == "regressed")
+    val adj = Bench.applyClearedReruns(rs, Seq(cleared, regressed))
+    assert(adj.find(_._1 == "cleared_arm").get._2 == 1.77,
+      "the cleared arm's record entry must be its rerun reading")
+    assert(adj.find(_._1 == "regressed_arm").get._2 == 8.0,
+      "a regressed arm keeps its median — no laundering")
+    assert(adj.find(_._1 == "untouched_arm").get._2 == 0.4)
+    // and the rendered line still carries the full suspect evidence
+    val line = Bench.renderRecordLine(adj, Seq(cleared, regressed), 3, "/x/sf0.1")
+    val j = parse(line)
+    val JObject(qs) = j \ "queries"
+    assert(qs.collectFirst { case ("cleared_arm", JDouble(v)) => v }.get == 1.77)
+    val med = j \ "suspect_rerun" \ "cleared_arm" \ "med"
+    assert(med == JDouble(20.7) || med == JDecimal(BigDecimal("20.7")),
+      s"the adjudicated median must stay in the suspect evidence: $med")
+  }
 }
